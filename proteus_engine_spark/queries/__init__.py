@@ -1,0 +1,7 @@
+"""Import all query modules so their @register calls populate REGISTRY."""
+
+from proteus_engine_spark.queries.registry import REGISTRY, oracles, queries
+
+from proteus_engine_spark.queries import relational  # noqa: F401
+
+__all__ = ["REGISTRY", "queries", "oracles"]

@@ -1,0 +1,94 @@
+"""Batch table sources over the driver-provided parquet layout.
+
+Mirrors the reference's source surface (ExecutionEnvironment.readCsvFile /
+readTextFile / createInput — /root/reference/flink-java/src/main/java/org/
+apache/flink/api/java/ExecutionEnvironment.java:391,498) on `spark.read`.
+Parquet is the primary format: columnar scan + predicate pushdown + column
+pruning come from the DataSource V2 path, which strictly subsumes the
+reference's ProjectableTableSource/FilterableTableSource
+(/root/reference/flink-libraries/flink-table/src/main/scala/org/apache/
+flink/table/sources/CsvTableSource.scala:50).
+
+At 100 TB the tables would be directories of many parquet files (possibly
+hive-partitioned); `spark.read.parquet(path)` handles both the single-file
+test layout and a partitioned directory layout unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any scale factor (region and
+# nation are fixed-size in TPC-H; supplier/part/customer grow with SF but the
+# optimizer re-checks sizes — these are only the *always safe* set).
+BROADCAST_SAFE = {"region", "nation"}
+
+
+def _path(sf_dir: str, name: str) -> str:
+    p = os.path.join(sf_dir, f"{name}.parquet")
+    return p
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one table as a DataFrame (lazy scan; pushdown-capable)."""
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
+    return spark.read.parquet(_path(sf_dir, name))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES if os.path.exists(_path(sf_dir, name))}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every table as a temp view so `spark.sql` queries see the
+    same catalog the DuckDB oracle does."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs
+
+
+def read_csv(spark: SparkSession, path: str, schema=None, header: bool = True) -> DataFrame:
+    """CSV source (ExecutionEnvironment.readCsvFile parity). Explicit schema
+    preferred — `inferSchema` triggers an extra full scan, unacceptable at
+    scale."""
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_text(spark: SparkSession, path: str) -> DataFrame:
+    """Line-delimited text source (ExecutionEnvironment.readTextFile parity)."""
+    return spark.read.text(path)
+
+
+def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def from_rows(spark: SparkSession, rows, schema) -> DataFrame:
+    """Local-collection source (ExecutionEnvironment.fromCollection parity,
+    ExecutionEnvironment.java:600)."""
+    return spark.createDataFrame(rows, schema=schema)

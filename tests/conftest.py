@@ -1,0 +1,71 @@
+"""Shared pytest fixtures: one SparkSession per test session, DuckDB oracle
+helper replicating the driver's comparison (row count + schema + order-
+insensitive value comparison)."""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+from pathlib import Path
+
+import duckdb
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+SF_DIR = os.environ.get("PROTEUS_TEST_SF_DIR", "/root/testdata/sf0.001")
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings".split()
+)
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from proteus_engine_spark.session import get_session
+
+    s = get_session(app_name="proteus-tests", shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    yield con
+    con.close()
+
+
+def _norm(v):
+    """Normalize a cell for order-insensitive comparison."""
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 6)
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm(x) for x in v)
+    return v
+
+
+def assert_matches_oracle(spark_df, duck_con, oracle_sql: str, check_schema: bool = True):
+    """Driver-comparison replica: sort columns by name, compare row multisets
+    with float rounding."""
+    scols = sorted(spark_df.columns)
+    srows = [tuple(_norm(r[c]) for c in scols) for r in spark_df.collect()]
+
+    duck_res = duck_con.sql(oracle_sql)
+    dcols_raw = duck_res.columns
+    assert sorted(dcols_raw) == scols, f"column mismatch: spark={scols} duck={sorted(dcols_raw)}"
+    order = [dcols_raw.index(c) for c in scols]
+    drows = [tuple(_norm(row[i]) for i in order) for row in duck_res.fetchall()]
+
+    assert len(srows) == len(drows), f"row count: spark={len(srows)} duck={len(drows)}"
+    assert sorted(srows, key=repr) == sorted(drows, key=repr)
