@@ -48,7 +48,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table as a DataFrame (lazy scan; pushdown-capable)."""
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
-    return spark.read.parquet(_path(sf_dir, name))
+    df = spark.read.parquet(_path(sf_dir, name))
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS) read as long nanos
+        # (spark.sql.legacy.parquet.nanosAsLong); convert to microsecond
+        # timestamp with integer division — nanos ≈ 1.7e18 overflows double's
+        # exact integer range, so no float division here. DuckDB truncates
+        # nanos→micros the same way.
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
