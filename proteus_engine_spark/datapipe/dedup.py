@@ -1,0 +1,205 @@
+"""Deduplication operators over a documents table.
+
+Four tiers, all shuffle-architected for 100 TB corpora:
+
+- exact_dedup        — hash-groupBy on a content digest. One shuffle on the
+                       digest; at 100 TB the digest (16 bytes) shuffles, not
+                       the text.
+- minhash_lsh_pairs  — word-shingle MinHash + banded LSH: candidate pairs
+                       come from equi-joins on (band, band_signature)
+                       buckets, so the cartesian blowup never happens; only
+                       bucket-mates are compared exactly.
+- simhash_buckets    — 64-bit SimHash grouped by hamming-ball prefix bands.
+- ngram_jaccard_pairs — exact token-set Jaccard within cheap blocking keys
+                       (the verification tier for LSH candidates, and an
+                       oracle-checkable operator on its own).
+
+Everything is built-in expressions (xxhash64, explode, groupBy) — no Python
+in the hot path. MinHash permutations use xxhash64 with per-permutation
+seeds, the standard "one strong hash, k seeds" construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_PATTERN = r"\s+"
+
+
+def _tokens(text_col: str) -> "F.Column":
+    """Lowercased whitespace tokenization (the portable baseline; swap in a
+    regex/BPE tokenizer via token_count for finer granularity)."""
+    return F.split(F.lower(F.col(text_col)), TOKEN_PATTERN)
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup: keep the smallest id per content digest.
+
+    Scale: shuffles (digest, id) pairs only — ~24 bytes/row regardless of
+    document size. Equivalent SQL: GROUP BY md5(text) → min(id).
+    """
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def shingles(df: DataFrame, text_col: str = "text", k: int = 3, out: str = "shingle") -> DataFrame:
+    """Explode each document into its k-word shingles (distinct per doc).
+
+    Built-in expressions only: transform over a token-index sequence builds
+    the shingle array JVM-side; explode produces the (doc, shingle) relation.
+    """
+    toks = _tokens(text_col)
+    shingle_arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        )
+    )
+    return df.withColumn(out, F.explode(shingle_arr))
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """MinHash signatures: num_perm minimums of seeded xxhash64 over the
+    shingle set. One explode + one groupBy(doc) — the shuffle carries
+    (doc_id, 64×8 bytes), not the text."""
+    sh = shingles(docs.select(id_col, text_col), text_col, k=shingle_k)
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(p))).alias(f"mh_{p}") for p in range(num_perm)
+    ]
+    return sh.groupBy(id_col).agg(*mins)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.7,
+) -> DataFrame:
+    """Near-duplicate pairs via banded MinHash-LSH.
+
+    bands=16 × rows=4 over 64 perms → catches pairs with J ≳ 0.7. Candidate
+    generation is a self-equi-join on (band_id, band_sig): at 100 TB the
+    join key is 16 bytes and Catalyst plans a plain shuffle-hash join;
+    hot buckets (boilerplate docs) are AQE-skew-split. Candidates are then
+    verified with the exact signature agreement ratio (estimate of J).
+    """
+    rows_per_band = num_perm // bands
+    sig = minhash_signatures(docs, id_col, text_col, num_perm, shingle_k)
+
+    band_cols = [
+        F.xxhash64(*[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
+            f"band_{b}"
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        F.col(id_col),
+        F.array(*[F.col(f"mh_{p}") for p in range(num_perm)]).alias("sig"),
+        F.posexplode(F.array(*band_cols)).alias("band_id", "band_sig"),
+    )
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_sig") == F.col("r.band_sig"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("doc_a"),
+            F.col(f"r.{id_col}").alias("doc_b"),
+            F.col("l.sig").alias("sig_a"),
+            F.col("r.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+    est = (
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda a, b: a == b), lambda x: x))
+        / F.lit(num_perm)
+    ).alias("jaccard_est")
+    return cand.select("doc_a", "doc_b", est).filter(F.col("jaccard_est") >= jaccard_threshold)
+
+
+def simhash_buckets(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefix_bits: int = 16,
+) -> DataFrame:
+    """64-bit SimHash per document + a prefix bucket for blocking.
+
+    SimHash: per token, xxhash64 → 64 bit columns; each bit contributes ±1;
+    the sign of each column sum is the fingerprint bit. Implemented as one
+    explode + groupBy(doc) over built-in bit ops (shiftright/bitwise-and) —
+    sums happen map-side. Near-dup candidates = same prefix bucket (for
+    hamming-distance ≤ 3 style retrieval, run 4 rotations — documented).
+    """
+    toks = docs.select(F.col(id_col), F.explode(_tokens(text_col)).alias("tok"))
+    h = F.xxhash64("tok")
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"bit_{b}")
+        for b in range(64)
+    ]
+    agg = toks.groupBy(id_col).agg(*bit_sums)
+    fingerprint = None
+    for b in range(64):
+        bit = F.when(F.col(f"bit_{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, b)
+        fingerprint = term if fingerprint is None else fingerprint.bitwiseXOR(term)
+    return agg.select(
+        F.col(id_col),
+        fingerprint.alias("simhash"),
+        F.shiftrightunsigned(fingerprint, 64 - prefix_bits).alias("bucket"),
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_cols: list[str] | None = None,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact token-set Jaccard over blocked pairs.
+
+    This is the *verification* tier: at scale you never run it standalone —
+    block first (LSH buckets, language, length band) so the self-join is
+    bounded. |A∩B| and |A∪B| come from array_intersect/array_union sizes,
+    all JVM-side.
+    """
+    toks = F.array_distinct(_tokens(text_col))
+    base = docs.select(F.col(id_col), *(block_cols or []), toks.alias("tok_set"))
+    left = base.alias("l")
+    right = base.alias("r")
+    cond = F.col(f"l.{id_col}") < F.col(f"r.{id_col}")
+    for b in block_cols or []:
+        cond = cond & (F.col(f"l.{b}") == F.col(f"r.{b}"))
+    inter = F.size(F.array_intersect(F.col("l.tok_set"), F.col("r.tok_set")))
+    union = F.size(F.array_union(F.col("l.tok_set"), F.col("r.tok_set")))
+    return (
+        left.join(right, cond)
+        .select(
+            F.col(f"l.{id_col}").alias("doc_a"),
+            F.col(f"r.{id_col}").alias("doc_b"),
+            (inter.cast("double") / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,122 @@
+"""Similarity search over an embedding column (array<float>).
+
+- brute_force_topk — exact cosine top-k: query set broadcast against the
+  corpus; per-row dot product with built-in higher-order functions
+  (zip_with + aggregate, JVM-side), top-k via per-query window. The
+  baseline and the verifier for the ANN path.
+- lsh_ann_topk     — random-hyperplane LSH: 2^nbits sign-pattern buckets
+  from deterministic pseudo-random hyperplanes; candidates = bucket-mates
+  (with multi-probe on neighboring buckets optional at call site);
+  exact cosine re-rank inside buckets only.
+
+Scale shape: brute force is O(|Q|·|C|) — fine for |Q| small (broadcast), a
+re-rank kernel otherwise. LSH makes the corpus side shuffle on a 4-byte
+bucket id; at 100 TB of embeddings the bucket join replaces the cartesian.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity between two array<double> columns — sequential
+    left-fold, same order both engines (oracle: DuckDB list_dot_product)."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    q_id: str = "q_id",
+    c_id: str = "c_id",
+    vec: str = "vec",
+) -> DataFrame:
+    """Exact cosine top-k per query.
+
+    queries: (q_id, vec array<double>) — must be small enough to broadcast.
+    corpus:  (c_id, vec array<double>).
+    Returns (q_id, c_id, cos_sim, rank<=k), ties broken by c_id so the cut
+    is deterministic across engines.
+    """
+    q = queries.select(F.col(q_id), F.col(vec).alias("q_vec"))
+    c = corpus.select(F.col(c_id), F.col(vec).alias("c_vec"))
+    scored = F.broadcast(q).crossJoin(c).select(
+        q_id,
+        c_id,
+        F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy(q_id).orderBy(F.desc("cos_sim"), F.asc(c_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplane(dim: int, plane_idx: int) -> list[float]:
+    """Deterministic pseudo-random unit hyperplane (splitmix-style LCG on
+    (plane_idx, component) — no RNG state, reproducible across runs and
+    cluster re-executions, which matters for incremental corpus builds)."""
+    comps = []
+    for j in range(dim):
+        x = (plane_idx * 0x9E3779B97F4A7C15 + j * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        x ^= x >> 31
+        x = (x * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        x ^= x >> 29
+        comps.append((x / 2**64) * 2.0 - 1.0)
+    n = math.sqrt(sum(v * v for v in comps)) or 1.0
+    return [v / n for v in comps]
+
+
+def lsh_bucket(vec: Column, dim: int, nbits: int = 8) -> Column:
+    """Random-hyperplane signature: nbits sign bits packed into an int."""
+    bucket = F.lit(0).cast("long")
+    for b in range(nbits):
+        plane = F.array(*[F.lit(v) for v in _hyperplane(dim, b)])
+        bit = (_dot(vec, plane) > 0).cast("long")
+        bucket = bucket + F.shiftleft(bit, b)
+    return bucket
+
+
+def lsh_ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 5,
+    nbits: int = 8,
+    q_id: str = "q_id",
+    c_id: str = "c_id",
+    vec: str = "vec",
+) -> DataFrame:
+    """Approximate top-k: hash both sides into sign-pattern buckets, join on
+    bucket, exact cosine re-rank within. Recall rises with fewer bits or
+    multi-probe; the contract is approximate (documented)."""
+    q = queries.select(
+        F.col(q_id), F.col(vec).alias("q_vec"), lsh_bucket(F.col(vec), dim, nbits).alias("bucket")
+    )
+    c = corpus.select(
+        F.col(c_id), F.col(vec).alias("c_vec"), lsh_bucket(F.col(vec), dim, nbits).alias("bucket")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, "bucket")
+        .select(
+            q_id,
+            c_id,
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy(q_id).orderBy(F.desc("cos_sim"), F.asc(c_id))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -1,0 +1,97 @@
+"""Text analysis operators: language ID, quality scoring, token counting,
+document fingerprinting. All built-in expressions — at 100 TB these run
+inside whole-stage codegen over the parquet scan, no Python, no shuffle
+(embarrassingly parallel per document).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword anchor sets (language-ID heuristic tier; a real
+# deployment would swap in fastText via mapInPandas — see multimodal.py for
+# the gated-dependency pattern).
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it", "was", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "un", "une", "dans", "pour"],
+    "es": ["el", "la", "los", "que", "es", "no", "un", "una", "con", "por"],
+}
+
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _tokens(text: str | Column) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.lower(c), r"\s+")
+
+
+def token_count(text: str | Column, mode: str = "whitespace") -> Column:
+    """Token count: whitespace tier or BPE-ish regex tier (letters runs /
+    digit runs / single punctuation — a proxy for subword token counts)."""
+    c = F.col(text) if isinstance(text, str) else text
+    if mode == "whitespace":
+        return F.size(F.split(c, r"\s+"))
+    if mode == "bpe":
+        return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0))
+    raise ValueError(f"unknown mode {mode!r}")
+
+
+def stopword_ratio(text: str | Column, lang: str = "en") -> Column:
+    toks = _tokens(text)
+    hits = F.size(F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(w) for w in STOPWORDS[lang]])))
+    return hits.cast("double") / F.greatest(F.size(F.array_distinct(toks)), F.lit(1))
+
+
+def language_id(text: str | Column) -> Column:
+    """Heuristic language ID: distinct-stopword hits per language, argmax
+    (ties → lexicographically first language, deterministic). Returns
+    'und' when no list matches."""
+    toks = F.array_distinct(_tokens(text))
+    scores = [
+        (lang, F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in ws]))))
+        for lang, ws in sorted(STOPWORDS.items())
+    ]
+    best = None
+    best_lang = F.lit("und")
+    for lang, score in scores:
+        if best is None:
+            best, best_lang = score, F.when(score > 0, F.lit(lang)).otherwise(F.lit("und"))
+        else:
+            gt = score > best
+            best_lang = F.when(gt, F.lit(lang)).otherwise(best_lang)
+            best = F.when(gt, score).otherwise(best)
+    return best_lang
+
+
+def quality_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features: lengths, token stats, punctuation and
+    digit ratios, uppercase ratio, mean word length — the standard
+    pre-training quality-filter feature set."""
+    c = F.col(text_col)
+    toks = F.split(c, r"\s+")
+    n_chars = F.length(c)
+    n_tokens = F.size(toks)
+    n_punct = F.length(F.regexp_replace(c, r"[^.,;:!?'\"]", ""))
+    n_digit = F.length(F.regexp_replace(c, r"[^0-9]", ""))
+    n_upper = F.length(F.regexp_replace(c, r"[^A-Z]", ""))
+    return docs.withColumns(
+        {
+            "n_chars_calc": n_chars,
+            "n_tokens": n_tokens,
+            "mean_word_len": (n_chars - n_tokens + 1).cast("double") / F.greatest(n_tokens, F.lit(1)),
+            "punct_ratio": n_punct.cast("double") / F.greatest(n_chars, F.lit(1)),
+            "digit_ratio": n_digit.cast("double") / F.greatest(n_chars, F.lit(1)),
+            "upper_ratio": n_upper.cast("double") / F.greatest(n_chars, F.lit(1)),
+        }
+    )
+
+
+def document_fingerprint(text: str | Column) -> Column:
+    """Order-insensitive content fingerprint: md5 over the sorted distinct
+    token set — robust to token reordering, portable across engines (both
+    sides agree on md5 of the same joined string). For shift-robust
+    winnowing-style fingerprints, combine with dedup.shingles + min-hash."""
+    toks = F.sort_array(F.array_distinct(_tokens(text)))
+    return F.md5(F.concat_ws(" ", toks))

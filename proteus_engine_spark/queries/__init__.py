@@ -2,6 +2,6 @@
 
 from proteus_engine_spark.queries.registry import REGISTRY, oracles, queries
 
-from proteus_engine_spark.queries import functions_q, relational, windows_q  # noqa: F401
+from proteus_engine_spark.queries import datapipe_q, functions_q, relational, windows_q  # noqa: F401
 
 __all__ = ["REGISTRY", "queries", "oracles"]

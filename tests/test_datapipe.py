@@ -1,0 +1,95 @@
+"""Semantic tests for the hash-based datapipe ops that have no SQL oracle:
+MinHash-LSH recall against exact Jaccard, hyperplane-ANN recall against
+brute force, SimHash properties, multimodal plumbing shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from proteus_engine_spark.datapipe.dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_buckets,
+)
+from proteus_engine_spark.datapipe.multimodal import decode_images, sample_frames
+from proteus_engine_spark.datapipe.similarity import brute_force_topk, lsh_ann_topk
+from tests.conftest import SF_DIR
+
+
+def _docs_with_near_dups(spark):
+    """documents + injected near-duplicates (synthetic corpus has no real
+    near-dups, so make some: copy with small edits)."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(50)
+    dups = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra token tail")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    return docs.union(dups)
+
+
+def test_minhash_lsh_finds_injected_near_dups(spark):
+    docs = _docs_with_near_dups(spark)
+    pairs = minhash_lsh_pairs(docs, jaccard_threshold=0.5).collect()
+    found = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    # every injected dup pair (id, id+100000) should be found
+    expected = {(i, i + 100000) for i in range(50)}
+    recall = len(found & expected) / len(expected)
+    assert recall >= 0.9, f"LSH recall too low: {recall} ({len(found)} pairs found)"
+
+
+def test_minhash_agrees_with_exact_jaccard(spark):
+    """MinHash jaccard_est within 0.25 of exact token Jaccard on found pairs."""
+    docs = _docs_with_near_dups(spark)
+    mh = {(r["doc_a"], r["doc_b"]): r["jaccard_est"] for r in minhash_lsh_pairs(docs, jaccard_threshold=0.3).collect()}
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.0).collect()
+    }
+    checked = 0
+    for pair, est in mh.items():
+        if pair in exact:
+            assert abs(est - exact[pair]) < 0.25, f"{pair}: est={est} exact={exact[pair]}"
+            checked += 1
+    assert checked >= 40
+
+
+def test_simhash_identical_docs_same_fingerprint(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(20)
+    copies = docs.withColumn("doc_id", F.col("doc_id") + 100000)
+    fp = simhash_buckets(docs.union(copies)).collect()
+    by_id = {r["doc_id"]: r["simhash"] for r in fp}
+    for i in range(20):
+        if i in by_id and i + 100000 in by_id:
+            assert by_id[i] == by_id[i + 100000]
+
+
+def test_ann_recall_vs_brute_force(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    vec = F.col("embedding").cast("array<double>")
+    queries = emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("q_id"), vec.alias("vec"))
+    corpus = emb.select(F.col("vec_id").alias("c_id"), vec.alias("vec"))
+    exact = brute_force_topk(queries, corpus, k=5).collect()
+    approx = lsh_ann_topk(queries, corpus, dim=64, k=5, nbits=4).collect()
+    exact_set = {(r["q_id"], r["c_id"]) for r in exact}
+    approx_set = {(r["q_id"], r["c_id"]) for r in approx}
+    # self-match (q==c, cos=1) must always be retrieved; overall recall loose
+    # (4-bit LSH on near-orthogonal random vectors is genuinely approximate)
+    for q in range(10):
+        assert (q, q) in approx_set
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.2, f"ANN recall suspiciously low: {recall}"
+
+
+def test_multimodal_decode_shape(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(30)
+    media = docs.select(F.col("doc_id").alias("media_id"), F.encode("text", "utf-8").alias("payload"))
+    decoded = decode_images(media)
+    rows = decoded.collect()
+    assert len(rows) == 30
+    assert set(decoded.columns) == {"media_id", "width", "height", "n_channels", "mean_intensity"}
+    frames = sample_frames(media, every_n=2).collect()
+    assert len(frames) >= 30
+    assert all(isinstance(r["frame"], (bytes, bytearray)) for r in frames[:5])
