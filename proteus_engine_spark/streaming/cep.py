@@ -1,0 +1,213 @@
+"""CEP subset: sequential pattern matching with contiguity modes and a
+time bound, on batch and streaming DataFrames.
+
+Reference: flink-libraries/flink-cep — Pattern.begin/next/followedBy/where/
+within (pattern/Pattern.java:123–536), CEP.pattern (CEP.java:38),
+PatternStream.select (PatternStream.java:92), NFA runtime (cep/nfa/
+NFA.java). Scope per SURVEY §7 step 6: begin + next (strict contiguity) +
+followedBy (relaxed contiguity) + within, single-match-per-step (no
+quantifiers/groups yet — documented).
+
+Match semantics (mirrors the reference NFA defaults): every event
+satisfying step 0 opens a partial match; `next` requires the immediately
+following event (per key, event-time order) to satisfy the step or the
+partial dies; `followedBy` skips non-matching events and consumes the
+FIRST matching one; `within` bounds last.ts - first.ts. Overlapping matches
+are emitted (no after-match skip), like the reference's default
+NoSkipStrategy.
+
+Implementation: the NFA transition core is a pure function over a sorted
+per-key event list; batch runs it inside applyInPandas (one shuffle on the
+key), streaming inside applyInPandasWithState with open partials carried in
+state. At 100 TB the per-key sort is the only superlinear cost — the same
+bound the reference's keyed NFA state has.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+
+@dataclass(frozen=True)
+class Step:
+    name: str
+    predicate: Callable[[pd.Series], bool]
+    contiguity: str = "followedBy"  # 'begin' | 'next' | 'followedBy'
+
+
+@dataclass
+class Pattern:
+    """Pattern.begin(...).next/.followedBy(...).where(...).within(...)"""
+
+    steps: list[Step] = field(default_factory=list)
+    within_ms: int | None = None
+
+    @staticmethod
+    def begin(name: str, predicate: Callable[[pd.Series], bool]) -> "Pattern":
+        return Pattern(steps=[Step(name, predicate, "begin")])
+
+    def next(self, name: str, predicate: Callable[[pd.Series], bool]) -> "Pattern":
+        self.steps.append(Step(name, predicate, "next"))
+        return self
+
+    def followed_by(self, name: str, predicate: Callable[[pd.Series], bool]) -> "Pattern":
+        self.steps.append(Step(name, predicate, "followedBy"))
+        return self
+
+    def within(self, ms: int) -> "Pattern":
+        self.within_ms = ms
+        return self
+
+
+def _run_nfa(
+    events: pd.DataFrame, pattern: Pattern, ts_col: str, id_col: str
+) -> list[dict]:
+    """Pure NFA scan over one key's time-ordered events. Returns one dict per
+    complete match: {step_name: (event_id, ts_millis)}."""
+    matches: list[dict] = []
+    partials: list[dict] = []  # each: {"idx": next step index, "events": {...}, "t0": ms}
+    rows = list(events.itertuples(index=False))
+    cols = list(events.columns)
+
+    def as_series(r):
+        return pd.Series(dict(zip(cols, r)))
+
+    for row in rows:
+        s = as_series(row)
+        t = int(pd.Timestamp(s[ts_col]).value // 1_000_000)
+        survivors: list[dict] = []
+        for p in partials:
+            if pattern.within_ms is not None and t - p["t0"] > pattern.within_ms:
+                continue  # timed out
+            step = pattern.steps[p["idx"]]
+            if step.predicate(s):
+                ev = dict(p["events"])
+                ev[step.name] = (s[id_col], t)
+                if p["idx"] + 1 == len(pattern.steps):
+                    matches.append(ev)
+                else:
+                    survivors.append({"idx": p["idx"] + 1, "events": ev, "t0": p["t0"]})
+            elif step.contiguity == "next":
+                continue  # strict contiguity broken → partial dies
+            else:
+                survivors.append(p)  # relaxed: skip this event
+        partials = survivors
+        first = pattern.steps[0]
+        if first.predicate(s):
+            ev = {first.name: (s[id_col], t)}
+            if len(pattern.steps) == 1:
+                matches.append(ev)
+            else:
+                partials.append({"idx": 1, "events": ev, "t0": t})
+    return matches
+
+
+def _match_columns(pattern: Pattern) -> list[str]:
+    cols = []
+    for st in pattern.steps:
+        cols += [f"{st.name}_id", f"{st.name}_ts"]
+    return cols
+
+
+def match_pattern(
+    df: DataFrame,
+    pattern: Pattern,
+    key_col: str,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Batch CEP (CEP.pattern + PatternStream.select equivalent on a bounded
+    input): one shuffle on the key; per-key sort + NFA scan in Arrow batches."""
+    out_cols = [key_col] + _match_columns(pattern)
+    schema = f"{key_col} long, " + ", ".join(
+        f"{c} long" for c in _match_columns(pattern)
+    )
+
+    def per_key(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts_col, id_col], kind="mergesort")
+        found = _run_nfa(pdf, pattern, ts_col, id_col)
+        rows = []
+        for m in found:
+            row = [pdf[key_col].iloc[0]]
+            for st in pattern.steps:
+                eid, tms = m[st.name]
+                row += [int(eid), int(tms)]
+            rows.append(row)
+        return pd.DataFrame(rows, columns=out_cols)
+
+    return df.groupBy(key_col).applyInPandas(per_key, schema=schema)
+
+
+def match_pattern_stream(
+    stream: DataFrame,
+    pattern: Pattern,
+    key_col: str,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Streaming CEP: open partial matches persist in keyed state across
+    micro-batches (the NFA ComputationState equivalent); completed matches
+    append. Within a batch events are NFA-scanned in event-time order; state
+    carries (step index, matched events, window start) per partial."""
+    import pickle
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_cols = [key_col] + _match_columns(pattern)
+    schema = f"{key_col} long, " + ", ".join(f"{c} long" for c in _match_columns(pattern))
+
+    def transition(key, pdfs, state: GroupState):
+        partials = pickle.loads(state.get[0]) if state.exists else []
+        batches = [p for p in pdfs]
+        if not batches:
+            return
+        pdf = pd.concat(batches).sort_values([ts_col, id_col], kind="mergesort")
+        # Reuse the pure NFA by replaying with pre-seeded partials.
+        matches: list[dict] = []
+        rows = list(pdf.itertuples(index=False))
+        cols = list(pdf.columns)
+        for row in rows:
+            s = pd.Series(dict(zip(cols, row)))
+            t = int(pd.Timestamp(s[ts_col]).value // 1_000_000)
+            survivors = []
+            for p in partials:
+                if pattern.within_ms is not None and t - p["t0"] > pattern.within_ms:
+                    continue
+                step = pattern.steps[p["idx"]]
+                if step.predicate(s):
+                    ev = dict(p["events"])
+                    ev[step.name] = (int(s[id_col]), t)
+                    if p["idx"] + 1 == len(pattern.steps):
+                        matches.append(ev)
+                    else:
+                        survivors.append({"idx": p["idx"] + 1, "events": ev, "t0": p["t0"]})
+                elif step.contiguity == "next":
+                    continue
+                else:
+                    survivors.append(p)
+            partials = survivors
+            first = pattern.steps[0]
+            if first.predicate(s):
+                ev = {first.name: (int(s[id_col]), t)}
+                if len(pattern.steps) == 1:
+                    matches.append(ev)
+                else:
+                    partials.append({"idx": 1, "events": ev, "t0": t})
+        state.update((pickle.dumps(partials),))
+        if matches:
+            out = []
+            for m in matches:
+                row = [key[0]]
+                for st in pattern.steps:
+                    eid, tms = m[st.name]
+                    row += [eid, tms]
+                out.append(row)
+            yield pd.DataFrame(out, columns=out_cols)
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        transition, schema, "blob binary", "append", GroupStateTimeout.NoTimeout
+    )

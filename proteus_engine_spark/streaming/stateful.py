@@ -1,0 +1,132 @@
+"""Custom stateful streaming operators on applyInPandasWithState.
+
+Reference targets (SURVEY §2.9 / §7 step 6):
+- count windows        — KeyedStream.countWindow (KeyedStream.java:383,393)
+- ProcessFunction      — ProcessFunction.java:51 processElement/onTimer
+  with keyed state (flink-core/.../api/common/state/*.java) and timers.
+
+Both use the same machinery: groupBy(key).applyInPandasWithState — keyed
+state lives in Spark's state store (checkpointed, scaled per key group,
+the RocksDB-backend equivalent), timers map to GroupStateTimeout.
+
+Scale: state per key is O(1) for count windows (running agg + remainder
+buffer bounded by window size); Arrow batches amortize the Python crossing.
+Within a micro-batch, rows are presented sorted by (ts, tiebreak) before
+the transition function runs — deterministic replay, the same guarantee
+the reference gets from watermarked event-time order in its window
+operator.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def count_window_agg(
+    stream: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    window_size: int,
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Tumbling count window per key: emit (key, win_id, n, total_value,
+    first_id, last_id) every `window_size` rows.
+
+    State = (next window id, rows-so-far buffer for the open window) — the
+    buffer never exceeds window_size rows. Emission happens as soon as a
+    window fills (mid-batch included), matching CountTrigger.of(size) FIRE
+    semantics; the open remainder window stays in state awaiting more rows.
+    """
+    out_schema = (
+        f"{key_col} long, win_id long, n long, total_value double, "
+        "first_id long, last_id long"
+    )
+    state_schema = "win_id long, buf_n long, buf_sum double, buf_first long"
+
+    def transition(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            win_id, buf_n, buf_sum, buf_first = state.get
+        else:
+            win_id, buf_n, buf_sum, buf_first = 0, 0, 0.0, None
+        out: list[tuple] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(order_cols, kind="mergesort")
+            for _, row in pdf.iterrows():
+                if buf_n == 0:
+                    buf_first = int(row[id_col])
+                buf_n += 1
+                buf_sum += float(row[value_col])
+                if buf_n == window_size:
+                    out.append((key[0], win_id, buf_n, buf_sum, buf_first, int(row[id_col])))
+                    win_id, buf_n, buf_sum, buf_first = win_id + 1, 0, 0.0, None
+        state.update((win_id, buf_n, buf_sum, buf_first))
+        if out:
+            yield pd.DataFrame(
+                out, columns=[key_col, "win_id", "n", "total_value", "first_id", "last_id"]
+            )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        transition, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def process_keyed(
+    stream: DataFrame,
+    key_cols: list[str],
+    func: Callable[[tuple, pd.DataFrame, dict[str, Any]], tuple[pd.DataFrame, dict[str, Any]]],
+    out_schema: str,
+    timeout: str = "NoTimeout",
+    timeout_duration_ms: int | None = None,
+    on_timeout: Callable[[tuple, dict[str, Any]], pd.DataFrame | None] | None = None,
+) -> DataFrame:
+    """ProcessFunction shim (ProcessFunction.java:51): user code sees
+    (key, batch, mutable state dict) and returns (emitted rows, new state);
+    `on_timeout` is the onTimer equivalent (:85), fired by the state store
+    when the key is idle past `timeout_duration_ms` (processing time) or
+    past the event-time watermark.
+
+    The state dict is pickled into a single binary state column — arbitrary
+    Python state, the ValueState/ListState/MapState union. Keep it compact:
+    it is shipped through the state store every batch.
+    """
+    import pickle
+
+    state_schema = "blob binary"
+    timeout_conf = {
+        "NoTimeout": GroupStateTimeout.NoTimeout,
+        "ProcessingTimeTimeout": GroupStateTimeout.ProcessingTimeTimeout,
+        "EventTimeTimeout": GroupStateTimeout.EventTimeTimeout,
+    }[timeout]
+
+    def transition(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            user_state = pickle.loads(state.get[0]) if state.exists else {}
+            if on_timeout is not None:
+                emitted = on_timeout(key, user_state)
+                if emitted is not None and len(emitted):
+                    yield emitted
+            state.remove()
+            return
+        user_state = pickle.loads(state.get[0]) if state.exists else {}
+        batches = [pdf for pdf in pdfs]
+        batch = pd.concat(batches) if batches else pd.DataFrame()
+        emitted, new_state = func(key, batch, user_state)
+        state.update((pickle.dumps(new_state),))
+        if timeout == "ProcessingTimeTimeout" and timeout_duration_ms is not None:
+            state.setTimeoutDuration(timeout_duration_ms)
+        if emitted is not None and len(emitted):
+            yield emitted
+
+    return stream.groupBy(*key_cols).applyInPandasWithState(
+        transition, out_schema, state_schema, "append", timeout_conf
+    )

@@ -1,0 +1,141 @@
+"""Streaming operator tests beyond the single-batch oracle checks:
+state continuity across micro-batches (the FIXTURES.md B6 harness pattern —
+PySpark analogue of OneInputStreamOperatorTestHarness), process-function
+timers surface, CEP streaming parity with batch, side-input modes."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from proteus_engine_spark.streaming.cep import Pattern, match_pattern, match_pattern_stream
+from proteus_engine_spark.streaming.side_inputs import forwarded_side_input
+from proteus_engine_spark.streaming.stateful import count_window_agg, process_keyed
+from tests.conftest import SF_DIR
+
+
+def _two_batch_stream(spark, rows_a, rows_b, schema):
+    """Write two parquet files and stream them one file per micro-batch —
+    forces the operator to carry state across batch boundaries."""
+    d = tempfile.mkdtemp(prefix="proteus_stream_")
+    spark.createDataFrame(rows_a, schema).coalesce(1).write.parquet(f"{d}/b0")
+    spark.createDataFrame(rows_b, schema).coalesce(1).write.parquet(f"{d}/b1")
+    src_dir = f"{d}/src"
+    os.makedirs(src_dir)
+    # name files so b0 sorts (and is discovered) first
+    for i, sub in enumerate(["b0", "b1"]):
+        part = [f for f in os.listdir(f"{d}/{sub}") if f.endswith(".parquet")][0]
+        os.rename(f"{d}/{sub}/{part}", f"{src_dir}/{i:02d}.parquet")
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+
+
+EV_SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+
+def _ev(i, minute, user, etype, value=1.0):
+    from datetime import datetime
+
+    return (i, datetime(2024, 1, 1, 0, minute, 0), user, etype, value)
+
+
+def test_count_window_spans_micro_batches(spark):
+    # 7 events in batch 0, 5 in batch 1 → windows of 5: two complete windows,
+    # the second one straddling the batch boundary (3 carried + 2 new).
+    a = [_ev(i, i, 1, "x") for i in range(7)]
+    b = [_ev(i, i, 1, "x") for i in range(7, 12)]
+    stream = _two_batch_stream(spark, a, b, EV_SCHEMA)
+    cw = count_window_agg(stream, "user_id", ["ts", "event_id"], "value", window_size=5)
+    q = cw.writeStream.outputMode("append").format("memory").queryName("cw_test").start()
+    q.processAllAvailable()
+    q.stop()
+    rows = {r["win_id"]: r for r in spark.table("cw_test").collect()}
+    assert set(rows) == {0, 1}
+    assert rows[0]["first_id"] == 0 and rows[0]["last_id"] == 4
+    assert rows[1]["first_id"] == 5 and rows[1]["last_id"] == 9  # straddles batches
+    assert all(r["n"] == 5 for r in rows.values())
+
+
+def test_cep_stream_matches_batch(spark):
+    """Streaming CEP over two micro-batches = batch CEP over the union —
+    partial matches must survive the batch boundary."""
+    a = [_ev(0, 1, 1, "signup"), _ev(1, 2, 1, "click")]
+    b = [_ev(2, 4, 1, "purchase"), _ev(3, 20, 1, "purchase")]
+    pat = (
+        Pattern.begin("signup", lambda r: r["event_type"] == "signup")
+        .followed_by("purchase", lambda r: r["event_type"] == "purchase")
+        .within(600_000)
+    )
+    stream = _two_batch_stream(spark, a, b, EV_SCHEMA)
+    out = match_pattern_stream(stream, pat, key_col="user_id")
+    q = out.writeStream.outputMode("append").format("memory").queryName("cep_test").start()
+    q.processAllAvailable()
+    q.stop()
+    stream_rows = [
+        (r["user_id"], r["signup_id"], r["purchase_id"]) for r in spark.table("cep_test").collect()
+    ]
+    batch_df = spark.createDataFrame(a + b, EV_SCHEMA)
+    batch_rows = [
+        (r["user_id"], r["signup_id"], r["purchase_id"])
+        for r in match_pattern(batch_df, pat, key_col="user_id").collect()
+    ]
+    assert sorted(stream_rows) == sorted(batch_rows) == [(1, 0, 2)]
+    # the second purchase (t=20min) is outside within=10min → matched once only
+
+
+def test_cep_next_strict_contiguity(spark):
+    # signup NEXT purchase: a click in between kills the partial.
+    rows = [_ev(0, 1, 1, "signup"), _ev(1, 2, 1, "click"), _ev(2, 3, 1, "purchase"),
+            _ev(3, 10, 2, "signup"), _ev(4, 11, 2, "purchase")]
+    df = spark.createDataFrame(rows, EV_SCHEMA)
+    pat = Pattern.begin("signup", lambda r: r["event_type"] == "signup").next(
+        "purchase", lambda r: r["event_type"] == "purchase"
+    )
+    got = [(r["user_id"], r["signup_id"]) for r in match_pattern(df, pat, key_col="user_id").collect()]
+    assert got == [(2, 3)]  # user 1's strict match is broken by the click
+
+
+def test_process_keyed_running_max(spark):
+    rows = [_ev(0, 1, 1, "x", 5.0), _ev(1, 2, 1, "x", 3.0)]
+    rows_b = [_ev(2, 3, 1, "x", 9.0), _ev(3, 4, 2, "x", 1.0)]
+    stream = _two_batch_stream(spark, rows, rows_b, EV_SCHEMA)
+
+    def running_max(key, batch, state):
+        cur = state.get("max", float("-inf"))
+        batch = batch.sort_values(["ts", "event_id"])
+        out = []
+        for _, r in batch.iterrows():
+            cur = max(cur, r["value"])
+            out.append((key[0], int(r["event_id"]), cur))
+        return pd.DataFrame(out, columns=["user_id", "event_id", "run_max"]), {"max": cur}
+
+    out = process_keyed(stream, ["user_id"], running_max, "user_id long, event_id long, run_max double")
+    q = out.writeStream.outputMode("append").format("memory").queryName("pk_test").start()
+    q.processAllAvailable()
+    q.stop()
+    got = {r["event_id"]: r["run_max"] for r in spark.table("pk_test").collect()}
+    assert got == {0: 5.0, 1: 5.0, 2: 9.0, 3: 1.0}  # state carried 5.0 into batch 2
+
+
+def test_forwarded_side_input_tags_and_aligns(spark):
+    main = spark.createDataFrame([(1, "a")], "id long, payload string")
+    side = spark.createDataFrame([(2, 9.5)], "id long, weight double")
+    out = forwarded_side_input(main, side)
+    rows = sorted(out.collect(), key=lambda r: r["id"])
+    assert rows[0]["__side__"] is False and rows[0]["payload"] == "a" and rows[0]["weight"] is None
+    assert rows[1]["__side__"] is True and rows[1]["weight"] == 9.5 and rows[1]["payload"] is None
+
+
+def test_events_stream_schema(spark):
+    from proteus_engine_spark.streaming.sources import events_stream
+
+    ev = events_stream(spark, SF_DIR)
+    assert ev.isStreaming
+    assert dict(ev.dtypes)["ts"] == "timestamp"
