@@ -1,0 +1,131 @@
+"""UDF / UDTF / UDAF surface (SURVEY §2.10).
+
+Reference: ScalarFunction (/root/reference/flink-libraries/flink-table/src/
+main/scala/org/apache/flink/table/functions/ScalarFunction.scala:47),
+TableFunction (TableFunction.scala:82, consumed via lateral join in
+DataSetCorrelate.scala:42), AggregateFunction
+(AggregateFunction.scala:97,103,115 — createAccumulator/accumulate/merge/
+getValue contracts), registration via TableEnvironment.registerFunction
+(TableEnvironment.scala:325).
+
+Spark-first mapping with the performance ladder made explicit:
+- ScalarFunction  → arrow-vectorized pandas_udf when the eval is
+  vectorizable, else a row udf (both registered for SQL use). The reference
+  code-generates the call site; Spark inlines the UDF call the same way,
+  but the Python crossing is the cost — hence pandas/Arrow default.
+- TableFunction   → Python UDTF (lateral-join capable) or explode of an
+  array-returning scalar — both produce a Generate node like the
+  reference's correlate.
+- AggregateFunction → pandas_udf GROUPED_AGG: Spark handles partial
+  aggregation/merge placement; `retract` has no equivalent because state
+  rollback is the engine's job (SURVEY §2.10 note).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+class ScalarFunction:
+    """ScalarFunction.scala:47 parity: subclass with an ``eval`` method.
+
+    If ``vectorized`` is True, ``eval`` receives/returns pandas Series
+    (Arrow path — ~10-100× the row path; always prefer it)."""
+
+    vectorized = False
+    return_type = "string"
+
+    def eval(self, *args):  # pragma: no cover - contract
+        raise NotImplementedError
+
+    def to_udf(self):
+        if self.vectorized:
+            eval_fn = self.eval
+
+            def vector_eval(*series: pd.Series) -> pd.Series:
+                return eval_fn(*series)
+
+            return F.pandas_udf(vector_eval, returnType=self.return_type)
+        return F.udf(self.eval, returnType=self.return_type)
+
+
+class TableFunction:
+    """TableFunction.scala:82 parity: ``eval(*args)`` yields output rows
+    (tuples). Consumed via ``lateral_join`` below — the
+    join(udtf(...)) / LATERAL TABLE equivalent."""
+
+    output_schema = "out string"
+
+    def eval(self, *args):  # pragma: no cover - contract
+        raise NotImplementedError
+
+
+class AggregateFunction:
+    """AggregateFunction.scala contracts: create_accumulator/accumulate/
+    get_value; ``merge`` is implicit (Spark splits the aggregation into
+    partial+final itself, so only the full-group reduction is needed)."""
+
+    return_type = "double"
+
+    def create_accumulator(self):  # pragma: no cover - contract
+        raise NotImplementedError
+
+    def accumulate(self, acc, *args):  # pragma: no cover - contract
+        raise NotImplementedError
+
+    def get_value(self, acc):  # pragma: no cover - contract
+        raise NotImplementedError
+
+    def to_udaf(self):
+        def agg(*cols: pd.Series) -> float:
+            acc = self.create_accumulator()
+            for vals in zip(*cols):
+                acc = self.accumulate(acc, *vals)
+            return self.get_value(acc)
+
+        return F.pandas_udf(agg, returnType=self.return_type)
+
+
+def register_function(spark: SparkSession, name: str, f) -> None:
+    """TableEnvironment.registerFunction parity (TableEnvironment.scala:325):
+    makes the function callable from SQL."""
+    if isinstance(f, ScalarFunction):
+        spark.udf.register(name, f.to_udf())
+    elif isinstance(f, AggregateFunction):
+        spark.udf.register(name, f.to_udaf())
+    elif callable(f):
+        spark.udf.register(name, f)
+    else:
+        raise TypeError(f"cannot register {type(f)}")
+
+
+def lateral_join(df, tf: TableFunction, *arg_cols: str, outer: bool = False):
+    """join(udtf(...)) / LATERAL TABLE parity (DataSetCorrelate.scala:42).
+
+    Implemented as mapInPandas fan-out: each input row yields 0..n output
+    rows appended to the input columns — the Generate/correlate plan shape.
+    ``outer=True`` keeps rows with no output (leftOuterJoinLateral), padding
+    with NULLs."""
+    in_schema = df.schema
+    out_fields = tf.output_schema
+    full_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in in_schema)
+    full_schema = f"{full_schema}, {out_fields}"
+    n_out_cols = len([c for c in out_fields.split(",")])
+
+    def fan_out(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                emitted = list(tf.eval(*[r[c] for c in arg_cols]))
+                if not emitted and outer:
+                    emitted = [tuple([None] * n_out_cols)]
+                for out_row in emitted:
+                    rows.append(tuple(r) + tuple(out_row))
+            cols = list(pdf.columns) + [c.strip().split()[0] for c in out_fields.split(",")]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(fan_out, schema=full_schema)

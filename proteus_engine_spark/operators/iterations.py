@@ -1,0 +1,109 @@
+"""Bulk iterations (SURVEY §2.11).
+
+Reference: DataSet.iterate (/root/reference/flink-java/src/main/java/org/
+apache/flink/api/java/DataSet.java:1156) and iterateDelta (:1206) — native
+iteration operators with feedback edges inside one job.
+
+Spark has no feedback edge; the idiomatic equivalent is a driver-side loop
+over DataFrames with per-step truncation of the lineage. Two rules make
+this scale:
+- `localCheckpoint` (or persist+checkpoint on a cluster with a checkpoint
+  dir) every step, otherwise the plan doubles per iteration and Catalyst
+  analysis time explodes by step 20;
+- an optional convergence probe (the reference's termination criterion)
+  evaluated as a cheap aggregate.
+
+Delta iterations (worklist + solution set) are expressed with the same
+loop: the step function returns (new_solution, new_workset) and iteration
+stops when the workset is empty — capability parity, without the operator
+fusion (documented; only Gelly-style algorithms care, and those belong in
+GraphFrames/MLlib per SURVEY §2.11).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+
+
+def iterate(
+    initial: DataFrame,
+    step: Callable[[DataFrame, int], DataFrame],
+    max_iterations: int,
+    converged: Callable[[DataFrame, DataFrame], bool] | None = None,
+    eager: bool = True,
+) -> DataFrame:
+    """DataSet.iterate parity: apply `step` up to max_iterations times,
+    truncating lineage each step; stop early when `converged(prev, cur)`."""
+    cur = initial.localCheckpoint(eager=eager) if eager else initial
+    for i in range(max_iterations):
+        nxt = step(cur, i).localCheckpoint(eager=eager)
+        if converged is not None and converged(cur, nxt):
+            return nxt
+        cur = nxt
+    return cur
+
+
+def iterate_delta(
+    solution: DataFrame,
+    workset: DataFrame,
+    step: Callable[[DataFrame, DataFrame, int], tuple[DataFrame, DataFrame]],
+    max_iterations: int,
+) -> DataFrame:
+    """DataSet.iterateDelta parity: loop with (solution, workset) pairs;
+    terminates when the workset empties (the reference's implicit
+    criterion)."""
+    sol = solution.localCheckpoint(eager=True)
+    work = workset.localCheckpoint(eager=True)
+    for i in range(max_iterations):
+        if work.isEmpty():
+            break
+        sol_next, work_next = step(sol, work, i)
+        sol = sol_next.localCheckpoint(eager=True)
+        work = work_next.localCheckpoint(eager=True)
+    return sol
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iterations: int = 20
+) -> DataFrame:
+    """Label-propagation connected components — the reference ships this as
+    the canonical iterate example (Gelly library/ConnectedComponents and the
+    flink-examples ConnectedComponents); here as an `iterate` client.
+    Returns (vertex, component) with component = min vertex id reachable."""
+    from pyspark.sql import functions as F
+
+    sym = edges.select(src, dst).union(edges.select(F.col(dst).alias(src), F.col(src).alias(dst)))
+    labels = (
+        sym.select(F.col(src).alias("vertex"))
+        .union(sym.select(F.col(dst).alias("vertex")))
+        .distinct()
+        .withColumn("component", F.col("vertex"))
+    )
+
+    def step(lbl: DataFrame, _i: int) -> DataFrame:
+        neighbor_min = (
+            sym.join(lbl, sym[src] == lbl["vertex"])
+            .groupBy(F.col(dst).alias("vertex"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        return (
+            lbl.join(neighbor_min, "vertex", "left")
+            .select(
+                "vertex",
+                F.least(F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))).alias(
+                    "component"
+                ),
+            )
+        )
+
+    def converged(prev: DataFrame, cur: DataFrame) -> bool:
+        changed = (
+            prev.withColumnRenamed("component", "prev_c")
+            .join(cur, "vertex")
+            .filter(F.col("prev_c") != F.col("component"))
+        )
+        return changed.isEmpty()
+
+    return iterate(labels, step, max_iterations, converged)

@@ -7,6 +7,7 @@ from proteus_engine_spark.queries import (  # noqa: F401
     functions_q,
     relational,
     streaming_q,
+    temporal_q,
     windows_q,
 )
 

@@ -1,0 +1,95 @@
+"""Sinks (SURVEY §2.1).
+
+Reference: DataSet.writeAsText/writeAsCsv/write/output (/root/reference/
+flink-java/src/main/java/org/apache/flink/api/java/DataSet.java:1492,1564,
+1740,1780), CsvTableSink + Append/Retract/UpsertStreamTableSink
+(flink-libraries/flink-table/.../sinks/*.scala), BucketingSink
+(flink-connectors/flink-connector-filesystem), insertInto
+(table.scala:876), Kafka 0.11 exactly-once producer
+(FlinkKafkaProducer011.java:94).
+
+Spark-first: `df.write` / `writeStream` cover all of these. The retract/
+upsert sink taxonomy maps to output modes:
+  AppendStreamTableSink  → outputMode("append")
+  RetractStreamTableSink → outputMode("update")  (changed rows re-emitted)
+  UpsertStreamTableSink  → outputMode("update") + keyed idempotent write
+    via foreachBatch MERGE/overwrite-partition
+Exactly-once: checkpointed source offsets + idempotent/transactional sink
+(parquet job-commit or kafka transactions) — the same two-phase story as
+the reference's TwoPhaseCommitSinkFunction.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+
+
+def write_text(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """DataSet.writeAsText parity (single string column)."""
+    df.write.mode(mode).text(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True, **options) -> None:
+    """DataSet.writeAsCsv / CsvTableSink parity."""
+    df.write.mode(mode).option("header", str(header).lower()).options(**options).csv(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    bucket_by: tuple[int, list[str]] | None = None,
+    table_name: str | None = None,
+) -> None:
+    """Generic columnar sink; `partition_by` is the BucketingSink equivalent
+    (time/size-bucketed directory layout → hive-partitioned directories,
+    which also unlocks partition pruning on re-read — a strict upgrade).
+
+    `bucket_by=(n, cols)` hash-buckets files by join key so later joins on
+    those keys skip the shuffle entirely (the co-located join setup;
+    requires saveAsTable with a metastore-backed name)."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if bucket_by:
+        n, cols = bucket_by
+        if not table_name:
+            raise ValueError("bucketBy requires table_name (saveAsTable)")
+        w.format("parquet").bucketBy(n, *cols).sortBy(*cols).saveAsTable(table_name)
+        return
+    w.parquet(path)
+
+
+def insert_into(df: DataFrame, table: str, overwrite: bool = False) -> None:
+    """Table.insertInto / sqlUpdate("INSERT INTO ...") parity (table.scala:876)."""
+    df.write.insertInto(table, overwrite=overwrite)
+
+
+def stream_to_parquet(
+    df: DataFrame, path: str, checkpoint: str, partition_by: list[str] | None = None
+):
+    """Streaming file sink with exactly-once job-commit semantics
+    (BucketingSink + checkpointing parity). Returns the StreamingQuery."""
+    w = df.writeStream.format("parquet").option("path", path).option(
+        "checkpointLocation", checkpoint
+    )
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    return w.outputMode("append").start()
+
+
+def stream_foreach_batch(
+    df: DataFrame, fn: Callable[[DataFrame, int], None], checkpoint: str, output_mode: str = "update"
+):
+    """Upsert/retract sink adapter: fn(batch_df, epoch_id) runs per
+    micro-batch with the epoch id for idempotence — the
+    UpsertStreamTableSink / TwoPhaseCommit hook."""
+    return (
+        df.writeStream.foreachBatch(fn)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+        .start()
+    )

@@ -16,6 +16,14 @@ REPO = Path(__file__).resolve().parent.parent
 if str(REPO) not in sys.path:
     sys.path.insert(0, str(REPO))
 
+# Python workers must be able to unpickle closures defined in test modules
+# (UDF classes); propagate repo + tests dirs to the worker PYTHONPATH before
+# any SparkSession starts.
+_paths = [str(REPO), str(REPO / "tests")]
+os.environ["PYTHONPATH"] = os.pathsep.join(
+    _paths + ([os.environ["PYTHONPATH"]] if os.environ.get("PYTHONPATH") else [])
+)
+
 SF_DIR = os.environ.get("PROTEUS_TEST_SF_DIR", "/root/testdata/sf0.001")
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings".split()

