@@ -24,7 +24,8 @@ if str(REPO) not in sys.path:
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Headline set: the TPC-H anchors + one representative per operator family.
+# Headline set: the TPC-H anchors + one representative per operator family,
+# including the datapipe / streaming / temporal extensions.
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -35,6 +36,13 @@ HEADLINE = [
     "sort_topk_per_group",
     "over_running_agg",
     "agg_grouping_sets",
+    "window_session",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "sim_topk_bruteforce",
+    "asof_join_events",
+    "stream_tumble_agg",
+    "cep_signup_purchase",
 ]
 
 

@@ -62,6 +62,18 @@ def shingles(df: DataFrame, text_col: str = "text", k: int = 3, out: str = "shin
     return df.withColumn(out, F.explode(shingle_arr))
 
 
+def shingle_array(text_col: str, k: int = 3) -> "F.Column":
+    """Distinct k-word shingle array, built JVM-side (transform over a
+    token-index sequence)."""
+    toks = _tokens(text_col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        )
+    )
+
+
 def minhash_signatures(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -69,14 +81,30 @@ def minhash_signatures(
     num_perm: int = 64,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """MinHash signatures: num_perm minimums of seeded xxhash64 over the
-    shingle set. One explode + one groupBy(doc) — the shuffle carries
-    (doc_id, 64×8 bytes), not the text."""
-    sh = shingles(docs.select(id_col, text_col), text_col, k=shingle_k)
+    """MinHash signatures as one array<long> column, computed entirely
+    map-side in a single pass: fold over the shingle array, each shingle
+    hashed num_perm times (seeded xxhash64) and element-wise `least`-merged
+    into the running signature. NO explode/groupBy shuffle and each shingle
+    is materialized exactly once. At 100 TB the signature step pipelines
+    into the scan; only the banding join shuffles (8-byte keys)."""
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    # Explicit repartition: (a) parallelizes the hash-heavy map side even
+    # when the input is one small file, (b) AQE never coalesces a
+    # user-specified partition count, so the CPU-bound stage keeps its
+    # width (AQE coalesces by bytes, which is wrong for compute-heavy,
+    # byte-light stages).
+    sh = shingles(
+        docs.select(id_col, text_col).repartition(n_parts, id_col), text_col, k=shingle_k
+    )
+    # 64 codegen'd min-aggregates with map-side partial aggregation: the
+    # xxhash64 calls run inside whole-stage codegen (unlike higher-order
+    # lambda variants, which are interpreted); the shuffle carries only
+    # (doc_id, 64×8B) partial minima.
     mins = [
         F.min(F.xxhash64(F.col("shingle"), F.lit(p))).alias(f"mh_{p}") for p in range(num_perm)
     ]
-    return sh.groupBy(id_col).agg(*mins)
+    agg = sh.groupBy(id_col).agg(*mins)
+    return agg.select(F.col(id_col), F.array(*[F.col(f"mh_{p}") for p in range(num_perm)]).alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -100,14 +128,14 @@ def minhash_lsh_pairs(
     sig = minhash_signatures(docs, id_col, text_col, num_perm, shingle_k)
 
     band_cols = [
-        F.xxhash64(*[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
-            f"band_{b}"
-        )
+        F.xxhash64(
+            *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
+        ).alias(f"band_{b}")
         for b in range(bands)
     ]
     banded = sig.select(
         F.col(id_col),
-        F.array(*[F.col(f"mh_{p}") for p in range(num_perm)]).alias("sig"),
+        F.col("sig"),
         F.posexplode(F.array(*band_cols)).alias("band_id", "band_sig"),
     )
 

@@ -102,9 +102,11 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-07-01").cast("timestamp")
     )
+    # No forced broadcast: the filtered customer side broadcasts via
+    # Catalyst size stats at test SFs, and at 100 TB (where customer is
+    # too big to broadcast) AQE falls back to a shuffled join — same code.
     return (
-        J.join(orders, cust, F.col("o_custkey") == F.col("c_custkey"), "inner",
-               hint=J.JoinHint.BROADCAST_HASH_SECOND)
+        J.join(orders, cust, F.col("o_custkey") == F.col("c_custkey"), "inner")
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(sum_revenue("revenue"))
@@ -175,10 +177,13 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation")
     region = _t(spark, sf_dir, "region")
+    # Only region/nation are forced broadcasts (fixed-size at every SF);
+    # supplier/customer grow with SF — Catalyst stats + AQE pick their
+    # strategy, so the same plan code survives a 100 TB input.
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(supp), (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(supp, (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
@@ -249,8 +254,9 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     part = _t(spark, sf_dir, "part")
     rev = revenue()
+    # part grows with SF — no forced broadcast; stats/AQE decide.
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(18,2)")))
             .cast("double")

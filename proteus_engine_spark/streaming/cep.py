@@ -64,21 +64,27 @@ class Pattern:
 
 
 def _run_nfa(
-    events: pd.DataFrame, pattern: Pattern, ts_col: str, id_col: str
-) -> list[dict]:
-    """Pure NFA scan over one key's time-ordered events. Returns one dict per
-    complete match: {step_name: (event_id, ts_millis)}."""
+    events: pd.DataFrame,
+    pattern: Pattern,
+    ts_col: str,
+    id_col: str,
+    partials: list[dict] | None = None,
+) -> tuple[list[dict], list[dict]]:
+    """Pure NFA scan over one key's time-ordered events. Returns (matches,
+    open partials); matches are {step_name: (event_id, ts_millis)}.
+    `partials` seeds state carried from a previous micro-batch.
+
+    Hot path: rows are plain dicts (predicates index by column name) and
+    the event-time millis column is vectorized up front — no pandas object
+    construction per row.
+    """
     matches: list[dict] = []
-    partials: list[dict] = []  # each: {"idx": next step index, "events": {...}, "t0": ms}
-    rows = list(events.itertuples(index=False))
-    cols = list(events.columns)
+    partials = list(partials or [])
+    # datetime64[any unit] → epoch millis, vectorized
+    ts_ms = events[ts_col].values.astype("datetime64[ms]").astype("int64").tolist()
+    rows = events.to_dict("records")
 
-    def as_series(r):
-        return pd.Series(dict(zip(cols, r)))
-
-    for row in rows:
-        s = as_series(row)
-        t = int(pd.Timestamp(s[ts_col]).value // 1_000_000)
+    for s, t in zip(rows, ts_ms):
         survivors: list[dict] = []
         for p in partials:
             if pattern.within_ms is not None and t - p["t0"] > pattern.within_ms:
@@ -86,7 +92,7 @@ def _run_nfa(
             step = pattern.steps[p["idx"]]
             if step.predicate(s):
                 ev = dict(p["events"])
-                ev[step.name] = (s[id_col], t)
+                ev[step.name] = (int(s[id_col]), t)
                 if p["idx"] + 1 == len(pattern.steps):
                     matches.append(ev)
                 else:
@@ -98,12 +104,12 @@ def _run_nfa(
         partials = survivors
         first = pattern.steps[0]
         if first.predicate(s):
-            ev = {first.name: (s[id_col], t)}
+            ev = {first.name: (int(s[id_col]), t)}
             if len(pattern.steps) == 1:
                 matches.append(ev)
             else:
                 partials.append({"idx": 1, "events": ev, "t0": t})
-    return matches
+    return matches, partials
 
 
 def _match_columns(pattern: Pattern) -> list[str]:
@@ -129,7 +135,7 @@ def match_pattern(
 
     def per_key(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values([ts_col, id_col], kind="mergesort")
-        found = _run_nfa(pdf, pattern, ts_col, id_col)
+        found, _open = _run_nfa(pdf, pattern, ts_col, id_col)
         rows = []
         for m in found:
             row = [pdf[key_col].iloc[0]]
@@ -139,7 +145,11 @@ def match_pattern(
             rows.append(row)
         return pd.DataFrame(rows, columns=out_cols)
 
-    return df.groupBy(key_col).applyInPandas(per_key, schema=schema)
+    # Explicit hash repartition on the key: satisfies applyInPandas'
+    # clustering requirement with a width AQE won't coalesce — the Python
+    # NFA is CPU-bound, not byte-bound.
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n_parts, key_col).groupBy(key_col).applyInPandas(per_key, schema=schema)
 
 
 def match_pattern_stream(
@@ -166,37 +176,8 @@ def match_pattern_stream(
         if not batches:
             return
         pdf = pd.concat(batches).sort_values([ts_col, id_col], kind="mergesort")
-        # Reuse the pure NFA by replaying with pre-seeded partials.
-        matches: list[dict] = []
-        rows = list(pdf.itertuples(index=False))
-        cols = list(pdf.columns)
-        for row in rows:
-            s = pd.Series(dict(zip(cols, row)))
-            t = int(pd.Timestamp(s[ts_col]).value // 1_000_000)
-            survivors = []
-            for p in partials:
-                if pattern.within_ms is not None and t - p["t0"] > pattern.within_ms:
-                    continue
-                step = pattern.steps[p["idx"]]
-                if step.predicate(s):
-                    ev = dict(p["events"])
-                    ev[step.name] = (int(s[id_col]), t)
-                    if p["idx"] + 1 == len(pattern.steps):
-                        matches.append(ev)
-                    else:
-                        survivors.append({"idx": p["idx"] + 1, "events": ev, "t0": p["t0"]})
-                elif step.contiguity == "next":
-                    continue
-                else:
-                    survivors.append(p)
-            partials = survivors
-            first = pattern.steps[0]
-            if first.predicate(s):
-                ev = {first.name: (int(s[id_col]), t)}
-                if len(pattern.steps) == 1:
-                    matches.append(ev)
-                else:
-                    partials.append({"idx": 1, "events": ev, "t0": t})
+        # Same pure NFA as batch, seeded with the carried-over partials.
+        matches, partials = _run_nfa(pdf, pattern, ts_col, id_col, partials)
         state.update((pickle.dumps(partials),))
         if matches:
             out = []
