@@ -6,6 +6,7 @@ from proteus_engine_spark.queries import (  # noqa: F401
     datapipe_q,
     functions_q,
     relational,
+    relational_ext,
     streaming_q,
     temporal_q,
     windows_q,
