@@ -13,6 +13,9 @@ Four tiers, all shuffle-architected for 100 TB corpora:
 - ngram_jaccard_pairs — exact token-set Jaccard within cheap blocking keys
                        (the verification tier for LSH candidates, and an
                        oracle-checkable operator on its own).
+- embedding_cosine_pairs — near-dup pairs by embedding cosine, blocked on a
+                       cheap key (exact within blocks) or, for unblocked
+                       100 TB corpora, on multi-table hyperplane-LSH buckets.
 
 Everything is built-in expressions (xxhash64, explode, groupBy) — no Python
 in the hot path. MinHash permutations use xxhash64 with per-permutation
@@ -162,6 +165,76 @@ def minhash_lsh_pairs(
         / F.lit(num_perm)
     ).alias("jaccard_est")
     return cand.select("doc_a", "doc_b", est).filter(F.col("jaccard_est") >= jaccard_threshold)
+
+
+def embedding_cosine_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+    block_col: str | None = None,
+    dim: int | None = None,
+    nbits: int = 4,
+    n_tables: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs.
+
+    Two blocking regimes:
+    - ``block_col`` given → exact all-pairs *within* blocks (language,
+      cluster label, shard …). The self-join shuffles on the block key, so
+      the cartesian term is bounded by the largest block — at 100 TB pick a
+      block with bounded cardinality or pre-split hot blocks.
+    - ``block_col=None`` → approximate: ``n_tables`` independent
+      random-hyperplane signatures of ``nbits`` each (requires ``dim``);
+      candidates are bucket-mates in ANY table (minhash-banding analogue,
+      recall 1-(1-p^nbits)^n_tables), then exact-cosine verified. The join
+      key is (table, bucket) — 8 bytes — so the plan is a plain
+      shuffle-hash self-join that survives any corpus size.
+
+    Returns (id_a, id_b, cos_sim) with id_a < id_b, cos_sim rounded to 1e-6
+    before the threshold cut so the cut is reproducible across engines.
+    """
+    from proteus_engine_spark.datapipe.similarity import cosine, lsh_bucket
+
+    vec = F.col(vec_col).cast("array<double>")
+    if block_col is not None:
+        base = emb.select(
+            F.col(id_col), vec.alias("__vec__"), F.col(block_col).alias("__block__")
+        )
+    else:
+        if dim is None:
+            raise ValueError("dim is required for LSH blocking (block_col=None)")
+        tables = F.array(
+            *[lsh_bucket(vec, dim, nbits, plane_offset=t * nbits) for t in range(n_tables)]
+        )
+        base = emb.select(
+            F.col(id_col),
+            vec.alias("__vec__"),
+            F.posexplode(tables).alias("__table__", "__bucket__"),
+        ).select(
+            F.col(id_col),
+            F.col("__vec__"),
+            (F.col("__table__") * F.lit(2**nbits) + F.col("__bucket__")).alias("__block__"),
+        )
+    left = base.select(
+        F.col(id_col).alias("id_a"), F.col("__vec__").alias("vec_a"), "__block__"
+    )
+    right = base.select(
+        F.col(id_col).alias("id_b"), F.col("__vec__").alias("vec_b"), "__block__"
+    )
+    pairs = (
+        left.join(right, "__block__")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .drop("__block__")
+    )
+    if block_col is None:
+        # A pair can share buckets in several tables — emit it once.
+        pairs = pairs.dropDuplicates(["id_a", "id_b"])
+    sim = F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6)
+    return (
+        pairs.select("id_a", "id_b", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
 
 
 def simhash_buckets(

@@ -80,11 +80,13 @@ def _hyperplane(dim: int, plane_idx: int) -> list[float]:
     return [v / n for v in comps]
 
 
-def lsh_bucket(vec: Column, dim: int, nbits: int = 8) -> Column:
-    """Random-hyperplane signature: nbits sign bits packed into an int."""
+def lsh_bucket(vec: Column, dim: int, nbits: int = 8, plane_offset: int = 0) -> Column:
+    """Random-hyperplane signature: nbits sign bits packed into an int.
+    ``plane_offset`` selects a disjoint hyperplane family, so callers can
+    build multiple independent tables (banding for recall)."""
     bucket = F.lit(0).cast("long")
     for b in range(nbits):
-        plane = F.array(*[F.lit(v) for v in _hyperplane(dim, b)])
+        plane = F.array(*[F.lit(v) for v in _hyperplane(dim, plane_offset + b)])
         bit = (_dot(vec, plane) > 0).cast("long")
         bucket = bucket + F.shiftleft(bit, b)
     return bucket

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from proteus_engine_spark.datapipe.dedup import (
+    embedding_cosine_pairs,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -79,6 +80,40 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (xxhash64 permutations are engine-specific); semantics verified against
     dedup_ngram_jaccard in tests/test_datapipe.py."""
     return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), jaccard_threshold=0.5)
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                 / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cos_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                   * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) >= 0.35
+    """,
+    tags=("datapipe", "dedup", "similarity"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact within label blocks — the
+    self-join shuffles on the block key, the fold-based dot product runs
+    JVM-side. The unblocked scale path (multi-table hyperplane LSH) is
+    dedup_embedding_cosine_lsh."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_cosine_pairs(emb, threshold=0.35, block_col="label")
+
+
+@register("dedup_embedding_cosine_lsh", oracle=None, tags=("datapipe", "dedup", "similarity"))
+def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unblocked embedding near-dup via 8 independent 4-bit hyperplane-LSH
+    tables + exact-cosine verification (rows-only: bucket assignment is
+    engine-specific; precision/recall vs the exact query is asserted in
+    tests/test_datapipe.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_cosine_pairs(emb, threshold=0.35, block_col=None, dim=64, nbits=4, n_tables=8)
 
 
 @register("dedup_simhash", oracle=None, tags=("datapipe", "dedup"))

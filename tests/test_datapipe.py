@@ -93,3 +93,25 @@ def test_multimodal_decode_shape(spark):
     frames = sample_frames(media, every_n=2).collect()
     assert len(frames) >= 30
     assert all(isinstance(r["frame"], (bytes, bytearray)) for r in frames[:5])
+
+
+def test_embedding_cosine_lsh_precision_and_recall(spark):
+    """LSH-blocked near-dup pairs must be a subset of the exact all-pairs
+    result at the same threshold (precision 1.0 — candidates are
+    exact-verified) with non-trivial recall."""
+    from proteus_engine_spark.datapipe.dedup import embedding_cosine_pairs
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    # exact over ALL pairs (no blocking) — feasible at test scale only
+    exact = embedding_cosine_pairs(
+        emb.withColumn("one", F.lit(1)), threshold=0.35, block_col="one"
+    ).collect()
+    approx = embedding_cosine_pairs(
+        emb, threshold=0.35, block_col=None, dim=64, nbits=4, n_tables=8
+    ).collect()
+    exact_set = {(r["id_a"], r["id_b"]) for r in exact}
+    approx_set = {(r["id_a"], r["id_b"]) for r in approx}
+    assert approx_set <= exact_set, "LSH produced a pair below the threshold"
+    assert len(exact_set) > 0
+    recall = len(approx_set) / len(exact_set)
+    assert recall >= 0.2, f"LSH recall suspiciously low: {recall}"
