@@ -18,9 +18,9 @@ from proteus_engine_spark.queries.exact import dsum
 from proteus_engine_spark.queries.registry import register
 from proteus_engine_spark.sources import load_table
 from proteus_engine_spark.streaming.cep import Pattern, match_pattern
-from proteus_engine_spark.streaming.side_inputs import broadcast_side_input
+from proteus_engine_spark.streaming.side_inputs import broadcast_side_input, keyed_side_input
 from proteus_engine_spark.streaming.sources import events_stream, run_to_completion
-from proteus_engine_spark.streaming.stateful import count_window_agg
+from proteus_engine_spark.streaming.stateful import count_window_agg, event_time_sort
 from proteus_engine_spark.streaming.windows import interval_join, unbounded_agg, windowed_agg
 
 
@@ -77,6 +77,117 @@ def stream_unbounded_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev_b = load_table(spark, sf_dir, "events")
     exact = ev_b.groupBy("event_type").agg(F.countDistinct("user_id").alias("n_users"))
     return out.drop("n_users_approx").join(exact, "event_type")
+
+
+@register(
+    "stream_hop_agg",
+    oracle="""
+    SELECT ws AS window_start, event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM (
+      SELECT time_bucket(INTERVAL 30 MINUTE, ts) - (k * INTERVAL 30 MINUTE) AS ws,
+             event_type, value
+      FROM events, UNNEST([0, 1]) AS t(k)
+    ) x
+    GROUP BY ws, event_type
+    """,
+    tags=("streaming", "window"),
+)
+def stream_hop_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sliding (hop) window agg: 1-hour windows every 30 minutes —
+    each event lands in 2 windows (SlidingEventTimeWindows parity; the
+    oracle replicates the window assigner with an UNNEST over offsets)."""
+    ev = events_stream(spark, sf_dir)
+    agg = windowed_agg(
+        ev, "ts", "10 minutes", "1 hour", ["event_type"],
+        [F.count(F.lit(1)).alias("n"), dsum("value", "total_value")],
+        slide="30 minutes",
+    )
+    out = run_to_completion(agg, "stream_hop_agg_sink", "complete")
+    return out.select("window_start", "event_type", "n", "total_value")
+
+
+@register(
+    "stream_session_agg",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 600000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT user_id, MIN(ts) AS window_start, MAX(ts) + INTERVAL 10 MINUTE AS window_end,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM sessions
+    GROUP BY user_id, sid
+    """,
+    tags=("streaming", "window"),
+)
+def stream_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows with a 10-minute gap per user
+    (EventTimeSessionWindows + merging assigner parity — Spark's
+    session_window merges in the state store). The oracle rebuilds sessions
+    with the lag/cumsum island trick; window_end = last event + gap."""
+    ev = events_stream(spark, sf_dir)
+    agg = windowed_agg(
+        ev, "ts", "10 minutes", "", ["user_id"],
+        [F.count(F.lit(1)).alias("n"), dsum("value", "total_value")],
+        session_gap="10 minutes",
+    )
+    out = run_to_completion(agg, "stream_session_agg_sink", "complete")
+    return out.select("user_id", "window_start", "window_end", "n", "total_value")
+
+
+@register(
+    "stream_event_time_sort",
+    oracle="""
+    SELECT user_id, event_id, ts,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
+    FROM events
+    """,
+    tags=("streaming", "sort", "stateful"),
+)
+def stream_event_time_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time sorted emission per key (DataStreamSort.scala:42 /
+    RowTimeSortProcessFunction parity): a custom stateful operator assigns
+    contiguous per-key sequence numbers in (ts, id) order."""
+    ev = events_stream(spark, sf_dir)
+    sorted_ev = event_time_sort(ev, "user_id", "ts")
+    return run_to_completion(sorted_ev, "stream_ets_sink", "append")
+
+
+@register(
+    "stream_side_input_keyed",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.event_type, n.n_name
+    FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+    WHERE e.event_type = 'signup'
+    """,
+    tags=("streaming", "side_input"),
+)
+def stream_side_input_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROTEUS keyed side input (KeyedSideInput, DataStream.java:910): the
+    side input is keyed like the stream; each key group sees its slice.
+    Stream-static equi-join on the derived key — Catalyst distributes the
+    static side by its stats (broadcast here; shuffled at 100 TB)."""
+    ev = events_stream(spark, sf_dir).filter(F.col("event_type") == "signup")
+    nation = load_table(spark, sf_dir, "nation")
+    joined = keyed_side_input(
+        ev.withColumn("nk", (F.col("user_id") % 25).cast("int")),
+        nation,
+        F.col("nk") == F.col("n_nationkey"),
+        how="inner",
+    ).select("event_id", "user_id", "event_type", "n_name")
+    return run_to_completion(joined, "stream_side_input_keyed_sink", "append")
 
 
 @register(

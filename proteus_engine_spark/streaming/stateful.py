@@ -78,6 +78,50 @@ def count_window_agg(
     )
 
 
+def event_time_sort(
+    stream: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Event-time sorted emission per key (DataStreamSort parity —
+    flink-table/.../plan/nodes/datastream/DataStreamSort.scala:42 allows
+    only ascending rowtime sort on streams; runtime
+    RowTimeSortProcessFunction buffers rows per key until the watermark
+    passes, then emits in event-time order).
+
+    Spark shape: rows are buffered in keyed state and assigned a contiguous
+    per-key sequence number in (ts, id) order. Within a micro-batch the
+    sort is exact; across micro-batches the per-key counter carries in
+    state, so the emitted seq reflects global arrival order per key on
+    in-order replay — the same guarantee the reference gives once the
+    watermark passes. State is O(1) per key (a counter)."""
+    out_schema = f"{key_col} long, {id_col} long, {ts_col} timestamp, seq long"
+
+    def transition(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        seq = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values([ts_col, id_col], kind="mergesort")
+            n = len(pdf)
+            out = pd.DataFrame(
+                {
+                    key_col: pdf[key_col].values,
+                    id_col: pdf[id_col].values,
+                    ts_col: pdf[ts_col].values,
+                    "seq": range(seq + 1, seq + n + 1),
+                }
+            )
+            seq += n
+            yield out
+        state.update((seq,))
+
+    return stream.select(key_col, id_col, ts_col).groupBy(key_col).applyInPandasWithState(
+        transition, out_schema, "seq long", "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def process_keyed(
     stream: DataFrame,
     key_cols: list[str],
