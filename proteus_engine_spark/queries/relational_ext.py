@@ -503,3 +503,51 @@ def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cntrycode")
     )
+
+
+@register(
+    "iter_connected_components",
+    oracle="""
+    WITH RECURSIVE
+    edges AS (
+      SELECT DISTINCT o_custkey + 1000000 AS src, l_partkey AS dst
+      FROM orders, lineitem
+      WHERE o_orderkey = l_orderkey AND l_partkey < 50
+        AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1997-02-01 00:00:00'
+    ),
+    sym AS (SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges),
+    nodes AS (SELECT DISTINCT src AS vertex FROM sym),
+    reach(vertex, comp) AS (
+      SELECT vertex, vertex FROM nodes
+      UNION
+      SELECT s.dst, r.comp FROM reach r JOIN sym s ON r.vertex = s.src
+      WHERE r.comp < s.dst
+    )
+    SELECT vertex, MIN(comp) AS component FROM reach GROUP BY vertex
+    """,
+    tags=("iteration",),
+)
+def iter_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bulk-iteration parity (DataSet.iterate, DataSet.java:1156; Gelly
+    ConnectedComponents example): label-propagation connected components on
+    the customer↔part co-purchase bipartite graph (January 1997, partkeys
+    < 50; customer node ids offset by 1e6). Driver-side loop with per-step
+    lineage truncation + convergence probe; the oracle is a recursive CTE
+    propagating minimum labels."""
+    from proteus_engine_spark.operators.iterations import connected_components
+
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-02-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_partkey") < 50)
+    edges = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            (F.col("o_custkey") + 1000000).alias("src"),
+            F.col("l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    return connected_components(edges).select("vertex", "component")
