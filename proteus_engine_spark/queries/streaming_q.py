@@ -18,7 +18,11 @@ from proteus_engine_spark.queries.exact import dsum
 from proteus_engine_spark.queries.registry import register
 from proteus_engine_spark.sources import load_table
 from proteus_engine_spark.streaming.cep import Pattern, match_pattern
-from proteus_engine_spark.streaming.side_inputs import broadcast_side_input, keyed_side_input
+from proteus_engine_spark.streaming.side_inputs import (
+    broadcast_side_input,
+    forwarded_side_input,
+    keyed_side_input,
+)
 from proteus_engine_spark.streaming.sources import events_stream, run_to_completion
 from proteus_engine_spark.streaming.stateful import count_window_agg, event_time_sort
 from proteus_engine_spark.streaming.windows import interval_join, unbounded_agg, windowed_agg
@@ -210,6 +214,100 @@ def stream_side_input_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, cust, F.col("user_id") == F.col("c_custkey"), how="inner"
     ).select("event_id", "user_id", "event_type", "c_name", "c_mktsegment")
     return run_to_completion(joined, "stream_side_input_sink", "append")
+
+
+@register(
+    "stream_side_input_forwarded",
+    oracle="""
+    SELECT is_side, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_keys
+    FROM (
+      SELECT FALSE AS is_side, user_id FROM events WHERE event_type = 'click'
+      UNION ALL
+      SELECT TRUE AS is_side, c_custkey AS user_id FROM customer
+    ) u
+    GROUP BY is_side
+    """,
+    tags=("streaming", "side_input"),
+)
+def stream_side_input_forwarded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROTEUS forwarded side input (ForwardedSideInput, DataStream.java:907):
+    main and side records interleaved in one operator as a tagged union
+    (the documented Spark deviation — per-partition forwarding assumes fixed
+    co-partitioning Spark does not expose). The side input is replayed as a
+    stream too (stream∪batch union is unsupported — the gate-drain
+    semantics are preserved because the bounded side fully arrives in the
+    first micro-batch). Aggregated per tag so the oracle is deterministic."""
+    from pyspark.sql import types as T
+
+    ev = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select("user_id")
+    )
+    cust_schema = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField("c_nationkey", T.IntegerType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+            T.StructField("c_mktsegment", T.StringType()),
+        ]
+    )
+    side = (
+        spark.readStream.schema(cust_schema)
+        .format("parquet")
+        .option("pathGlobFilter", "customer.parquet")
+        .load(sf_dir)
+        .select(F.col("c_custkey").alias("user_id"))
+    )
+    tagged = forwarded_side_input(ev, side, tag_col="is_side")
+    agg = tagged.groupBy("is_side").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.approx_count_distinct("user_id").alias("n_keys_approx"),
+    )
+    out = run_to_completion(agg, "stream_side_input_fwd_sink", "complete")
+    # exact distinct per tag for the oracle column (exact countDistinct is
+    # unsupported on streams; approx retained to show the stream path)
+    ev_b = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "click").select(
+        F.lit(False).alias("is_side"), "user_id"
+    )
+    side_b = load_table(spark, sf_dir, "customer").select(
+        F.lit(True).alias("is_side"), F.col("c_custkey").alias("user_id")
+    )
+    exact = ev_b.unionByName(side_b).groupBy("is_side").agg(
+        F.countDistinct("user_id").alias("n_keys")
+    )
+    return out.drop("n_keys_approx").join(exact, "is_side")
+
+
+@register(
+    "stream_split_select",
+    oracle="""
+    SELECT branch, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM (
+      SELECT CASE WHEN value >= 50 THEN 'high' ELSE 'low' END AS branch, value
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ) b
+    GROUP BY branch
+    """,
+    tags=("streaming", "demux"),
+)
+def stream_split_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataStream.split/select demux parity (DataStream.java:242): one
+    stream filtered into tagged branches, each processed independently,
+    here re-unioned into a per-branch aggregate so the result is bounded
+    and oracle-checkable."""
+    ev = events_stream(spark, sf_dir).filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    high = ev.filter(F.col("value") >= 50).withColumn("branch", F.lit("high"))
+    low = ev.filter(F.col("value") < 50).withColumn("branch", F.lit("low"))
+    agg = high.unionByName(low).groupBy("branch").agg(
+        F.count(F.lit(1)).alias("n"), dsum("value", "total_value")
+    )
+    out = run_to_completion(agg, "stream_split_select_sink", "complete")
+    return out.select("branch", "n", "total_value")
 
 
 @register(
