@@ -42,3 +42,39 @@ def test_q6_pushes_filters_to_scan(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan
     assert "l_shipdate" in plan.split("PushedFilters")[1][:400]
+
+
+def test_q1_uses_partial_aggregation(spark):
+    """Q1 must partial-aggregate map-side: two HashAggregate levels with the
+    shuffle carrying only 6 groups of partial states."""
+    plan = REGISTRY["q1_pricing_summary"].fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange") == 1
+
+
+def test_dedup_exact_prunes_columns(spark):
+    """dedup_exact must read only (doc_id, text) — shuffling other document
+    columns would multiply the 100 TB shuffle for no reason."""
+    plan = REGISTRY["dedup_exact"].fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    rs = plan.split("ReadSchema: ")[1].split("\n")[0]
+    assert "doc_id" in rs and "text" in rs
+    assert "lang" not in rs and "source" not in rs and "n_chars" not in rs
+
+
+def test_minhash_signature_single_shuffle(spark):
+    """The MinHash signature stage must shuffle once (the explicit
+    repartition); groupBy(doc_id) reuses that partitioning, and the
+    shuffled payload is partial minima, not shingle strings."""
+    from proteus_engine_spark.datapipe.dedup import minhash_signatures
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = minhash_signatures(docs)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+
+
+def test_sim_bruteforce_broadcasts_queries(spark):
+    """Brute-force top-k must broadcast the query side (nested-loop over the
+    corpus scan) — shuffling the corpus against 5 queries would be wrong at
+    any scale."""
+    plan = REGISTRY["sim_topk_bruteforce"].fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
