@@ -412,8 +412,10 @@ def cep_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     mirrors that with a rank-1 pick over (ts, event_id)."""
     ev = load_table(spark, sf_dir, "events")
     pat = (
-        Pattern.begin("signup", lambda r: r["event_type"] == "signup")
-        .followed_by("purchase", lambda r: r["event_type"] == "purchase")
+        Pattern.begin("signup", lambda r: r["event_type"] == "signup",
+                      expr="event_type = 'signup'")
+        .followed_by("purchase", lambda r: r["event_type"] == "purchase",
+                     expr="event_type = 'purchase'")
         .within(600_000)
     )
     return match_pattern(ev, pat, key_col="user_id")

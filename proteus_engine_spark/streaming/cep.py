@@ -37,30 +37,57 @@ class Step:
     name: str
     predicate: Callable[[pd.Series], bool]
     contiguity: str = "followedBy"  # 'begin' | 'next' | 'followedBy'
+    expr: str | None = None  # optional Spark SQL mirror of `predicate`
 
 
 @dataclass
 class Pattern:
-    """Pattern.begin(...).next/.followedBy(...).where(...).within(...)"""
+    """Pattern.begin(...).next/.followedBy(...).where(...).within(...)
+
+    Each step takes the row predicate as a Python callable plus an optional
+    ``expr`` — a Spark SQL string with the same semantics. When every step
+    is relaxed-contiguity (begin/followedBy) and every step carries an
+    expr, the engine pre-filters the input to ``OR``-of-exprs JVM-side
+    before the Python NFA: relaxed contiguity skips non-matching rows
+    anyway, so dropping them early is semantics-preserving predicate
+    pushdown — at scale this turns "ship every event to Python" into
+    "ship only candidate events". Patterns with a `next` step disable the
+    prefilter (strict contiguity must see every row).
+    """
 
     steps: list[Step] = field(default_factory=list)
     within_ms: int | None = None
 
     @staticmethod
-    def begin(name: str, predicate: Callable[[pd.Series], bool]) -> "Pattern":
-        return Pattern(steps=[Step(name, predicate, "begin")])
+    def begin(
+        name: str, predicate: Callable[[pd.Series], bool], expr: str | None = None
+    ) -> "Pattern":
+        return Pattern(steps=[Step(name, predicate, "begin", expr)])
 
-    def next(self, name: str, predicate: Callable[[pd.Series], bool]) -> "Pattern":
-        self.steps.append(Step(name, predicate, "next"))
+    def next(
+        self, name: str, predicate: Callable[[pd.Series], bool], expr: str | None = None
+    ) -> "Pattern":
+        self.steps.append(Step(name, predicate, "next", expr))
         return self
 
-    def followed_by(self, name: str, predicate: Callable[[pd.Series], bool]) -> "Pattern":
-        self.steps.append(Step(name, predicate, "followedBy"))
+    def followed_by(
+        self, name: str, predicate: Callable[[pd.Series], bool], expr: str | None = None
+    ) -> "Pattern":
+        self.steps.append(Step(name, predicate, "followedBy", expr))
         return self
 
     def within(self, ms: int) -> "Pattern":
         self.within_ms = ms
         return self
+
+    def prefilter_expr(self) -> str | None:
+        """OR-of-step-exprs when pushdown is sound (all relaxed, all
+        declared), else None."""
+        if any(s.contiguity == "next" for s in self.steps):
+            return None
+        if any(s.expr is None for s in self.steps):
+            return None
+        return " OR ".join(f"({s.expr})" for s in self.steps)
 
 
 def _run_nfa(
@@ -145,6 +172,12 @@ def match_pattern(
             rows.append(row)
         return pd.DataFrame(rows, columns=out_cols)
 
+    # Semantics-preserving predicate pushdown for relaxed-contiguity
+    # patterns: only candidate rows cross into Python (and the filter
+    # reaches the parquet scan).
+    pre = pattern.prefilter_expr()
+    if pre is not None:
+        df = df.filter(pre)
     # Explicit hash repartition on the key: satisfies applyInPandas'
     # clustering requirement with a width AQE won't coalesce — the Python
     # NFA is CPU-bound, not byte-bound.
@@ -189,6 +222,9 @@ def match_pattern_stream(
                 out.append(row)
             yield pd.DataFrame(out, columns=out_cols)
 
+    pre = pattern.prefilter_expr()
+    if pre is not None:
+        stream = stream.filter(pre)
     return stream.groupBy(key_col).applyInPandasWithState(
         transition, schema, "blob binary", "append", GroupStateTimeout.NoTimeout
     )

@@ -139,3 +139,42 @@ def test_events_stream_schema(spark):
     ev = events_stream(spark, SF_DIR)
     assert ev.isStreaming
     assert dict(ev.dtypes)["ts"] == "timestamp"
+
+
+def test_cep_prefilter_pushdown_preserves_semantics(spark):
+    """With exprs declared on every relaxed step, the CEP input is
+    pre-filtered JVM-side; the match set must be identical to the
+    unfiltered NFA, and the filter must reach the parquet scan."""
+    import os
+
+    from tests.conftest import SF_DIR as _SF
+
+    ev = spark.read.parquet(os.path.join(_SF, "events.parquet"))
+    base = (
+        Pattern.begin("signup", lambda r: r["event_type"] == "signup")
+        .followed_by("purchase", lambda r: r["event_type"] == "purchase")
+        .within(600_000)
+    )
+    pushed = (
+        Pattern.begin("signup", lambda r: r["event_type"] == "signup",
+                      expr="event_type = 'signup'")
+        .followed_by("purchase", lambda r: r["event_type"] == "purchase",
+                     expr="event_type = 'purchase'")
+        .within(600_000)
+    )
+    a = {tuple(r) for r in match_pattern(ev, base, key_col="user_id").collect()}
+    df_pushed = match_pattern(ev, pushed, key_col="user_id")
+    b = {tuple(r) for r in df_pushed.collect()}
+    assert a == b
+    plan = df_pushed._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "event_type" in plan.split("PushedFilters")[1][:300]
+
+
+def test_cep_next_disables_prefilter(spark):
+    """Strict contiguity must see every row — prefilter_expr is None when a
+    `next` step exists even if exprs are declared."""
+    p = (
+        Pattern.begin("a", lambda r: True, expr="true")
+        .next("b", lambda r: True, expr="true")
+    )
+    assert p.prefilter_expr() is None
