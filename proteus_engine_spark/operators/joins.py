@@ -106,6 +106,40 @@ def single_row_join(left: DataFrame, single: DataFrame, condition: Column | None
     return left.join(F.broadcast(single), cond, "inner")
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with manual key salting for skew mitigation.
+
+    A hot key (one that would overwhelm a single shuffle partition at
+    100 TB) is spread across ``n_salts`` sub-partitions: the left side gets
+    a random salt in [0, n_salts), the right side is replicated once per
+    salt value, and the join key becomes (key, salt). The result is
+    row-identical to the unsalted join for ``inner``/``left``/``left_semi``/
+    ``left_anti`` (right-side rows are replicated, so right/full outer
+    would duplicate unmatched right rows — rejected).
+
+    Prefer AQE's skew-join handling (on by default in the engine session)
+    when it fires; this operator is for the cases AQE can't split —
+    e.g. a skewed aggregation feeding a join, or deliberate two-stage
+    aggregation over a hot key.
+    """
+    if how in ("right", "rightouter", "full", "fullouter", "outer"):
+        raise ValueError(f"salted_join does not support how={how!r} (right side is replicated)")
+    salts = right.sparkSession.range(n_salts).select(F.col("id").cast("int").alias("__salt__"))
+    l = left.withColumn("__salt__", (F.rand(seed=42) * n_salts).cast("int"))
+    r = right.crossJoin(F.broadcast(salts))
+    joined = l.join(
+        r, (l[left_key] == r[right_key]) & (l["__salt__"] == r["__salt__"]), how
+    )
+    return joined.drop("__salt__")
+
+
 def co_group(
     left: DataFrame,
     right: DataFrame,

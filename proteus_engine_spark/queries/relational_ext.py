@@ -551,3 +551,27 @@ def iter_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return connected_components(edges).select("vertex", "component")
+
+
+@register(
+    "join_salted_skew",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_acctbal > 0
+    GROUP BY o_orderstatus
+    """,
+    tags=("join", "skew"),
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manual skew-salted equi-join (ShipStrategyType.PARTITION_HASH with a
+    hot key — the case AQE's skew split can't always reach): the hot side
+    spreads across 16 salt sub-partitions, the build side replicates per
+    salt. Result is row-identical to the plain join (oracle-checked)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    joined = J.salted_join(orders, cust, "o_custkey", "c_custkey", n_salts=16, how="inner")
+    return joined.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "total")
+    )

@@ -86,3 +86,32 @@ def test_iterate_delta_terminates(spark):
 
     out = iterate_delta(sol, work, step, max_iterations=10)
     assert out.count() == 4
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salted equi-join must be row-identical to the plain join for inner
+    and left joins (including unmatched left rows), and reject right/full."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from proteus_engine_spark.operators.joins import salted_join
+    from tests.conftest import SF_DIR
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").select("o_orderkey", "o_custkey")
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet").filter(
+        F.col("c_acctbal") > 5000
+    ).select("c_custkey", "c_name")
+
+    for how in ("inner", "left"):
+        plain = sorted(
+            (r["o_orderkey"], r["c_name"])
+            for r in orders.join(cust, orders["o_custkey"] == cust["c_custkey"], how).collect()
+        )
+        salted = sorted(
+            (r["o_orderkey"], r["c_name"])
+            for r in salted_join(orders, cust, "o_custkey", "c_custkey", n_salts=8, how=how).collect()
+        )
+        assert plain == salted, how
+
+    with pytest.raises(ValueError):
+        salted_join(orders, cust, "o_custkey", "c_custkey", how="full")
