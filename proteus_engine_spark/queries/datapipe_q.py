@@ -21,7 +21,7 @@ from proteus_engine_spark.datapipe.dedup import (
     simhash_buckets,
 )
 from proteus_engine_spark.datapipe.multimodal import attach_media_columns, decode_images
-from proteus_engine_spark.datapipe.similarity import brute_force_topk, lsh_ann_topk
+from proteus_engine_spark.datapipe.similarity import brute_force_topk, ivf_ann_topk, lsh_ann_topk
 from proteus_engine_spark.datapipe.textstats import (
     document_fingerprint,
     language_id,
@@ -243,6 +243,19 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("q_id"), vec.alias("vec"))
     corpus = emb.select(F.col("vec_id").alias("c_id"), vec.alias("vec"))
     return lsh_ann_topk(queries, corpus, dim=64, k=5, nbits=6)
+
+
+@register("sim_ann_ivf", oracle=None, tags=("datapipe", "similarity"))
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: deterministic k-means coarse quantizer (16
+    cells, 1 Lloyd iteration), queries probe their 4 nearest cells, exact
+    cosine re-rank inside probed cells (rows-only: cell assignment is
+    engine-specific; recall vs brute force asserted in tests)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    queries = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("q_id"), vec.alias("vec"))
+    corpus = emb.select(F.col("vec_id").alias("c_id"), vec.alias("vec"))
+    return ivf_ann_topk(queries, corpus, dim=64, k=5, n_centroids=16, n_probe=4, n_iter=1)
 
 
 @register("multimodal_decode", oracle=None, tags=("datapipe", "multimodal"))

@@ -115,3 +115,22 @@ def test_embedding_cosine_lsh_precision_and_recall(spark):
     assert len(exact_set) > 0
     recall = len(approx_set) / len(exact_set)
     assert recall >= 0.2, f"LSH recall suspiciously low: {recall}"
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    """IVF with 4-of-16 probed cells must retrieve every self-match and
+    beat LSH's recall floor comfortably on clustered embeddings."""
+    from proteus_engine_spark.datapipe.similarity import ivf_ann_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    vec = F.col("embedding").cast("array<double>")
+    queries = emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("q_id"), vec.alias("vec"))
+    corpus = emb.select(F.col("vec_id").alias("c_id"), vec.alias("vec"))
+    exact = brute_force_topk(queries, corpus, k=5).collect()
+    approx = ivf_ann_topk(queries, corpus, dim=64, k=5, n_centroids=16, n_probe=4, n_iter=1).collect()
+    exact_set = {(r["q_id"], r["c_id"]) for r in exact}
+    approx_set = {(r["q_id"], r["c_id"]) for r in approx}
+    for q in range(10):
+        assert (q, q) in approx_set
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
