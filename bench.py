@@ -29,6 +29,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
+    "q9_product_type_profit",
+    "q13_customer_distribution",
+    "q21_waiting_supplier",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "q10_returned_items",
@@ -39,6 +42,7 @@ HEADLINE = [
     "window_session",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
     "sim_topk_bruteforce",
     "asof_join_events",
     "stream_tumble_agg",

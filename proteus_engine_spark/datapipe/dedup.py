@@ -197,12 +197,15 @@ def embedding_cosine_pairs(
     Returns (id_a, id_b, cos_sim) with id_a < id_b, cos_sim rounded to 1e-6
     before the threshold cut so the cut is reproducible across engines.
     """
-    from proteus_engine_spark.datapipe.similarity import cosine, lsh_bucket
+    from proteus_engine_spark.datapipe.similarity import _dot, _norm, lsh_bucket
 
     vec = F.col(vec_col).cast("array<double>")
+    # Per-vector norm computed ONCE before the self-join — inside a block of
+    # b vectors each norm would otherwise be re-folded b times per side.
     if block_col is not None:
         base = emb.select(
-            F.col(id_col), vec.alias("__vec__"), F.col(block_col).alias("__block__")
+            F.col(id_col), vec.alias("__vec__"), _norm(vec).alias("__n__"),
+            F.col(block_col).alias("__block__"),
         )
     else:
         if dim is None:
@@ -213,17 +216,21 @@ def embedding_cosine_pairs(
         base = emb.select(
             F.col(id_col),
             vec.alias("__vec__"),
+            _norm(vec).alias("__n__"),
             F.posexplode(tables).alias("__table__", "__bucket__"),
         ).select(
             F.col(id_col),
             F.col("__vec__"),
+            F.col("__n__"),
             (F.col("__table__") * F.lit(2**nbits) + F.col("__bucket__")).alias("__block__"),
         )
     left = base.select(
-        F.col(id_col).alias("id_a"), F.col("__vec__").alias("vec_a"), "__block__"
+        F.col(id_col).alias("id_a"), F.col("__vec__").alias("vec_a"),
+        F.col("__n__").alias("n_a"), "__block__",
     )
     right = base.select(
-        F.col(id_col).alias("id_b"), F.col("__vec__").alias("vec_b"), "__block__"
+        F.col(id_col).alias("id_b"), F.col("__vec__").alias("vec_b"),
+        F.col("__n__").alias("n_b"), "__block__",
     )
     pairs = (
         left.join(right, "__block__")
@@ -233,7 +240,9 @@ def embedding_cosine_pairs(
     if block_col is None:
         # A pair can share buckets in several tables — emit it once.
         pairs = pairs.dropDuplicates(["id_a", "id_b"])
-    sim = F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6)
+    sim = F.round(
+        _dot(F.col("vec_a"), F.col("vec_b")) / (F.col("n_a") * F.col("n_b")), 6
+    )
     return (
         pairs.select("id_a", "id_b", sim.alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)

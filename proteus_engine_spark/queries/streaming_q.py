@@ -419,3 +419,40 @@ def cep_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .within(600_000)
     )
     return match_pattern(ev, pat, key_col="user_id")
+
+
+@register(
+    "cep_strict_next",
+    oracle="""
+    SELECT user_id, event_id AS click_id, epoch_ms(ts) AS click_ts,
+           next_id AS purchase_id, epoch_ms(next_ts) AS purchase_ts
+    FROM (
+      SELECT user_id, event_id, ts, event_type,
+             lead(event_id)   OVER w AS next_id,
+             lead(event_type) OVER w AS next_type,
+             lead(ts)         OVER w AS next_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ) s
+    WHERE event_type = 'click' AND next_type = 'purchase'
+      AND epoch_ms(next_ts) - epoch_ms(ts) <= 300000
+    """,
+    tags=("streaming", "cep"),
+)
+def cep_strict_next(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP strict contiguity: click NEXT purchase within 5 minutes
+    (Pattern.next, flink-cep Pattern.java:186 — the immediately following
+    event per key must match or the partial dies). The oracle mirrors the
+    NFA with a lead() pair check. No prefilter (strict contiguity must see
+    every row)."""
+    ev = load_table(spark, sf_dir, "events")
+    pat = (
+        Pattern.begin("click", lambda r: r["event_type"] == "click")
+        .next("purchase", lambda r: r["event_type"] == "purchase")
+        .within(300_000)
+    )
+    return match_pattern(ev, pat, key_col="user_id").select(
+        "user_id",
+        F.col("click_id"), F.col("click_ts"),
+        F.col("purchase_id"), F.col("purchase_ts"),
+    )

@@ -152,3 +152,33 @@ def window_count_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "win_id")
         .agg(F.count(F.lit(1)).alias("n"), dsum("value", "total_value"))
     )
+
+
+@register(
+    "window_tumble_sql",
+    oracle="""
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+           time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS window_end,
+           event_type, COUNT(*) AS n
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+    tags=("window", "sql_rewrite"),
+)
+def window_tumble_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Flink-1.4 SQL surface itself: TUMBLE/TUMBLE_START/TUMBLE_END in
+    the statement, rewritten pre-Catalyst by plans.sql_rewrite
+    (DataSetLogicalWindowAggregateRule parity, FlinkRuleSets.scala:155)."""
+    from proteus_engine_spark.plans import proteus_sql
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("__ev_tw_sql__")
+    return proteus_sql(
+        spark,
+        """
+        SELECT TUMBLE_START(ts, INTERVAL '1' HOUR) AS window_start,
+               TUMBLE_END(ts, INTERVAL '1' HOUR) AS window_end,
+               event_type, COUNT(*) AS n
+        FROM __ev_tw_sql__
+        GROUP BY TUMBLE(ts, INTERVAL '1' HOUR), event_type
+        """,
+    )
