@@ -178,3 +178,32 @@ def test_cep_next_disables_prefilter(spark):
         .next("b", lambda r: True, expr="true")
     )
     assert p.prefilter_expr() is None
+
+
+def _fake_service_lookup(row):
+    """Deterministic stand-in for an external service call."""
+    return {"enriched": f"user-{row['user_id']}-{row['event_type']}"}
+
+
+def test_async_enrich_ordered_and_unordered(spark):
+    """AsyncDataStream parity: both modes produce the same enriched row
+    multiset; ordered mode preserves input order within partitions."""
+    import os
+
+    from proteus_engine_spark.streaming.async_io import async_enrich
+    from tests.conftest import SF_DIR as _SF
+
+    ev = (
+        spark.read.parquet(os.path.join(_SF, "events.parquet"))
+        .select("event_id", "user_id", "event_type")
+        .limit(200)
+    )
+    schema = "event_id long, user_id long, event_type string, enriched string"
+    ordered = async_enrich(ev, _fake_service_lookup, schema, capacity=8, ordered=True)
+    unordered = async_enrich(ev, _fake_service_lookup, schema, capacity=8, ordered=False)
+    o = ordered.collect()
+    u = unordered.collect()
+    assert len(o) == len(u) == 200
+    expect = {(r["event_id"], f"user-{r['user_id']}-{r['event_type']}") for r in ev.collect()}
+    assert {(r["event_id"], r["enriched"]) for r in o} == expect
+    assert {(r["event_id"], r["enriched"]) for r in u} == expect
