@@ -575,3 +575,56 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "total")
     )
+
+
+@register(
+    "agg_reduce_group_sorted",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS top3_total,
+           arg_max(o_orderkey, round(o_totalprice * 100) * 1000000 + o_orderkey) AS top_order
+    FROM (
+      SELECT o_orderstatus, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderstatus
+                                ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+      FROM orders
+    ) t
+    WHERE rn <= 3
+    GROUP BY o_orderstatus
+    """,
+    tags=("agg", "udf"),
+)
+def agg_reduce_group_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sortGroup + reduceGroup parity (UnsortedGrouping.java:271,164):
+    arbitrary per-group pandas transform over a sorted group — here the
+    top-3-by-price total per order status. One shuffle on the key,
+    Arrow-batched group delivery; the sort happens worker-side."""
+    import pandas as pd
+
+    from proteus_engine_spark.operators.aggregates import reduce_group
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_orderkey", "o_totalprice"
+    )
+
+    def top3(pdf: pd.DataFrame) -> pd.DataFrame:
+        # group arrives sorted ascending by (price, orderkey) → top-3 = tail
+        top = pdf.tail(3)
+        total = float(
+            (top["o_totalprice"] * 100).round().astype("int64").sum()
+        ) / 100.0
+        return pd.DataFrame(
+            {
+                "o_orderstatus": [pdf["o_orderstatus"].iloc[0]],
+                "top3_total": [total],
+                "top_order": [int(top["o_orderkey"].iloc[-1])],
+            }
+        )
+
+    return reduce_group(
+        orders,
+        ["o_orderstatus"],
+        top3,
+        "o_orderstatus string, top3_total double, top_order long",
+        sort_within=["o_totalprice", "o_orderkey"],
+    )
