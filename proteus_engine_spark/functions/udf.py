@@ -110,22 +110,39 @@ def lateral_join(df, tf: TableFunction, *arg_cols: str, outer: bool = False):
     rows appended to the input columns — the Generate/correlate plan shape.
     ``outer=True`` keeps rows with no output (leftOuterJoinLateral), padding
     with NULLs."""
+    from pyspark.sql.types import _parse_datatype_string
+
     in_schema = df.schema
     out_fields = tf.output_schema
     full_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in in_schema)
     full_schema = f"{full_schema}, {out_fields}"
-    n_out_cols = len([c for c in out_fields.split(",")])
+    # Parse the output DDL properly — splitting on "," miscounts for types
+    # that contain commas (decimal(10,2), map<string,int>, struct<...>).
+    out_struct = _parse_datatype_string(out_fields)
+    out_names = [f.name for f in out_struct.fields]
+    n_out_cols = len(out_names)
 
     def fan_out(batches):
+        import numpy as np
+
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                emitted = list(tf.eval(*[r[c] for c in arg_cols]))
+            # Per-row UDTF eval is inherent (user Python yields rows), but
+            # the fan-out itself is columnar: replicate input rows with one
+            # positional take instead of building tuples per row.
+            counts = np.zeros(len(pdf), dtype=np.int64)
+            out_cols: list[list] = [[] for _ in range(n_out_cols)]
+            args = zip(*(pdf[c].tolist() for c in arg_cols)) if arg_cols else iter(())
+            for i, vals in enumerate(args):
+                emitted = list(tf.eval(*vals))
                 if not emitted and outer:
-                    emitted = [tuple([None] * n_out_cols)]
+                    emitted = [(None,) * n_out_cols]
+                counts[i] = len(emitted)
                 for out_row in emitted:
-                    rows.append(tuple(r) + tuple(out_row))
-            cols = list(pdf.columns) + [c.strip().split()[0] for c in out_fields.split(",")]
-            yield pd.DataFrame(rows, columns=cols)
+                    for j in range(n_out_cols):
+                        out_cols[j].append(out_row[j])
+            rep = pdf.iloc[np.repeat(np.arange(len(pdf)), counts)].reset_index(drop=True)
+            for j, name in enumerate(out_names):
+                rep[name] = pd.Series(out_cols[j], dtype=object)
+            yield rep
 
     return df.mapInPandas(fan_out, schema=full_schema)

@@ -64,8 +64,8 @@ def fn_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_orderkey, l_linenumber,
            abs(l_quantity - 25)                   AS abs_dev,
-           ceil(l_discount * 100)                 AS disc_pct_ceil,
-           floor(l_tax * 100)                     AS tax_pct_floor,
+           CAST(ceil(l_discount * 100) AS BIGINT)  AS disc_pct_ceil,
+           CAST(floor(l_tax * 100) AS BIGINT)      AS tax_pct_floor,
            round(exp(l_discount), 6)              AS exp_disc,
            round(ln(l_quantity), 6)               AS ln_qty,
            round(log10(l_extendedprice), 6)       AS log10_price,
@@ -74,7 +74,7 @@ def fn_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(l_orderkey % 7 AS BIGINT)         AS key_mod7,
            round(sin(l_quantity), 6)              AS sin_qty,
            round(1.0 / tan(l_quantity), 6)        AS cot_qty,
-           sign(l_quantity - 25)                  AS sign_dev,
+           CAST(sign(l_quantity - 25) AS DOUBLE)  AS sign_dev,
            round(l_extendedprice, 1)              AS price_r1
     FROM lineitem WHERE l_orderkey < 500
     """,

@@ -48,6 +48,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table as a DataFrame (lazy scan; pushdown-capable)."""
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
+    if name == "events":
+        # events.parquet stores ts as INT64 TIMESTAMP(NANOS), which vanilla
+        # Spark rejects (PARQUET_TYPE_ILLEGAL). nanosAsLong is a runtime SQL
+        # conf, so set it here rather than relying on the engine's own session
+        # factory — callers (the driver gate) pass arbitrary SparkSessions.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(_path(sf_dir, name))
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS) read as long nanos

@@ -35,6 +35,9 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet path — the senv.readFile(PROCESS_CONTINUOUSLY) equivalent).
     ts arrives as long nanos (see sources/tables.py) → converted to a
     proper event-time timestamp column for watermarking."""
+    # Runtime conf so the read works under any caller-supplied session (the
+    # driver gate uses a vanilla SparkSession without the engine's defaults).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .format("parquet")

@@ -52,26 +52,56 @@ def count_window_agg(
     def transition(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         if state.exists:
             win_id, buf_n, buf_sum, buf_first = state.get
         else:
             win_id, buf_n, buf_sum, buf_first = 0, 0, 0.0, None
-        out: list[tuple] = []
+        frames: list[pd.DataFrame] = []
         for pdf in pdfs:
+            if not len(pdf):
+                continue
             pdf = pdf.sort_values(order_cols, kind="mergesort")
-            for _, row in pdf.iterrows():
-                if buf_n == 0:
-                    buf_first = int(row[id_col])
-                buf_n += 1
-                buf_sum += float(row[value_col])
-                if buf_n == window_size:
-                    out.append((key[0], win_id, buf_n, buf_sum, buf_first, int(row[id_col])))
-                    win_id, buf_n, buf_sum, buf_first = win_id + 1, 0, 0.0, None
+            ids = pdf[id_col].to_numpy()
+            vals = pdf[value_col].to_numpy(dtype="float64")
+            n = len(pdf)
+            # Window id per row: batch-level cumcount offset by the carried
+            # open-window fill — no per-row Python (the reference's
+            # CountTrigger counts in JVM state; here it's one integer div).
+            pos = buf_n + np.arange(n)
+            win = win_id + pos // window_size
+            starts = np.flatnonzero(np.r_[True, win[1:] != win[:-1]])
+            sums = np.add.reduceat(vals, starts)
+            counts = np.diff(np.r_[starts, n])
+            wins = win[starts]
+            firsts = ids[starts].copy()
+            lasts = ids[np.r_[starts[1:] - 1, n - 1]]
+            if buf_n > 0:  # merge the carried open window into its group
+                sums[0] += buf_sum
+                counts[0] += buf_n
+                firsts[0] = buf_first
+            closed = counts == window_size
+            if closed.any():
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            key_col: np.full(int(closed.sum()), key[0]),
+                            "win_id": wins[closed],
+                            "n": counts[closed],
+                            "total_value": sums[closed],
+                            "first_id": firsts[closed],
+                            "last_id": lasts[closed],
+                        }
+                    )
+                )
+            if closed[-1]:
+                win_id, buf_n, buf_sum, buf_first = int(wins[-1]) + 1, 0, 0.0, None
+            else:
+                win_id, buf_n = int(wins[-1]), int(counts[-1])
+                buf_sum, buf_first = float(sums[-1]), int(firsts[-1])
         state.update((win_id, buf_n, buf_sum, buf_first))
-        if out:
-            yield pd.DataFrame(
-                out, columns=[key_col, "win_id", "n", "total_value", "first_id", "last_id"]
-            )
+        yield from frames
 
     return stream.groupBy(key_col).applyInPandasWithState(
         transition, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout

@@ -51,13 +51,22 @@ def duck():
 
 
 def _norm(v):
-    """Normalize a cell for order-insensitive comparison."""
+    """Normalize a cell for order-insensitive comparison.
+
+    Type-tagged: the driver's value hash is dtype-sensitive (BIGINT 10 and
+    DOUBLE 10.0 hash differently), while Python `10 == 10.0` is True — so
+    ints and floats carry an explicit tag to replicate driver behavior.
+    """
     if v is None:
         return None
+    if isinstance(v, bool):
+        return ("bool", v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return round(v, 6)
+            return ("float", "NaN")
+        return ("float", round(v, 6))
+    if isinstance(v, int):
+        return ("int", v)
     if isinstance(v, (list, tuple)):
         return tuple(_norm(x) for x in v)
     return v

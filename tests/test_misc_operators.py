@@ -115,3 +115,21 @@ def test_salted_join_matches_plain_join(spark):
 
     with pytest.raises(ValueError):
         salted_join(orders, cust, "o_custkey", "c_custkey", how="full")
+
+
+def test_events_readable_in_vanilla_session(spark):
+    """Regression: the driver gate calls queries with its OWN SparkSession,
+    which lacks spark.sql.legacy.parquet.nanosAsLong — load_table must set
+    it at read time or every events query dies with PARQUET_TYPE_ILLEGAL
+    (CORRECTNESS_r01.json fn_json_suite)."""
+    from proteus_engine_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    ns = spark.newSession()
+    try:
+        ns.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    except Exception:
+        pass
+    df = load_table(ns, SF_DIR, "events")
+    assert df.schema["ts"].dataType.typeName() == "timestamp"
+    assert df.count() > 0
