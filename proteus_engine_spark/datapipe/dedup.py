@@ -131,7 +131,10 @@ def minhash_lsh_pairs(
     verified with the exact signature agreement ratio (estimate of J).
     """
     rows_per_band = num_perm // bands
-    sig = minhash_signatures(docs, id_col, text_col, num_perm, shingle_k)
+    # The signature table is the reusable index (scan it once, read it three
+    # times: banding + two re-attach joins) — persisted like a production
+    # pipeline would persist its minhash index table.
+    sig = minhash_signatures(docs, id_col, text_col, num_perm, shingle_k).persist()
 
     band_cols = [
         F.xxhash64(
@@ -139,15 +142,18 @@ def minhash_lsh_pairs(
         ).alias(f"band_{b}")
         for b in range(bands)
     ]
+    # Banding join carries IDS ONLY (24B/row through the shuffle); the
+    # 512-byte signatures are re-attached to the (far fewer) surviving
+    # candidate pairs afterwards. With signatures inlined, each doc would
+    # ship bands×512B through the candidate shuffle.
     banded = sig.select(
         F.col(id_col),
-        F.col("sig"),
         F.posexplode(F.array(*band_cols)).alias("band_id", "band_sig"),
     )
 
     left = banded.alias("l")
     right = banded.alias("r")
-    cand = (
+    cand_ids = (
         left.join(
             right,
             (F.col("l.band_id") == F.col("r.band_id"))
@@ -157,10 +163,13 @@ def minhash_lsh_pairs(
         .select(
             F.col(f"l.{id_col}").alias("doc_a"),
             F.col(f"r.{id_col}").alias("doc_b"),
-            F.col("l.sig").alias("sig_a"),
-            F.col("r.sig").alias("sig_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    cand = cand_ids.join(
+        sig.select(F.col(id_col).alias("doc_a"), F.col("sig").alias("sig_a")), "doc_a"
+    ).join(
+        sig.select(F.col(id_col).alias("doc_b"), F.col("sig").alias("sig_b")), "doc_b"
     )
 
     est = (
@@ -297,7 +306,18 @@ def ngram_jaccard_pairs(
     block first (LSH buckets, language, length band) so the self-join is
     bounded. |A∩B| and |A∪B| come from array_intersect/array_union sizes,
     all JVM-side.
+
+    ``block_cols`` is mandatory: without it the only join condition is
+    id<id — an all-pairs cartesian that cannot survive any real corpus.
+    Use minhash_lsh_pairs / simhash_buckets to generate a blocking key
+    first if none exists naturally.
     """
+    if not block_cols:
+        raise ValueError(
+            "ngram_jaccard_pairs requires block_cols: an unblocked self-join "
+            "is a cartesian product; pre-block with LSH buckets, language, "
+            "or a length band"
+        )
     toks = F.array_distinct(_tokens(text_col))
     base = docs.select(F.col(id_col), *(block_cols or []), toks.alias("tok_set"))
     left = base.alias("l")

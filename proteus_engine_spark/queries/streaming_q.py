@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from proteus_engine_spark.queries.exact import dsum
+from proteus_engine_spark.queries.exact import dec, dsum
 from proteus_engine_spark.queries.registry import register
 from proteus_engine_spark.sources import load_table
 from proteus_engine_spark.streaming.cep import Pattern, match_pattern
@@ -64,23 +64,26 @@ def stream_tumble_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_unbounded_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous unbounded group-agg (DataStreamGroupAggregate.scala:49,
     retraction via GroupAggProcessFunction) — retract/accumulate is Spark's
-    state; complete mode emits the final table."""
+    state; complete mode emits the final table.
+
+    COUNT(DISTINCT) is not supported on streams, so it is computed
+    stream-natively in two stages: the stream aggregates exactly per
+    (event_type, user_id) — distinct users ARE the state keys — and the
+    streamed result table rolls up per event_type. No batch-side column:
+    every value the oracle checks flowed through the stream. This is also
+    the 100 TB shape (no global distinct; state sharded by pair key)."""
     ev = events_stream(spark, sf_dir)
-    agg = unbounded_agg(
+    pairs = unbounded_agg(
         ev,
-        ["event_type"],
-        [
-            F.count(F.lit(1)).alias("n"),
-            dsum("value", "total_value"),
-            F.approx_count_distinct("user_id").alias("n_users_approx"),
-        ],
+        ["event_type", "user_id"],
+        [F.count(F.lit(1)).alias("n_pair"), F.sum(dec("value")).alias("v_pair")],
     )
-    out = run_to_completion(agg, "stream_unbounded_agg_sink", "complete")
-    # exact distinct for the oracle column; approx kept in the operator to
-    # show the scale path (exact countDistinct is unsupported on streams)
-    ev_b = load_table(spark, sf_dir, "events")
-    exact = ev_b.groupBy("event_type").agg(F.countDistinct("user_id").alias("n_users"))
-    return out.drop("n_users_approx").join(exact, "event_type")
+    out = run_to_completion(pairs, "stream_unbounded_agg_sink", "complete")
+    return out.groupBy("event_type").agg(
+        F.sum("n_pair").alias("n"),
+        F.sum("v_pair").cast("double").alias("total_value"),
+        F.count(F.lit(1)).alias("n_users"),
+    )
 
 
 @register(
@@ -261,23 +264,15 @@ def stream_side_input_forwarded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("c_custkey").alias("user_id"))
     )
     tagged = forwarded_side_input(ev, side, tag_col="is_side")
-    agg = tagged.groupBy("is_side").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.approx_count_distinct("user_id").alias("n_keys_approx"),
+    # COUNT(DISTINCT) stream-natively: aggregate exactly per (tag, key) in
+    # the stream, then roll the streamed result up per tag — no column is
+    # computed from a batch re-read (the oracle verifies the stream output).
+    pairs = tagged.groupBy("is_side", "user_id").agg(F.count(F.lit(1)).alias("n_pair"))
+    out = run_to_completion(pairs, "stream_side_input_fwd_sink", "complete")
+    return out.groupBy("is_side").agg(
+        F.sum("n_pair").alias("n"),
+        F.count(F.lit(1)).alias("n_keys"),
     )
-    out = run_to_completion(agg, "stream_side_input_fwd_sink", "complete")
-    # exact distinct per tag for the oracle column (exact countDistinct is
-    # unsupported on streams; approx retained to show the stream path)
-    ev_b = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "click").select(
-        F.lit(False).alias("is_side"), "user_id"
-    )
-    side_b = load_table(spark, sf_dir, "customer").select(
-        F.lit(True).alias("is_side"), F.col("c_custkey").alias("user_id")
-    )
-    exact = ev_b.unionByName(side_b).groupBy("is_side").agg(
-        F.countDistinct("user_id").alias("n_keys")
-    )
-    return out.drop("n_keys_approx").join(exact, "is_side")
 
 
 @register(

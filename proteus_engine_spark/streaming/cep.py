@@ -191,19 +191,32 @@ def match_pattern_stream(
     key_col: str,
     ts_col: str = "ts",
     id_col: str = "event_id",
+    watermark_delay: str | None = None,
 ) -> DataFrame:
     """Streaming CEP: open partial matches persist in keyed state across
     micro-batches (the NFA ComputationState equivalent); completed matches
     append. Within a batch events are NFA-scanned in event-time order; state
-    carries (step index, matched events, window start) per partial."""
+    carries (step index, matched events, window start) per partial.
+
+    State is bounded when ``pattern.within_ms`` is set: expired partials are
+    pruned against the batch's max event time before the state write, empty
+    state is removed, and — when ``watermark_delay`` is given — an
+    event-time timer drops the state of keys that go idle (the reference
+    prunes the same way via NFA window cleanup timers, nfa/NFA.java)."""
     import pickle
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     out_cols = [key_col] + _match_columns(pattern)
     schema = f"{key_col} long, " + ", ".join(f"{c} long" for c in _match_columns(pattern))
+    use_event_timeout = watermark_delay is not None and pattern.within_ms is not None
 
     def transition(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            # Idle key: every surviving partial is past its window (the
+            # timer is armed at max open-window expiry) — drop the state.
+            state.remove()
+            return
         partials = pickle.loads(state.get[0]) if state.exists else []
         batches = [p for p in pdfs]
         if not batches:
@@ -211,7 +224,19 @@ def match_pattern_stream(
         pdf = pd.concat(batches).sort_values([ts_col, id_col], kind="mergesort")
         # Same pure NFA as batch, seeded with the carried-over partials.
         matches, partials = _run_nfa(pdf, pattern, ts_col, id_col, partials)
-        state.update((pickle.dumps(partials),))
+        if pattern.within_ms is not None and partials:
+            # Prune partials already expired at the batch horizon — they can
+            # never complete (any future event is even later).
+            horizon = int(pdf[ts_col].values.astype("datetime64[ms]").astype("int64").max())
+            partials = [p for p in partials if horizon - p["t0"] <= pattern.within_ms]
+        if partials:
+            state.update((pickle.dumps(partials),))
+            if use_event_timeout:
+                state.setTimeoutTimestamp(
+                    max(p["t0"] for p in partials) + pattern.within_ms + 1
+                )
+        elif state.exists:
+            state.remove()
         if matches:
             out = []
             for m in matches:
@@ -225,6 +250,11 @@ def match_pattern_stream(
     pre = pattern.prefilter_expr()
     if pre is not None:
         stream = stream.filter(pre)
+    if watermark_delay is not None:
+        stream = stream.withWatermark(ts_col, watermark_delay)
+    timeout_conf = (
+        GroupStateTimeout.EventTimeTimeout if use_event_timeout else GroupStateTimeout.NoTimeout
+    )
     return stream.groupBy(key_col).applyInPandasWithState(
-        transition, schema, "blob binary", "append", GroupStateTimeout.NoTimeout
+        transition, schema, "blob binary", "append", timeout_conf
     )

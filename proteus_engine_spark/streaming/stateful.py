@@ -160,12 +160,17 @@ def process_keyed(
     timeout: str = "NoTimeout",
     timeout_duration_ms: int | None = None,
     on_timeout: Callable[[tuple, dict[str, Any]], pd.DataFrame | None] | None = None,
+    event_time_col: str | None = None,
 ) -> DataFrame:
     """ProcessFunction shim (ProcessFunction.java:51): user code sees
     (key, batch, mutable state dict) and returns (emitted rows, new state);
     `on_timeout` is the onTimer equivalent (:85), fired by the state store
-    when the key is idle past `timeout_duration_ms` (processing time) or
-    past the event-time watermark.
+    when the key is idle past `timeout_duration_ms` — measured in processing
+    time for ProcessingTimeTimeout, or in event time past the watermark for
+    EventTimeTimeout (requires `event_time_col` and a watermarked input;
+    the timer is re-armed each batch at max(batch event time) + duration,
+    i.e. an event-time idle-gap timer, the session-gap shape of
+    ProcessFunction.java:85 onTimer).
 
     The state dict is pickled into a single binary state column — arbitrary
     Python state, the ValueState/ListState/MapState union. Keep it compact:
@@ -179,6 +184,11 @@ def process_keyed(
         "ProcessingTimeTimeout": GroupStateTimeout.ProcessingTimeTimeout,
         "EventTimeTimeout": GroupStateTimeout.EventTimeTimeout,
     }[timeout]
+    if timeout == "EventTimeTimeout" and (event_time_col is None or timeout_duration_ms is None):
+        raise ValueError(
+            "EventTimeTimeout requires event_time_col and timeout_duration_ms "
+            "(and a withWatermark() on the input stream)"
+        )
 
     def transition(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -198,6 +208,11 @@ def process_keyed(
         state.update((pickle.dumps(new_state),))
         if timeout == "ProcessingTimeTimeout" and timeout_duration_ms is not None:
             state.setTimeoutDuration(timeout_duration_ms)
+        elif timeout == "EventTimeTimeout" and len(batch):
+            max_ts_ms = int(
+                batch[event_time_col].to_numpy().astype("datetime64[ms]").astype("int64").max()
+            )
+            state.setTimeoutTimestamp(max_ts_ms + timeout_duration_ms)
         if emitted is not None and len(emitted):
             yield emitted
 

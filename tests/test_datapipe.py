@@ -44,9 +44,14 @@ def test_minhash_agrees_with_exact_jaccard(spark):
     """MinHash jaccard_est within 0.25 of exact token Jaccard on found pairs."""
     docs = _docs_with_near_dups(spark)
     mh = {(r["doc_a"], r["doc_b"]): r["jaccard_est"] for r in minhash_lsh_pairs(docs, jaccard_threshold=0.3).collect()}
+    # all-pairs exact Jaccard as the oracle: opt in to the cartesian via an
+    # explicit constant block key (fine on this 150-doc fixture; the
+    # operator refuses to do it implicitly)
     exact = {
         (r["doc_a"], r["doc_b"]): r["jaccard"]
-        for r in ngram_jaccard_pairs(docs, threshold=0.0).collect()
+        for r in ngram_jaccard_pairs(
+            docs.withColumn("__all__", F.lit(1)), block_cols=["__all__"], threshold=0.0
+        ).collect()
     }
     checked = 0
     for pair, est in mh.items():

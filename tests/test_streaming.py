@@ -207,3 +207,61 @@ def test_async_enrich_ordered_and_unordered(spark):
     expect = {(r["event_id"], f"user-{r['user_id']}-{r['event_type']}") for r in ev.collect()}
     assert {(r["event_id"], r["enriched"]) for r in o} == expect
     assert {(r["event_id"], r["enriched"]) for r in u} == expect
+
+
+def test_process_keyed_event_time_timer(spark):
+    """EventTimeTimeout: user 1 goes idle; when the watermark passes its
+    last event + gap, on_timeout fires with the accumulated state (the
+    ProcessFunction.java:85 event-time onTimer shape)."""
+    a = [_ev(0, 1, 1, "x", 2.0), _ev(1, 2, 1, "x", 3.0)]
+    b = [_ev(2, 30, 2, "x", 1.0)]  # advances watermark past user 1's timer
+    stream = _two_batch_stream(spark, a, b, EV_SCHEMA).withWatermark("ts", "0 seconds")
+
+    def accumulate(key, batch, state):
+        state = {"n": state.get("n", 0) + len(batch)}
+        return None, state
+
+    def session_close(key, state):
+        return pd.DataFrame([(key[0], state.get("n", 0))], columns=["user_id", "n"])
+
+    out = process_keyed(
+        stream, ["user_id"], accumulate, "user_id long, n long",
+        timeout="EventTimeTimeout", timeout_duration_ms=10 * 60 * 1000,
+        on_timeout=session_close, event_time_col="ts",
+    )
+    q = out.writeStream.outputMode("append").format("memory").queryName("pk_et_test").start()
+    q.processAllAvailable()
+    q.stop()
+    got = {r["user_id"]: r["n"] for r in spark.table("pk_et_test").collect()}
+    # user 1's timer (last event 00:02 + 10min = 00:12) fired when the
+    # watermark reached 00:30; user 2's timer (00:40) is still pending.
+    assert got == {1: 2}
+
+
+def test_process_keyed_event_time_timer_requires_args(spark):
+    with pytest.raises(ValueError):
+        process_keyed(
+            spark.readStream.format("rate").load(), ["value"],
+            lambda k, b, s: (None, s), "value long",
+            timeout="EventTimeTimeout",
+        )
+
+
+def test_cep_stream_with_watermark_prunes_state(spark):
+    """With watermark_delay set, streaming CEP arms an event-time timer to
+    drop idle-key state; the match output is unchanged vs batch."""
+    a = [_ev(0, 1, 1, "signup"), _ev(1, 2, 1, "click")]
+    b = [_ev(2, 4, 1, "purchase"), _ev(3, 40, 2, "signup")]
+    pat = (
+        Pattern.begin("signup", lambda r: r["event_type"] == "signup")
+        .followed_by("purchase", lambda r: r["event_type"] == "purchase")
+        .within(600_000)
+    )
+    stream = _two_batch_stream(spark, a, b, EV_SCHEMA)
+    out = match_pattern_stream(stream, pat, key_col="user_id", watermark_delay="0 seconds")
+    q = out.writeStream.outputMode("append").format("memory").queryName("cep_wm_test").start()
+    q.processAllAvailable()
+    q.stop()
+    got = [(r["user_id"], r["signup_id"], r["purchase_id"])
+           for r in spark.table("cep_wm_test").collect()]
+    assert sorted(got) == [(1, 0, 2)]
