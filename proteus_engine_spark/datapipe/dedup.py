@@ -176,7 +176,18 @@ def minhash_lsh_pairs(
         F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda a, b: a == b), lambda x: x))
         / F.lit(num_perm)
     ).alias("jaccard_est")
-    return cand.select("doc_a", "doc_b", est).filter(F.col("jaccard_est") >= jaccard_threshold)
+    out = cand.select("doc_a", "doc_b", est).filter(F.col("jaccard_est") >= jaccard_threshold)
+    # Materialize the (small) pair set now — localCheckpoint truncates the
+    # lineage off the cached signature table — then release the cache
+    # deterministically. Without the unpersist, num_perm×8 B/doc stays
+    # pinned in executor storage for the life of the session: a leak on a
+    # long-lived 100 TB cluster, and locally it polluted the cache manager
+    # (InMemoryRelation substitution into unrelated plans).
+    try:
+        out = out.localCheckpoint(eager=True)
+    finally:
+        sig.unpersist()
+    return out
 
 
 def embedding_cosine_pairs(
