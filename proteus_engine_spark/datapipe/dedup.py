@@ -121,14 +121,24 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_k: int = 3,
     jaccard_threshold: float = 0.7,
+    verify: str = "estimate",
 ) -> DataFrame:
     """Near-duplicate pairs via banded MinHash-LSH.
 
     bands=16 × rows=4 over 64 perms → catches pairs with J ≳ 0.7. Candidate
     generation is a self-equi-join on (band_id, band_sig): at 100 TB the
     join key is 16 bytes and Catalyst plans a plain shuffle-hash join;
-    hot buckets (boilerplate docs) are AQE-skew-split. Candidates are then
-    verified with the exact signature agreement ratio (estimate of J).
+    hot buckets (boilerplate docs) are AQE-skew-split.
+
+    ``verify`` selects the verification tier applied to candidates:
+    - "estimate": signature agreement ratio (≈J, zero extra scans) →
+      output (doc_a, doc_b, jaccard_est).
+    - "exact": re-attach the shingle *sets* to the (few) candidate pairs
+      and compute exact Jaccard → output (doc_a, doc_b, jaccard). This is
+      the standard two-tier dedup shape at 100 TB: candidates come from
+      8-byte band keys, the heavy token sets are only shuffled for pairs
+      that already collided — and the exact values are engine-portable
+      (oracle-checkable), unlike the xxhash64 signatures.
     """
     rows_per_band = num_perm // bands
     # The signature table is the reusable index (scan it once, read it three
@@ -166,17 +176,31 @@ def minhash_lsh_pairs(
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    cand = cand_ids.join(
-        sig.select(F.col(id_col).alias("doc_a"), F.col("sig").alias("sig_a")), "doc_a"
-    ).join(
-        sig.select(F.col(id_col).alias("doc_b"), F.col("sig").alias("sig_b")), "doc_b"
-    )
-
-    est = (
-        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda a, b: a == b), lambda x: x))
-        / F.lit(num_perm)
-    ).alias("jaccard_est")
-    out = cand.select("doc_a", "doc_b", est).filter(F.col("jaccard_est") >= jaccard_threshold)
+    if verify == "exact":
+        sets = docs.select(
+            F.col(id_col), shingle_array(text_col, k=shingle_k).alias("shset")
+        )
+        cand = cand_ids.join(
+            sets.select(F.col(id_col).alias("doc_a"), F.col("shset").alias("set_a")), "doc_a"
+        ).join(
+            sets.select(F.col(id_col).alias("doc_b"), F.col("shset").alias("set_b")), "doc_b"
+        )
+        jac = (
+            F.size(F.array_intersect("set_a", "set_b")).cast("double")
+            / F.size(F.array_union("set_a", "set_b"))
+        ).alias("jaccard")
+        out = cand.select("doc_a", "doc_b", jac).filter(F.col("jaccard") >= jaccard_threshold)
+    else:
+        cand = cand_ids.join(
+            sig.select(F.col(id_col).alias("doc_a"), F.col("sig").alias("sig_a")), "doc_a"
+        ).join(
+            sig.select(F.col(id_col).alias("doc_b"), F.col("sig").alias("sig_b")), "doc_b"
+        )
+        est = (
+            F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda a, b: a == b), lambda x: x))
+            / F.lit(num_perm)
+        ).alias("jaccard_est")
+        out = cand.select("doc_a", "doc_b", est).filter(F.col("jaccard_est") >= jaccard_threshold)
     # Materialize the (small) pair set now — localCheckpoint truncates the
     # lineage off the cached signature table — then release the cache
     # deterministically. Without the unpersist, num_perm×8 B/doc stays
@@ -274,33 +298,46 @@ def simhash_buckets(
     id_col: str = "doc_id",
     text_col: str = "text",
     prefix_bits: int = 16,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """64-bit SimHash per document + a prefix bucket for blocking.
+    """SimHash fingerprint per document + a prefix bucket for blocking.
 
-    SimHash: per token, xxhash64 → 64 bit columns; each bit contributes ±1;
-    the sign of each column sum is the fingerprint bit. Implemented as one
-    explode + groupBy(doc) over built-in bit ops (shiftright/bitwise-and) —
-    sums happen map-side. Near-dup candidates = same prefix bucket (for
-    hamming-distance ≤ 3 style retrieval, run 4 rotations — documented).
+    SimHash: per token, a 64-bit hash → bit columns; each bit contributes
+    ±1; the sign of each column sum is the fingerprint bit. Implemented as
+    one explode + groupBy(doc) over built-in bit ops (shiftright/
+    bitwise-and) — sums happen map-side. Near-dup candidates = same prefix
+    bucket (for hamming-distance ≤ 3 style retrieval, run 4 rotations —
+    documented).
+
+    ``hash_fn``: "xxhash64" (default, fastest — one JVM hash per token,
+    64-bit fingerprint) or "md5_60" (first 15 hex chars of md5 parsed as a
+    60-bit int — engine-portable, so an external SQL engine can reproduce
+    the fingerprint bit-for-bit; 60-bit fingerprint).
     """
+    n_bits = 64 if hash_fn == "xxhash64" else 60
     toks = docs.select(F.col(id_col), F.explode(_tokens(text_col)).alias("tok"))
-    h = F.xxhash64("tok")
+    if hash_fn == "xxhash64":
+        h = F.xxhash64("tok")
+    elif hash_fn == "md5_60":
+        h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
     bit_sums = [
         F.sum(
             F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"bit_{b}")
-        for b in range(64)
+        for b in range(n_bits)
     ]
     agg = toks.groupBy(id_col).agg(*bit_sums)
     fingerprint = None
-    for b in range(64):
+    for b in range(n_bits):
         bit = F.when(F.col(f"bit_{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         term = F.shiftleft(bit, b)
         fingerprint = term if fingerprint is None else fingerprint.bitwiseXOR(term)
     return agg.select(
         F.col(id_col),
         fingerprint.alias("simhash"),
-        F.shiftrightunsigned(fingerprint, 64 - prefix_bits).alias("bucket"),
+        F.shiftrightunsigned(fingerprint, n_bits - prefix_bits).alias("bucket"),
     )
 
 
