@@ -140,11 +140,18 @@ def minhash_lsh_pairs(
       that already collided — and the exact values are engine-portable
       (oracle-checkable), unlike the xxhash64 signatures.
     """
+    if verify not in ("estimate", "exact"):
+        raise ValueError(f"unknown verify {verify!r}: expected 'estimate' or 'exact'")
     rows_per_band = num_perm // bands
-    # The signature table is the reusable index (scan it once, read it three
-    # times: banding + two re-attach joins) — persisted like a production
-    # pipeline would persist its minhash index table.
-    sig = minhash_signatures(docs, id_col, text_col, num_perm, shingle_k).persist()
+    # No persist: the signature table is a cheap map-side recompute (one
+    # scan + hashing) even when the plan reads it more than once. Caching it
+    # here pinned num_perm×8 B/doc in executor storage for the session, and
+    # the localCheckpoint that fixed the leak made the operator eager and
+    # truncated lineage onto unreplicated executor-local blocks — a
+    # fault-tolerance hazard on a real cluster. Lazy + recompute is the
+    # scale-safe shape; callers that reuse the index across many queries
+    # should persist it themselves and own the lifecycle.
+    sig = minhash_signatures(docs, id_col, text_col, num_perm, shingle_k)
 
     band_cols = [
         F.xxhash64(
@@ -201,16 +208,6 @@ def minhash_lsh_pairs(
             / F.lit(num_perm)
         ).alias("jaccard_est")
         out = cand.select("doc_a", "doc_b", est).filter(F.col("jaccard_est") >= jaccard_threshold)
-    # Materialize the (small) pair set now — localCheckpoint truncates the
-    # lineage off the cached signature table — then release the cache
-    # deterministically. Without the unpersist, num_perm×8 B/doc stays
-    # pinned in executor storage for the life of the session: a leak on a
-    # long-lived 100 TB cluster, and locally it polluted the cache manager
-    # (InMemoryRelation substitution into unrelated plans).
-    try:
-        out = out.localCheckpoint(eager=True)
-    finally:
-        sig.unpersist()
     return out
 
 

@@ -217,27 +217,42 @@ def lsh_ann_topk(
     dim: int,
     k: int = 5,
     nbits: int = 8,
+    n_tables: int = 1,
     q_id: str = "q_id",
     c_id: str = "c_id",
     vec: str = "vec",
 ) -> DataFrame:
-    """Approximate top-k: hash both sides into sign-pattern buckets, join on
-    bucket, exact cosine re-rank within. Recall rises with fewer bits or
-    multi-probe; the contract is approximate (documented)."""
+    """Approximate top-k: hash both sides into sign-pattern buckets from
+    ``n_tables`` independent hyperplane families, join on (table, bucket),
+    exact cosine re-rank over the deduped candidate union. Recall =
+    1-(1-p^nbits)^n_tables for bit-agreement probability p — tune n_tables
+    up (or nbits down) for recall, nbits up for candidate-set size. The
+    (table, bucket) key is 8 bytes, so at 100 TB the candidate join stays a
+    plain shuffle-hash join; candidates per query are bounded by the bucket
+    occupancy, never the corpus."""
+    tables = lambda v: F.array(  # noqa: E731
+        *[lsh_bucket(v, dim, nbits, plane_offset=t * nbits) for t in range(n_tables)]
+    )
     q = queries.select(
-        F.col(q_id), F.col(vec).alias("q_vec"), lsh_bucket(F.col(vec), dim, nbits).alias("bucket")
+        F.col(q_id),
+        F.col(vec).alias("q_vec"),
+        F.posexplode(tables(F.col(vec))).alias("table", "bucket"),
     )
     c = corpus.select(
-        F.col(c_id), F.col(vec).alias("c_vec"), lsh_bucket(F.col(vec), dim, nbits).alias("bucket")
+        F.col(c_id),
+        F.col(vec).alias("c_vec"),
+        F.posexplode(tables(F.col(vec))).alias("table", "bucket"),
     )
-    scored = (
+    cand = (
         F.broadcast(q)
-        .join(c, "bucket")
-        .select(
-            q_id,
-            c_id,
-            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
-        )
+        .join(c, ["table", "bucket"])
+        .select(q_id, "q_vec", c_id, "c_vec")
+        .dropDuplicates([q_id, c_id])
+    )
+    scored = cand.select(
+        q_id,
+        c_id,
+        F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
     )
     w = Window.partitionBy(q_id).orderBy(F.desc("cos_sim"), F.asc(c_id))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

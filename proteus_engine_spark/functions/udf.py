@@ -131,7 +131,13 @@ def lateral_join(df, tf: TableFunction, *arg_cols: str, outer: bool = False):
             # positional take instead of building tuples per row.
             counts = np.zeros(len(pdf), dtype=np.int64)
             out_cols: list[list] = [[] for _ in range(n_out_cols)]
-            args = zip(*(pdf[c].tolist() for c in arg_cols)) if arg_cols else iter(())
+            # Zero-arg table functions still eval once per input row (the
+            # reference's correlate does the same for constant UDTF calls).
+            args = (
+                zip(*(pdf[c].tolist() for c in arg_cols))
+                if arg_cols
+                else (() for _ in range(len(pdf)))
+            )
             for i, vals in enumerate(args):
                 emitted = list(tf.eval(*vals))
                 if not emitted and outer:

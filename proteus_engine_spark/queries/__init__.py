@@ -19,70 +19,69 @@ from proteus_engine_spark.queries import (  # noqa: F401
     windows_q,
 )
 
-# Round-2 priority window: the 47 queries the round-1 gate never reached,
-# then the two round-1 failures (now fixed), then new round-2 queries.
-# Everything already driver-green in CORRECTNESS_r01.json sorts after these.
+# Round-4 priority window (the driver checks the first ~50 registry
+# entries): new/re-oracled round-4 queries first, then queries whose shared
+# code changed this round, then a rotating regression sample of
+# previously-green queries (round 1 set this round; rotate each round so
+# every green row is periodically re-verified), then the most recent green
+# window (round 2/3) to fill the 50.
 _GATE_PRIORITY = [
-    # streaming (11)
-    "stream_tumble_agg",
+    # round-4: formerly-no_oracle datapipe queries, now fully oracled (6)
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine_lsh",
+    "sim_ann_lsh",
+    "sim_ann_ivf",
+    "multimodal_decode",
+    # round-4: new streaming/CEP/async operators (7)
+    "stream_over_running_agg",
+    "stream_tumble_append",
+    "stream_idle_timeout",
+    "async_enrich_lookup",
+    "cep_times_consecutive",
+    "cep_one_or_more",
+    "cep_timeout_signups",
+    # round-4: behavior under these changed (NULL-distinct fix, UDTF
+    # zero-arg fix, CEP core rewrite) — re-verify (5)
     "stream_unbounded_agg",
+    "stream_side_input_forwarded",
+    "explode_unnest",
+    "cep_signup_purchase",
+    "cep_strict_next",
+    # regression rotation: r1-only-green sample (12)
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q14_promo_effect",
+    "q18_large_volume_customer",
+    "join_inner_dims",
+    "join_semi",
+    "agg_basic",
+    "fn_string_suite",
+    "fn_temporal_suite",
+    # recent green window fill (r2/r3-verified) (20)
+    "stream_tumble_agg",
     "stream_hop_agg",
     "stream_session_agg",
     "stream_event_time_sort",
-    "stream_side_input_keyed",
-    "stream_side_input_broadcast",
-    "stream_side_input_forwarded",
-    "stream_split_select",
     "stream_interval_join",
-    "stream_dedup",
     "stream_count_window",
-    # CEP + temporal (4)
-    "cep_signup_purchase",
-    "cep_strict_next",
+    "stream_dedup",
     "asof_join_events",
     "range_join_events",
-    # batch windows (5)
     "window_tumble",
-    "window_hop",
     "window_session",
-    "window_count_tumbling",
-    "window_tumble_sql",
-    # OVER (3)
     "over_running_agg",
     "over_bounded_rows",
-    "over_rank_functions",
-    # sort/limit (2)
-    "sort_limit_offset",
     "sort_topk_per_group",
-    # subqueries + lateral (3)
-    "subquery_in",
     "subquery_exists_correlated",
-    "explode_unnest",
-    # set-op tails (3)
-    "setop_intersect_all",
-    "setop_except",
-    "setop_except_all",
-    # TPC-H extension (11)
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q8_market_share",
     "q9_product_type_profit",
     "q12_ship_priority_class",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_supplier_part_count",
-    "q17_small_quantity_revenue",
-    "q19_discounted_revenue",
     "q21_waiting_supplier",
-    "q22_sales_opportunity",
-    # misc (3)
     "iter_connected_components",
     "join_salted_skew",
-    "agg_reduce_group_sorted",
-    # round-1 failures, fixed this round (2)
-    "fn_json_suite",
-    "fn_math_suite",
-    # new round-2 queries get inserted here as they land
 ]
 
 

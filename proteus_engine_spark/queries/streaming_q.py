@@ -23,8 +23,14 @@ from proteus_engine_spark.streaming.side_inputs import (
     forwarded_side_input,
     keyed_side_input,
 )
+from proteus_engine_spark.streaming.async_io import async_enrich
 from proteus_engine_spark.streaming.sources import events_stream, run_to_completion
-from proteus_engine_spark.streaming.stateful import count_window_agg, event_time_sort
+from proteus_engine_spark.streaming.stateful import (
+    count_window_agg,
+    event_time_sort,
+    process_keyed,
+    running_over_agg,
+)
 from proteus_engine_spark.streaming.windows import interval_join, unbounded_agg, windowed_agg
 
 
@@ -79,10 +85,13 @@ def stream_unbounded_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.count(F.lit(1)).alias("n_pair"), F.sum(dec("value")).alias("v_pair")],
     )
     out = run_to_completion(pairs, "stream_unbounded_agg_sink", "complete")
+    # count(user_id), not count(*): SQL COUNT(DISTINCT user_id) excludes
+    # NULLs, so the NULL-user group (a state key like any other) must not
+    # count toward n_users while its events still count toward n/total.
     return out.groupBy("event_type").agg(
         F.sum("n_pair").alias("n"),
         F.sum("v_pair").cast("double").alias("total_value"),
-        F.count(F.lit(1)).alias("n_users"),
+        F.count(F.col("user_id")).alias("n_users"),
     )
 
 
@@ -269,9 +278,10 @@ def stream_side_input_forwarded(spark: SparkSession, sf_dir: str) -> DataFrame:
     # computed from a batch re-read (the oracle verifies the stream output).
     pairs = tagged.groupBy("is_side", "user_id").agg(F.count(F.lit(1)).alias("n_pair"))
     out = run_to_completion(pairs, "stream_side_input_fwd_sink", "complete")
+    # count(user_id) mirrors COUNT(DISTINCT user_id)'s NULL exclusion.
     return out.groupBy("is_side").agg(
         F.sum("n_pair").alias("n"),
-        F.count(F.lit(1)).alias("n_keys"),
+        F.count(F.col("user_id")).alias("n_keys"),
     )
 
 
@@ -451,3 +461,257 @@ def cep_strict_next(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("click_id"), F.col("click_ts"),
         F.col("purchase_id"), F.col("purchase_ts"),
     )
+
+
+@register(
+    "stream_over_running_agg",
+    oracle="""
+    SELECT user_id, event_id, ts,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_sum,
+           COUNT(*) OVER w AS running_cnt,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) / COUNT(*) OVER w AS running_avg
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+    """,
+    tags=("streaming", "over"),
+)
+def stream_over_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming OVER aggregation (DataStreamOverAggregate.scala:45 /
+    RowTimeUnboundedOver parity): per-key running SUM/COUNT/AVG over an
+    unbounded stream, one output row per event, accumulator in keyed state.
+    The oracle is the equivalent batch OVER window — identical because the
+    accumulator adds exact integer cents (order-independent) and in-batch
+    rows are processed in (ts, event_id) order."""
+    ev = events_stream(spark, sf_dir)
+    out = running_over_agg(ev, "user_id", "ts", "value")
+    return run_to_completion(out, "stream_over_running_sink", "append")
+
+
+@register(
+    "stream_tumble_append",
+    oracle="""
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    HAVING time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR
+           <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)
+    """,
+    tags=("streaming", "window", "append"),
+)
+def stream_tumble_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling window agg in APPEND output mode — the scale-safe streaming
+    path: only windows the watermark has closed are emitted, exactly once,
+    and window state is dropped after emission (complete mode re-emits the
+    entire result table every trigger and retains all of it in state — fine
+    for an oracle drain, wrong at 100 TB). The oracle keeps windows whose
+    end <= final watermark (max event time - 10 min delay); the open tail
+    windows stay unemitted, exactly as a production append sink would see."""
+    ev = events_stream(spark, sf_dir)
+    agg = windowed_agg(
+        ev, "ts", "10 minutes", "1 hour", ["event_type"],
+        [F.count(F.lit(1)).alias("n"), dsum("value", "total_value")],
+    )
+    out = run_to_completion(agg, "stream_tumble_append_sink", "append")
+    return out.select("window_start", "event_type", "n", "total_value")
+
+
+@register(
+    "stream_idle_timeout",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events, max(ts) AS last_ts
+    FROM events
+    GROUP BY user_id
+    HAVING epoch_ms(max(ts)) + 1800000 < (SELECT epoch_ms(max(ts)) - 60000 FROM events)
+    """,
+    tags=("streaming", "stateful", "timer"),
+)
+def stream_idle_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ProcessFunction event-time timers (ProcessFunction.java:85 onTimer):
+    per-user state counts events; an event-time timer re-armed at
+    last_event + 30 min fires when the watermark passes it — the session-gap
+    idle-key detection shape. Emission happens ONLY from the timer callback
+    (state is dropped on fire), so the oracle is exactly the keys whose last
+    event is more than 30 min older than the final watermark (global max
+    event time - 1 min delay)."""
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "1 minute").select("user_id", "ts")
+
+    def fn(key, batch, st):
+        if len(batch):
+            mx = batch["ts"].max()
+            prev = st.get("last")
+            st = {
+                "n": st.get("n", 0) + len(batch),
+                "last": mx if prev is None or mx > prev else prev,
+            }
+        return None, st
+
+    def on_timeout(key, st):
+        return pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [st.get("n", 0)], "last_ts": [st.get("last")]}
+        )
+
+    out = process_keyed(
+        ev,
+        ["user_id"],
+        fn,
+        "user_id long, n_events long, last_ts timestamp",
+        timeout="EventTimeTimeout",
+        timeout_duration_ms=1_800_000,
+        on_timeout=on_timeout,
+        event_time_col="ts",
+    )
+    return run_to_completion(out, "stream_idle_timeout_sink", "append")
+
+
+def _enrich_lookup(row: dict) -> dict:
+    """Deterministic stand-in for an external KV service (the lookup itself
+    would be an HTTP/DB call in production — the concurrency, ordering, and
+    batching semantics are what async_enrich provides)."""
+    uid = row["user_id"]
+    val = row["value"]
+    return {
+        "tier": "gold" if uid is not None and uid % 10 == 0 else "std",
+        "score": val * 1.1 if val is not None else None,
+    }
+
+
+@register(
+    "async_enrich_lookup",
+    oracle="""
+    SELECT event_id, user_id, value,
+           CASE WHEN user_id % 10 = 0 THEN 'gold' ELSE 'std' END AS tier,
+           value * 1.1 AS score
+    FROM events
+    """,
+    tags=("streaming", "async"),
+)
+def async_enrich_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Async I/O enrichment (AsyncDataStream.orderedWait,
+    AsyncDataStream.java:103): every event enriched through the bounded
+    thread-pool lookup path (capacity=16, ordered). The lookup is a
+    deterministic fake service, so the oracle mirrors it in SQL — what the
+    gate verifies is the mapInPandas plumbing: batch iteration, concurrent
+    per-row lookups, order preservation, column merge."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    return async_enrich(
+        ev,
+        _enrich_lookup,
+        "event_id long, user_id long, value double, tier string, score double",
+        capacity=16,
+        ordered=True,
+    )
+
+
+@register(
+    "cep_times_consecutive",
+    oracle="""
+    SELECT user_id, event_id AS click_id, epoch_ms(ts) AS click_ts
+    FROM (
+      SELECT user_id, event_id, ts, event_type,
+             lag(event_type, 1) OVER w AS t1,
+             lag(event_type, 2) OVER w AS t2,
+             lag(ts, 2) OVER w AS ts2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ) s
+    WHERE event_type = 'click' AND t1 = 'click' AND t2 = 'click'
+      AND epoch_ms(ts) - epoch_ms(ts2) <= 7200000
+    """,
+    tags=("streaming", "cep"),
+)
+def cep_times_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP quantifier times(3) + consecutive(): three adjacent clicks per
+    user within 2 hours (Pattern.times int, Pattern.java:274;
+    consecutive(), Pattern.java:462). Every run of >=3 adjacent clicks
+    emits one match per ending position (overlapping matches, NoSkip) —
+    the oracle mirrors the NFA with a 2-step lag chain over the full event
+    sequence (strict contiguity sees every event type). Emitted columns =
+    the closing click of each triple."""
+    ev = load_table(spark, sf_dir, "events")
+    pat = (
+        Pattern.begin("click", lambda r: r["event_type"] == "click")
+        .times(3, consecutive=True)
+        .within(7_200_000)
+    )
+    return match_pattern(ev, pat, key_col="user_id")
+
+
+@register(
+    "cep_one_or_more",
+    oracle="""
+    WITH s AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'signup'),
+         p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase')
+    SELECT s.user_id,
+           s.event_id AS signup_id, epoch_ms(s.ts) AS signup_ts,
+           p.event_id AS purchase_id, epoch_ms(p.ts) AS purchase_ts,
+           row_number() OVER (PARTITION BY s.user_id, s.event_id
+                              ORDER BY p.ts, p.event_id) AS purchase_cnt
+    FROM s JOIN p
+      ON s.user_id = p.user_id
+     AND (p.ts > s.ts OR (p.ts = s.ts AND p.event_id > s.event_id))
+     AND epoch_ms(p.ts) - epoch_ms(s.ts) <= 600000
+    """,
+    tags=("streaming", "cep"),
+)
+def cep_one_or_more(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP quantifier oneOrMore(): signup followedBy purchase+ within 10
+    minutes (Pattern.oneOrMore, Pattern.java:332). The accumulating loop
+    emits a match per prefix — the k-th purchase after a signup yields a
+    match with purchase_cnt=k — so the oracle is the ranked signup→purchase
+    join. Prefilter pushdown stays active (both steps relaxed + expr'd)."""
+    ev = load_table(spark, sf_dir, "events")
+    pat = (
+        Pattern.begin("signup", lambda r: r["event_type"] == "signup",
+                      expr="event_type = 'signup'")
+        .followed_by("purchase", lambda r: r["event_type"] == "purchase",
+                     expr="event_type = 'purchase'")
+        .one_or_more()
+        .within(600_000)
+    )
+    return match_pattern(ev, pat, key_col="user_id")
+
+
+@register(
+    "cep_timeout_signups",
+    oracle="""
+    WITH f AS (SELECT user_id, event_id, ts, event_type FROM events
+               WHERE event_type IN ('signup', 'purchase')),
+         s AS (SELECT user_id, event_id, ts FROM f WHERE event_type = 'signup')
+    SELECT s.user_id,
+           s.event_id AS signup_id, epoch_ms(s.ts) AS signup_ts,
+           CAST(NULL AS BIGINT) AS purchase_id, CAST(NULL AS BIGINT) AS purchase_ts,
+           epoch_ms(s.ts) + 600000 AS timeout_ts
+    FROM s
+    WHERE NOT EXISTS (
+      SELECT 1 FROM f p
+      WHERE p.event_type = 'purchase' AND p.user_id = s.user_id
+        AND (p.ts > s.ts OR (p.ts = s.ts AND p.event_id > s.event_id))
+        AND epoch_ms(p.ts) - epoch_ms(s.ts) <= 600000)
+    AND EXISTS (
+      SELECT 1 FROM f e
+      WHERE e.user_id = s.user_id AND epoch_ms(e.ts) - epoch_ms(s.ts) > 600000)
+    """,
+    tags=("streaming", "cep"),
+)
+def cep_timeout_signups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP timeout side output (PatternStream.select timeoutHandler,
+    PatternStream.java:301): signups whose 10-minute purchase window
+    expired unfulfilled — emitted as timed-out partials (purchase columns
+    NULL, timeout_ts = window expiry) instead of being silently pruned.
+    A partial times out when a later same-key candidate event passes the
+    window edge; the oracle states exactly that (NOT EXISTS a qualifying
+    purchase, EXISTS a candidate event beyond the window). The prefilter
+    keeps only signup/purchase rows JVM-side, same as the match path."""
+    ev = load_table(spark, sf_dir, "events")
+    pat = (
+        Pattern.begin("signup", lambda r: r["event_type"] == "signup",
+                      expr="event_type = 'signup'")
+        .followed_by("purchase", lambda r: r["event_type"] == "purchase",
+                     expr="event_type = 'purchase'")
+        .within(600_000)
+    )
+    return match_pattern(ev, pat, key_col="user_id", output="timeouts")

@@ -25,7 +25,7 @@ bound the reference's keyed NFA state has.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 from typing import Callable
 
 import pandas as pd
@@ -38,21 +38,45 @@ class Step:
     predicate: Callable[[pd.Series], bool]
     contiguity: str = "followedBy"  # 'begin' | 'next' | 'followedBy'
     expr: str | None = None  # optional Spark SQL mirror of `predicate`
+    # Quantifier (Pattern.java:274–536 parity):
+    #   'single'    — exactly one event (default)
+    #   'times'     — exactly times_n events (Pattern.times(int))
+    #   'oneOrMore' — 1+ events, a match emitted per prefix (oneOrMore())
+    #   'optional'  — zero or one event (optional())
+    quantifier: str = "single"
+    times_n: int = 1
+    # strict contiguity BETWEEN repeats of a looping step
+    # (Pattern.consecutive(), Pattern.java:462)
+    consecutive: bool = False
 
 
 @dataclass
 class Pattern:
-    """Pattern.begin(...).next/.followedBy(...).where(...).within(...)
+    """Pattern.begin(...).next/.followedBy(...).times/.oneOrMore/.optional
+    (...).within(...)
 
     Each step takes the row predicate as a Python callable plus an optional
     ``expr`` — a Spark SQL string with the same semantics. When every step
-    is relaxed-contiguity (begin/followedBy) and every step carries an
-    expr, the engine pre-filters the input to ``OR``-of-exprs JVM-side
-    before the Python NFA: relaxed contiguity skips non-matching rows
-    anyway, so dropping them early is semantics-preserving predicate
-    pushdown — at scale this turns "ship every event to Python" into
-    "ship only candidate events". Patterns with a `next` step disable the
-    prefilter (strict contiguity must see every row).
+    is relaxed-contiguity (begin/followedBy, no consecutive() repeats) and
+    every step carries an expr, the engine pre-filters the input to
+    ``OR``-of-exprs JVM-side before the Python NFA: relaxed contiguity
+    skips non-matching rows anyway, so dropping them early is
+    semantics-preserving predicate pushdown — at scale this turns "ship
+    every event to Python" into "ship only candidate events". Patterns with
+    a `next` step or consecutive() repeats disable the prefilter (strict
+    contiguity must see every row).
+
+    Quantifiers (applied to the most recently added step, like the
+    reference's fluent API, Pattern.java:274–536):
+    - ``times(n)``: the step matches exactly n events. Repeat contiguity is
+      relaxed by default; ``consecutive=True`` (or a `next` step) requires
+      the n events to be adjacent per key.
+    - ``one_or_more()``: 1+ events; like the reference's default (non-greedy
+      accumulating) semantics a match is emitted for EVERY prefix count.
+    - ``optional()``: the step may be skipped — both the with- and without-
+      branch can produce matches. Not allowed on the first step or on a
+      `next` step (same restrictions the reference enforces via
+      MalformedPatternException).
     """
 
     steps: list[Step] = field(default_factory=list)
@@ -76,6 +100,34 @@ class Pattern:
         self.steps.append(Step(name, predicate, "followedBy", expr))
         return self
 
+    def times(self, n: int, consecutive: bool = False) -> "Pattern":
+        """Pattern.times(int) (Pattern.java:274): last step matches exactly
+        n events; consecutive=True adds Pattern.consecutive() semantics."""
+        if n < 1:
+            raise ValueError("times(n) requires n >= 1")
+        self.steps[-1] = replace(
+            self.steps[-1], quantifier="times", times_n=n, consecutive=consecutive
+        )
+        return self
+
+    def one_or_more(self, consecutive: bool = False) -> "Pattern":
+        """Pattern.oneOrMore() (Pattern.java:332): last step matches 1+
+        events, emitting a match per prefix."""
+        self.steps[-1] = replace(
+            self.steps[-1], quantifier="oneOrMore", consecutive=consecutive
+        )
+        return self
+
+    def optional(self) -> "Pattern":
+        """Pattern.optional() (Pattern.java:312): last step may be skipped."""
+        last = self.steps[-1]
+        if len(self.steps) == 1:
+            raise ValueError("optional() is not supported on the first step")
+        if last.contiguity == "next":
+            raise ValueError("optional() is not supported on a next() step")
+        self.steps[-1] = replace(last, quantifier="optional")
+        return self
+
     def within(self, ms: int) -> "Pattern":
         self.within_ms = ms
         return self
@@ -83,7 +135,7 @@ class Pattern:
     def prefilter_expr(self) -> str | None:
         """OR-of-step-exprs when pushdown is sound (all relaxed, all
         declared), else None."""
-        if any(s.contiguity == "next" for s in self.steps):
+        if any(s.contiguity == "next" or s.consecutive for s in self.steps):
             return None
         if any(s.expr is None for s in self.steps):
             return None
@@ -96,54 +148,121 @@ def _run_nfa(
     ts_col: str,
     id_col: str,
     partials: list[dict] | None = None,
-) -> tuple[list[dict], list[dict]]:
+) -> tuple[list[dict], list[dict], list[dict]]:
     """Pure NFA scan over one key's time-ordered events. Returns (matches,
-    open partials); matches are {step_name: (event_id, ts_millis)}.
-    `partials` seeds state carried from a previous micro-batch.
+    open partials, timed-out partials); matches are {step_name: (event_id,
+    ts_millis, repeat_count)}, timed-out partials additionally carry
+    "__timeout_ts__". `partials` seeds state carried from a previous
+    micro-batch.
+
+    Quantifier semantics (flink-cep NFA parity, NFAITCase.java):
+    - times(n): the step accumulates n matching events before the partial
+      advances; a non-matching event kills the partial only under strict
+      contiguity (first repeat: the step's own contiguity; later repeats:
+      consecutive()).
+    - oneOrMore: every matching event both extends the loop AND branches a
+      partial into the next step (or emits, if last) — one match per
+      prefix, the reference's default accumulating semantics.
+    - optional: when a partial ENTERS an optional step it forks a twin that
+      skipped the step (fork-on-entry, not per event — otherwise every
+      non-matching event would spawn a duplicate skip branch).
 
     Hot path: rows are plain dicts (predicates index by column name) and
     the event-time millis column is vectorized up front — no pandas object
     construction per row.
     """
-    matches: list[dict] = []
-    partials = list(partials or [])
-    # datetime64[any unit] → epoch millis, vectorized
     ts_ms = events[ts_col].values.astype("datetime64[ms]").astype("int64").tolist()
     rows = events.to_dict("records")
+    return _scan(rows, ts_ms, pattern, id_col, partials)
+
+
+def _scan(
+    rows: list[dict],
+    ts_ms: list[int],
+    pattern: Pattern,
+    id_col: str,
+    partials: list[dict] | None = None,
+) -> tuple[list[dict], list[dict], list[dict]]:
+    """NFA core over pre-extracted (row dict, epoch-ms) pairs — shared by
+    the batch path (_run_nfa) and the watermark-buffered streaming path,
+    which feeds released events directly as dicts."""
+    matches: list[dict] = []
+    timeouts: list[dict] = []
+    partials = list(partials or [])
+    steps = pattern.steps
+    n_steps = len(steps)
+
+    def place(p: dict, out: list[dict]) -> None:
+        """Land a partial at p['idx']: complete it, or enqueue it — forking
+        a skip-twin when the step it entered is optional."""
+        if p["idx"] == n_steps:
+            matches.append(p["events"])
+            return
+        out.append(p)
+        if steps[p["idx"]].quantifier == "optional":
+            place({"idx": p["idx"] + 1, "cnt": 0, "events": dict(p["events"]), "t0": p["t0"]}, out)
+
+    def advance(p: dict, s: dict, t: int, eid: int, out: list[dict]) -> None:
+        """Feed one event to one partial; surviving/forked partials go to
+        `out`, completions to `matches`."""
+        step = steps[p["idx"]]
+        matched = bool(step.predicate(s))
+        t0 = p["t0"] if p["t0"] is not None else t
+        if matched:
+            cnt = p["cnt"] + 1
+            ev = dict(p["events"])
+            ev[step.name] = (eid, t, cnt)
+            if step.quantifier == "oneOrMore":
+                # extend the loop AND branch past the step (prefix match)
+                out.append({"idx": p["idx"], "cnt": cnt, "events": ev, "t0": t0})
+                place({"idx": p["idx"] + 1, "cnt": 0, "events": ev, "t0": t0}, out)
+            elif step.quantifier == "times" and cnt < step.times_n:
+                out.append({"idx": p["idx"], "cnt": cnt, "events": ev, "t0": t0})
+            else:  # single, optional-taken, or times complete
+                place({"idx": p["idx"] + 1, "cnt": 0, "events": ev, "t0": t0}, out)
+        else:
+            # mid-repeat contiguity is strict under consecutive(); the
+            # step's own contiguity gates the first repeat.
+            strict = (step.contiguity == "next") if p["cnt"] == 0 else (
+                step.consecutive or step.contiguity == "next"
+            )
+            if not strict:
+                out.append(p)  # relaxed: skip this event
+            # else: strict contiguity broken → partial dies
 
     for s, t in zip(rows, ts_ms):
+        eid = int(s[id_col])
         survivors: list[dict] = []
         for p in partials:
             if pattern.within_ms is not None and t - p["t0"] > pattern.within_ms:
+                timeouts.append({**p, "__timeout_ts__": p["t0"] + pattern.within_ms})
                 continue  # timed out
-            step = pattern.steps[p["idx"]]
-            if step.predicate(s):
-                ev = dict(p["events"])
-                ev[step.name] = (int(s[id_col]), t)
-                if p["idx"] + 1 == len(pattern.steps):
-                    matches.append(ev)
-                else:
-                    survivors.append({"idx": p["idx"] + 1, "events": ev, "t0": p["t0"]})
-            elif step.contiguity == "next":
-                continue  # strict contiguity broken → partial dies
-            else:
-                survivors.append(p)  # relaxed: skip this event
+            advance(p, s, t, eid, survivors)
         partials = survivors
-        first = pattern.steps[0]
-        if first.predicate(s):
-            ev = {first.name: (int(s[id_col]), t)}
-            if len(pattern.steps) == 1:
-                matches.append(ev)
-            else:
-                partials.append({"idx": 1, "events": ev, "t0": t})
-    return matches, partials
+        if steps[0].predicate(s):
+            advance({"idx": 0, "cnt": 0, "events": {}, "t0": None}, s, t, eid, partials)
+    return matches, partials, timeouts
 
 
 def _match_columns(pattern: Pattern) -> list[str]:
     cols = []
     for st in pattern.steps:
         cols += [f"{st.name}_id", f"{st.name}_ts"]
+        if st.quantifier == "oneOrMore":
+            cols.append(f"{st.name}_cnt")
     return cols
+
+
+def _match_row(pattern: Pattern, m: dict) -> list:
+    """Flatten a match/partial event dict to the _match_columns layout;
+    steps with no matched event (skipped optional, unreached) emit NULLs."""
+    row: list = []
+    for st in pattern.steps:
+        e = m.get(st.name)
+        row += [int(e[0]), int(e[1])] if e else [None, None]
+        if st.quantifier == "oneOrMore":
+            row.append(int(e[2]) if e else None)
+    return row
 
 
 def match_pattern(
@@ -152,25 +271,44 @@ def match_pattern(
     key_col: str,
     ts_col: str = "ts",
     id_col: str = "event_id",
+    output: str = "matches",
 ) -> DataFrame:
     """Batch CEP (CEP.pattern + PatternStream.select equivalent on a bounded
-    input): one shuffle on the key; per-key sort + NFA scan in Arrow batches."""
+    input): one shuffle on the key; per-key sort + NFA scan in Arrow batches.
+
+    ``output='matches'`` (default) emits completed matches.
+    ``output='timeouts'`` emits timed-out partial matches instead — the
+    PatternStream.select(timeoutHandler, ...) side output
+    (PatternStream.java:301): the steps matched so far (NULLs beyond),
+    plus ``timeout_ts`` = window expiry (t0 + within). A partial times out
+    when a later event for its key arrives past the window; partials still
+    inside the window at end of input remain open, not timed out — the same
+    watermark-relative semantics the reference's NFA cleanup has."""
+    if output not in ("matches", "timeouts"):
+        raise ValueError(f"unknown output {output!r}: expected 'matches' or 'timeouts'")
+    if output == "timeouts" and pattern.within_ms is None:
+        raise ValueError("output='timeouts' requires a within() bound")
     out_cols = [key_col] + _match_columns(pattern)
-    schema = f"{key_col} long, " + ", ".join(
-        f"{c} long" for c in _match_columns(pattern)
-    )
+    if output == "timeouts":
+        out_cols = out_cols + ["timeout_ts"]
+    schema = f"{key_col} long, " + ", ".join(f"{c} long" for c in out_cols[1:])
 
     def per_key(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values([ts_col, id_col], kind="mergesort")
-        found, _open = _run_nfa(pdf, pattern, ts_col, id_col)
-        rows = []
-        for m in found:
-            row = [pdf[key_col].iloc[0]]
-            for st in pattern.steps:
-                eid, tms = m[st.name]
-                row += [int(eid), int(tms)]
-            rows.append(row)
-        return pd.DataFrame(rows, columns=out_cols)
+        found, _open, expired = _run_nfa(pdf, pattern, ts_col, id_col)
+        key = pdf[key_col].iloc[0]
+        if output == "matches":
+            rows = [[key] + _match_row(pattern, m) for m in found]
+        else:
+            # Fork-twins (optional skip / oneOrMore branch) can expire with
+            # identical matched prefixes — emit each distinct partial once,
+            # like the reference's timeout handler sees each ComputationState.
+            rows = [
+                [key] + _match_row(pattern, p["events"]) + [int(p["__timeout_ts__"])]
+                for p in expired
+            ]
+        out = pd.DataFrame(rows, columns=out_cols)
+        return out.drop_duplicates() if output == "timeouts" else out
 
     # Semantics-preserving predicate pushdown for relaxed-contiguity
     # patterns: only candidate rows cross into Python (and the filter
@@ -195,66 +333,116 @@ def match_pattern_stream(
 ) -> DataFrame:
     """Streaming CEP: open partial matches persist in keyed state across
     micro-batches (the NFA ComputationState equivalent); completed matches
-    append. Within a batch events are NFA-scanned in event-time order; state
-    carries (step index, matched events, window start) per partial.
+    append. Two modes, mirroring the reference's proc-time vs row-time CEP
+    operators (flink-cep AbstractKeyedCEPPatternOperator):
 
-    State is bounded when ``pattern.within_ms`` is set: expired partials are
-    pruned against the batch's max event time before the state write, empty
-    state is removed, and — when ``watermark_delay`` is given — an
-    event-time timer drops the state of keys that go idle (the reference
-    prunes the same way via NFA window cleanup timers, nfa/NFA.java)."""
+    - ``watermark_delay=None`` — in-order replay mode: each micro-batch's
+      events are NFA-scanned immediately in (ts, id) order; partials are
+      pruned against the batch's max event time. Correct when arrival order
+      equals event-time order per key (the bounded-replay harness; the
+      reference's processing-time CEP makes the same assumption). State =
+      open partials only.
+
+    - ``watermark_delay`` set — event-time mode (RowTime CEP parity: the
+      reference buffers elements in keyed state and processes them on
+      watermark advance, AbstractKeyedCEPPatternOperator.processWatermark):
+      events are BUFFERED in keyed state and released to the NFA in strict
+      (ts, id) order only once the watermark passes them, so late arrivals
+      across micro-batches are sequenced correctly before the NFA sees
+      them. Matches therefore emit watermark-confirmed, exactly once; an
+      event-time timer set at the earliest pending obligation (next
+      buffered event, or earliest partial expiry + 1) drives release and
+      state cleanup on no-data batches. State is bounded by the watermark
+      lag (buffer) plus the within() window (partials) — the same bounds
+      the reference's NFA state has."""
     import pickle
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     out_cols = [key_col] + _match_columns(pattern)
     schema = f"{key_col} long, " + ", ".join(f"{c} long" for c in _match_columns(pattern))
-    use_event_timeout = watermark_delay is not None and pattern.within_ms is not None
+    use_wm = watermark_delay is not None
 
-    def transition(key, pdfs, state: GroupState):
-        if state.hasTimedOut:
-            # Idle key: every surviving partial is past its window (the
-            # timer is armed at max open-window expiry) — drop the state.
-            state.remove()
-            return
+    def emit(key, matches):
+        return pd.DataFrame(
+            [[key[0]] + _match_row(pattern, m) for m in matches], columns=out_cols
+        )
+
+    def transition_replay(key, pdfs, state: GroupState):
         partials = pickle.loads(state.get[0]) if state.exists else []
         batches = [p for p in pdfs]
         if not batches:
             return
         pdf = pd.concat(batches).sort_values([ts_col, id_col], kind="mergesort")
         # Same pure NFA as batch, seeded with the carried-over partials.
-        matches, partials = _run_nfa(pdf, pattern, ts_col, id_col, partials)
+        matches, partials, _expired = _run_nfa(pdf, pattern, ts_col, id_col, partials)
         if pattern.within_ms is not None and partials:
-            # Prune partials already expired at the batch horizon — they can
-            # never complete (any future event is even later).
+            # In-order assumption ⇒ the batch max is a sound horizon: no
+            # future event is earlier, so expired partials cannot complete.
             horizon = int(pdf[ts_col].values.astype("datetime64[ms]").astype("int64").max())
             partials = [p for p in partials if horizon - p["t0"] <= pattern.within_ms]
         if partials:
             state.update((pickle.dumps(partials),))
-            if use_event_timeout:
-                state.setTimeoutTimestamp(
-                    max(p["t0"] for p in partials) + pattern.within_ms + 1
-                )
         elif state.exists:
             state.remove()
         if matches:
-            out = []
-            for m in matches:
-                row = [key[0]]
-                for st in pattern.steps:
-                    eid, tms = m[st.name]
-                    row += [eid, tms]
-                out.append(row)
-            yield pd.DataFrame(out, columns=out_cols)
+            yield emit(key, matches)
+
+    def transition_buffered(key, pdfs, state: GroupState):
+        wm = state.getCurrentWatermarkMs()
+        st = pickle.loads(state.get[0]) if state.exists else {"buf": [], "partials": []}
+        if not state.hasTimedOut:
+            batches = [p for p in pdfs]
+            if batches:
+                pdf = pd.concat(batches)
+                ts_ms = pdf[ts_col].values.astype("datetime64[ms]").astype("int64").tolist()
+                for r, t in zip(pdf.to_dict("records"), ts_ms):
+                    r["__t__"] = t
+                    st["buf"].append(r)
+        # Release everything the watermark has sequenced: rows at or below
+        # the watermark can no longer be preceded by new arrivals (Spark
+        # drops later-than-watermark input), so the NFA sees a gapless
+        # (ts, id)-ordered prefix across micro-batches.
+        ready = sorted(
+            (e for e in st["buf"] if e["__t__"] <= wm),
+            key=lambda e: (e["__t__"], e[id_col]),
+        )
+        st["buf"] = [e for e in st["buf"] if e["__t__"] > wm]
+        matches = []
+        partials = st["partials"]
+        if ready:
+            matches, partials, _expired = _scan(
+                ready, [e["__t__"] for e in ready], pattern, id_col, partials
+            )
+        if pattern.within_ms is not None and partials:
+            # Sound horizon = watermark: every event still to be released
+            # (buffered or future) has ts > wm.
+            partials = [p for p in partials if wm - p["t0"] <= pattern.within_ms]
+        st["partials"] = partials
+        if st["buf"] or partials:
+            state.update((pickle.dumps(st),))
+            # Earliest pending obligation; both candidate kinds are > wm by
+            # construction (release filter / prune above), as EventTimeTimeout
+            # requires.
+            pending = [e["__t__"] for e in st["buf"]]
+            if pattern.within_ms is not None:
+                pending += [p["t0"] + pattern.within_ms + 1 for p in partials]
+            if pending:
+                state.setTimeoutTimestamp(min(pending))
+        elif state.exists:
+            state.remove()
+        if matches:
+            yield emit(key, matches)
 
     pre = pattern.prefilter_expr()
     if pre is not None:
         stream = stream.filter(pre)
-    if watermark_delay is not None:
+    if use_wm:
         stream = stream.withWatermark(ts_col, watermark_delay)
     timeout_conf = (
-        GroupStateTimeout.EventTimeTimeout if use_event_timeout else GroupStateTimeout.NoTimeout
+        GroupStateTimeout.EventTimeTimeout if use_wm else GroupStateTimeout.NoTimeout
     )
     return stream.groupBy(key_col).applyInPandasWithState(
-        transition, schema, "blob binary", "append", timeout_conf
+        transition_buffered if use_wm else transition_replay,
+        schema, "blob binary", "append", timeout_conf,
     )

@@ -152,6 +152,76 @@ def event_time_sort(
     )
 
 
+def running_over_agg(
+    stream: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Streaming OVER aggregation: per-key running SUM/COUNT/AVG in
+    event-time order, ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW —
+    one output row per input row, emitted as the stream flows.
+
+    Reference: DataStreamOverAggregate.scala:45 routes unbounded
+    processing/event-time OVER windows to RowTimeUnboundedOver.scala /
+    ProcTimeUnboundedOver.scala — a keyed ProcessFunction holding the
+    running accumulator in ValueState, emitting (row + aggregate) per
+    element. Spark has no streaming Window-function support, so this is the
+    same shape on applyInPandasWithState: state = (count, exact sum), one
+    emitted row per event.
+
+    Determinism: the running sum is accumulated in integer cents (exact),
+    converted to double per row — addition-order independent, so the result
+    hash-matches a batch SQL `SUM(CAST(value AS DECIMAL(18,2))) OVER
+    (... ROWS UNBOUNDED PRECEDING)` on in-order replay. Within a
+    micro-batch rows are processed in (ts, id) order; across micro-batches
+    state carries the accumulator, the same continuity RowTimeUnboundedOver
+    gets from watermark-ordered processing. State is O(1) per key.
+    """
+    import numpy as np
+
+    out_schema = (
+        f"{key_col} long, {id_col} long, {ts_col} timestamp, "
+        "running_sum double, running_cnt long, running_avg double"
+    )
+
+    def transition(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        cnt, sum_cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values([ts_col, id_col], kind="mergesort")
+            cents = np.rint(pdf[value_col].to_numpy(dtype="float64") * 100).astype("int64")
+            run = sum_cents + np.cumsum(cents)
+            n = len(pdf)
+            counts = cnt + np.arange(1, n + 1)
+            yield pd.DataFrame(
+                {
+                    key_col: pdf[key_col].values,
+                    id_col: pdf[id_col].values,
+                    ts_col: pdf[ts_col].values,
+                    "running_sum": run / 100.0,
+                    "running_cnt": counts,
+                    "running_avg": (run / 100.0) / counts,
+                }
+            )
+            cnt = int(counts[-1])
+            sum_cents = int(run[-1])
+        state.update((cnt, sum_cents))
+
+    return (
+        stream.select(key_col, id_col, ts_col, value_col)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            transition, out_schema, "cnt long, sum_cents long", "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def process_keyed(
     stream: DataFrame,
     key_cols: list[str],

@@ -103,7 +103,7 @@ def test_nfa_matches_brute_force_two_step(seq, within):
         .within(within)
     )
     df = _events_df(seq)
-    matches, _ = _run_nfa(df, pat, "ts", "event_id")
+    matches, _open, _timeouts = _run_nfa(df, pat, "ts", "event_id")
     got = sorted((m["a"][0], m["b"][0]) for m in matches)
     expect = sorted(_reference_matches(seq, within))
     assert got == expect
