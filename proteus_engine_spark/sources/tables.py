@@ -48,19 +48,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table as a DataFrame (lazy scan; pushdown-capable)."""
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
-    if name == "events":
-        # events.parquet stores ts as INT64 TIMESTAMP(NANOS), which vanilla
-        # Spark rejects (PARQUET_TYPE_ILLEGAL). nanosAsLong is a runtime SQL
-        # conf, so set it here rather than relying on the engine's own session
-        # factory — callers (the driver gate) pass arbitrary SparkSessions.
+    try:
+        df = spark.read.parquet(_path(sf_dir, name))
+    except Exception:
+        if name != "events":
+            raise
+        # A layout shipping events.ts as INT64 TIMESTAMP(NANOS) makes vanilla
+        # Spark reject the footer (PARQUET_TYPE_ILLEGAL); fall back to the
+        # legacy nanos-as-long read. The conf mutation is scoped to this
+        # failure path — the driver-generated parquet is timestamp[us] and
+        # never takes it.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(_path(sf_dir, name))
+        df = spark.read.parquet(_path(sf_dir, name))
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) read as long nanos
-        # (spark.sql.legacy.parquet.nanosAsLong); convert to microsecond
-        # timestamp with integer division — nanos ≈ 1.7e18 overflows double's
-        # exact integer range, so no float division here. DuckDB truncates
-        # nanos→micros the same way.
+        # Under the legacy read ts arrives as long nanos; convert to
+        # microsecond timestamp with integer division — nanos ≈ 1.7e18
+        # overflows double's exact integer range, so no float division here.
+        # DuckDB truncates nanos→micros the same way.
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
 

@@ -14,37 +14,51 @@ the PySpark analogue of the reference's bounded ITCase streams
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+
+def probe_parquet_schema(spark: SparkSession, path: str) -> T.StructType:
+    """Footer-probe a parquet file's Spark-visible schema. If the file uses
+    INT64 TIMESTAMP(NANOS) (which vanilla Spark rejects), fall back to the
+    nanosAsLong legacy read — the conf mutation is scoped to the failure
+    path, never applied when the data doesn't require it."""
+    try:
+        return spark.read.parquet(path).schema
+    except Exception:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return spark.read.parquet(path).schema
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events table as an unbounded stream (file source monitoring the
     parquet path — the senv.readFile(PROCESS_CONTINUOUSLY) equivalent).
-    ts arrives as long nanos (see sources/tables.py) → converted to a
-    proper event-time timestamp column for watermarking."""
-    # Runtime conf so the read works under any caller-supplied session (the
-    # driver gate uses a vanilla SparkSession without the engine's defaults).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    The stream schema is PROBED from the batch footer, never assumed: the
+    driver-generated events.parquet stores ts as timestamp[us], which Spark
+    reads natively; only if a layout ships TIMESTAMP(NANOS)-as-long does the
+    nanos→micros division apply (mirroring sources/tables.py's batch path).
+    """
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = probe_parquet_schema(spark, path)
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")  # file source needs a dir
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(ts_type, T.TimestampNTZType):
+        # Watermarks require TIMESTAMP (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE);
+        # the cast is wall-clock-preserving under the UTC session timezone
+        # (session.py pins spark.sql.session.timeZone=UTC).
+        raw = raw.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    return raw
 
 
 def rate_stream(spark: SparkSession, rows_per_second: int = 1000) -> DataFrame:

@@ -131,5 +131,7 @@ def test_events_readable_in_vanilla_session(spark):
     except Exception:
         pass
     df = load_table(ns, SF_DIR, "events")
-    assert df.schema["ts"].dataType.typeName() == "timestamp"
+    # driver parquet is timestamp[us] (no tz) → NTZ natively; a NANOS layout
+    # converts long→TimestampType. Both are event-time-capable.
+    assert df.schema["ts"].dataType.typeName() in ("timestamp", "timestamp_ntz")
     assert df.count() > 0
