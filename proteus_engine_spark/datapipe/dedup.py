@@ -77,25 +77,24 @@ def shingle_array(text_col: str, k: int = 3) -> "F.Column":
     )
 
 
-def minhash_signatures(
+def _minhash_columns(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     num_perm: int = 64,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """MinHash signatures as one array<long> column, computed entirely
-    map-side in a single pass: fold over the shingle array, each shingle
-    hashed num_perm times (seeded xxhash64) and element-wise `least`-merged
-    into the running signature. NO explode/groupBy shuffle and each shingle
-    is materialized exactly once. At 100 TB the signature step pipelines
-    into the scan; only the banding join shuffles (8-byte keys)."""
+    """MinHash minima as num_perm separate long columns (mh_0..mh_{n-1}) —
+    the internal shape: downstream banding hashes slices of these columns
+    directly, avoiding an array pack/unpack of 2×num_perm expressions in
+    the plan (driver-side analysis cost is real for wide trees)."""
     n_parts = docs.sparkSession.sparkContext.defaultParallelism
     # Explicit repartition: (a) parallelizes the hash-heavy map side even
     # when the input is one small file, (b) AQE never coalesces a
     # user-specified partition count, so the CPU-bound stage keeps its
     # width (AQE coalesces by bytes, which is wrong for compute-heavy,
-    # byte-light stages).
+    # byte-light stages). The groupBy below reuses this hash partitioning,
+    # so the minima aggregate adds no second shuffle.
     sh = shingles(
         docs.select(id_col, text_col).repartition(n_parts, id_col), text_col, k=shingle_k
     )
@@ -109,7 +108,20 @@ def minhash_signatures(
     mins = [
         F.min(F.xxhash64(F.col("__h__"), F.lit(p))).alias(f"mh_{p}") for p in range(num_perm)
     ]
-    agg = sh.groupBy(id_col).agg(*mins)
+    return sh.groupBy(id_col).agg(*mins)
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """MinHash signatures as one array<long> column (the public shape).
+    At 100 TB the signature step pipelines into the scan; only the banding
+    key shuffle moves data (8-byte keys)."""
+    agg = _minhash_columns(docs, id_col, text_col, num_perm, shingle_k)
     return agg.select(F.col(id_col), F.array(*[F.col(f"mh_{p}") for p in range(num_perm)]).alias("sig"))
 
 
@@ -143,71 +155,104 @@ def minhash_lsh_pairs(
     if verify not in ("estimate", "exact"):
         raise ValueError(f"unknown verify {verify!r}: expected 'estimate' or 'exact'")
     rows_per_band = num_perm // bands
-    # No persist: the signature table is a cheap map-side recompute (one
-    # scan + hashing) even when the plan reads it more than once. Caching it
-    # here pinned num_perm×8 B/doc in executor storage for the session, and
-    # the localCheckpoint that fixed the leak made the operator eager and
-    # truncated lineage onto unreplicated executor-local blocks — a
-    # fault-tolerance hazard on a real cluster. Lazy + recompute is the
-    # scale-safe shape; callers that reuse the index across many queries
-    # should persist it themselves and own the lifecycle.
-    sig = minhash_signatures(docs, id_col, text_col, num_perm, shingle_k)
+    # No persist: the signature table stays lazy (persisting it here pinned
+    # num_perm×8 B/doc in executor storage with an unbounded lifetime, and a
+    # localCheckpoint truncates lineage onto unreplicated executor-local
+    # blocks — a fault-tolerance hazard on a real cluster). Instead the plan
+    # is shaped so the signature pass is referenced ONCE on the candidate
+    # path: bucket GROUPING below, not a self-join (a self-join evaluates
+    # the signature subplan per side — AQE broadcasts one side, so exchange
+    # reuse never kicks in and the whole hash pass runs twice).
+    mh = _minhash_columns(docs, id_col, text_col, num_perm, shingle_k)
 
     band_cols = [
-        F.xxhash64(
-            *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
-        ).alias(f"band_{b}")
+        F.xxhash64(*[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
+            f"band_{b}"
+        )
         for b in range(bands)
     ]
-    # Banding join carries IDS ONLY (24B/row through the shuffle); the
-    # 512-byte signatures are re-attached to the (far fewer) surviving
-    # candidate pairs afterwards. With signatures inlined, each doc would
-    # ship bands×512B through the candidate shuffle.
-    banded = sig.select(
+    # Candidate generation: one shuffle of (band_id, band_sig, doc_id) —
+    # 24 B/row × bands — then per-bucket ordered pairs via a double explode
+    # (rows stream; no per-bucket pair array is materialized). The 512-byte
+    # signatures never ride this shuffle. Hot buckets (boilerplate near-
+    # identical docs) cost O(bucket²) pairs exactly like a bucket self-join
+    # would; at 100 TB cap/pre-split pathological buckets upstream.
+    banded = mh.select(
         F.col(id_col),
         F.posexplode(F.array(*band_cols)).alias("band_id", "band_sig"),
     )
-
-    left = banded.alias("l")
-    right = banded.alias("r")
-    cand_ids = (
-        left.join(
-            right,
-            (F.col("l.band_id") == F.col("r.band_id"))
-            & (F.col("l.band_sig") == F.col("r.band_sig"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    buckets = (
+        banded.groupBy("band_id", "band_sig")
+        .agg(F.collect_list(id_col).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    cand_pairs = (
+        buckets.select(F.col("ids"), F.explode("ids").alias("doc_a"))
+        .select("doc_a", F.explode("ids").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+    )
+    # Melt candidates to one row per DOC with the set of its candidate
+    # pairs (collect_set also dedups pairs that collided in several bands),
+    # and BROADCAST that into the payload-attach join. The big relation
+    # (docs or sig) is filtered map-side by the broadcast hash join: no
+    # full-corpus shuffle, no full-corpus tokenization in the exact tier,
+    # and the candidate subplan — banding + the signature pass feeding it —
+    # is referenced by exactly ONE exchange, so it runs once per query.
+    # Candidates are by construction a tiny fraction of the corpus (that is
+    # the point of LSH); if a pathological hot bucket ever makes them too
+    # big to broadcast, split the bucket upstream.
+    per_doc = (
+        cand_pairs.select(
+            F.struct("doc_a", "doc_b").alias("pair"),
+            F.explode(F.array(F.col("doc_a"), F.col("doc_b"))).alias("doc"),
         )
-        .select(
-            F.col(f"l.{id_col}").alias("doc_a"),
-            F.col(f"r.{id_col}").alias("doc_b"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
+        .groupBy("doc")
+        .agg(F.collect_set("pair").alias("pairs"))
     )
     if verify == "exact":
-        sets = docs.select(
-            F.col(id_col), shingle_array(text_col, k=shingle_k).alias("shset")
+        # Join on the narrow id FIRST (one row per candidate doc), tokenize
+        # AFTER: shingle_array runs exactly once per surviving doc, then the
+        # pair explode replicates the computed arrays, not the computation
+        # (Catalyst never pushes projections below joins).
+        attached = (
+            docs.select(F.col(id_col).alias("doc"), F.col(text_col))
+            .join(F.broadcast(per_doc), "doc")
+            .select("doc", shingle_array(text_col, k=shingle_k).alias("payload"), "pairs")
         )
-        cand = cand_ids.join(
-            sets.select(F.col(id_col).alias("doc_a"), F.col("shset").alias("set_a")), "doc_a"
-        ).join(
-            sets.select(F.col(id_col).alias("doc_b"), F.col("shset").alias("set_b")), "doc_b"
-        )
-        jac = (
-            F.size(F.array_intersect("set_a", "set_b")).cast("double")
-            / F.size(F.array_union("set_a", "set_b"))
-        ).alias("jaccard")
-        out = cand.select("doc_a", "doc_b", jac).filter(F.col("jaccard") >= jaccard_threshold)
     else:
-        cand = cand_ids.join(
-            sig.select(F.col(id_col).alias("doc_a"), F.col("sig").alias("sig_a")), "doc_a"
-        ).join(
-            sig.select(F.col(id_col).alias("doc_b"), F.col("sig").alias("sig_b")), "doc_b"
+        # Signature re-attach references the mh subplan a second time (the
+        # hash pass runs twice in this tier); the exact tier — the one a
+        # 100 TB dedup actually verifies with — runs it once.
+        sig = F.array(*[F.col(f"mh_{p}") for p in range(num_perm)])
+        attached = (
+            mh.join(F.broadcast(per_doc), F.col(id_col) == F.col("doc"))
+            .select("doc", sig.alias("payload"), "pairs")
         )
+    # The groupBy shuffles only candidate-pair payloads (candidate-bounded,
+    # not corpus-bounded); each pair gets exactly two input rows (side a
+    # from doc_a's row, side b from doc_b's row).
+    exploded = attached.select("doc", "payload", F.explode("pairs").alias("pair")).select(
+        F.col("pair.doc_a").alias("doc_a"),
+        F.col("pair.doc_b").alias("doc_b"),
+        "doc",
+        "payload",
+    )
+    pair = exploded.groupBy("doc_a", "doc_b").agg(
+        F.max(F.when(F.col("doc") == F.col("doc_a"), F.col("payload"))).alias("p_a"),
+        F.max(F.when(F.col("doc") == F.col("doc_b"), F.col("payload"))).alias("p_b"),
+    )
+    if verify == "exact":
+        jac = (
+            F.size(F.array_intersect("p_a", "p_b")).cast("double")
+            / F.size(F.array_union("p_a", "p_b"))
+        ).alias("jaccard")
+        out = pair.select("doc_a", "doc_b", jac).filter(F.col("jaccard") >= jaccard_threshold)
+    else:
         est = (
-            F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda a, b: a == b), lambda x: x))
+            F.size(F.filter(F.zip_with("p_a", "p_b", lambda a, b: a == b), lambda x: x))
             / F.lit(num_perm)
         ).alias("jaccard_est")
-        out = cand.select("doc_a", "doc_b", est).filter(F.col("jaccard_est") >= jaccard_threshold)
+        out = pair.select("doc_a", "doc_b", est).filter(F.col("jaccard_est") >= jaccard_threshold)
     return out
 
 
