@@ -58,6 +58,62 @@ def stream_tumble_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_csv_tumble_agg",
+    oracle="""
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("streaming", "window", "source"),
+)
+def stream_csv_tumble_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling window agg over a CSV FILE-SOURCE stream — the
+    readTextFile/readCsvFile streaming variants (StreamExecutionEnvironment
+    .readFile, :991) on a non-parquet wire format. Events are staged once
+    per sf as a headerless CSV (ts as epoch millis — no timestamp-format
+    parsing ambiguity), then replayed through readStream.csv with an
+    explicit schema (schema inference on a stream would re-scan per batch).
+    Exists precisely so the streaming gate does not hinge on a single
+    source decode path: every other stream_* query replays parquet."""
+    import os
+
+    scratch = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".scratch",
+        "csv_events_" + sf_dir.rstrip("/").replace("/", "_").replace(".", "_"),
+    )
+    if not os.path.exists(os.path.join(scratch, "_SUCCESS")):
+        ev = load_table(spark, sf_dir, "events")
+        (
+            ev.select(
+                "event_id",
+                F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+                "user_id",
+                "event_type",
+                "value",
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .option("header", "false")
+            .csv(scratch)
+        )
+    csv_schema = "event_id long, ts_ms long, user_id long, event_type string, value double"
+    stream = (
+        spark.readStream.schema(csv_schema)
+        .option("header", "false")
+        .csv(scratch)
+        .withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+    )
+    agg = windowed_agg(
+        stream, "ts", "10 minutes", "1 hour", ["event_type"],
+        [F.count(F.lit(1)).alias("n"), dsum("value", "total_value")],
+    )
+    out = run_to_completion(agg, "stream_csv_tumble_agg_sink", "complete")
+    return out.select("window_start", "event_type", "n", "total_value")
+
+
+@register(
     "stream_unbounded_agg",
     oracle="""
     SELECT event_type, COUNT(*) AS n,
@@ -715,3 +771,90 @@ def cep_timeout_signups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .within(600_000)
     )
     return match_pattern(ev, pat, key_col="user_id", output="timeouts")
+
+
+@register(
+    "cep_not_followed_by",
+    oracle="""
+    WITH f AS (SELECT user_id, event_id, ts, event_type FROM events
+               WHERE event_type IN ('signup', 'error', 'purchase')),
+         s AS (SELECT user_id, event_id, ts FROM f WHERE event_type = 'signup'),
+         c AS (SELECT user_id, event_id, ts, event_type FROM f
+               WHERE event_type IN ('error', 'purchase')),
+         first_c AS (
+           SELECT s.user_id,
+                  s.event_id AS signup_id, epoch_ms(s.ts) AS signup_ts,
+                  c.event_id, c.ts, c.event_type,
+                  row_number() OVER (PARTITION BY s.user_id, s.event_id
+                                     ORDER BY c.ts, c.event_id) AS rn
+           FROM s JOIN c
+             ON s.user_id = c.user_id
+            AND (c.ts > s.ts OR (c.ts = s.ts AND c.event_id > s.event_id))
+         )
+    SELECT user_id, signup_id, signup_ts,
+           event_id AS purchase_id, epoch_ms(ts) AS purchase_ts
+    FROM first_c
+    WHERE rn = 1 AND event_type = 'purchase'
+      AND epoch_ms(ts) - signup_ts <= 600000
+    """,
+    tags=("streaming", "cep"),
+)
+def cep_not_followed_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP mid-pattern negation (Pattern.notFollowedBy, flink-cep
+    Pattern.java:298): signup, NOT followed by an error, followed by
+    purchase, within 10 minutes. The guard persists until the positive
+    step consumes: the first error-or-purchase event after each signup
+    decides the partial (error → dies, purchase in-window → match), other
+    events are skipped. The oracle states exactly that with a rank-1 pick
+    over the union of guard/positive candidates. Prefilter keeps
+    signup/error/purchase rows JVM-side (forbidden events must reach the
+    NFA — they are part of the OR)."""
+    ev = load_table(spark, sf_dir, "events")
+    pat = (
+        Pattern.begin("signup", lambda r: r["event_type"] == "signup",
+                      expr="event_type = 'signup'")
+        .not_followed_by("error", lambda r: r["event_type"] == "error",
+                         expr="event_type = 'error'")
+        .followed_by("purchase", lambda r: r["event_type"] == "purchase",
+                     expr="event_type = 'purchase'")
+        .within(600_000)
+    )
+    return match_pattern(ev, pat, key_col="user_id")
+
+
+@register(
+    "cep_absence_alert",
+    oracle="""
+    WITH s AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'signup')
+    SELECT s.user_id, s.event_id AS signup_id, epoch_ms(s.ts) AS signup_ts
+    FROM s
+    WHERE NOT EXISTS (
+      SELECT 1 FROM events p
+      WHERE p.event_type = 'purchase' AND p.user_id = s.user_id
+        AND (p.ts > s.ts OR (p.ts = s.ts AND p.event_id > s.event_id))
+        AND epoch_ms(p.ts) - epoch_ms(s.ts) <= 600000)
+    AND EXISTS (
+      SELECT 1 FROM events e
+      WHERE e.user_id = s.user_id AND epoch_ms(e.ts) - epoch_ms(s.ts) > 600000)
+    """,
+    tags=("streaming", "cep"),
+)
+def cep_absence_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP trailing negation (Pattern.notFollowedBy as last step + within,
+    the absence-of-event alert): signups with NO purchase in the next 10
+    minutes, emitted as MATCHES once the window expires unviolated —
+    confirmed, like the timeout side-output, by a later same-key event of
+    ANY type passing the window edge (which is why the prefilter is
+    disabled for trailing negation: an unrelated click can be the trigger).
+    Differs from cep_timeout_signups in mechanism (negative guard match vs
+    timeout side-output) and trigger set (any event vs prefiltered
+    candidates)."""
+    ev = load_table(spark, sf_dir, "events")
+    pat = (
+        Pattern.begin("signup", lambda r: r["event_type"] == "signup",
+                      expr="event_type = 'signup'")
+        .not_followed_by("purchase", lambda r: r["event_type"] == "purchase",
+                         expr="event_type = 'purchase'")
+        .within(600_000)
+    )
+    return match_pattern(ev, pat, key_col="user_id")

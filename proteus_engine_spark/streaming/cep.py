@@ -2,11 +2,13 @@
 time bound, on batch and streaming DataFrames.
 
 Reference: flink-libraries/flink-cep — Pattern.begin/next/followedBy/where/
-within (pattern/Pattern.java:123–536), CEP.pattern (CEP.java:38),
-PatternStream.select (PatternStream.java:92), NFA runtime (cep/nfa/
-NFA.java). Scope per SURVEY §7 step 6: begin + next (strict contiguity) +
-followedBy (relaxed contiguity) + within, single-match-per-step (no
-quantifiers/groups yet — documented).
+within (pattern/Pattern.java:123–536), notNext (:267), notFollowedBy
+(:298), CEP.pattern (CEP.java:38), PatternStream.select
+(PatternStream.java:92), NFA runtime (cep/nfa/NFA.java). Scope: begin,
+next (strict), followedBy (relaxed), notNext / notFollowedBy (negation,
+incl. trailing absence-with-within), within, times/oneOrMore/optional
+quantifiers, consecutive(). Not covered (documented in COVERAGE.md):
+followedByAny, until, subtype, greedy, group patterns.
 
 Match semantics (mirrors the reference NFA defaults): every event
 satisfying step 0 opens a partial match; `next` requires the immediately
@@ -36,18 +38,26 @@ from pyspark.sql import DataFrame
 class Step:
     name: str
     predicate: Callable[[pd.Series], bool]
-    contiguity: str = "followedBy"  # 'begin' | 'next' | 'followedBy'
+    # 'begin' | 'next' | 'followedBy' | 'followedByAny' | 'notNext' |
+    # 'notFollowedBy'
+    contiguity: str = "followedBy"
     expr: str | None = None  # optional Spark SQL mirror of `predicate`
     # Quantifier (Pattern.java:274–536 parity):
-    #   'single'    — exactly one event (default)
-    #   'times'     — exactly times_n events (Pattern.times(int))
-    #   'oneOrMore' — 1+ events, a match emitted per prefix (oneOrMore())
-    #   'optional'  — zero or one event (optional())
+    #   'single'      — exactly one event (default)
+    #   'times'       — exactly times_n events (Pattern.times(int))
+    #   'oneOrMore'   — 1+ events, a match emitted per prefix (oneOrMore())
+    #   'timesOrMore' — times_n+ events (Pattern.timesOrMore(int))
+    #   'optional'    — zero or one event (optional())
     quantifier: str = "single"
     times_n: int = 1
     # strict contiguity BETWEEN repeats of a looping step
     # (Pattern.consecutive(), Pattern.java:462)
     consecutive: bool = False
+    # loop stop condition (Pattern.until, Pattern.java:214): an event
+    # satisfying it closes a oneOrMore/timesOrMore loop without being
+    # consumed by it
+    until_pred: Callable[[pd.Series], bool] | None = None
+    until_expr: str | None = None
 
 
 @dataclass
@@ -100,11 +110,46 @@ class Pattern:
         self.steps.append(Step(name, predicate, "followedBy", expr))
         return self
 
+    def not_next(
+        self, name: str, predicate: Callable[[pd.Series], bool], expr: str | None = None
+    ) -> "Pattern":
+        """Pattern.notNext (Pattern.java:267): the event immediately after
+        the previous step's match must NOT satisfy the predicate; that same
+        event is then offered to the following step. Negative steps never
+        consume an event and emit no match columns. Cannot be the last step
+        (the reference raises MalformedPatternException for trailing
+        NOT_NEXT too)."""
+        self._check_negation_position("not_next")
+        self.steps.append(Step(name, predicate, "notNext", expr))
+        return self
+
+    def not_followed_by(
+        self, name: str, predicate: Callable[[pd.Series], bool], expr: str | None = None
+    ) -> "Pattern":
+        """Pattern.notFollowedBy (Pattern.java:298): no event satisfying the
+        predicate may occur between the previous step's match and the next
+        step's match. As the LAST step it requires within() — the absence
+        is confirmed when the window expires unviolated (the reference only
+        allows trailing NOT_FOLLOW with a window bound as well), triggered
+        like the timeout side-output: by a later same-key event passing the
+        window edge."""
+        self._check_negation_position("not_followed_by")
+        self.steps.append(Step(name, predicate, "notFollowedBy", expr))
+        return self
+
+    def _check_negation_position(self, fn: str) -> None:
+        if not self.steps:
+            raise ValueError(f"{fn}() cannot start a pattern (begin is required)")
+        if self.steps[-1].contiguity in ("notNext", "notFollowedBy"):
+            raise ValueError("consecutive negative steps are not supported")
+
     def times(self, n: int, consecutive: bool = False) -> "Pattern":
         """Pattern.times(int) (Pattern.java:274): last step matches exactly
         n events; consecutive=True adds Pattern.consecutive() semantics."""
         if n < 1:
             raise ValueError("times(n) requires n >= 1")
+        if self.steps[-1].contiguity in ("notNext", "notFollowedBy"):
+            raise ValueError("quantifiers are not supported on negative steps")
         self.steps[-1] = replace(
             self.steps[-1], quantifier="times", times_n=n, consecutive=consecutive
         )
@@ -113,6 +158,8 @@ class Pattern:
     def one_or_more(self, consecutive: bool = False) -> "Pattern":
         """Pattern.oneOrMore() (Pattern.java:332): last step matches 1+
         events, emitting a match per prefix."""
+        if self.steps[-1].contiguity in ("notNext", "notFollowedBy"):
+            raise ValueError("quantifiers are not supported on negative steps")
         self.steps[-1] = replace(
             self.steps[-1], quantifier="oneOrMore", consecutive=consecutive
         )
@@ -125,6 +172,8 @@ class Pattern:
             raise ValueError("optional() is not supported on the first step")
         if last.contiguity == "next":
             raise ValueError("optional() is not supported on a next() step")
+        if last.contiguity in ("notNext", "notFollowedBy"):
+            raise ValueError("quantifiers are not supported on negative steps")
         self.steps[-1] = replace(last, quantifier="optional")
         return self
 
@@ -134,12 +183,31 @@ class Pattern:
 
     def prefilter_expr(self) -> str | None:
         """OR-of-step-exprs when pushdown is sound (all relaxed, all
-        declared), else None."""
-        if any(s.contiguity == "next" or s.consecutive for s in self.steps):
+        declared), else None. Negative-step exprs are INCLUDED in the OR —
+        forbidden events must reach the NFA to kill partials. Unsound and
+        disabled when: any strict step (next/consecutive — must see every
+        row), any notNext (its guard inspects the literal next event), or a
+        trailing notFollowedBy (its completion is triggered by ANY later
+        same-key event passing the window, which the filter could drop)."""
+        if any(s.contiguity in ("next", "notNext") or s.consecutive for s in self.steps):
+            return None
+        if self.steps and self.steps[-1].contiguity == "notFollowedBy":
             return None
         if any(s.expr is None for s in self.steps):
             return None
         return " OR ".join(f"({s.expr})" for s in self.steps)
+
+    def validate(self) -> None:
+        """Structural checks applied at match time (within() may be added
+        after the negative step, so construction-time checks can't cover
+        these)."""
+        if not self.steps:
+            raise ValueError("empty pattern")
+        last = self.steps[-1]
+        if last.contiguity == "notNext":
+            raise ValueError("notNext cannot be the last step")
+        if last.contiguity == "notFollowedBy" and self.within_ms is None:
+            raise ValueError("a trailing notFollowedBy requires within()")
 
 
 def _run_nfa(
@@ -206,6 +274,34 @@ def _scan(
         """Feed one event to one partial; surviving/forked partials go to
         `out`, completions to `matches`."""
         step = steps[p["idx"]]
+        if step.contiguity in ("notNext", "notFollowedBy"):
+            if bool(step.predicate(s)):
+                return  # forbidden event observed → partial dies
+            if step.contiguity == "notNext":
+                # Single-event guard satisfied; this same event is offered
+                # to the following step (negative steps never consume).
+                advance(
+                    {"idx": p["idx"] + 1, "cnt": 0, "events": dict(p["events"]), "t0": p["t0"]},
+                    s, t, eid, out,
+                )
+            else:
+                nxt_idx = p["idx"] + 1
+                if nxt_idx == n_steps:
+                    out.append(p)  # trailing guard: survives until expiry
+                elif bool(steps[nxt_idx].predicate(s)):
+                    # Guard holds and the next positive step consumes this
+                    # event; quantifier handling happens in the recursive
+                    # call's matched branch. (Once the positive step starts
+                    # accumulating repeats the guard is released — same
+                    # simplification as grouping the guard with the first
+                    # repeat.)
+                    advance(
+                        {"idx": nxt_idx, "cnt": 0, "events": dict(p["events"]), "t0": p["t0"]},
+                        s, t, eid, out,
+                    )
+                else:
+                    out.append(p)  # irrelevant event: guard persists
+            return
         matched = bool(step.predicate(s))
         t0 = p["t0"] if p["t0"] is not None else t
         if matched:
@@ -230,13 +326,19 @@ def _scan(
                 out.append(p)  # relaxed: skip this event
             # else: strict contiguity broken → partial dies
 
+    trailing_neg = steps[-1].contiguity == "notFollowedBy"
     for s, t in zip(rows, ts_ms):
         eid = int(s[id_col])
         survivors: list[dict] = []
         for p in partials:
             if pattern.within_ms is not None and t - p["t0"] > pattern.within_ms:
-                timeouts.append({**p, "__timeout_ts__": p["t0"] + pattern.within_ms})
-                continue  # timed out
+                if trailing_neg and p["idx"] == n_steps - 1:
+                    # Window expired with the trailing guard unviolated —
+                    # the absence is confirmed: a MATCH, not a timeout.
+                    matches.append(p["events"])
+                else:
+                    timeouts.append({**p, "__timeout_ts__": p["t0"] + pattern.within_ms})
+                continue
             advance(p, s, t, eid, survivors)
         partials = survivors
         if steps[0].predicate(s):
@@ -244,9 +346,27 @@ def _scan(
     return matches, partials, timeouts
 
 
+def _prune_expired(partials: list[dict], horizon_ms: int, pattern: Pattern) -> tuple[list[dict], list[dict]]:
+    """Drop partials whose within() window has passed `horizon_ms`; a
+    partial sitting at a trailing notFollowedBy guard COMPLETES instead
+    (absence confirmed). Returns (kept, completed_event_dicts)."""
+    trailing = pattern.steps[-1].contiguity == "notFollowedBy"
+    last = len(pattern.steps) - 1
+    keep: list[dict] = []
+    done: list[dict] = []
+    for p in partials:
+        if horizon_ms - p["t0"] <= pattern.within_ms:
+            keep.append(p)
+        elif trailing and p["idx"] == last:
+            done.append(p["events"])
+    return keep, done
+
+
 def _match_columns(pattern: Pattern) -> list[str]:
     cols = []
     for st in pattern.steps:
+        if st.contiguity in ("notNext", "notFollowedBy"):
+            continue  # negative steps never consume an event
         cols += [f"{st.name}_id", f"{st.name}_ts"]
         if st.quantifier == "oneOrMore":
             cols.append(f"{st.name}_cnt")
@@ -258,6 +378,8 @@ def _match_row(pattern: Pattern, m: dict) -> list:
     steps with no matched event (skipped optional, unreached) emit NULLs."""
     row: list = []
     for st in pattern.steps:
+        if st.contiguity in ("notNext", "notFollowedBy"):
+            continue
         e = m.get(st.name)
         row += [int(e[0]), int(e[1])] if e else [None, None]
         if st.quantifier == "oneOrMore":
@@ -284,6 +406,7 @@ def match_pattern(
     when a later event for its key arrives past the window; partials still
     inside the window at end of input remain open, not timed out — the same
     watermark-relative semantics the reference's NFA cleanup has."""
+    pattern.validate()
     if output not in ("matches", "timeouts"):
         raise ValueError(f"unknown output {output!r}: expected 'matches' or 'timeouts'")
     if output == "timeouts" and pattern.within_ms is None:
@@ -359,6 +482,7 @@ def match_pattern_stream(
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    pattern.validate()
     out_cols = [key_col] + _match_columns(pattern)
     schema = f"{key_col} long, " + ", ".join(f"{c} long" for c in _match_columns(pattern))
     use_wm = watermark_delay is not None
@@ -380,7 +504,8 @@ def match_pattern_stream(
             # In-order assumption ⇒ the batch max is a sound horizon: no
             # future event is earlier, so expired partials cannot complete.
             horizon = int(pdf[ts_col].values.astype("datetime64[ms]").astype("int64").max())
-            partials = [p for p in partials if horizon - p["t0"] <= pattern.within_ms]
+            partials, absence_done = _prune_expired(partials, horizon, pattern)
+            matches.extend(absence_done)
         if partials:
             state.update((pickle.dumps(partials),))
         elif state.exists:
@@ -417,7 +542,8 @@ def match_pattern_stream(
         if pattern.within_ms is not None and partials:
             # Sound horizon = watermark: every event still to be released
             # (buffered or future) has ts > wm.
-            partials = [p for p in partials if wm - p["t0"] <= pattern.within_ms]
+            partials, absence_done = _prune_expired(partials, wm, pattern)
+            matches.extend(absence_done)
         st["partials"] = partials
         if st["buf"] or partials:
             state.update((pickle.dumps(st),))

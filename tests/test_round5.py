@@ -1,0 +1,215 @@
+"""Round-5 features: CEP negation (notNext / notFollowedBy, incl. trailing
+absence-with-within), negation validation, prefilter soundness with
+negative steps, streaming parity for trailing negation.
+
+Reference semantics: flink-cep Pattern.notNext (Pattern.java:267),
+notFollowedBy (Pattern.java:298), NFAITCase negation cases.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from proteus_engine_spark.streaming.cep import (
+    Pattern,
+    _run_nfa,
+    match_pattern,
+    match_pattern_stream,
+)
+from tests.test_streaming import EV_SCHEMA, _ev, _two_batch_stream
+
+
+def _frame(events):
+    """events: (event_id, ts_ms, event_type)"""
+    return pd.DataFrame(
+        {
+            "event_id": [e[0] for e in events],
+            "ts": pd.to_datetime([e[1] for e in events], unit="ms"),
+            "event_type": [e[2] for e in events],
+        }
+    )
+
+
+def _etype(t):
+    return lambda r: r["event_type"] == t
+
+
+# ---------------- notNext ----------------
+
+
+def test_not_next_immediate_violation_kills():
+    pat = Pattern.begin("a", _etype("signup")).not_next("b", _etype("error")).followed_by(
+        "c", _etype("purchase")
+    )
+    m, _, _ = _run_nfa(_frame([(1, 0, "signup"), (2, 1, "error"), (3, 2, "purchase")]),
+                       pat, "ts", "event_id")
+    assert m == []
+
+
+def test_not_next_guard_event_offered_to_next_step():
+    # the immediately-next event is the purchase itself: guard passes and
+    # the same event completes the match.
+    pat = Pattern.begin("a", _etype("signup")).not_next("b", _etype("error")).followed_by(
+        "c", _etype("purchase")
+    )
+    m, _, _ = _run_nfa(_frame([(1, 0, "signup"), (2, 1, "purchase")]), pat, "ts", "event_id")
+    assert [(x["a"][0], x["c"][0]) for x in m] == [(1, 2)]
+
+
+def test_not_next_checks_only_the_immediate_event():
+    # error AFTER a benign immediate event does not kill (guard is one-shot).
+    pat = Pattern.begin("a", _etype("signup")).not_next("b", _etype("error")).followed_by(
+        "c", _etype("purchase")
+    )
+    m, _, _ = _run_nfa(
+        _frame([(1, 0, "signup"), (2, 1, "click"), (3, 2, "error"), (4, 3, "purchase")]),
+        pat, "ts", "event_id",
+    )
+    assert [(x["a"][0], x["c"][0]) for x in m] == [(1, 4)]
+
+
+# ---------------- notFollowedBy (mid-pattern) ----------------
+
+
+def test_not_followed_by_mid_pattern_guard_persists():
+    pat = Pattern.begin("a", _etype("signup")).not_followed_by(
+        "b", _etype("error")
+    ).followed_by("c", _etype("purchase"))
+    # error anywhere between signup and purchase kills
+    m, _, _ = _run_nfa(
+        _frame([(1, 0, "signup"), (2, 1, "click"), (3, 2, "error"), (4, 3, "purchase")]),
+        pat, "ts", "event_id",
+    )
+    assert m == []
+    # benign events are skipped; purchase consumes
+    m, _, _ = _run_nfa(
+        _frame([(1, 0, "signup"), (2, 1, "click"), (3, 2, "purchase")]),
+        pat, "ts", "event_id",
+    )
+    assert [(x["a"][0], x["c"][0]) for x in m] == [(1, 3)]
+    # error AFTER the purchase is irrelevant
+    m, _, _ = _run_nfa(
+        _frame([(1, 0, "signup"), (2, 1, "purchase"), (3, 2, "error")]),
+        pat, "ts", "event_id",
+    )
+    assert [(x["a"][0], x["c"][0]) for x in m] == [(1, 2)]
+
+
+# ---------------- trailing notFollowedBy (absence detection) ----------------
+
+
+def test_trailing_not_followed_by_completes_on_window_expiry():
+    pat = (
+        Pattern.begin("a", _etype("signup"))
+        .not_followed_by("b", _etype("purchase"))
+        .within(5_000)
+    )
+    # purchase inside the window → guard violated, no match
+    m, _, _ = _run_nfa(_frame([(1, 0, "signup"), (2, 1000, "purchase"),
+                               (3, 9000, "click")]), pat, "ts", "event_id")
+    assert m == []
+    # no purchase; a later event past the window confirms the absence
+    m, _, _ = _run_nfa(_frame([(1, 0, "signup"), (2, 1000, "click"),
+                               (3, 9000, "click")]), pat, "ts", "event_id")
+    assert [x["a"][0] for x in m] == [1]
+    # purchase arriving AFTER expiry is itself the trigger, not a violation
+    m, _, _ = _run_nfa(_frame([(1, 0, "signup"), (2, 9000, "purchase")]),
+                       pat, "ts", "event_id")
+    assert [x["a"][0] for x in m] == [1]
+    # window still open at end of input → partial stays open, no match
+    m, open_, _ = _run_nfa(_frame([(1, 0, "signup"), (2, 1000, "click")]),
+                           pat, "ts", "event_id")
+    assert m == [] and len(open_) == 1
+
+
+# ---------------- validation & prefilter ----------------
+
+
+def test_negation_validation():
+    with pytest.raises(ValueError):  # notNext cannot be last
+        match_rdy = Pattern.begin("a", _etype("x")).not_next("b", _etype("y"))
+        match_rdy.validate()
+    with pytest.raises(ValueError):  # trailing notFollowedBy needs within
+        Pattern.begin("a", _etype("x")).not_followed_by("b", _etype("y")).validate()
+    with pytest.raises(ValueError):  # consecutive negatives
+        Pattern.begin("a", _etype("x")).not_next("b", _etype("y")).not_followed_by(
+            "c", _etype("z")
+        )
+    with pytest.raises(ValueError):  # quantifier on negative step
+        Pattern.begin("a", _etype("x")).not_followed_by("b", _etype("y")).times(2)
+    with pytest.raises(ValueError):  # optional on negative step
+        Pattern.begin("a", _etype("x")).not_followed_by("b", _etype("y")).optional()
+
+
+def test_negation_prefilter_soundness():
+    # mid-pattern notFollowedBy: forbidden expr joins the OR
+    pat = (
+        Pattern.begin("a", _etype("signup"), expr="event_type = 'signup'")
+        .not_followed_by("b", _etype("error"), expr="event_type = 'error'")
+        .followed_by("c", _etype("purchase"), expr="event_type = 'purchase'")
+    )
+    assert pat.prefilter_expr() == (
+        "(event_type = 'signup') OR (event_type = 'error') OR (event_type = 'purchase')"
+    )
+    # trailing notFollowedBy: any event can trigger expiry → no prefilter
+    pat2 = (
+        Pattern.begin("a", _etype("signup"), expr="event_type = 'signup'")
+        .not_followed_by("b", _etype("purchase"), expr="event_type = 'purchase'")
+        .within(1000)
+    )
+    assert pat2.prefilter_expr() is None
+    # notNext inspects the literal next event → no prefilter
+    pat3 = (
+        Pattern.begin("a", _etype("signup"), expr="event_type = 'signup'")
+        .not_next("b", _etype("error"), expr="event_type = 'error'")
+        .followed_by("c", _etype("purchase"), expr="event_type = 'purchase'")
+    )
+    assert pat3.prefilter_expr() is None
+
+
+# ---------------- end-to-end (batch + stream) ----------------
+
+
+def test_match_pattern_negation_schema_excludes_negative_steps(spark):
+    rows = [_ev(0, 1, 1, "signup"), _ev(1, 2, 1, "purchase"),
+            _ev(2, 10, 2, "signup"), _ev(3, 11, 2, "error"), _ev(4, 12, 2, "purchase")]
+    df = spark.createDataFrame(rows, EV_SCHEMA)
+    pat = (
+        Pattern.begin("signup", _etype("signup"))
+        .not_followed_by("error", _etype("error"))
+        .followed_by("purchase", _etype("purchase"))
+    )
+    out = match_pattern(df, pat, key_col="user_id")
+    assert out.columns == ["user_id", "signup_id", "signup_ts", "purchase_id", "purchase_ts"]
+    got = [(r["user_id"], r["signup_id"], r["purchase_id"]) for r in out.collect()]
+    assert got == [(1, 0, 1)]  # user 2's partial dies on the error
+
+
+def test_cep_stream_trailing_negation_matches_batch(spark):
+    """Trailing absence detection must survive a micro-batch boundary: the
+    signup arrives in batch 0, the expiry-triggering event in batch 1."""
+    a = [_ev(0, 1, 1, "signup"), _ev(1, 2, 1, "click")]
+    b = [_ev(2, 30, 1, "click"),  # past the 10-min window → confirms absence
+         _ev(3, 31, 2, "signup"), _ev(4, 32, 2, "purchase"), _ev(5, 50, 2, "click")]
+    pat = (
+        Pattern.begin("signup", _etype("signup"))
+        .not_followed_by("purchase", _etype("purchase"))
+        .within(600_000)
+    )
+    stream = _two_batch_stream(spark, a, b, EV_SCHEMA)
+    out = match_pattern_stream(stream, pat, key_col="user_id")
+    q = out.writeStream.outputMode("append").format("memory").queryName("cep_neg_test").start()
+    q.processAllAvailable()
+    q.stop()
+    stream_rows = sorted(
+        (r["user_id"], r["signup_id"]) for r in spark.table("cep_neg_test").collect()
+    )
+    batch_df = spark.createDataFrame(a + b, EV_SCHEMA)
+    batch_rows = sorted(
+        (r["user_id"], r["signup_id"])
+        for r in match_pattern(batch_df, pat, key_col="user_id").collect()
+    )
+    # user 1: no purchase ever, click at +29min confirms → match.
+    # user 2: purchase 1 min after signup → guard violated.
+    assert stream_rows == batch_rows == [(1, 0)]
