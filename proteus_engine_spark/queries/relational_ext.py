@@ -554,6 +554,87 @@ def iter_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "iter_delta_sssp",
+    oracle="""
+    WITH RECURSIVE
+    edges AS (
+      SELECT DISTINCT o_custkey + 1000000 AS src, l_partkey AS dst
+      FROM orders, lineitem
+      WHERE o_orderkey = l_orderkey AND l_partkey < 30
+    ),
+    sym AS (SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges),
+    paths(vertex, dist) AS (
+      SELECT CAST(1 AS BIGINT) AS vertex, CAST(0 AS BIGINT) AS dist
+      UNION
+      SELECT s.dst, p.dist + 1 FROM paths p JOIN sym s ON p.vertex = s.src
+      WHERE p.dist < 20
+    )
+    SELECT vertex, MIN(dist) AS dist FROM paths GROUP BY vertex
+    """,
+    tags=("iteration",),
+)
+def iter_delta_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-iteration parity (DataSet.iterateDelta, DataSet.java:1206):
+    single-source shortest hop-distance from part vertex 1 over the
+    customer↔part co-purchase graph (partkeys < 30, all dates — partkey 1
+    has edges at every test SF, so the BFS actually expands). The
+    WORKSET holds only vertices whose distance improved last round (the
+    frontier), so each step's join touches the frontier, not the whole
+    solution — the reference's worklist semantics, which is exactly what
+    makes delta iteration cheaper than bulk at scale. Terminates when the
+    frontier empties. Oracle: recursive-CTE BFS with a hop cap well above
+    the graph's diameter."""
+    from proteus_engine_spark.operators.iterations import iterate_delta
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_partkey") < 30)
+    edges = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            (F.col("o_custkey") + 1000000).cast("long").alias("src"),
+            F.col("l_partkey").cast("long").alias("dst"),
+        )
+        .distinct()
+    )
+    sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    nodes = (
+        sym.select(F.col("src").alias("vertex"))
+        .union(sym.select(F.col("dst").alias("vertex")))
+        .distinct()
+    )
+    root = spark.range(1).select(
+        F.lit(1).cast("long").alias("vertex"), F.lit(0).cast("long").alias("dist")
+    )
+    # NULL dist = unreached (the reference seeds the solution set the same
+    # way); the root row is unioned explicitly so an isolated root still
+    # yields {(1, 0)} like the oracle's CTE seed.
+    solution = root.unionByName(
+        nodes.filter(F.col("vertex") != 1).select(
+            "vertex", F.lit(None).cast("long").alias("dist")
+        )
+    )
+
+    def step(sol: DataFrame, work: DataFrame, _i: int):
+        cand = sym.join(work, F.col("src") == F.col("vertex")).select(
+            F.col("dst").alias("vertex"), (F.col("dist") + 1).alias("cand")
+        )
+        min_cand = cand.groupBy("vertex").agg(F.min("cand").alias("cand"))
+        improved = (
+            sol.join(min_cand, "vertex")
+            .filter(F.col("dist").isNull() | (F.col("cand") < F.col("dist")))
+            .select("vertex", F.col("cand").alias("dist"))
+        )
+        new_sol = (
+            sol.join(improved.withColumnRenamed("dist", "new_d"), "vertex", "left")
+            .select("vertex", F.coalesce("new_d", "dist").alias("dist"))
+        )
+        return new_sol, improved
+
+    sol = iterate_delta(solution, root, step, max_iterations=20)
+    return sol.filter(F.col("dist").isNotNull()).select("vertex", "dist")
+
+
+@register(
     "join_salted_skew",
     oracle="""
     SELECT o_orderstatus, COUNT(*) AS n,
