@@ -15,73 +15,74 @@ from proteus_engine_spark.queries import (  # noqa: F401
     relational,
     relational_ext,
     streaming_q,
+    surface_q,
     temporal_q,
     windows_q,
 )
 
-# Round-4 priority window (the driver checks the first ~50 registry
-# entries): new/re-oracled round-4 queries first, then queries whose shared
-# code changed this round, then a rotating regression sample of
-# previously-green queries (round 1 set this round; rotate each round so
-# every green row is periodically re-verified), then the most recent green
-# window (round 2/3) to fill the 50.
+# Round-5 priority window (the driver checks the first ~50 registry
+# entries): new round-5 queries first, then the 8 streaming rows red in r4
+# (ts decode fixed this round), then queries whose shared code changed this
+# round (events_stream rewrite touches every stream_*; the CEP core gained
+# negation; minhash was re-planned), then the rotating regression sample
+# (r2-only-green set this round; r1 set was rotated in r4 and passed), then
+# recent r4 greens to fill the 50.
 _GATE_PRIORITY = [
-    # round-4: formerly-no_oracle datapipe queries, now fully oracled (6)
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding_cosine_lsh",
-    "sim_ann_lsh",
-    "sim_ann_ivf",
-    "multimodal_decode",
-    # round-4: new streaming/CEP/async operators (7)
-    "stream_over_running_agg",
-    "stream_tumble_append",
-    "stream_idle_timeout",
-    "async_enrich_lookup",
-    "cep_times_consecutive",
-    "cep_one_or_more",
-    "cep_timeout_signups",
-    # round-4: behavior under these changed (NULL-distinct fix, UDTF
-    # zero-arg fix, CEP core rewrite) — re-verify (5)
-    "stream_unbounded_agg",
-    "stream_side_input_forwarded",
-    "explode_unnest",
-    "cep_signup_purchase",
-    "cep_strict_next",
-    # regression rotation: r1-only-green sample (12)
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    "q14_promo_effect",
-    "q18_large_volume_customer",
-    "join_inner_dims",
-    "join_semi",
-    "agg_basic",
-    "fn_string_suite",
-    "fn_temporal_suite",
-    # recent green window fill (r2/r3-verified) (20)
+    # round-5: new operators/gates (8)
+    "cep_not_followed_by",
+    "cep_absence_alert",
+    "stream_csv_tumble_agg",
+    "iter_delta_sssp",
+    "sort_partition_leaders",
+    "from_rows_dim_join",
+    "csv_roundtrip_agg",
+    "insert_into_append",
+    # round-5: the 8 rows red in CORRECTNESS_r04 (ts decode root cause) (8)
     "stream_tumble_agg",
     "stream_hop_agg",
     "stream_session_agg",
     "stream_event_time_sort",
     "stream_interval_join",
+    "stream_over_running_agg",
+    "stream_tumble_append",
+    "stream_idle_timeout",
+    # shared-code re-verify: events_stream consumers + CEP core + minhash (11)
+    "dedup_minhash_lsh",
+    "stream_unbounded_agg",
     "stream_count_window",
     "stream_dedup",
-    "asof_join_events",
-    "range_join_events",
-    "window_tumble",
-    "window_session",
-    "over_running_agg",
-    "over_bounded_rows",
-    "sort_topk_per_group",
-    "subquery_exists_correlated",
-    "q9_product_type_profit",
-    "q12_ship_priority_class",
-    "q21_waiting_supplier",
-    "iter_connected_components",
-    "join_salted_skew",
+    "async_enrich_lookup",
+    "stream_side_input_forwarded",
+    "cep_signup_purchase",
+    "cep_strict_next",
+    "cep_times_consecutive",
+    "cep_one_or_more",
+    "cep_timeout_signups",
+    # regression rotation: r2-only-green set (17)
+    "setop_union_all",
+    "setop_union_distinct",
+    "setop_intersect",
+    "setop_intersect_all",
+    "setop_except",
+    "setop_except_all",
+    "window_hop",
+    "over_rank_functions",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_part_count",
+    "q17_small_quantity_revenue",
+    "q19_discounted_revenue",
+    "q22_sales_opportunity",
+    # recent green window fill (r4-verified) (6)
+    "dedup_simhash",
+    "dedup_embedding_cosine_lsh",
+    "sim_ann_lsh",
+    "sim_ann_ivf",
+    "multimodal_decode",
+    "explode_unnest",
 ]
 
 

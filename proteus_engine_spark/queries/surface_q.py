@@ -1,0 +1,168 @@
+"""Oracle gates for the 'cold surface': operators implemented and
+pytest-covered since round 1 but never driver-verified — sortPartition
+(DataSet.java:1401), fromCollection (ExecutionEnvironment.java:600),
+writeAsCsv/readCsvFile round-trip (DataSet.java:1564 /
+ExecutionEnvironment.java:391), insertInto (table.scala:876).
+
+Each query routes real data THROUGH the operator so the oracle check
+fails if the operator's semantics break (e.g. the sortPartition gate
+extracts per-key leaders from the partition-local sort order — an unsorted
+partition yields wrong prices, not just a reordered result).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from proteus_engine_spark.queries.registry import register
+from proteus_engine_spark.sources import load_table
+from proteus_engine_spark.sources.sinks import insert_into, write_csv
+from proteus_engine_spark.sources.tables import from_rows, read_csv
+from proteus_engine_spark.operators.sort import sort_partition
+
+
+def _scratch(tag: str, sf_dir: str) -> str:
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".scratch",
+        f"{tag}_" + sf_dir.rstrip("/").replace("/", "_").replace(".", "_"),
+    )
+
+
+@register(
+    "sort_partition_leaders",
+    oracle="""
+    SELECT l_suppkey, CAST(MAX(l_extendedprice) AS DOUBLE) AS top_price
+    FROM lineitem GROUP BY l_suppkey
+    """,
+    tags=("sort", "surface"),
+)
+def sort_partition_leaders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sortPartition gate (DataSet.sortPartition, DataSet.java:1401): hash-
+    repartition on l_suppkey, partition-LOCAL sort by (key, price desc) —
+    no global exchange — then a single forward pass per partition keeps
+    each key's first row. The kept price equals MAX(price) iff the
+    partition-local sort actually ordered the rows, so the oracle verifies
+    the sort itself, not just row retention. This repartition+sortPartition
+    +forward-scan shape is the reference's combineGroup-with-sorted-input
+    pattern; at 100 TB it is one shuffle of (key, price) pairs and a
+    streaming pass — no window state."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", F.col("l_extendedprice").cast("double").alias("top_price")
+    )
+    n_parts = spark.sparkContext.defaultParallelism
+    parts = sort_partition(
+        li.repartition(n_parts, "l_suppkey"), "l_suppkey", "top_price", ascending=False
+    )
+
+    def first_per_key(batches):
+        # Arrow may split one partition into several batches; a key's run
+        # can straddle the boundary, so carry the last-seen key across.
+        last = None
+        for pdf in batches:
+            out = pdf.drop_duplicates("l_suppkey")
+            if last is not None:
+                out = out[out["l_suppkey"] != last]
+            if len(pdf):
+                last = pdf["l_suppkey"].iloc[-1]
+            yield out
+
+    return parts.mapInPandas(first_per_key, schema="l_suppkey long, top_price double")
+
+
+@register(
+    "from_rows_dim_join",
+    oracle="""
+    WITH tiers(r_name, tier) AS (
+      VALUES ('AFRICA', 'south'), ('AMERICA', 'west'), ('ASIA', 'east'),
+             ('EUROPE', 'north'), ('MIDDLE EAST', 'south')
+    )
+    SELECT t.tier, COUNT(*) AS n_nations
+    FROM region r JOIN tiers t ON r.r_name = t.r_name
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY t.tier
+    """,
+    tags=("source", "surface"),
+)
+def from_rows_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fromCollection gate (ExecutionEnvironment.fromCollection,
+    ExecutionEnvironment.java:600): a literal in-memory dimension becomes a
+    DataFrame and joins the parquet tables. Local collections are
+    broadcast-sized by definition — Catalyst plans a broadcast join, no
+    shuffle on the fact side."""
+    tiers = from_rows(
+        spark,
+        [("AFRICA", "south"), ("AMERICA", "west"), ("ASIA", "east"),
+         ("EUROPE", "north"), ("MIDDLE EAST", "south")],
+        schema="r_name string, tier string",
+    )
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        region.join(F.broadcast(tiers), "r_name")
+        .join(nation, nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("tier")
+        .agg(F.count(F.lit(1)).alias("n_nations"))
+    )
+
+
+@register(
+    "csv_roundtrip_agg",
+    oracle="""
+    SELECT s_nationkey, COUNT(*) AS n,
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM supplier GROUP BY s_nationkey
+    """,
+    tags=("sink", "source", "surface"),
+)
+def csv_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """writeAsCsv → readCsvFile round-trip gate (DataSet.writeAsCsv,
+    DataSet.java:1564; ExecutionEnvironment.readCsvFile, :391): supplier
+    goes out through the CSV sink and back in through the CSV source with
+    an explicit schema (schema inference would add a second full scan),
+    then aggregates. Values survive the text round-trip bit-for-bit because
+    acctbal re-enters as decimal before summing."""
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey", "s_acctbal")
+    path = _scratch("csv_supplier", sf_dir)
+    write_csv(sup, path, mode="overwrite")
+    back = read_csv(
+        spark, path, schema="s_suppkey long, s_nationkey long, s_acctbal double"
+    )
+    return back.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("s_acctbal").cast("decimal(18,2)")).cast("double").alias("total_bal"),
+    )
+
+
+@register(
+    "insert_into_append",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n
+    FROM orders WHERE o_totalprice > 100000
+    GROUP BY o_orderstatus
+    """,
+    tags=("sink", "surface"),
+)
+def insert_into_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """insertInto gate (Table.insertInto, table.scala:876): the qualifying
+    orders are split on orderkey parity; the even half seeds a managed
+    parquet table (overwrite — idempotent re-runs), the odd half arrives
+    via INSERT INTO append, and the union is read back and aggregated. The
+    oracle sees the whole set, so a dropped or duplicated insert fails the
+    gate. EXTERNAL table at a scratch location: the in-memory catalog dies
+    with the session but the warehouse directory would not, and a managed
+    saveAsTable in a fresh session then dies with LOCATION_ALREADY_EXISTS —
+    the external path + drop-first sequence is re-run-safe."""
+    tbl = "insert_into_gate_orders"
+    path = _scratch("insert_into_orders", sf_dir)
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    base = orders.select("o_orderkey", "o_orderstatus")
+    even = base.filter(F.col("o_orderkey") % 2 == 0)
+    odd = base.filter(F.col("o_orderkey") % 2 == 1)
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    even.write.mode("overwrite").option("path", path).saveAsTable(tbl)
+    insert_into(odd, tbl)
+    return spark.table(tbl).groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
