@@ -32,6 +32,11 @@ TABLES = (
 
 
 def _norm(v):
+    # Mirrors the driver gate's dtype-tagged normalization. Applied
+    # IDENTICALLY to both sides (the oracle path uses fetchall(), which
+    # yields native date/datetime/int/Decimal — no pandas coercion of DATE
+    # to Timestamp, BIGINT-with-NULLs to float64, or LIST to ndarray).
+    # NaN maps to ("float", "NaN") on both sides — distinct from NULL.
     if v is None:
         return None
     if isinstance(v, bool):
@@ -80,8 +85,10 @@ def main() -> None:
         try:
             sdf = entry.fn(spark, SF_DIR)
             scols = sorted(sdf.columns)
+            # key=repr: row tuples can mix None with tagged tuples/strings,
+            # which are not mutually orderable — repr is.
             srows = sorted(
-                tuple(_norm(r[c]) for c in scols) for r in sdf.collect()
+                (tuple(_norm(r[c]) for c in scols) for r in sdf.collect()), key=repr
             )
             if entry.oracle is None:
                 results[name] = {
@@ -92,12 +99,12 @@ def main() -> None:
                 }
                 print(f"  {name}: rows_only {len(srows)} rows", flush=True)
                 continue
-            od = con.execute(entry.oracle).fetchdf()
-            ocols = sorted(od.columns)
+            rel = con.sql(entry.oracle)
+            dcols = rel.columns
+            ocols = sorted(dcols)
+            idx = [dcols.index(c) for c in ocols]
             orows = sorted(
-                tuple(_norm(None if (isinstance(v, float) and math.isnan(v)) else v)
-                      for v in (row[c] for c in ocols))
-                for row in od.to_dict("records")
+                (tuple(_norm(row[i]) for i in idx) for row in rel.fetchall()), key=repr
             )
             rows_match = len(srows) == len(orows)
             schema_match = scols == ocols
