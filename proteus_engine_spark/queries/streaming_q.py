@@ -823,6 +823,38 @@ def cep_not_followed_by(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cep_followed_by_any",
+    oracle="""
+    WITH s AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'signup'),
+         p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase')
+    SELECT s.user_id,
+           s.event_id AS signup_id, epoch_ms(s.ts) AS signup_ts,
+           p.event_id AS purchase_id, epoch_ms(p.ts) AS purchase_ts
+    FROM s JOIN p
+      ON s.user_id = p.user_id
+     AND (p.ts > s.ts OR (p.ts = s.ts AND p.event_id > s.event_id))
+     AND epoch_ms(p.ts) - epoch_ms(s.ts) <= 600000
+    """,
+    tags=("streaming", "cep"),
+)
+def cep_followed_by_any(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP skip-till-ANY-match (Pattern.followedByAny, flink-cep
+    Pattern.java:316): signup followedByAny purchase within 10 minutes —
+    EVERY in-window purchase after each signup produces a match, not just
+    the first (contrast cep_signup_purchase's rank-1 oracle: its oracle is
+    this one with rn = 1)."""
+    ev = load_table(spark, sf_dir, "events")
+    pat = (
+        Pattern.begin("signup", lambda r: r["event_type"] == "signup",
+                      expr="event_type = 'signup'")
+        .followed_by_any("purchase", lambda r: r["event_type"] == "purchase",
+                         expr="event_type = 'purchase'")
+        .within(600_000)
+    )
+    return match_pattern(ev, pat, key_col="user_id")
+
+
+@register(
     "cep_absence_alert",
     oracle="""
     WITH s AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'signup')

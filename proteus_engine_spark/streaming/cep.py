@@ -5,10 +5,11 @@ Reference: flink-libraries/flink-cep — Pattern.begin/next/followedBy/where/
 within (pattern/Pattern.java:123–536), notNext (:267), notFollowedBy
 (:298), CEP.pattern (CEP.java:38), PatternStream.select
 (PatternStream.java:92), NFA runtime (cep/nfa/NFA.java). Scope: begin,
-next (strict), followedBy (relaxed), notNext / notFollowedBy (negation,
-incl. trailing absence-with-within), within, times/oneOrMore/optional
-quantifiers, consecutive(). Not covered (documented in COVERAGE.md):
-followedByAny, until, subtype, greedy, group patterns.
+next (strict), followedBy (relaxed), followedByAny (skip-till-any-match),
+notNext / notFollowedBy (negation, incl. trailing absence-with-within),
+within, times/timesOrMore/oneOrMore/optional quantifiers, consecutive(),
+until (loop stop). Not covered (documented in COVERAGE.md): subtype (in
+Python a predicate is strictly more general), greedy, group patterns.
 
 Match semantics (mirrors the reference NFA defaults): every event
 satisfying step 0 opens a partial match; `next` requires the immediately
@@ -110,6 +111,42 @@ class Pattern:
         self.steps.append(Step(name, predicate, "followedBy", expr))
         return self
 
+    def followed_by_any(
+        self, name: str, predicate: Callable[[pd.Series], bool], expr: str | None = None
+    ) -> "Pattern":
+        """Pattern.followedByAny (Pattern.java:316): skip-till-ANY-match —
+        on a matching event the un-advanced partial survives alongside the
+        advanced branch, so EVERY later matching event also produces a
+        match (followedBy consumes only the first)."""
+        self.steps.append(Step(name, predicate, "followedByAny", expr))
+        return self
+
+    def times_or_more(self, n: int, consecutive: bool = False) -> "Pattern":
+        """Pattern.timesOrMore(int) (Pattern.java:396): last step matches n
+        or more events; like oneOrMore, a match is emitted per prefix once
+        the floor is reached."""
+        if n < 1:
+            raise ValueError("times_or_more(n) requires n >= 1")
+        if self.steps[-1].contiguity in ("notNext", "notFollowedBy"):
+            raise ValueError("quantifiers are not supported on negative steps")
+        self.steps[-1] = replace(
+            self.steps[-1], quantifier="timesOrMore", times_n=n, consecutive=consecutive
+        )
+        return self
+
+    def until(
+        self, predicate: Callable[[pd.Series], bool], expr: str | None = None
+    ) -> "Pattern":
+        """Pattern.until (Pattern.java:214): an event satisfying the
+        condition closes the last step's loop without being consumed by it
+        (prefix branches already spawned live on; a loop with no matches
+        yet dies). Only valid on a looping step, like the reference."""
+        last = self.steps[-1]
+        if last.quantifier not in ("oneOrMore", "timesOrMore"):
+            raise ValueError("until() requires a looping step (oneOrMore/timesOrMore)")
+        self.steps[-1] = replace(last, until_pred=predicate, until_expr=expr)
+        return self
+
     def not_next(
         self, name: str, predicate: Callable[[pd.Series], bool], expr: str | None = None
     ) -> "Pattern":
@@ -195,7 +232,13 @@ class Pattern:
             return None
         if any(s.expr is None for s in self.steps):
             return None
-        return " OR ".join(f"({s.expr})" for s in self.steps)
+        # until-stop events must reach the NFA too
+        if any(s.until_pred is not None and s.until_expr is None for s in self.steps):
+            return None
+        exprs = [s.expr for s in self.steps] + [
+            s.until_expr for s in self.steps if s.until_expr is not None
+        ]
+        return " OR ".join(f"({e})" for e in exprs)
 
     def validate(self) -> None:
         """Structural checks applied at match time (within() may be added
@@ -302,6 +345,16 @@ def _scan(
                 else:
                     out.append(p)  # irrelevant event: guard persists
             return
+        if (
+            step.quantifier in ("oneOrMore", "timesOrMore")
+            and step.until_pred is not None
+            and bool(step.until_pred(s))
+        ):
+            # Pattern.until: the stop event closes the loop without being
+            # consumed by it. Prefix branches spawned by earlier repeats
+            # live on as separate partials; this looping branch dies (a
+            # loop with zero matches so far can never reach its floor).
+            return
         matched = bool(step.predicate(s))
         t0 = p["t0"] if p["t0"] is not None else t
         if matched:
@@ -312,10 +365,19 @@ def _scan(
                 # extend the loop AND branch past the step (prefix match)
                 out.append({"idx": p["idx"], "cnt": cnt, "events": ev, "t0": t0})
                 place({"idx": p["idx"] + 1, "cnt": 0, "events": ev, "t0": t0}, out)
+            elif step.quantifier == "timesOrMore":
+                # loop always extends; prefix branches only at/after floor
+                out.append({"idx": p["idx"], "cnt": cnt, "events": ev, "t0": t0})
+                if cnt >= step.times_n:
+                    place({"idx": p["idx"] + 1, "cnt": 0, "events": ev, "t0": t0}, out)
             elif step.quantifier == "times" and cnt < step.times_n:
                 out.append({"idx": p["idx"], "cnt": cnt, "events": ev, "t0": t0})
             else:  # single, optional-taken, or times complete
                 place({"idx": p["idx"] + 1, "cnt": 0, "events": ev, "t0": t0}, out)
+            if step.contiguity == "followedByAny" and p["cnt"] == 0:
+                # skip-till-ANY-match: the branch that did NOT consume this
+                # event survives, so every later matching event also fires.
+                out.append(p)
         else:
             # mid-repeat contiguity is strict under consecutive(); the
             # step's own contiguity gates the first repeat.
@@ -368,7 +430,7 @@ def _match_columns(pattern: Pattern) -> list[str]:
         if st.contiguity in ("notNext", "notFollowedBy"):
             continue  # negative steps never consume an event
         cols += [f"{st.name}_id", f"{st.name}_ts"]
-        if st.quantifier == "oneOrMore":
+        if st.quantifier in ("oneOrMore", "timesOrMore"):
             cols.append(f"{st.name}_cnt")
     return cols
 
@@ -382,7 +444,7 @@ def _match_row(pattern: Pattern, m: dict) -> list:
             continue
         e = m.get(st.name)
         row += [int(e[0]), int(e[1])] if e else [None, None]
-        if st.quantifier == "oneOrMore":
+        if st.quantifier in ("oneOrMore", "timesOrMore"):
             row.append(int(e[2]) if e else None)
     return row
 

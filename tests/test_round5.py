@@ -123,6 +123,71 @@ def test_trailing_not_followed_by_completes_on_window_expiry():
     assert m == [] and len(open_) == 1
 
 
+# ---------------- followedByAny / until / timesOrMore ----------------
+
+
+def test_followed_by_any_matches_every_event():
+    pat = Pattern.begin("s", _etype("signup")).followed_by_any("p", _etype("purchase"))
+    m, _, _ = _run_nfa(
+        _frame([(1, 0, "signup"), (2, 1, "purchase"), (3, 2, "click"), (4, 3, "purchase")]),
+        pat, "ts", "event_id",
+    )
+    # followedBy would consume only event 2; followedByAny fires for both
+    assert sorted((x["s"][0], x["p"][0]) for x in m) == [(1, 2), (1, 4)]
+
+
+def test_followed_by_first_only_contrast():
+    pat = Pattern.begin("s", _etype("signup")).followed_by("p", _etype("purchase"))
+    m, _, _ = _run_nfa(
+        _frame([(1, 0, "signup"), (2, 1, "purchase"), (3, 2, "purchase")]),
+        pat, "ts", "event_id",
+    )
+    assert sorted((x["s"][0], x["p"][0]) for x in m) == [(1, 2)]
+
+
+def test_times_or_more_emits_from_floor():
+    pat = Pattern.begin("c", _etype("click")).times_or_more(2)
+    ev = _frame([(1, 0, "click"), (2, 1, "click"), (3, 2, "click")])
+    m, _, _ = _run_nfa(ev, pat, "ts", "event_id")
+    # overlapping starts (each click opens a partial): runs {1,2}, {1,2,3}
+    # from start 1 and {2,3} from start 2 reach the floor of 2
+    assert sorted((x["c"][0], x["c"][2]) for x in m) == [(2, 2), (3, 2), (3, 3)]
+
+
+def test_until_closes_the_loop():
+    pat = (
+        Pattern.begin("c", _etype("click"))
+        .one_or_more()
+        .until(_etype("stop"))
+    )
+    ev = _frame([(1, 0, "click"), (2, 1, "click"), (3, 2, "stop"), (4, 3, "click")])
+    m, _, _ = _run_nfa(ev, pat, "ts", "event_id")
+    # prefixes before the stop only (overlapping starts included); the
+    # click after the stop opens a NEW partial
+    got = sorted((x["c"][0], x["c"][2]) for x in m)
+    assert got == [(1, 1), (2, 1), (2, 2), (4, 1)]
+
+
+def test_until_requires_looping_step():
+    with pytest.raises(ValueError):
+        Pattern.begin("a", _etype("x")).until(_etype("y"))
+
+
+def test_until_expr_gates_prefilter():
+    pat = (
+        Pattern.begin("c", _etype("click"), expr="event_type = 'click'")
+        .one_or_more()
+        .until(_etype("stop"))
+    )
+    assert pat.prefilter_expr() is None  # until without expr → unsound
+    pat2 = (
+        Pattern.begin("c", _etype("click"), expr="event_type = 'click'")
+        .one_or_more()
+        .until(_etype("stop"), expr="event_type = 'stop'")
+    )
+    assert pat2.prefilter_expr() == "(event_type = 'click') OR (event_type = 'stop')"
+
+
 # ---------------- validation & prefilter ----------------
 
 
