@@ -1,0 +1,78 @@
+"""Explicit partitioning / ship-strategy surface (SURVEY §4 ship
+strategies; §2.2 DataSet utils).
+
+Reference: DataSet.partitionByHash (flink-java/.../DataSet.java:1276),
+partitionByRange (:1302), partitionCustom (:1334), rebalance (:1251);
+ship strategies PARTITION_HASH/RANGE/FORCED_REBALANCE/CUSTOM
+(flink-runtime/.../shipping/ShipStrategyType.java:41-66);
+DataSetUtils.zipWithIndex / zipWithUniqueId
+(flink-java/.../utils/DataSetUtils.java:68,119).
+
+Spark-first: these are thin, deliberate wrappers — Catalyst inserts
+exchanges automatically via EnsureRequirements, so explicit repartitioning
+is only for (a) co-locating a join/agg ahead of several reuses, (b) width
+control for CPU-bound stages AQE would coalesce, (c) output file layout.
+zipWithUniqueId is exactly monotonically_increasing_id (unique, sparse,
+partition-prefixed — both schemes shift a partition id into high bits);
+zipWithIndex needs the same two-phase per-partition count scheme the
+reference uses, which is what RDD.zipWithIndex implements.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def partition_by_hash(df: DataFrame, *cols: str | Column, n: int | None = None) -> DataFrame:
+    """PARTITION_HASH / DataSet.partitionByHash: hash-shuffle on the key.
+    Downstream per-key operators (groupBy/applyInPandas on the same key)
+    reuse this exchange instead of adding their own."""
+    return df.repartition(n, *cols) if n else df.repartition(*cols)
+
+
+def partition_by_range(df: DataFrame, *cols: str | Column, n: int | None = None) -> DataFrame:
+    """PARTITION_RANGE / DataSet.partitionByRange: range-shuffle (sampled
+    boundaries) — the global-sort layout, and the right layout for writing
+    ordered/clustered output files."""
+    return df.repartitionByRange(n, *cols) if n else df.repartitionByRange(*cols)
+
+
+def rebalance(df: DataFrame, n: int | None = None) -> DataFrame:
+    """PARTITION_FORCED_REBALANCE / DataSet.rebalance: round-robin
+    redistribution to break skew introduced upstream (e.g. a filter that
+    emptied most partitions). Costs a full shuffle of the data — at 100 TB
+    prefer AQE coalescing unless the skew is extreme."""
+    return df.repartition(n) if n else df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
+def partition_custom(df: DataFrame, key: Column, n: int | None = None) -> DataFrame:
+    """PARTITION_CUSTOM / DataSet.partitionCustom: Spark DataFrames have no
+    user Partitioner object; an arbitrary partitioning EXPRESSION is the
+    equivalent surface (hash of any computed key — salting, bucketing,
+    modulo schemes all express this way)."""
+    return df.repartition(n, key) if n else df.repartition(key)
+
+
+def zip_with_unique_id(df: DataFrame, out: str = "unique_id") -> DataFrame:
+    """DataSetUtils.zipWithUniqueId: unique but non-contiguous ids, no
+    extra pass — monotonically_increasing_id uses the same
+    partition-id-in-high-bits scheme the reference's counter shifting
+    does."""
+    return df.withColumn(out, F.monotonically_increasing_id())
+
+
+def zip_with_index(df: DataFrame, out: str = "idx") -> DataFrame:
+    """DataSetUtils.zipWithIndex: CONTIGUOUS 0-based ids in partition
+    order, via the same two-phase scheme as the reference (count per
+    partition, then offset) — RDD.zipWithIndex implements exactly that.
+    After an orderBy, partition order is the sort order, so the index is
+    the global rank. One extra job for the counts; no single-partition
+    bottleneck (the window row_number alternative collapses to one
+    task)."""
+    schema = df.schema
+    indexed = df.rdd.zipWithIndex().map(lambda pair: (*pair[0], pair[1]))
+    from pyspark.sql import types as T
+
+    new_schema = T.StructType(list(schema.fields) + [T.StructField(out, T.LongType(), False)])
+    return df.sparkSession.createDataFrame(indexed, new_schema)

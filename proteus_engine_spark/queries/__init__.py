@@ -28,15 +28,17 @@ from proteus_engine_spark.queries import (  # noqa: F401
 # (r2-only-green set this round; r1 set was rotated in r4 and passed), then
 # recent r4 greens to fill the 50.
 _GATE_PRIORITY = [
-    # round-5: new operators/gates (8)
+    # round-5: new operators/gates (9)
     "cep_not_followed_by",
     "cep_absence_alert",
+    "cep_followed_by_any",
     "stream_csv_tumble_agg",
     "iter_delta_sssp",
     "sort_partition_leaders",
     "from_rows_dim_join",
     "csv_roundtrip_agg",
     "insert_into_append",
+    "zip_with_index_ranked",
     # round-5: the 8 rows red in CORRECTNESS_r04 (ts decode root cause) (8)
     "stream_tumble_agg",
     "stream_hop_agg",
@@ -76,13 +78,11 @@ _GATE_PRIORITY = [
     "q17_small_quantity_revenue",
     "q19_discounted_revenue",
     "q22_sales_opportunity",
-    # recent green window fill (r4-verified) (6)
+    # recent green window fill (r4-verified) (4)
     "dedup_simhash",
     "dedup_embedding_cosine_lsh",
     "sim_ann_lsh",
     "sim_ann_ivf",
-    "multimodal_decode",
-    "explode_unnest",
 ]
 
 

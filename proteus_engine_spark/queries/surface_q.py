@@ -138,6 +138,26 @@ def csv_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "zip_with_index_ranked",
+    oracle="""
+    SELECT row_number() OVER (ORDER BY n_nationkey) - 1 AS idx, n_name
+    FROM nation
+    """,
+    tags=("source", "surface"),
+)
+def zip_with_index_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataSetUtils.zipWithIndex gate (DataSetUtils.java:68): contiguous
+    0-based indices assigned in partition order — after an orderBy the
+    partition order IS the sort order, so the index equals the global rank
+    and the oracle can state it as row_number()-1. Two-phase per-partition
+    counting (RDD.zipWithIndex), no single-task bottleneck."""
+    from proteus_engine_spark.operators.partitioning import zip_with_index
+
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return zip_with_index(nation.orderBy("n_nationkey")).select("idx", "n_name")
+
+
+@register(
     "insert_into_append",
     oracle="""
     SELECT o_orderstatus, COUNT(*) AS n

@@ -1,0 +1,62 @@
+"""Explicit partitioning / ship-strategy surface (DataSet.partitionByHash
+:1276, partitionByRange :1302, rebalance :1251, partitionCustom :1334;
+DataSetUtils.zipWithIndex :68 / zipWithUniqueId :119)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from proteus_engine_spark.operators.partitioning import (
+    partition_by_hash,
+    partition_by_range,
+    partition_custom,
+    rebalance,
+    zip_with_index,
+    zip_with_unique_id,
+)
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_partition_by_hash_plans_hash_exchange(spark):
+    df = spark.range(1000).withColumn("k", F.col("id") % 7)
+    plan = _plan(partition_by_hash(df, "k", n=8))
+    assert "hashpartitioning" in plan and "k#" in plan
+
+
+def test_partition_by_range_plans_range_exchange(spark):
+    df = spark.range(1000).withColumn("k", F.col("id") % 7)
+    plan = _plan(partition_by_range(df, "k", n=8))
+    assert "rangepartitioning" in plan
+
+
+def test_rebalance_round_robin(spark):
+    df = spark.range(1000).filter(F.col("id") < 10)  # skewed tiny remainder
+    out = rebalance(df, n=4)
+    assert "RoundRobinPartitioning" in _plan(out) or "roundrobin" in _plan(out).lower()
+    assert out.count() == 10
+
+
+def test_partition_custom_expression_key(spark):
+    df = spark.range(100)
+    out = partition_custom(df, (F.col("id") % 5).cast("int"), n=5)
+    assert out.count() == 100
+    assert "hashpartitioning" in _plan(out)
+
+
+def test_zip_with_unique_id_unique(spark):
+    df = spark.range(500).repartition(8)
+    out = zip_with_unique_id(df)
+    ids = [r["unique_id"] for r in out.collect()]
+    assert len(set(ids)) == 500
+
+
+def test_zip_with_index_contiguous_and_order_preserving(spark):
+    df = spark.range(100).withColumn("v", F.col("id") * 2).orderBy(F.col("id").desc())
+    out = zip_with_index(df)
+    rows = sorted((r["idx"], r["id"]) for r in out.collect())
+    # contiguous 0..99, and index follows the descending sort order
+    assert [i for i, _ in rows] == list(range(100))
+    assert rows[0] == (0, 99) and rows[99] == (99, 0)
