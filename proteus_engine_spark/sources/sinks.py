@@ -63,6 +63,17 @@ def write_parquet(
     w.parquet(path)
 
 
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Line-delimited JSON sink (the reference's JsonRowSerializationSchema
+    surface, file-backed)."""
+    df.write.mode(mode).json(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC columnar sink (reference: flink-formats orc writer) — native."""
+    df.write.mode(mode).orc(path)
+
+
 def insert_into(df: DataFrame, table: str, overwrite: bool = False) -> None:
     """Table.insertInto / sqlUpdate("INSERT INTO ...") parity (table.scala:876)."""
     df.write.insertInto(table, overwrite=overwrite)

@@ -110,6 +110,12 @@ def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
     return reader.json(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC columnar source (reference: flink-formats orc support) — native
+    in Spark with the same pushdown/pruning path parquet gets."""
+    return spark.read.orc(path)
+
+
 def from_rows(spark: SparkSession, rows, schema) -> DataFrame:
     """Local-collection source (ExecutionEnvironment.fromCollection parity,
     ExecutionEnvironment.java:600)."""

@@ -48,6 +48,27 @@ def test_write_csv_roundtrip(spark):
         assert sorted((r["id"], r["s"]) for r in back.collect()) == [("1", "a"), ("2", "b")]
 
 
+def test_write_orc_and_json_roundtrip(spark):
+    """ORC and line-JSON sinks/sources (reference flink-formats surface) —
+    both native Spark formats with typed round-trips."""
+    from proteus_engine_spark.sources.sinks import write_json, write_orc
+    from proteus_engine_spark.sources.tables import read_json, read_orc
+
+    df = spark.createDataFrame(
+        [(1, "a", 2.5), (2, "b", 3.5)], "id long, s string, v double"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        write_orc(df, f"{d}/orc")
+        back = read_orc(spark, f"{d}/orc")
+        assert dict(back.dtypes) == {"id": "bigint", "s": "string", "v": "double"}
+        assert sorted((r["id"], r["s"], r["v"]) for r in back.collect()) == [
+            (1, "a", 2.5), (2, "b", 3.5)]
+        write_json(df, f"{d}/json")
+        jback = read_json(spark, f"{d}/json", schema="id long, s string, v double")
+        assert sorted((r["id"], r["s"], r["v"]) for r in jback.collect()) == [
+            (1, "a", 2.5), (2, "b", 3.5)]
+
+
 def test_stream_foreach_batch_sink(spark):
     from proteus_engine_spark.streaming.sources import events_stream
 
