@@ -283,7 +283,7 @@ def embedding_cosine_pairs(
     Returns (id_a, id_b, cos_sim) with id_a < id_b, cos_sim rounded to 1e-6
     before the threshold cut so the cut is reproducible across engines.
     """
-    from proteus_engine_spark.datapipe.similarity import _dot, _norm, lsh_bucket
+    from proteus_engine_spark.datapipe.similarity import _dot, _norm, attach_lsh_buckets
 
     vec = F.col(vec_col).cast("array<double>")
     # Per-vector norm computed ONCE before the self-join — inside a block of
@@ -296,19 +296,14 @@ def embedding_cosine_pairs(
     else:
         if dim is None:
             raise ValueError("dim is required for LSH blocking (block_col=None)")
-        tables = F.array(
-            *[lsh_bucket(vec, dim, nbits, plane_offset=t * nbits) for t in range(n_tables)]
-        )
-        base = emb.select(
-            F.col(id_col),
-            vec.alias("__vec__"),
-            _norm(vec).alias("__n__"),
-            F.posexplode(tables).alias("__table__", "__bucket__"),
+        base = attach_lsh_buckets(
+            emb.select(F.col(id_col), vec.alias("__vec__"), _norm(vec).alias("__n__")),
+            F.col("__vec__"), dim, nbits, n_tables,
         ).select(
             F.col(id_col),
             F.col("__vec__"),
             F.col("__n__"),
-            (F.col("__table__") * F.lit(2**nbits) + F.col("__bucket__")).alias("__block__"),
+            (F.col("table") * F.lit(2**nbits) + F.col("bucket")).alias("__block__"),
         )
     left = base.select(
         F.col(id_col).alias("id_a"), F.col("__vec__").alias("vec_a"),
@@ -318,21 +313,23 @@ def embedding_cosine_pairs(
         F.col(id_col).alias("id_b"), F.col("__vec__").alias("vec_b"),
         F.col("__n__").alias("n_b"), "__block__",
     )
-    pairs = (
-        left.join(right, "__block__")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .drop("__block__")
-    )
-    if block_col is None:
-        # A pair can share buckets in several tables — emit it once.
-        pairs = pairs.dropDuplicates(["id_a", "id_b"])
     sim = F.round(
         _dot(F.col("vec_a"), F.col("vec_b")) / (F.col("n_a") * F.col("n_b")), 6
     )
-    return (
-        pairs.select("id_a", "id_b", sim.alias("cos_sim"))
-        .filter(F.col("cos_sim") >= threshold)
+    # Score in the join projection, THEN dedup: a multi-table collision is
+    # scored once per collision (identical value), but the dedup shuffle
+    # carries 24-byte (id_a, id_b, score) rows — the embedding vectors are
+    # consumed map-side where the bucket join produced them and never ride
+    # a shuffle.
+    scored = (
+        left.join(right, "__block__")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("cos_sim"))
     )
+    if block_col is None:
+        # A pair can share buckets in several tables — emit it once.
+        scored = scored.dropDuplicates(["id_a", "id_b"])
+    return scored.filter(F.col("cos_sim") >= threshold)
 
 
 def simhash_buckets(

@@ -86,10 +86,54 @@ def lsh_bucket(vec: Column, dim: int, nbits: int = 8, plane_offset: int = 0) -> 
     build multiple independent tables (banding for recall)."""
     bucket = F.lit(0).cast("long")
     for b in range(nbits):
-        plane = F.array(*[F.lit(v) for v in _hyperplane(dim, plane_offset + b)])
+        plane = F.lit(_hyperplane(dim, plane_offset + b))
         bit = (_dot(vec, plane) > 0).cast("long")
         bucket = bucket + F.shiftleft(bit, b)
     return bucket
+
+
+def _bucket_fold(vec: Column, bank: Column) -> Column:
+    """array<long> of per-table bucket ids: fold sign bits of the plane
+    dot products into an int per table (bit << i as bit * 2^i — shiftleft
+    needs a literal shift amount; exact in double for i < 53)."""
+    return F.transform(
+        bank,
+        lambda table: F.aggregate(
+            F.transform(
+                table,
+                lambda p, i: (_dot(vec, p) > 0).cast("long")
+                * F.pow(F.lit(2.0), i).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+
+
+def attach_lsh_buckets(
+    df: DataFrame, vec: Column, dim: int, nbits: int, n_tables: int
+) -> DataFrame:
+    """Add exploded (table, bucket) columns for every row: one row per
+    (input row, table).
+
+    The full hyperplane bank travels as DATA — a single-row broadcast
+    cross join — not as an expression tree: inlining n_tables×nbits
+    literal plane arrays into the projection makes Catalyst ANALYSIS the
+    bottleneck (2-3 s of driver time per query at 16 tables×64 dims,
+    re-paid on every plan traversal), while a one-row broadcast join plans
+    in milliseconds, costs nothing at runtime, and executes the identical
+    fold. At 100 TB the bank is still one row — the broadcast is free."""
+    planes = [
+        [_hyperplane(dim, t * nbits + b) for b in range(nbits)] for t in range(n_tables)
+    ]
+    bank = df.sparkSession.createDataFrame(
+        [(planes,)], "___bank array<array<array<double>>>"
+    )
+    return (
+        df.crossJoin(F.broadcast(bank))
+        .select("*", F.posexplode(_bucket_fold(vec, F.col("___bank"))).alias("table", "bucket"))
+        .drop("___bank")
+    )
 
 
 def kmeans_centroids(
@@ -230,29 +274,29 @@ def lsh_ann_topk(
     (table, bucket) key is 8 bytes, so at 100 TB the candidate join stays a
     plain shuffle-hash join; candidates per query are bounded by the bucket
     occupancy, never the corpus."""
-    tables = lambda v: F.array(  # noqa: E731
-        *[lsh_bucket(v, dim, nbits, plane_offset=t * nbits) for t in range(n_tables)]
+    q = attach_lsh_buckets(
+        queries.select(F.col(q_id), F.col(vec).alias("q_vec")),
+        F.col("q_vec"), dim, nbits, n_tables,
     )
-    q = queries.select(
-        F.col(q_id),
-        F.col(vec).alias("q_vec"),
-        F.posexplode(tables(F.col(vec))).alias("table", "bucket"),
+    c = attach_lsh_buckets(
+        corpus.select(F.col(c_id), F.col(vec).alias("c_vec")),
+        F.col("c_vec"), dim, nbits, n_tables,
     )
-    c = corpus.select(
-        F.col(c_id),
-        F.col(vec).alias("c_vec"),
-        F.posexplode(tables(F.col(vec))).alias("table", "bucket"),
-    )
-    cand = (
+    # Score BEFORE deduping: a pair colliding in several tables is scored
+    # once per collision (cheap, deterministic — identical value), but the
+    # dedup shuffle then carries 24-byte (q, c, score) rows instead of two
+    # full embedding vectors per row. At 100 TB the vectors never ride a
+    # shuffle at all: they are consumed map-side where the bucket join
+    # produced them.
+    scored = (
         F.broadcast(q)
         .join(c, ["table", "bucket"])
-        .select(q_id, "q_vec", c_id, "c_vec")
+        .select(
+            q_id,
+            c_id,
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+        )
         .dropDuplicates([q_id, c_id])
-    )
-    scored = cand.select(
-        q_id,
-        c_id,
-        F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
     )
     w = Window.partitionBy(q_id).orderBy(F.desc("cos_sim"), F.asc(c_id))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
