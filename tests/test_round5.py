@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import pandas as pd
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from proteus_engine_spark.streaming.cep import (
     Pattern,
@@ -231,6 +233,70 @@ def test_negation_prefilter_soundness():
         .followed_by("c", _etype("purchase"), expr="event_type = 'purchase'")
     )
     assert pat3.prefilter_expr() is None
+
+
+# ---------------- property: NFA vs brute-force reference ----------------
+
+
+def _brute_force_guarded(events, within_ms):
+    """Independent reference for begin(A).notFollowedBy(B).followedBy(C)
+    .within(W): for each A at i, scan forward; the first B-or-C event
+    decides (B → dead, C in-window → match); the within bound kills the
+    partial before any event past it is considered."""
+    out = []
+    for i, (eid_a, t_a, ty_a) in enumerate(events):
+        if ty_a != "a":
+            continue
+        for eid, t, ty in events[i + 1:]:
+            if t - t_a > within_ms:
+                break  # partial timed out before this event acted
+            if ty == "b":
+                break  # guard violated
+            if ty == "c":
+                out.append((eid_a, eid))
+                break
+    return out
+
+
+@given(
+    st.lists(st.sampled_from(["a", "b", "c", "x"]), min_size=0, max_size=24),
+    st.integers(min_value=1, max_value=12),
+)
+@settings(max_examples=200, deadline=None)
+def test_not_followed_by_matches_brute_force(types, within):
+    events = [(i, i * 1000, ty) for i, ty in enumerate(types)]
+    pat = (
+        Pattern.begin("A", _etype("a"))
+        .not_followed_by("B", _etype("b"))
+        .followed_by("C", _etype("c"))
+        .within(within * 1000)
+    )
+    m, _, _ = _run_nfa(_frame(events), pat, "ts", "event_id")
+    got = sorted((x["A"][0], x["C"][0]) for x in m)
+    assert got == sorted(_brute_force_guarded(events, within * 1000))
+
+
+@given(st.lists(st.sampled_from(["a", "b", "c", "x"]), min_size=0, max_size=24))
+@settings(max_examples=200, deadline=None)
+def test_not_next_matches_brute_force(types):
+    events = [(i, i * 1000, ty) for i, ty in enumerate(types)]
+    pat = Pattern.begin("A", _etype("a")).not_next("B", _etype("b")).followed_by(
+        "C", _etype("c")
+    )
+    m, _, _ = _run_nfa(_frame(events), pat, "ts", "event_id")
+    got = sorted((x["A"][0], x["C"][0]) for x in m)
+    # reference: A at i; the immediate next event must not be b; then the
+    # first c at or after i+1 completes
+    want = []
+    for i, (_, _, ty) in enumerate(events):
+        if ty != "a" or i + 1 >= len(events):
+            continue
+        if events[i + 1][2] == "b":
+            continue
+        nxt = next((e for e in events[i + 1:] if e[2] == "c"), None)
+        if nxt is not None:
+            want.append((i, nxt[0]))
+    assert got == sorted(want)
 
 
 # ---------------- end-to-end (batch + stream) ----------------
