@@ -265,26 +265,43 @@ def embedding_cosine_pairs(
     dim: int | None = None,
     nbits: int = 4,
     n_tables: int = 8,
+    scorer: str = "gemm",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs.
 
     Two blocking regimes:
     - ``block_col`` given → exact all-pairs *within* blocks (language,
-      cluster label, shard …). The self-join shuffles on the block key, so
-      the cartesian term is bounded by the largest block — at 100 TB pick a
-      block with bounded cardinality or pre-split hot blocks.
+      cluster label, shard …). The cartesian term is bounded by the largest
+      block — at 100 TB pick a block with bounded cardinality or pre-split
+      hot blocks.
     - ``block_col=None`` → approximate: ``n_tables`` independent
       random-hyperplane signatures of ``nbits`` each (requires ``dim``);
       candidates are bucket-mates in ANY table (minhash-banding analogue,
-      recall 1-(1-p^nbits)^n_tables), then exact-cosine verified. The join
-      key is (table, bucket) — 8 bytes — so the plan is a plain
-      shuffle-hash self-join that survives any corpus size.
+      recall 1-(1-p^nbits)^n_tables), then exact-cosine verified. The
+      blocking key is (table, bucket) — 8 bytes — so the plan survives any
+      corpus size.
 
-    Returns (id_a, id_b, cos_sim) with id_a < id_b, cos_sim rounded to 1e-6
-    before the threshold cut so the cut is reproducible across engines.
+    Two scorers:
+    - ``"gemm"`` (default): ONE shuffle of (id, vector) on the block key
+      into applyInPandas; each block scores all its pairs as a single BLAS
+      ``V @ V.T`` and emits only rows above the threshold. ~b×dim
+      multiply-adds per block pair-side run at memory bandwidth instead of
+      one interpreted expression-fold per pair, and the vectors ride one
+      exchange instead of two (a self-join shuffles both sides).
+    - ``"fold"``: pure-DataFrame self-join on the block key with a
+      JVM-side sequential-fold dot product — no Python in the plan; the
+      exact expression mirror of the DuckDB oracle.
+    Both round to 1e-6 before the threshold cut; on the driver corpus the
+    rounded scores are bit-identical (verified pair-for-pair at sf0.01 and
+    sf0.1 — BLAS pairwise summation and the sequential fold agree to
+    ~1e-15 relative, far inside the rounding quantum).
+
+    Returns (id_a, id_b, cos_sim) with id_a < id_b.
     """
     from proteus_engine_spark.datapipe.similarity import _dot, _norm, attach_lsh_buckets
 
+    if scorer not in ("gemm", "fold"):
+        raise ValueError(f"unknown scorer {scorer!r}: expected 'gemm' or 'fold'")
     vec = F.col(vec_col).cast("array<double>")
     # Per-vector norm computed ONCE before the self-join — inside a block of
     # b vectors each norm would otherwise be re-folded b times per side.
@@ -305,31 +322,77 @@ def embedding_cosine_pairs(
             F.col("__n__"),
             (F.col("table") * F.lit(2**nbits) + F.col("bucket")).alias("__block__"),
         )
-    left = base.select(
-        F.col(id_col).alias("id_a"), F.col("__vec__").alias("vec_a"),
-        F.col("__n__").alias("n_a"), "__block__",
-    )
-    right = base.select(
-        F.col(id_col).alias("id_b"), F.col("__vec__").alias("vec_b"),
-        F.col("__n__").alias("n_b"), "__block__",
-    )
-    sim = F.round(
-        _dot(F.col("vec_a"), F.col("vec_b")) / (F.col("n_a") * F.col("n_b")), 6
-    )
-    # Score in the join projection, THEN dedup: a multi-table collision is
-    # scored once per collision (identical value), but the dedup shuffle
-    # carries 24-byte (id_a, id_b, score) rows — the embedding vectors are
-    # consumed map-side where the bucket join produced them and never ride
-    # a shuffle.
-    scored = (
-        left.join(right, "__block__")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", sim.alias("cos_sim"))
-    )
+    if scorer == "gemm":
+        scored = _gemm_block_pairs(base, emb.schema[id_col].dataType, threshold)
+    else:
+        left = base.select(
+            F.col(id_col).alias("id_a"), F.col("__vec__").alias("vec_a"),
+            F.col("__n__").alias("n_a"), "__block__",
+        )
+        right = base.select(
+            F.col(id_col).alias("id_b"), F.col("__vec__").alias("vec_b"),
+            F.col("__n__").alias("n_b"), "__block__",
+        )
+        sim = F.round(
+            _dot(F.col("vec_a"), F.col("vec_b")) / (F.col("n_a") * F.col("n_b")), 6
+        )
+        # Score in the join projection, THEN dedup: a multi-table collision
+        # is scored once per collision (identical value), but the dedup
+        # shuffle carries 24-byte (id_a, id_b, score) rows — the embedding
+        # vectors are consumed map-side where the bucket join produced them
+        # and never ride a shuffle.
+        scored = (
+            left.join(right, "__block__")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", sim.alias("cos_sim"))
+            .filter(F.col("cos_sim") >= threshold)
+        )
     if block_col is None:
         # A pair can share buckets in several tables — emit it once.
         scored = scored.dropDuplicates(["id_a", "id_b"])
-    return scored.filter(F.col("cos_sim") >= threshold)
+    return scored
+
+
+def _gemm_block_pairs(base: DataFrame, id_type, threshold: float) -> DataFrame:
+    """All-pairs cosine within each ``__block__`` group as one BLAS gram
+    matrix per block (applyInPandas over (__block__)). Emits (id_a, id_b,
+    cos_sim ≥ threshold) with id_a < id_b by column value. The threshold
+    cut runs inside the worker, so only accepted pairs ever leave Python."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", id_type),
+            T.StructField("id_b", id_type),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        b = len(pdf)
+        if b < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
+        ids = pdf["__id__"].to_numpy()
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["__vec__"]])
+        norms = pdf["__n__"].to_numpy(dtype=np.float64)
+        C = np.round((M @ M.T) / np.outer(norms, norms), 6)
+        iu, ju = np.triu_indices(b, k=1)
+        keep = C[iu, ju] >= threshold
+        iu, ju = iu[keep], ju[keep]
+        sims = C[iu, ju]
+        ia, ib = ids[iu].copy(), ids[ju].copy()
+        swap = ia > ib  # id_a < id_b by VALUE, not by row position
+        ia[swap], ib[swap] = ids[ju][swap], ids[iu][swap]
+        return pd.DataFrame({"id_a": ia, "id_b": ib, "cos_sim": sims})
+
+    first_id = base.columns[0]
+    prepared = base.select(
+        F.col(first_id).alias("__id__"), "__vec__", "__n__", "__block__"
+    )
+    return prepared.groupBy("__block__").applyInPandas(score, out_schema)
 
 
 def simhash_buckets(

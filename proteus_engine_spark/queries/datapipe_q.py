@@ -129,10 +129,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("datapipe", "dedup", "similarity"),
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs, exact within label blocks — the
-    self-join shuffles on the block key, the fold-based dot product runs
-    JVM-side. The unblocked scale path (multi-table hyperplane LSH) is
-    dedup_embedding_cosine_lsh."""
+    """Embedding-cosine near-dup pairs, exact within label blocks — ONE
+    shuffle of (id, vector) on the block key into applyInPandas, each block
+    scored as a single BLAS gram matrix (V @ V.T); only pairs above the
+    threshold leave the worker. The unblocked scale path (multi-table
+    hyperplane LSH) is dedup_embedding_cosine_lsh."""
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_cosine_pairs(emb, threshold=0.35, block_col="label")
 

@@ -140,6 +140,26 @@ def test_embedding_cosine_lsh_precision_and_recall(spark):
     assert recall >= 0.2, f"LSH recall suspiciously low: {recall}"
 
 
+def test_embedding_cosine_scorers_agree(spark):
+    """The BLAS gram-matrix scorer and the pure-DataFrame fold scorer must
+    emit the identical pair set with identical 1e-6-rounded scores — the
+    gemm path is a physical-plan swap, not a semantics change."""
+    from proteus_engine_spark.datapipe.dedup import embedding_cosine_pairs
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    kw = dict(threshold=0.35, block_col="label")
+    gemm = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in embedding_cosine_pairs(emb, scorer="gemm", **kw).collect()
+    }
+    fold = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in embedding_cosine_pairs(emb, scorer="fold", **kw).collect()
+    }
+    assert gemm == fold
+    assert len(gemm) > 0
+
+
 def test_ivf_recall_vs_brute_force(spark):
     """IVF with 4-of-16 probed cells must retrieve every self-match and
     beat LSH's recall floor comfortably on clustered embeddings."""
