@@ -28,7 +28,8 @@ from proteus_engine_spark.queries import (  # noqa: F401
 # (r2-only-green set this round; r1 set was rotated in r4 and passed), then
 # recent r4 greens to fill the 50.
 _GATE_PRIORITY = [
-    # round-5: new operators/gates (9)
+    # round-5: new operators/gates (11)
+    "cep_greedy_click_run",
     "cep_not_followed_by",
     "cep_absence_alert",
     "cep_followed_by_any",

@@ -890,3 +890,57 @@ def cep_absence_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .within(600_000)
     )
     return match_pattern(ev, pat, key_col="user_id")
+
+
+@register(
+    "cep_greedy_click_run",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, ts,  event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events),
+    clicks AS (
+      SELECT user_id, event_id, ts, rn,
+             rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+      FROM seq WHERE event_type = 'click'),
+    islands AS (
+      SELECT user_id, grp, min(rn) AS a, max(rn) AS b
+      FROM clicks GROUP BY user_id, grp),
+    pur AS (
+      SELECT i.user_id, i.b, min(p.rn) AS prn
+      FROM islands i JOIN seq p
+        ON p.user_id = i.user_id AND p.rn > i.b AND p.event_type = 'purchase'
+      GROUP BY i.user_id, i.b)
+    SELECT i.user_id,
+           lc.event_id AS click_id, epoch_ms(lc.ts) AS click_ts,
+           (i.b - st.rn + 1) AS click_cnt,
+           pr.event_id AS purchase_id, epoch_ms(pr.ts) AS purchase_ts
+    FROM islands i
+    JOIN clicks st ON st.user_id = i.user_id AND st.rn BETWEEN i.a AND i.b
+    JOIN clicks lc ON lc.user_id = i.user_id AND lc.rn = i.b
+    JOIN pur    pu ON pu.user_id = i.user_id AND pu.b = i.b
+    JOIN seq    pr ON pr.user_id = i.user_id AND pr.rn = pu.prn
+    WHERE epoch_ms(pr.ts) - epoch_ms(st.ts) <= 7200000
+    """,
+    tags=("streaming", "cep"),
+)
+def cep_greedy_click_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP greedy loop (Pattern.greedy, flink-cep Pattern.java:361):
+    maximal consecutive click run, then the first purchase after it,
+    within 2 hours of the run suffix's start. Greedy spawns no per-prefix
+    exit branches — each partial consumes its whole run and hands the
+    run-breaking event to the (relaxed) purchase step, so every match's
+    click_cnt is the run length from its start position (a non-greedy
+    one_or_more here would emit every prefix of every suffix against
+    every later purchase). Oracle: gaps-and-islands — maximal click
+    islands per user sequence, one row per suffix start, joined to the
+    first later purchase."""
+    ev = load_table(spark, sf_dir, "events")
+    pat = (
+        Pattern.begin("click", lambda r: r["event_type"] == "click")
+        .one_or_more(consecutive=True)
+        .greedy()
+        .followed_by("purchase", lambda r: r["event_type"] == "purchase")
+        .within(7_200_000)
+    )
+    return match_pattern(ev, pat, key_col="user_id")

@@ -8,8 +8,9 @@ within (pattern/Pattern.java:123–536), notNext (:267), notFollowedBy
 next (strict), followedBy (relaxed), followedByAny (skip-till-any-match),
 notNext / notFollowedBy (negation, incl. trailing absence-with-within),
 within, times/timesOrMore/oneOrMore/optional quantifiers, consecutive(),
-until (loop stop). Not covered (documented in COVERAGE.md): subtype (in
-Python a predicate is strictly more general), greedy, group patterns.
+until (loop stop), greedy (maximal consecutive runs, Pattern.java:361).
+Not covered (documented in COVERAGE.md): subtype (in Python a predicate is
+strictly more general), group patterns.
 
 Match semantics (mirrors the reference NFA defaults): every event
 satisfying step 0 opens a partial match; `next` requires the immediately
@@ -59,6 +60,10 @@ class Step:
     # consumed by it
     until_pred: Callable[[pd.Series], bool] | None = None
     until_expr: str | None = None
+    # greedy loop (Pattern.greedy, Pattern.java:361): consume as many
+    # events as possible — no per-prefix exit branches; the loop hands off
+    # to the next step only when an event breaks the run
+    greedy: bool = False
 
 
 @dataclass
@@ -144,7 +149,30 @@ class Pattern:
         last = self.steps[-1]
         if last.quantifier not in ("oneOrMore", "timesOrMore"):
             raise ValueError("until() requires a looping step (oneOrMore/timesOrMore)")
+        if last.greedy:
+            raise ValueError("until() on a greedy loop is not supported")
         self.steps[-1] = replace(last, until_pred=predicate, until_expr=expr)
+        return self
+
+    def greedy(self) -> "Pattern":
+        """Pattern.greedy (Pattern.java:361): the last step's loop consumes
+        as many events as possible. No per-prefix exit branches are
+        spawned; the partial leaves the loop only when an event breaks the
+        run — that breaking event is offered to the following step (so
+        `followed_by` after a greedy loop matches the FIRST later event,
+        and `next` requires the breaking event itself to match). Engine
+        restriction (keeps the semantics crisp and oracle-checkable):
+        greedy requires consecutive() repeats — a maximal CONTIGUOUS run —
+        and, like the reference (FLINK-8914), cannot be the pattern's last
+        step; until() is not combinable."""
+        last = self.steps[-1]
+        if last.quantifier not in ("oneOrMore", "timesOrMore"):
+            raise ValueError("greedy() requires a looping step (oneOrMore/timesOrMore)")
+        if not last.consecutive:
+            raise ValueError("greedy() requires consecutive() repeats (maximal contiguous run)")
+        if last.until_pred is not None:
+            raise ValueError("greedy() with until() is not supported")
+        self.steps[-1] = replace(last, greedy=True)
         return self
 
     def not_next(
@@ -251,6 +279,10 @@ class Pattern:
             raise ValueError("notNext cannot be the last step")
         if last.contiguity == "notFollowedBy" and self.within_ms is None:
             raise ValueError("a trailing notFollowedBy requires within()")
+        if last.greedy:
+            # FLINK-8914 parity: a greedy loop needs a following step to
+            # hand the run-breaking event to.
+            raise ValueError("a greedy loop cannot be the last step")
 
 
 def _run_nfa(
@@ -362,13 +394,16 @@ def _scan(
             ev = dict(p["events"])
             ev[step.name] = (eid, t, cnt)
             if step.quantifier == "oneOrMore":
-                # extend the loop AND branch past the step (prefix match)
+                # extend the loop AND branch past the step (prefix match);
+                # greedy spawns NO prefix branches — the loop exits only in
+                # the not-matched arm below, when an event breaks the run
                 out.append({"idx": p["idx"], "cnt": cnt, "events": ev, "t0": t0})
-                place({"idx": p["idx"] + 1, "cnt": 0, "events": ev, "t0": t0}, out)
+                if not step.greedy:
+                    place({"idx": p["idx"] + 1, "cnt": 0, "events": ev, "t0": t0}, out)
             elif step.quantifier == "timesOrMore":
                 # loop always extends; prefix branches only at/after floor
                 out.append({"idx": p["idx"], "cnt": cnt, "events": ev, "t0": t0})
-                if cnt >= step.times_n:
+                if cnt >= step.times_n and not step.greedy:
                     place({"idx": p["idx"] + 1, "cnt": 0, "events": ev, "t0": t0}, out)
             elif step.quantifier == "times" and cnt < step.times_n:
                 out.append({"idx": p["idx"], "cnt": cnt, "events": ev, "t0": t0})
@@ -379,6 +414,18 @@ def _scan(
                 # event survives, so every later matching event also fires.
                 out.append(p)
         else:
+            if step.greedy and p["cnt"] >= (
+                step.times_n if step.quantifier == "timesOrMore" else 1
+            ):
+                # greedy hand-off: the maximal run just ended — offer the
+                # run-breaking event to the following step (it may consume
+                # it, or relaxed-skip it). The loop branch itself dies
+                # (consecutive repeats are broken by this event).
+                advance(
+                    {"idx": p["idx"] + 1, "cnt": 0, "events": dict(p["events"]), "t0": p["t0"]},
+                    s, t, eid, out,
+                )
+                return
             # mid-repeat contiguity is strict under consecutive(); the
             # step's own contiguity gates the first repeat.
             strict = (step.contiguity == "next") if p["cnt"] == 0 else (

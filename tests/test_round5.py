@@ -344,3 +344,111 @@ def test_cep_stream_trailing_negation_matches_batch(spark):
     # user 1: no purchase ever, click at +29min confirms → match.
     # user 2: purchase 1 min after signup → guard violated.
     assert stream_rows == batch_rows == [(1, 0)]
+
+
+# ---------------- greedy ----------------
+
+
+def test_greedy_consumes_maximal_run():
+    """a a a b: greedy emits exactly ONE match per run suffix (cnt = run
+    length from that start), never shorter prefixes."""
+    pat = (
+        Pattern.begin("a", _etype("click"))
+        .one_or_more(consecutive=True)
+        .greedy()
+        .followed_by("b", _etype("purchase"))
+    )
+    frame = _frame([(1, 100, "click"), (2, 200, "click"), (3, 300, "click"), (4, 400, "purchase")])
+    matches, _, _ = _run_nfa(frame, pat, "ts", "event_id")
+    got = sorted((m["a"][2], m["b"][0]) for m in matches)  # (cnt, purchase_id)
+    assert got == [(1, 4), (2, 4), (3, 4)]  # one per start, maximal each
+
+
+def test_non_greedy_emits_every_prefix():
+    """Same input WITHOUT greedy: each start emits every prefix count —
+    the behavior greedy suppresses."""
+    pat = (
+        Pattern.begin("a", _etype("click"))
+        .one_or_more(consecutive=True)
+        .followed_by("b", _etype("purchase"))
+    )
+    frame = _frame([(1, 100, "click"), (2, 200, "click"), (3, 300, "click"), (4, 400, "purchase")])
+    matches, _, _ = _run_nfa(frame, pat, "ts", "event_id")
+    got = sorted((m["a"][2], m["b"][0]) for m in matches)
+    assert got == [(1, 4), (1, 4), (1, 4), (2, 4), (2, 4), (3, 4)]
+
+
+def test_greedy_handoff_event_can_be_consumed():
+    """The run-breaking event itself satisfying the next step: click click
+    purchase — the purchase both ends the loop and matches step b."""
+    pat = (
+        Pattern.begin("a", _etype("click"))
+        .one_or_more(consecutive=True)
+        .greedy()
+        .followed_by("b", _etype("purchase"))
+    )
+    frame = _frame([(1, 100, "click"), (2, 200, "click"), (3, 300, "purchase")])
+    matches, _, _ = _run_nfa(frame, pat, "ts", "event_id")
+    got = sorted((m["a"][2], m["b"][0]) for m in matches)
+    assert got == [(1, 3), (2, 3)]
+
+
+def test_greedy_relaxed_skip_after_handoff():
+    """click click error purchase: the error breaks the run and is handed
+    to the relaxed purchase step, which skips it and takes the purchase."""
+    pat = (
+        Pattern.begin("a", _etype("click"))
+        .one_or_more(consecutive=True)
+        .greedy()
+        .followed_by("b", _etype("purchase"))
+    )
+    frame = _frame(
+        [(1, 100, "click"), (2, 200, "click"), (3, 300, "error"), (4, 400, "purchase")]
+    )
+    matches, _, _ = _run_nfa(frame, pat, "ts", "event_id")
+    got = sorted((m["a"][2], m["b"][0]) for m in matches)
+    assert got == [(1, 4), (2, 4)]
+
+
+def test_greedy_run_with_no_following_event_emits_nothing():
+    pat = (
+        Pattern.begin("a", _etype("click"))
+        .one_or_more(consecutive=True)
+        .greedy()
+        .followed_by("b", _etype("purchase"))
+    )
+    frame = _frame([(1, 100, "click"), (2, 200, "click")])
+    matches, partials, _ = _run_nfa(frame, pat, "ts", "event_id")
+    assert matches == []
+    assert len(partials) == 2  # both runs still open in the loop
+
+
+def test_greedy_validation():
+    with pytest.raises(ValueError, match="looping"):
+        Pattern.begin("a", _etype("click")).greedy()
+    with pytest.raises(ValueError, match="consecutive"):
+        Pattern.begin("a", _etype("click")).one_or_more().greedy()
+    with pytest.raises(ValueError, match="until"):
+        (
+            Pattern.begin("a", _etype("click"))
+            .one_or_more(consecutive=True)
+            .until(_etype("error"))
+            .greedy()
+        )
+    with pytest.raises(ValueError, match="last step"):
+        (
+            Pattern.begin("a", _etype("click"))
+            .one_or_more(consecutive=True)
+            .greedy()
+            .validate()
+        )
+    # timesOrMore floor gates the hand-off
+    pat = (
+        Pattern.begin("a", _etype("click"))
+        .times_or_more(2, consecutive=True)
+        .greedy()
+        .followed_by("b", _etype("purchase"))
+    )
+    frame = _frame([(1, 100, "click"), (2, 200, "purchase")])
+    matches, _, _ = _run_nfa(frame, pat, "ts", "event_id")
+    assert matches == []  # single click never reaches the floor of 2
