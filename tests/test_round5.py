@@ -452,3 +452,34 @@ def test_greedy_validation():
     frame = _frame([(1, 100, "click"), (2, 200, "purchase")])
     matches, _, _ = _run_nfa(frame, pat, "ts", "event_id")
     assert matches == []  # single click never reaches the floor of 2
+
+
+def test_cep_stream_greedy_matches_batch(spark):
+    """A greedy run straddling a micro-batch boundary must keep extending
+    (no premature hand-off at the batch edge): clicks in batch 0 continue
+    in batch 1 before the purchase."""
+    a = [_ev(0, 1, 1, "click"), _ev(1, 2, 1, "click")]
+    b = [_ev(2, 3, 1, "click"), _ev(3, 4, 1, "purchase")]
+    pat = (
+        Pattern.begin("click", _etype("click"))
+        .one_or_more(consecutive=True)
+        .greedy()
+        .followed_by("purchase", _etype("purchase"))
+        .within(7_200_000)
+    )
+    stream = _two_batch_stream(spark, a, b, EV_SCHEMA)
+    out = match_pattern_stream(stream, pat, key_col="user_id")
+    q = out.writeStream.outputMode("append").format("memory").queryName("cep_greedy_test").start()
+    q.processAllAvailable()
+    q.stop()
+    stream_rows = sorted(
+        (r["user_id"], r["click_cnt"], r["purchase_id"])
+        for r in spark.table("cep_greedy_test").collect()
+    )
+    batch_df = spark.createDataFrame(a + b, EV_SCHEMA)
+    batch_rows = sorted(
+        (r["user_id"], r["click_cnt"], r["purchase_id"])
+        for r in match_pattern(batch_df, pat, key_col="user_id").collect()
+    )
+    # one match per run suffix, each maximal: cnt 3, 2, 1 — never prefixes
+    assert stream_rows == batch_rows == [(1, 1, 3), (1, 2, 3), (1, 3, 3)]
