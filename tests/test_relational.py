@@ -78,3 +78,18 @@ def test_sim_bruteforce_broadcasts_queries(spark):
     any scale."""
     plan = REGISTRY["sim_topk_bruteforce"].fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_embedding_cosine_gemm_single_shuffle(spark):
+    """The blocked gemm scorer must shuffle the vectors exactly once (on
+    the block key, into applyInPandas) — the fold path's self-join
+    exchanges both sides, which doubles the vector traffic at 100 TB."""
+    from proteus_engine_spark.datapipe.dedup import embedding_cosine_pairs
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = (
+        embedding_cosine_pairs(emb, threshold=0.35, block_col="label")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1
+    assert "FlatMapGroupsInPandas" in plan
