@@ -353,11 +353,26 @@ def embedding_cosine_pairs(
     return scored
 
 
+# Gram-matrix row-tile width for the gemm scorer: bounds the scratch
+# matrix to TILE × block_size doubles (~16 MB per 1k-wide tile at a
+# 1M-row block) instead of block_size², so a pathological hot block
+# degrades to more BLAS calls, not an executor OOM. The block itself
+# (rows + vectors) still materializes in the worker — LSH block sizing
+# (prefix_bits / band count) is the real guard at 100 TB.
+_GEMM_TILE = 2048
+
+
 def _gemm_block_pairs(base: DataFrame, id_type, threshold: float) -> DataFrame:
-    """All-pairs cosine within each ``__block__`` group as one BLAS gram
-    matrix per block (applyInPandas over (__block__)). Emits (id_a, id_b,
-    cos_sim ≥ threshold) with id_a < id_b by column value. The threshold
-    cut runs inside the worker, so only accepted pairs ever leave Python."""
+    """All-pairs cosine within each ``__block__`` group as BLAS gram-matrix
+    row tiles per block (applyInPandas over (__block__)). Emits (id_a,
+    id_b, cos_sim ≥ threshold) with id_a < id_b by column value (equal-id
+    pairs from duplicate input ids are dropped, matching the fold path's
+    strict inequality). The threshold cut runs inside the worker, so only
+    accepted pairs ever leave Python. Rounding is HALF_UP via
+    floor(|x|·1e6 + 0.5) — bit-identical to Spark's F.round / the DuckDB
+    oracle, including on 1e-6 midpoints (numpy's np.round is half-to-even
+    and would diverge there). Null vectors are filtered before the worker,
+    like the fold path's null cos_sim filter."""
     import numpy as np
     import pandas as pd
 
@@ -378,18 +393,32 @@ def _gemm_block_pairs(base: DataFrame, id_type, threshold: float) -> DataFrame:
         ids = pdf["__id__"].to_numpy()
         M = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["__vec__"]])
         norms = pdf["__n__"].to_numpy(dtype=np.float64)
-        C = np.round((M @ M.T) / np.outer(norms, norms), 6)
-        iu, ju = np.triu_indices(b, k=1)
-        keep = C[iu, ju] >= threshold
-        iu, ju = iu[keep], ju[keep]
-        sims = C[iu, ju]
-        ia, ib = ids[iu].copy(), ids[ju].copy()
-        swap = ia > ib  # id_a < id_b by VALUE, not by row position
-        ia[swap], ib[swap] = ids[ju][swap], ids[iu][swap]
-        return pd.DataFrame({"id_a": ia, "id_b": ib, "cos_sim": sims})
+        out_a, out_b, out_s = [], [], []
+        for lo in range(0, b, _GEMM_TILE):
+            hi = min(lo + _GEMM_TILE, b)
+            G = (M[lo:hi] @ M.T) / np.outer(norms[lo:hi], norms)
+            C = np.sign(G) * np.floor(np.abs(G) * 1e6 + 0.5) / 1e6
+            ti, tj = np.nonzero(C >= threshold)
+            gi = ti + lo
+            upper = tj > gi  # strict upper triangle in global coordinates
+            gi, gj, ti = gi[upper], tj[upper], ti[upper]
+            ia, ib = ids[gi].copy(), ids[gj].copy()
+            swap = ia > ib  # id_a < id_b by VALUE, not by row position
+            ia[swap], ib[swap] = ids[gj][swap], ids[gi][swap]
+            neq = ia != ib  # duplicate input ids: no self-pairs
+            out_a.append(ia[neq])
+            out_b.append(ib[neq])
+            out_s.append(C[ti, gj][neq])
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cos_sim": np.concatenate(out_s),
+            }
+        )
 
     first_id = base.columns[0]
-    prepared = base.select(
+    prepared = base.filter(F.col("__vec__").isNotNull()).select(
         F.col(first_id).alias("__id__"), "__vec__", "__n__", "__block__"
     )
     return prepared.groupBy("__block__").applyInPandas(score, out_schema)

@@ -417,14 +417,19 @@ def _scan(
             if step.greedy and p["cnt"] >= (
                 step.times_n if step.quantifier == "timesOrMore" else 1
             ):
-                # greedy hand-off: the maximal run just ended — offer the
-                # run-breaking event to the following step (it may consume
-                # it, or relaxed-skip it). The loop branch itself dies
-                # (consecutive repeats are broken by this event).
-                advance(
+                # greedy hand-off: the maximal run just ended — enter the
+                # following step with place() semantics (so an optional
+                # next step forks its skip-twin, recursively), then offer
+                # the run-breaking event to every entered branch (each may
+                # consume it, or relaxed-skip it). The loop branch itself
+                # dies (consecutive repeats are broken by this event).
+                entered: list[dict] = []
+                place(
                     {"idx": p["idx"] + 1, "cnt": 0, "events": dict(p["events"]), "t0": p["t0"]},
-                    s, t, eid, out,
+                    entered,
                 )
+                for q in entered:
+                    advance(q, s, t, eid, out)
                 return
             # mid-repeat contiguity is strict under consecutive(); the
             # step's own contiguity gates the first repeat.
