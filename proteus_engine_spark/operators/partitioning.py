@@ -65,14 +65,38 @@ def zip_with_unique_id(df: DataFrame, out: str = "unique_id") -> DataFrame:
 def zip_with_index(df: DataFrame, out: str = "idx") -> DataFrame:
     """DataSetUtils.zipWithIndex: CONTIGUOUS 0-based ids in partition
     order, via the same two-phase scheme as the reference (count per
-    partition, then offset) — RDD.zipWithIndex implements exactly that.
-    After an orderBy, partition order is the sort order, so the index is
-    the global rank. One extra job for the counts; no single-partition
-    bottleneck (the window row_number alternative collapses to one
-    task)."""
-    schema = df.schema
-    indexed = df.rdd.zipWithIndex().map(lambda pair: (*pair[0], pair[1]))
-    from pyspark.sql import types as T
+    partition, then cumulative offset — DataSetUtils.java:68). After an
+    orderBy, partition order is the sort order, so the index is the global
+    rank.
 
-    new_schema = T.StructType(list(schema.fields) + [T.StructField(out, T.LongType(), False)])
-    return df.sparkSession.createDataFrame(indexed, new_schema)
+    Entirely JVM-side Catalyst — no RDD round-trip, no Python
+    serialization pass: rows are tagged with (spark_partition_id,
+    monotonically_increasing_id) in one projection, per-partition counts
+    become cumulative offsets (a window over #partitions rows, trivial),
+    and the offsets broadcast-join back onto the tag. The final
+    row_number window partitions by the ORIGINAL partition id, so
+    parallelism equals the input partition count — no single-task global
+    window. One extra counting job, like RDD.zipWithIndex; both passes
+    recompute the input, so the input must be deterministic (file scans,
+    deterministic transforms — the same constraint RDD.zipWithIndex
+    carries for its two passes)."""
+    from pyspark.sql.window import Window
+
+    tagged = df.withColumn("__mid__", F.monotonically_increasing_id()).withColumn(
+        "__pid__", F.spark_partition_id()
+    )
+    counts = tagged.groupBy("__pid__").agg(F.count(F.lit(1)).alias("__cnt__"))
+    w_off = Window.orderBy("__pid__").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__pid__",
+        F.coalesce(F.sum("__cnt__").over(w_off), F.lit(0)).cast("long").alias("__off__"),
+    )
+    w_local = Window.partitionBy("__pid__").orderBy("__mid__")
+    return (
+        tagged.join(F.broadcast(offsets), "__pid__")
+        .withColumn(
+            out,
+            (F.row_number().over(w_local).cast("long") - 1 + F.col("__off__")),
+        )
+        .drop("__pid__", "__mid__", "__off__")
+    )

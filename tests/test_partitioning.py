@@ -60,3 +60,24 @@ def test_zip_with_index_contiguous_and_order_preserving(spark):
     # contiguous 0..99, and index follows the descending sort order
     assert [i for i, _ in rows] == list(range(100))
     assert rows[0] == (0, 99) and rows[99] == (99, 0)
+
+
+def test_zip_with_index_plan_is_jvm_only(spark):
+    # The whole scheme must stay inside Catalyst: no Python evaluation
+    # node, no RDD scan (the r5 implementation round-tripped every row
+    # through df.rdd.zipWithIndex — a full-corpus Python pass at 100 TB).
+    df = spark.range(1000).repartition(8)
+    plan = _plan(zip_with_index(df))
+    assert "BatchEvalPython" not in plan
+    assert "ExistingRDD" not in plan
+    assert "row_number" in plan
+    # offsets arrive via broadcast, not a shuffled join
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
+
+
+def test_zip_with_index_multi_partition_counts(spark):
+    # uneven partitions: offsets must accumulate per-partition counts
+    df = spark.range(1003).repartition(7)
+    out = zip_with_index(df)
+    idxs = [r["idx"] for r in out.collect()]
+    assert sorted(idxs) == list(range(1003))
