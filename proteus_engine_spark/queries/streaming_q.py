@@ -26,6 +26,7 @@ from proteus_engine_spark.streaming.side_inputs import (
 from proteus_engine_spark.streaming.async_io import async_enrich
 from proteus_engine_spark.streaming.sources import events_stream, run_to_completion
 from proteus_engine_spark.streaming.stateful import (
+    bounded_over_agg,
     count_window_agg,
     event_time_sort,
     process_keyed,
@@ -944,3 +945,30 @@ def cep_greedy_click_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         .within(7_200_000)
     )
     return match_pattern(ev, pat, key_col="user_id")
+
+
+@register(
+    "stream_over_bounded_rows",
+    oracle="""
+    SELECT user_id, event_id, ts,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS w_sum,
+           COUNT(*) OVER w AS w_cnt,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+             / COUNT(*) OVER w AS w_avg
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("streaming", "over"),
+)
+def stream_over_bounded_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming BOUNDED OVER aggregation (DataStreamOverAggregate.scala:
+    250-276 / RowTimeBoundedRowsOver parity): per-key SUM/COUNT/AVG over
+    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW, one output row per event,
+    the last 4 values carried in keyed state (the reference keeps the same
+    bound in its retraction MapState). The oracle is the equivalent batch
+    bounded window — identical because the state carries exact integer
+    cents and in-batch rows are processed in (ts, event_id) order."""
+    ev = events_stream(spark, sf_dir)
+    out = bounded_over_agg(ev, "user_id", "ts", "value", n_rows=5)
+    return run_to_completion(out, "stream_over_bounded_sink", "append")

@@ -186,3 +186,95 @@ def insert_into_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     even.write.mode("overwrite").option("path", path).saveAsTable(tbl)
     insert_into(odd, tbl)
     return spark.table(tbl).groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
+
+
+from proteus_engine_spark.functions.udf import (  # noqa: E402
+    AggregateFunction,
+    ScalarFunction,
+    register_function,
+)
+
+
+class _FlagStatusBucket(ScalarFunction):
+    """Vectorized ScalarFunction (ScalarFunction.scala:47): Arrow-batched
+    two-argument eval over pandas Series — the pandas_udf fast path, not
+    a row loop."""
+
+    vectorized = True
+    return_type = "string"
+
+    def eval(self, flag, status):
+        return (flag + "/" + status).str.lower()
+
+
+class _WeightedAvg(AggregateFunction):
+    """AggregateFunction (AggregateFunction.scala:97) with the
+    createAccumulator/accumulate/getValue contract. Accumulates exact
+    Python integers (quantities are integral), so the result is
+    order-independent and hash-stable against the SQL mirror
+    SUM(x*w)/SUM(w)."""
+
+    return_type = "double"
+
+    def create_accumulator(self):
+        return (0, 0)
+
+    def accumulate(self, acc, x, w):
+        return (acc[0] + int(x) * int(w), acc[1] + int(w))
+
+    def get_value(self, acc):
+        return None if acc[1] == 0 else acc[0] / acc[1]
+
+
+class _CountAgg(AggregateFunction):
+    """Trivial counting AggregateFunction: Spark forbids mixing a
+    GROUPED_AGG pandas UDF with built-in aggregates in one aggregation
+    (INVALID_PANDAS_UDF_PLACEMENT), so the gate's row count comes from a
+    second registered UDAF instead of COUNT(*)."""
+
+    return_type = "long"
+
+    def create_accumulator(self):
+        return 0
+
+    def accumulate(self, acc, *_args):
+        return acc + 1
+
+    def get_value(self, acc):
+        return acc
+
+
+@register(
+    "udf_scalar_weighted",
+    oracle="""
+    SELECT lower(l_returnflag || '/' || l_linestatus) AS bucket,
+           CAST(SUM(l_quantity * l_linenumber) AS DOUBLE) / SUM(l_linenumber)
+             AS wavg_qty,
+           COUNT(*) AS n_items
+    FROM lineitem
+    GROUP BY bucket
+    """,
+    tags=("udf", "surface"),
+)
+def udf_scalar_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-function registration gate (TableEnvironment.registerFunction,
+    TableEnvironment.scala:325): lineitem routes through BOTH halves of the
+    extension API from SQL — a registered vectorized ScalarFunction builds
+    the group key and a registered AggregateFunction (GROUPED_AGG
+    pandas_udf; Spark places partial/final aggregation itself) computes a
+    linenumber-weighted average quantity. The oracle recomputes both in
+    plain SQL, so a broken eval, a mis-registered return type, or a
+    dropped accumulator state fails the gate."""
+    register_function(spark, "flag_status_bucket", _FlagStatusBucket())
+    register_function(spark, "wavg_qty", _WeightedAvg())
+    register_function(spark, "udf_count", _CountAgg())
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_udf_gate")
+    return spark.sql(
+        """
+        SELECT flag_status_bucket(l_returnflag, l_linestatus) AS bucket,
+               wavg_qty(l_quantity, l_linenumber) AS wavg_qty,
+               udf_count(l_linenumber) AS n_items
+        FROM lineitem_udf_gate
+        GROUP BY flag_status_bucket(l_returnflag, l_linestatus)
+        """
+    )

@@ -222,6 +222,81 @@ def running_over_agg(
     )
 
 
+def bounded_over_agg(
+    stream: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    n_rows: int,
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Streaming bounded OVER aggregation: per-key SUM/COUNT/AVG over
+    ``ROWS BETWEEN (n_rows-1) PRECEDING AND CURRENT ROW`` in event-time
+    order — one output row per input row.
+
+    Reference: DataStreamOverAggregate.scala:250-276 routes bounded
+    ROWS-preceding OVER windows to RowTimeBoundedRowsOver.scala /
+    ProcTimeBoundedRowsOver.scala — a keyed ProcessFunction that retracts
+    the row falling out of the window as each new row arrives, keeping the
+    last n rows in MapState. Same shape here: keyed state carries the last
+    ``n_rows - 1`` values (as exact integer cents), each batch prepends the
+    carried tail and computes all window sums with one cumsum difference —
+    no per-row Python loop.
+
+    Determinism: exact-cents accumulation (order-independent), in-batch
+    rows processed in (ts, id) order, so on in-order replay the result
+    hash-matches the batch SQL ``ROWS BETWEEN n-1 PRECEDING AND CURRENT
+    ROW`` window. State is O(n_rows) per key — the same bound the
+    reference's retraction state has.
+    """
+    import numpy as np
+
+    if n_rows < 1:
+        raise ValueError("n_rows must be >= 1")
+    out_schema = (
+        f"{key_col} long, {id_col} long, {ts_col} timestamp, "
+        "w_sum double, w_cnt long, w_avg double"
+    )
+
+    def transition(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        tail = list(state.get[0]) if state.exists and state.get[0] is not None else []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values([ts_col, id_col], kind="mergesort")
+            cents = np.rint(pdf[value_col].to_numpy(dtype="float64") * 100).astype("int64")
+            carried = np.asarray(tail, dtype="int64")
+            allc = np.concatenate([carried, cents])
+            csum = np.concatenate([[0], np.cumsum(allc)])
+            gi = len(carried) + np.arange(len(cents))
+            start = np.maximum(0, gi - n_rows + 1)
+            wsum = (csum[gi + 1] - csum[start]) / 100.0
+            wcnt = gi + 1 - start
+            yield pd.DataFrame(
+                {
+                    key_col: pdf[key_col].values,
+                    id_col: pdf[id_col].values,
+                    ts_col: pdf[ts_col].values,
+                    "w_sum": wsum,
+                    "w_cnt": wcnt,
+                    "w_avg": wsum / wcnt,
+                }
+            )
+            tail = allc[len(allc) - min(len(allc), n_rows - 1):].tolist()
+        state.update((tail,))
+
+    return (
+        stream.select(key_col, id_col, ts_col, value_col)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            transition, out_schema, "tail array<long>", "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def process_keyed(
     stream: DataFrame,
     key_cols: list[str],

@@ -153,3 +153,27 @@ def test_gemm_tiling_matches_full_gram(spark, monkeypatch):
     }
     assert full == tiled
     assert len(full) > 0
+
+
+# ---------------- streaming bounded OVER ----------------
+
+
+def test_bounded_over_agg_carries_tail_across_batches(spark):
+    """ROWS 2 PRECEDING..CURRENT per key across a micro-batch boundary:
+    the carried tail (last n-1 cents) must seed the next batch's windows
+    (RowTimeBoundedRowsOver retraction-state parity)."""
+    from proteus_engine_spark.streaming.stateful import bounded_over_agg
+    from tests.test_streaming import EV_SCHEMA, _ev, _two_batch_stream
+
+    a = [_ev(i, i + 1, 1, "x", float(i + 1)) for i in range(4)]   # values 1..4
+    b = [_ev(i, i + 1, 1, "x", float(i + 1)) for i in range(4, 6)]  # 5, 6
+    out = bounded_over_agg(
+        _two_batch_stream(spark, a, b, EV_SCHEMA), "user_id", "ts", "value", n_rows=3
+    )
+    q = out.writeStream.outputMode("append").format("memory").queryName("bover_test").start()
+    q.processAllAvailable()
+    q.stop()
+    rows = sorted(spark.table("bover_test").collect(), key=lambda r: r["event_id"])
+    assert [r["w_sum"] for r in rows] == [1.0, 3.0, 6.0, 9.0, 12.0, 15.0]
+    assert [r["w_cnt"] for r in rows] == [1, 2, 3, 3, 3, 3]
+    assert rows[-1]["w_avg"] == 5.0
