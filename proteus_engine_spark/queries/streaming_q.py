@@ -972,3 +972,54 @@ def stream_over_bounded_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = events_stream(spark, sf_dir)
     out = bounded_over_agg(ev, "user_id", "ts", "value", n_rows=5)
     return run_to_completion(out, "stream_over_bounded_sink", "append")
+
+
+@register(
+    "cep_allow_combinations",
+    oracle="""
+    WITH s AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'signup'),
+    o AS (SELECT s.user_id, s.event_id AS signup_id, epoch_ms(s.ts) AS signup_ts,
+                 c.event_id AS act_id, epoch_ms(c.ts) AS act_ts,
+                 row_number() OVER (PARTITION BY s.user_id, s.event_id
+                                    ORDER BY c.ts, c.event_id) AS ord
+          FROM s JOIN events c ON s.user_id = c.user_id
+            AND (c.ts > s.ts OR (c.ts = s.ts AND c.event_id > s.event_id))
+            AND epoch_ms(c.ts) - epoch_ms(s.ts) <= 14400000),
+    x AS (SELECT o.*, 1 AS act_cnt FROM o WHERE ord = 1
+          UNION ALL
+          SELECT o.*, unnest(generate_series(2, ord)) AS act_cnt FROM o WHERE ord >= 2),
+    m AS (SELECT *, CASE WHEN act_cnt = 1 THEN CAST(1 AS BIGINT)
+                         ELSE CAST(factorial(CAST(ord - 2 AS INTEGER))
+                              / (factorial(CAST(act_cnt - 2 AS INTEGER))
+                                 * factorial(CAST(ord - act_cnt AS INTEGER)))
+                              AS BIGINT) END AS mult
+          FROM x),
+    r AS (SELECT user_id, signup_id, signup_ts, act_id, act_ts, act_cnt,
+                 unnest(generate_series(1, mult)) AS rep
+          FROM m)
+    SELECT user_id, signup_id, signup_ts, act_id, act_ts, act_cnt FROM r
+    """,
+    tags=("streaming", "cep"),
+)
+def cep_allow_combinations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP allowCombinations (Pattern.allowCombinations, Pattern.java:347
+    — skip-till-any BETWEEN loop repeats): signup followedBy activity+
+    within 4 hours, where the loop may skip intermediate events — every
+    event combination containing the first in-window event matches. A
+    match reports the loop's last event and its repeat count, so the
+    all-subsets oracle enumerates, for each signup and each j-th in-window
+    event, every size c in 2..j with multiplicity C(j-2, c-2) (the middle
+    elements chosen between the pinned first event and the last), plus the
+    singleton first event — replicated via unnest(generate_series) in
+    DuckDB. Eager oneOrMore (cep_one_or_more) emits only the j prefixes;
+    the binomial multiplicities are exactly what this mode adds."""
+    ev = load_table(spark, sf_dir, "events")
+    pat = (
+        Pattern.begin("signup", lambda r: r["event_type"] == "signup",
+                      expr="event_type = 'signup'")
+        .followed_by("act", lambda r: True, expr="true")
+        .one_or_more()
+        .allow_combinations()
+        .within(14_400_000)
+    )
+    return match_pattern(ev, pat, key_col="user_id")

@@ -64,6 +64,11 @@ class Step:
     # events as possible — no per-prefix exit branches; the loop hands off
     # to the next step only when an event breaks the run
     greedy: bool = False
+    # skip-till-any between loop repeats (Pattern.allowCombinations,
+    # Pattern.java:347): on a repeat match the un-extended loop branch
+    # also survives, so later matching events can be taken with gaps —
+    # every combination containing the first loop event matches
+    combinations: bool = False
 
 
 @dataclass
@@ -152,6 +157,27 @@ class Pattern:
         if last.greedy:
             raise ValueError("until() on a greedy loop is not supported")
         self.steps[-1] = replace(last, until_pred=predicate, until_expr=expr)
+        return self
+
+    def allow_combinations(self) -> "Pattern":
+        """Pattern.allowCombinations (Pattern.java:347): relaxes the
+        contiguity BETWEEN loop repeats to skip-till-any — after the first
+        loop event, every later matching event can either extend a branch
+        or be skipped by it, so all combinations that contain the first
+        matched loop event are emitted (FlinkCEP docs' combinations table:
+        input a1 a2 a3 → a1; a1 a2; a1 a3; a1 a2 a3). The first event is
+        still pinned by the step's own entry contiguity (followedBy takes
+        the first matching event; use followedByAny for any-entry).
+        Exponential branch growth is inherent — the reference carries the
+        same warning. Not combinable with consecutive() (strict repeats
+        contradict skipping) or greedy()."""
+        last = self.steps[-1]
+        if last.quantifier not in ("oneOrMore", "timesOrMore"):
+            raise ValueError("allow_combinations() requires a looping step (oneOrMore/timesOrMore)")
+        if last.consecutive:
+            # also excludes greedy loops: greedy() requires consecutive()
+            raise ValueError("allow_combinations() with consecutive() is contradictory")
+        self.steps[-1] = replace(last, combinations=True)
         return self
 
     def greedy(self) -> "Pattern":
@@ -400,11 +426,18 @@ def _scan(
                 out.append({"idx": p["idx"], "cnt": cnt, "events": ev, "t0": t0})
                 if not step.greedy:
                     place({"idx": p["idx"] + 1, "cnt": 0, "events": ev, "t0": t0}, out)
+                if step.combinations and p["cnt"] >= 1:
+                    # allowCombinations: the branch that SKIPS this repeat
+                    # survives (skip-till-any between repeats; the first
+                    # repeat stays pinned by the entry contiguity)
+                    out.append(p)
             elif step.quantifier == "timesOrMore":
                 # loop always extends; prefix branches only at/after floor
                 out.append({"idx": p["idx"], "cnt": cnt, "events": ev, "t0": t0})
                 if cnt >= step.times_n and not step.greedy:
                     place({"idx": p["idx"] + 1, "cnt": 0, "events": ev, "t0": t0}, out)
+                if step.combinations and p["cnt"] >= 1:
+                    out.append(p)
             elif step.quantifier == "times" and cnt < step.times_n:
                 out.append({"idx": p["idx"], "cnt": cnt, "events": ev, "t0": t0})
             else:  # single, optional-taken, or times complete

@@ -177,3 +177,51 @@ def test_bounded_over_agg_carries_tail_across_batches(spark):
     assert [r["w_sum"] for r in rows] == [1.0, 3.0, 6.0, 9.0, 12.0, 15.0]
     assert [r["w_cnt"] for r in rows] == [1, 2, 3, 3, 3, 3]
     assert rows[-1]["w_avg"] == 5.0
+
+
+# ---------------- CEP allowCombinations ----------------
+
+
+def test_allow_combinations_matches_docs_table():
+    """FlinkCEP docs combinations table: after the pinned first loop event
+    a1, every combination of later events matches — a1; a1a2; a1a3;
+    a1a2a3 — reported as (last_event, count)."""
+    pat = (
+        Pattern.begin("s", _etype("s"))
+        .followed_by("a", _etype("a"))
+        .one_or_more()
+        .allow_combinations()
+    )
+    m, _, _ = _run_nfa(
+        _frame([(0, 0, "s"), (1, 1, "a"), (2, 2, "a"), (3, 3, "a")]), pat, "ts", "event_id"
+    )
+    assert sorted((x["a"][0], x["a"][2]) for x in m) == [(1, 1), (2, 2), (3, 2), (3, 3)]
+
+
+def test_allow_combinations_skips_non_matching_and_keeps_branches():
+    # a x a: the skip branch and the eager branch coincide on non-matching
+    # events; combinations still adds the {a1, a3}-style gap subsets when a
+    # matching event is skipped: a1; a1a2; a1a4; a1a2a4
+    pat = (
+        Pattern.begin("s", _etype("s"))
+        .followed_by("a", _etype("a"))
+        .one_or_more()
+        .allow_combinations()
+    )
+    m, _, _ = _run_nfa(
+        _frame([(0, 0, "s"), (1, 1, "a"), (2, 2, "a"), (3, 3, "x"), (4, 4, "a")]),
+        pat, "ts", "event_id",
+    )
+    assert sorted((x["a"][0], x["a"][2]) for x in m) == [
+        (1, 1), (2, 2), (4, 2), (4, 3)
+    ]
+
+
+def test_allow_combinations_validation():
+    with pytest.raises(ValueError, match="looping"):
+        Pattern.begin("a", _etype("a")).allow_combinations()
+    # consecutive (and therefore greedy, which requires it) is rejected
+    with pytest.raises(ValueError, match="consecutive"):
+        Pattern.begin("a", _etype("a")).one_or_more(consecutive=True).allow_combinations()
+    with pytest.raises(ValueError, match="consecutive"):
+        Pattern.begin("a", _etype("a")).one_or_more().allow_combinations().greedy()
