@@ -278,3 +278,32 @@ def udf_scalar_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY flag_status_bucket(l_returnflag, l_linestatus)
         """
     )
+
+
+@register(
+    "text_roundtrip_initials",
+    oracle="""
+    SELECT substr(p_name, 1, 1) AS initial, COUNT(*) AS n,
+           SUM(length(p_name)) AS total_len
+    FROM part GROUP BY initial
+    """,
+    tags=("source", "sink", "surface"),
+)
+def text_roundtrip_initials(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readTextFile/writeAsText gate (ExecutionEnvironment.readTextFile,
+    ExecutionEnvironment.java:391-ish overloads; DataSet.writeAsText,
+    DataSet.java:1492): part names are written as raw text lines, read
+    back through the line source, and aggregated by initial with a length
+    checksum — a mangled line (lost newline, encoding slip, truncation)
+    changes total_len or the group counts and fails the oracle."""
+    from proteus_engine_spark.sources.sinks import write_text
+    from proteus_engine_spark.sources.tables import read_text
+
+    path = _scratch("text_part", sf_dir)
+    part = load_table(spark, sf_dir, "part").select(F.col("p_name").cast("string"))
+    write_text(part, path, mode="overwrite")
+    back = read_text(spark, path)
+    return back.groupBy(F.substring("value", 1, 1).alias("initial")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.length("value")).alias("total_len"),
+    )
