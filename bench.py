@@ -42,6 +42,7 @@ HEADLINE = [
     "window_session",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "zip_with_index_bulk",
     "dedup_embedding_cosine",
     "sim_topk_bruteforce",
     "asof_join_events",

@@ -20,70 +20,71 @@ from proteus_engine_spark.queries import (  # noqa: F401
     windows_q,
 )
 
-# Round-5 priority window (the driver checks the first ~50 registry
-# entries): new round-5 queries first, then the 8 streaming rows red in r4
-# (ts decode fixed this round), then queries whose shared code changed this
-# round (events_stream rewrite touches every stream_*; the CEP core gained
-# negation; minhash was re-planned), then the rotating regression sample
-# (r2-only-green set this round; r1 set was rotated in r4 and passed), then
-# recent r4 greens to fill the 50.
+# Round-6 priority window (the driver checks the first ~50 registry
+# entries): the 4 queries added after the round-5 snapshot (never
+# driver-checked) first, then queries whose shared code changed post-r5
+# (cep.py greedy-optional hand-off fix, dedup.py gemm edge cases,
+# partitioning.py Catalyst-only zip_with_index rewrite), then the 26
+# queries whose only driver verification was round 1 (the stalest set),
+# then the r3-only-green batch, then r4 greens to fill the 50. The r1/r2
+# rotations (r4, r5) both passed clean; this closes the freshness loop on
+# every remaining pre-r3 row.
 _GATE_PRIORITY = [
-    # round-5: new operators/gates (11)
-    "cep_greedy_click_run",
-    "cep_not_followed_by",
-    "cep_absence_alert",
-    "cep_followed_by_any",
-    "stream_csv_tumble_agg",
-    "iter_delta_sssp",
-    "sort_partition_leaders",
-    "from_rows_dim_join",
-    "csv_roundtrip_agg",
-    "insert_into_append",
+    # round-6: new operators/gates, never driver-checked (5)
+    "udf_scalar_weighted",
+    "stream_over_bounded_rows",
+    "cep_allow_combinations",
+    "text_roundtrip_initials",
+    "zip_with_index_bulk",
+    # shared-code re-verify: files rewritten after the r5 snapshot (3)
     "zip_with_index_ranked",
-    # round-5: the 8 rows red in CORRECTNESS_r04 (ts decode root cause) (8)
-    "stream_tumble_agg",
-    "stream_hop_agg",
-    "stream_session_agg",
-    "stream_event_time_sort",
-    "stream_interval_join",
-    "stream_over_running_agg",
-    "stream_tumble_append",
-    "stream_idle_timeout",
-    # shared-code re-verify: events_stream consumers + CEP core + minhash (11)
-    "dedup_minhash_lsh",
-    "stream_unbounded_agg",
-    "stream_count_window",
-    "stream_dedup",
-    "async_enrich_lookup",
-    "stream_side_input_forwarded",
-    "cep_signup_purchase",
-    "cep_strict_next",
-    "cep_times_consecutive",
-    "cep_one_or_more",
-    "cep_timeout_signups",
-    # regression rotation: r2-only-green set (17)
-    "setop_union_all",
-    "setop_union_distinct",
-    "setop_intersect",
-    "setop_intersect_all",
-    "setop_except",
-    "setop_except_all",
-    "window_hop",
-    "over_rank_functions",
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_supplier_part_count",
-    "q17_small_quantity_revenue",
-    "q19_discounted_revenue",
-    "q22_sales_opportunity",
-    # recent green window fill (r4-verified) (4)
-    "dedup_simhash",
+    "cep_greedy_click_run",
     "dedup_embedding_cosine_lsh",
-    "sim_ann_lsh",
+    # regression rotation: checked only in round 1 — stalest set (26)
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "text_quality_stats",
+    "text_language_id",
+    "text_fingerprint",
+    "sim_topk_bruteforce",
+    "fn_conditional_suite",
+    "fn_array_suite",
+    "fn_cast_suite",
+    "join_left_outer",
+    "join_right_outer",
+    "join_full_outer",
+    "join_anti",
+    "join_cross",
+    "join_single_row",
+    "join_theta",
+    "cogroup_counts",
+    "agg_distinct",
+    "agg_minby_maxby",
+    "agg_grouping_sets",
+    "agg_rollup",
+    "agg_cube",
+    "agg_stats_exact",
+    "agg_collect",
+    "agg_having",
+    "distinct_rows",
+    # regression rotation: r3-only-green batch (11)
+    "dedup_exact",
+    "fn_math_suite",
+    "fn_json_suite",
+    "sort_limit_offset",
+    "subquery_in",
+    "agg_reduce_group_sorted",
+    "stream_side_input_keyed",
+    "stream_side_input_broadcast",
+    "stream_split_select",
+    "window_count_tumbling",
+    "window_tumble_sql",
+    # recent green window fill (r4-verified) (5)
     "sim_ann_ivf",
+    "multimodal_decode",
+    "iter_connected_components",
+    "asof_join_events",
+    "range_join_events",
 ]
 
 

@@ -158,6 +158,43 @@ def zip_with_index_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "zip_with_index_bulk",
+    oracle="""
+    WITH t AS (
+      SELECT l_returnflag,
+             row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS idx
+      FROM lineitem
+    )
+    SELECT l_returnflag, COUNT(*) AS n,
+           CAST(SUM(idx) AS BIGINT) AS idx_sum,
+           MIN(idx) AS idx_min, MAX(idx) AS idx_max
+    FROM t GROUP BY l_returnflag
+    """,
+    tags=("surface", "bench"),
+)
+def zip_with_index_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zipWithIndex at table scale (DataSetUtils.java:68) — the 25-row
+    nation gate can't see a scale regression, so this one pushes the whole
+    lineitem table through the two-phase index assignment and folds the
+    indices into per-flag (count, sum, min, max). The sum is exquisitely
+    order-sensitive: any dropped/duplicated/misassigned index shifts it.
+    Sort keys (l_orderkey, l_linenumber) form the table's primary key, so
+    the rank oracle has no tie ambiguity."""
+    from proteus_engine_spark.operators.partitioning import zip_with_index
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag"
+    )
+    indexed = zip_with_index(li.orderBy("l_orderkey", "l_linenumber"))
+    return indexed.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("idx").alias("idx_sum"),
+        F.min("idx").alias("idx_min"),
+        F.max("idx").alias("idx_max"),
+    )
+
+
+@register(
     "insert_into_append",
     oracle="""
     SELECT o_orderstatus, COUNT(*) AS n
