@@ -134,6 +134,7 @@ def minhash_lsh_pairs(
     shingle_k: int = 3,
     jaccard_threshold: float = 0.7,
     verify: str = "estimate",
+    persist_signatures: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs via banded MinHash-LSH.
 
@@ -151,6 +152,16 @@ def minhash_lsh_pairs(
       8-byte band keys, the heavy token sets are only shuffled for pairs
       that already collided — and the exact values are engine-portable
       (oracle-checkable), unlike the xxhash64 signatures.
+
+    ``persist_signatures`` trades storage for the estimate tier's second
+    signature evaluation: the narrow (id, mh_*) table — num_perm×8 B/doc —
+    is persisted MEMORY_AND_DISK so the hash pass runs once even though the
+    plan references it twice (candidate generation + signature re-attach).
+    Off by default: the exact tier never needs it (single reference by
+    construction), and the persisted blocks live until the caller drops the
+    returned DataFrame (Spark's ContextCleaner reclaims them) or calls
+    ``spark.catalog.clearCache()`` — a lazily-returned result cannot scope
+    its own unpersist.
     """
     if verify not in ("estimate", "exact"):
         raise ValueError(f"unknown verify {verify!r}: expected 'estimate' or 'exact'")
@@ -164,6 +175,10 @@ def minhash_lsh_pairs(
     # the signature subplan per side — AQE broadcasts one side, so exchange
     # reuse never kicks in and the whole hash pass runs twice).
     mh = _minhash_columns(docs, id_col, text_col, num_perm, shingle_k)
+    if persist_signatures and verify == "estimate":
+        from pyspark import StorageLevel
+
+        mh = mh.persist(StorageLevel.MEMORY_AND_DISK)
 
     band_cols = [
         F.xxhash64(*[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(

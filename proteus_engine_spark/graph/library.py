@@ -1,0 +1,263 @@
+"""Gelly library algorithms on DataFrames (SURVEY §2.11).
+
+The reference ships a graph library in-tree (flink-libraries/flink-gelly):
+vertex metrics (library/metric/.../VertexMetrics.java, Graph.java
+inDegrees/outDegrees/getDegrees), TriangleEnumerator.java,
+linkanalysis/PageRank.java, LabelPropagation.java, and
+similarity/JaccardIndex.java. ConnectedComponents and
+SingleSourceShortestPaths already live in `operators.iterations` as the
+iterate/iterateDelta clients.
+
+Spark-first: a graph here is just an edge DataFrame (src, dst) — every
+algorithm is joins + aggregations Catalyst can plan (shuffle on vertex
+ids, AQE-coalesced), and the iterative ones reuse `iterations.iterate`'s
+lineage-truncated loop. Nothing crosses into Python.
+
+Scale notes per algorithm are on the functions; the one deliberate
+driver-side value is PageRank's per-iteration sink-mass scalar (one
+double per iteration — the same global aggregate the reference computes
+as a broadcast set, PageRank.java:420-427).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _vertices(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    return (
+        edges.select(F.col(src).alias("vertex"))
+        .union(edges.select(F.col(dst).alias("vertex")))
+        .distinct()
+    )
+
+
+def degrees(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Vertex degrees on a directed edge list — Graph.java
+    outDegrees():736 / inDegrees():768 / getDegrees():789 (out + in, the
+    sum Gelly returns) and library/metric VertexMetrics. One shuffle per
+    direction on the vertex id, map-side combined; the outer join is a
+    co-partitioned merge on the same key."""
+    outd = edges.groupBy(F.col(src).alias("vertex")).agg(
+        F.count(F.lit(1)).alias("out_degree")
+    )
+    ind = edges.groupBy(F.col(dst).alias("vertex")).agg(
+        F.count(F.lit(1)).alias("in_degree")
+    )
+    return (
+        outd.join(ind, "vertex", "full_outer")
+        .select(
+            "vertex",
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+            (
+                F.coalesce("out_degree", F.lit(0)) + F.coalesce("in_degree", F.lit(0))
+            ).alias("degree"),
+        )
+    )
+
+
+def triangle_list(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Enumerate triangles — TriangleEnumerator.java:59 (the classic
+    Schank/Wagner degree-ordered algorithm the reference implements:
+    edges are oriented from the lower-degree endpoint, triads are built on
+    the low vertex, and a join with the oriented edge set closes them).
+
+    Orientation by (degree, id) bounds each vertex's out-neighborhood by
+    O(sqrt(E)), so the triad fan-out — the quadratic step — is bounded per
+    vertex regardless of hub skew; without it a single hot vertex with d
+    neighbors produces d² triads. Output is (v1, v2, v3), v1 < v2 < v3 by
+    id, one row per triangle."""
+    # canonical undirected edge set, self-loops dropped
+    a, b = F.col(src), F.col(dst)
+    sym = (
+        edges.filter(a != b)
+        .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .distinct()
+    )
+    deg = (
+        sym.select(F.col("a").alias("vertex"))
+        .union(sym.select(F.col("b").alias("vertex")))
+        .groupBy("vertex")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # orient a→b iff (d(a), a) < (d(b), b)
+    withd = (
+        sym.join(deg.withColumnRenamed("vertex", "a").withColumnRenamed("d", "da"), "a")
+        .join(deg.withColumnRenamed("vertex", "b").withColumnRenamed("d", "db"), "b")
+    )
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = withd.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(lower_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    )
+    e1 = oriented.select(
+        F.col("u").alias("u1"), F.col("v").alias("v1"), F.col("dv").alias("d1")
+    )
+    e2 = oriented.select(
+        F.col("u").alias("u2"), F.col("v").alias("v2"), F.col("dv").alias("d2")
+    )
+    # pair the out-neighbors of each low vertex in ≺ = (degree, id) order;
+    # the closing edge is then oriented v1→v2 by construction
+    triads = e1.join(
+        e2,
+        (F.col("u1") == F.col("u2"))
+        & (F.struct("d1", "v1") < F.struct("d2", "v2")),
+    ).select("u1", "v1", "v2")
+    closing = oriented.select(F.col("u").alias("v1"), F.col("v").alias("v2"))
+    tri = triads.join(closing, ["v1", "v2"])
+    ids = F.array_sort(F.array("u1", "v1", "v2"))
+    return tri.select(
+        ids[0].alias("v1"), ids[1].alias("v2"), ids[2].alias("v3")
+    )
+
+
+def page_rank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iterations: int = 10,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """PageRank — linkanalysis/PageRank.java:71 (dampingFactor :96,
+    per-iteration transfer + sink handling :393-432): score mass held by
+    sink vertices (no out-edges) is redistributed uniformly, so total mass
+    stays 1 and the result matches the reference on graphs with sinks.
+
+    new(v) = ((1-d) + d·sinkMass)/N + d · Σ_{u→v} score(u)/outdeg(u)
+
+    Scale: per iteration one shuffle (contributions grouped on dst; the
+    joins on src reuse one exchange), lineage truncated per step. The
+    sink-mass term is a single global double collected per iteration —
+    the same synchronous aggregate the reference materializes
+    (PageRank.java:420-427); N is collected once."""
+    verts = _vertices(edges, src, dst).localCheckpoint(eager=True)
+    n = verts.count()
+    outd = edges.groupBy(F.col(src).alias("vertex")).agg(
+        F.count(F.lit(1)).alias("od")
+    ).localCheckpoint(eager=True)
+    scores = verts.withColumn("score", F.lit(1.0 / n))
+    for _ in range(iterations):
+        nonsink = (
+            scores.join(outd, "vertex").agg(F.sum("score")).collect()[0][0]
+        )
+        sink_mass = 1.0 - (nonsink or 0.0)
+        base = ((1.0 - damping) + damping * sink_mass) / n
+        contrib = (
+            edges.select(F.col(src).alias("vertex"), F.col(dst).alias("to"))
+            .join(scores, "vertex")
+            .join(outd, "vertex")
+            .groupBy(F.col("to").alias("vertex"))
+            .agg(F.sum(F.col("score") / F.col("od")).alias("contrib"))
+        )
+        scores = (
+            verts.join(contrib, "vertex", "left")
+            .select(
+                "vertex",
+                (
+                    F.lit(base) + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
+                ).alias("score"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return scores
+
+
+def label_propagation(
+    edges: DataFrame,
+    labels: DataFrame | None = None,
+    iterations: int = 10,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Community detection by label propagation — LabelPropagation.java:54.
+    Each superstep a vertex adopts the most frequent label among the
+    labels its in-neighbors held LAST superstep; ties pick the greater
+    label; the vertex's own current label competes at an implicit
+    frequency of 1 (UpdateVertexLabel:114-143 — the running max over
+    (frequency, label) seeded with the current value). Synchronous
+    iterations via `iterations.iterate` with a no-change convergence probe.
+
+    `labels` defaults to (vertex, label=vertex). Scale: per step one
+    shuffle of messages grouped on (vertex, label) plus a per-vertex argmax
+    window partitioned on the vertex id — no global sort, no Python."""
+    from proteus_engine_spark.operators.iterations import iterate
+
+    if labels is None:
+        labels = _vertices(edges, src, dst).withColumn("label", F.col("vertex"))
+    msgs_edges = edges.select(F.col(src).alias("mfrom"), F.col(dst).alias("vertex"))
+
+    def step(lbl: DataFrame, _i: int) -> DataFrame:
+        msgs = msgs_edges.join(
+            lbl.select(F.col("vertex").alias("mfrom"), "label"), "mfrom"
+        ).select("vertex", "label")
+        cand = msgs.groupBy("vertex", "label").agg(
+            F.count(F.lit(1)).alias("freq")
+        ).unionByName(lbl.select("vertex", "label", F.lit(1).alias("freq")))
+        w = Window.partitionBy("vertex").orderBy(
+            F.col("freq").desc(), F.col("label").desc()
+        )
+        return (
+            cand.withColumn("__rn__", F.row_number().over(w))
+            .filter(F.col("__rn__") == 1)
+            .select("vertex", "label")
+        )
+
+    def converged(prev: DataFrame, cur: DataFrame) -> bool:
+        return (
+            prev.withColumnRenamed("label", "prev_l")
+            .join(cur, "vertex")
+            .filter(F.col("prev_l") != F.col("label"))
+            .isEmpty()
+        )
+
+    return iterate(labels, step, iterations, converged)
+
+
+def jaccard_index(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Neighborhood similarity — similarity/JaccardIndex.java:54: for every
+    vertex pair sharing at least one neighbor on the undirected graph,
+    jaccard = |N(u) ∩ N(v)| / |N(u) ∪ N(v)|, with
+    |union| = d(u) + d(v) - |shared|. Output (u, v, jaccard_score), u < v.
+
+    Scale: pairs are generated per shared neighbor (the reference's
+    group-pairs step) — fan-out is Σ d(w)² over neighbors w, the same
+    bound Gelly documents; hub mitigation belongs upstream (filter or
+    sample hot vertices before calling)."""
+    a, b = F.col(src), F.col(dst)
+    sym = (
+        edges.filter(a != b)
+        .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .distinct()
+    )
+    adj = sym.select(F.col("a").alias("v"), F.col("b").alias("w")).union(
+        sym.select(F.col("b").alias("v"), F.col("a").alias("w"))
+    )
+    deg = adj.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+    p1 = adj.select(F.col("w").alias("shared"), F.col("v").alias("u"))
+    p2 = adj.select(F.col("w").alias("shared"), F.col("v").alias("v2"))
+    shared = (
+        p1.join(p2, "shared")
+        .filter(F.col("u") < F.col("v2"))
+        .groupBy("u", "v2")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    du = deg.select(F.col("v").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("v").alias("v2"), F.col("d").alias("dv"))
+    return (
+        shared.join(du, "u")
+        .join(dv, "v2")
+        .select(
+            F.col("u").alias("u"),
+            F.col("v2").alias("v"),
+            (
+                F.col("n_shared")
+                / (F.col("du") + F.col("dv") - F.col("n_shared"))
+            ).alias("jaccard_score"),
+        )
+    )

@@ -12,6 +12,7 @@ from proteus_engine_spark.queries.registry import REGISTRY, oracles, queries
 from proteus_engine_spark.queries import (  # noqa: F401
     datapipe_q,
     functions_q,
+    graph_q,
     relational,
     relational_ext,
     streaming_q,
@@ -26,9 +27,10 @@ from proteus_engine_spark.queries import (  # noqa: F401
 # (cep.py greedy-optional hand-off fix, dedup.py gemm edge cases,
 # partitioning.py Catalyst-only zip_with_index rewrite), then the 26
 # queries whose only driver verification was round 1 (the stalest set),
-# then the r3-only-green batch, then r4 greens to fill the 50. The r1/r2
-# rotations (r4, r5) both passed clean; this closes the freshness loop on
-# every remaining pre-r3 row.
+# then the r3-only-green batch, then the round-6 trigger/evictor and
+# graph-library gates to fill the 50. The r1/r2 rotations (r4, r5) both
+# passed clean; this closes the freshness loop on every remaining pre-r3
+# row.
 _GATE_PRIORITY = [
     # round-6: new operators/gates, never driver-checked (5)
     "udf_scalar_weighted",
@@ -79,12 +81,14 @@ _GATE_PRIORITY = [
     "stream_split_select",
     "window_count_tumbling",
     "window_tumble_sql",
-    # recent green window fill (r4-verified) (5)
-    "sim_ann_ivf",
-    "multimodal_decode",
-    "iter_connected_components",
-    "asof_join_events",
-    "range_join_events",
+    # round-6: trigger/evictor + graph-library gates, never driver-checked
+    # (5; graph_label_propagation and graph_jaccard queue for the r7
+    # window — locally gated green this round)
+    "stream_tumble_time_evictor",
+    "stream_count_evictor_fires",
+    "graph_degrees",
+    "graph_triangles",
+    "graph_pagerank",
 ]
 
 

@@ -1,0 +1,225 @@
+"""Oracle gates for the graph library (SURVEY §2.11, Gelly parity —
+graph/library.py). Graphs are built from the driver corpus: the directed
+customer→part co-purchase bipartite graph (the iter_* convention, customer
+ids offset by 1e6) and the undirected part↔part same-order graph (parts
+co-occurring in an order — non-bipartite, triangle-rich)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from proteus_engine_spark.queries.registry import register
+from proteus_engine_spark.sources import load_table
+
+# The directed customer→part graph: sinks exist (parts have no out-edges),
+# which is exactly what exercises PageRank's sink-mass handling.
+_CUST_PART_EDGES_SQL = """
+      SELECT DISTINCT o_custkey + 1000000 AS src, l_partkey AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE l_partkey < 50
+"""
+
+_PART_PART_EDGES_SQL = """
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      WHERE a.l_partkey < 120 AND b.l_partkey < 120
+"""
+
+
+def _cust_part_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_partkey") < 50)
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            (F.col("o_custkey") + 1000000).alias("src"),
+            F.col("l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+
+
+def _part_part_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_partkey") < 120)
+    a = li.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("dst"))
+    return (
+        a.join(b, (F.col("l_orderkey") == F.col("ok2")) & (F.col("src") < F.col("dst")))
+        .select("src", "dst")
+        .distinct()
+    )
+
+
+@register(
+    "graph_degrees",
+    oracle=f"""
+    WITH e AS ({_CUST_PART_EDGES_SQL}),
+    v AS (SELECT src AS vertex FROM e UNION SELECT dst FROM e),
+    o AS (SELECT src AS vertex, count(*) AS c FROM e GROUP BY 1),
+    i AS (SELECT dst AS vertex, count(*) AS c FROM e GROUP BY 1)
+    SELECT v.vertex, COALESCE(o.c, 0) AS out_degree, COALESCE(i.c, 0) AS in_degree,
+           COALESCE(o.c, 0) + COALESCE(i.c, 0) AS degree
+    FROM v LEFT JOIN o ON o.vertex = v.vertex LEFT JOIN i ON i.vertex = v.vertex
+    """,
+    tags=("graph",),
+)
+def graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vertex-metrics gate (Graph.java outDegrees:736 / inDegrees:768 /
+    getDegrees:789; library/metric VertexMetrics): per-vertex out/in/total
+    degree on the directed customer→part graph. Customers are pure sources
+    (in_degree 0), parts pure sinks (out_degree 0) — the full-outer path
+    in `graph.degrees` is what the oracle checks."""
+    from proteus_engine_spark.graph import degrees
+
+    return degrees(_cust_part_edges(spark, sf_dir))
+
+
+@register(
+    "graph_triangles",
+    oracle=f"""
+    WITH e AS ({_PART_PART_EDGES_SQL})
+    SELECT x.src AS v1, x.dst AS v2, y.dst AS v3
+    FROM e x JOIN e y ON y.src = x.src AND x.dst < y.dst
+             JOIN e z ON z.src = x.dst AND z.dst = y.dst
+    """,
+    tags=("graph",),
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle-enumeration gate (TriangleEnumerator.java:59): every
+    triangle in the part↔part same-order graph, one row per triangle,
+    vertices ascending. The engine runs the degree-ordered orientation
+    (triad fan-out bounded by O(sqrt(E)) per vertex); the oracle is the
+    naive canonical three-way join — same set, differently derived."""
+    from proteus_engine_spark.graph import triangle_list
+
+    return triangle_list(_part_part_edges(spark, sf_dir))
+
+
+@register(
+    "graph_pagerank",
+    oracle=f"""
+    WITH e AS ({_CUST_PART_EDGES_SQL}),
+    v AS (SELECT src AS vertex FROM e UNION SELECT dst FROM e),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS nv FROM v),
+    od AS (SELECT src AS vertex, CAST(count(*) AS DOUBLE) AS od FROM e GROUP BY 1),
+    s0 AS (SELECT vertex, 1.0 / (SELECT nv FROM n) AS score FROM v),
+    s1 AS (
+      SELECT v.vertex,
+        ((1 - 0.85) + 0.85 * (1 - COALESCE((SELECT SUM(s.score) FROM s0 s JOIN od ON od.vertex = s.vertex), 0))) / (SELECT nv FROM n)
+        + 0.85 * COALESCE(c.contrib, 0) AS score
+      FROM v LEFT JOIN (
+        SELECT e.dst AS vertex, SUM(s.score / od.od) AS contrib
+        FROM e JOIN s0 s ON s.vertex = e.src JOIN od ON od.vertex = e.src
+        GROUP BY e.dst
+      ) c ON c.vertex = v.vertex
+    ),
+    s2 AS (
+      SELECT v.vertex,
+        ((1 - 0.85) + 0.85 * (1 - COALESCE((SELECT SUM(s.score) FROM s1 s JOIN od ON od.vertex = s.vertex), 0))) / (SELECT nv FROM n)
+        + 0.85 * COALESCE(c.contrib, 0) AS score
+      FROM v LEFT JOIN (
+        SELECT e.dst AS vertex, SUM(s.score / od.od) AS contrib
+        FROM e JOIN s1 s ON s.vertex = e.src JOIN od ON od.vertex = e.src
+        GROUP BY e.dst
+      ) c ON c.vertex = v.vertex
+    ),
+    s3 AS (
+      SELECT v.vertex,
+        ((1 - 0.85) + 0.85 * (1 - COALESCE((SELECT SUM(s.score) FROM s2 s JOIN od ON od.vertex = s.vertex), 0))) / (SELECT nv FROM n)
+        + 0.85 * COALESCE(c.contrib, 0) AS score
+      FROM v LEFT JOIN (
+        SELECT e.dst AS vertex, SUM(s.score / od.od) AS contrib
+        FROM e JOIN s2 s ON s.vertex = e.src JOIN od ON od.vertex = e.src
+        GROUP BY e.dst
+      ) c ON c.vertex = v.vertex
+    )
+    SELECT vertex, score FROM s3
+    """,
+    tags=("graph", "iteration"),
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank gate (linkanalysis/PageRank.java:71, sink handling
+    :393-432): 3 iterations at damping 0.85 on the customer→part graph —
+    every part vertex is a sink, so virtually all transferred mass flows
+    through the uniform sink-redistribution term; a wrong or missing
+    sumOfSinks shifts every score. The oracle unrolls the same three
+    iterations as chained CTEs (driver floats hash at 6 decimals, well
+    above the ~1e-15 summation-order noise)."""
+    from proteus_engine_spark.graph import page_rank
+
+    return page_rank(_cust_part_edges(spark, sf_dir), damping=0.85, iterations=3)
+
+
+@register(
+    "graph_label_propagation",
+    oracle=f"""
+    WITH und AS ({_PART_PART_EDGES_SQL}),
+    e AS (SELECT src, dst FROM und UNION ALL SELECT dst, src FROM und),
+    lab0 AS (SELECT DISTINCT src AS vertex, src AS label FROM e),
+    cand1 AS (
+      SELECT e.dst AS vertex, l.label, count(*) AS freq
+      FROM e JOIN lab0 l ON l.vertex = e.src GROUP BY 1, 2
+      UNION ALL SELECT vertex, label, 1 FROM lab0
+    ),
+    lab1 AS (
+      SELECT vertex, label FROM (
+        SELECT vertex, label,
+               row_number() OVER (PARTITION BY vertex ORDER BY freq DESC, label DESC) AS rn
+        FROM cand1) t WHERE rn = 1
+    ),
+    cand2 AS (
+      SELECT e.dst AS vertex, l.label, count(*) AS freq
+      FROM e JOIN lab1 l ON l.vertex = e.src GROUP BY 1, 2
+      UNION ALL SELECT vertex, label, 1 FROM lab1
+    ),
+    lab2 AS (
+      SELECT vertex, label FROM (
+        SELECT vertex, label,
+               row_number() OVER (PARTITION BY vertex ORDER BY freq DESC, label DESC) AS rn
+        FROM cand2) t WHERE rn = 1
+    )
+    SELECT vertex, label FROM lab2
+    """,
+    tags=("graph", "iteration"),
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation gate (LabelPropagation.java:54, tie-break
+    :129-141): two synchronous supersteps on the symmetrized part↔part
+    graph, initial label = vertex id. Each vertex adopts the max-by
+    (frequency, label) candidate among last step's neighbor labels plus
+    its own label at implicit frequency 1 — the oracle unrolls both steps
+    with the identical argmax. Every vertex has in-edges here (symmetric
+    graph), so the whole graph re-labels each step."""
+    from proteus_engine_spark.graph import label_propagation
+
+    edges = _part_part_edges(spark, sf_dir)
+    sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return label_propagation(sym, iterations=2)
+
+
+@register(
+    "graph_jaccard",
+    oracle=f"""
+    WITH e AS ({_PART_PART_EDGES_SQL}),
+    adj AS (SELECT src AS v, dst AS w FROM e UNION ALL SELECT dst, src FROM e),
+    deg AS (SELECT v, count(*) AS d FROM adj GROUP BY v),
+    shared AS (
+      SELECT a.v AS u, b.v AS v, count(*) AS n_shared
+      FROM adj a JOIN adj b ON a.w = b.w AND a.v < b.v
+      GROUP BY 1, 2
+    )
+    SELECT s.u, s.v, s.n_shared / (du.d + dv.d - s.n_shared) AS jaccard_score
+    FROM shared s JOIN deg du ON du.v = s.u JOIN deg dv ON dv.v = s.v
+    """,
+    tags=("graph", "similarity"),
+)
+def graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood-similarity gate (similarity/JaccardIndex.java:54):
+    jaccard = shared / (d(u) + d(v) - shared) for every part pair with at
+    least one common neighbor in the part↔part graph. Pair generation per
+    shared neighbor — the group-pairs shape the reference documents."""
+    from proteus_engine_spark.graph import jaccard_index
+
+    return jaccard_index(_part_part_edges(spark, sf_dir))

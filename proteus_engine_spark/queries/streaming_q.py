@@ -1023,3 +1023,143 @@ def cep_allow_combinations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .within(14_400_000)
     )
     return match_pattern(ev, pat, key_col="user_id")
+
+
+@register(
+    "stream_tumble_time_evictor",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, time_bucket(INTERVAL 1 HOUR, ts) AS win_start, ts, value
+      FROM events
+    ),
+    m AS (SELECT user_id, win_start, max(ts) AS mx FROM w GROUP BY 1, 2)
+    SELECT w.user_id, w.win_start, COUNT(*) AS n,
+           CAST(SUM(CAST(w.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM w JOIN m ON w.user_id = m.user_id AND w.win_start = m.win_start
+    WHERE w.ts > m.mx - INTERVAL 15 MINUTE
+    GROUP BY 1, 2
+    HAVING w.win_start + INTERVAL 1 HOUR
+           <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)
+    """,
+    tags=("streaming", "window", "trigger", "evictor"),
+)
+def stream_tumble_time_evictor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evictor gate (TimeEvictor.java:35 on WindowedStream.evictor,
+    WindowedStream.java:131): per-user 1-hour tumbling windows fire once at
+    the watermark (EventTimeTrigger.java:36), but the window function sees
+    only the elements within 15 minutes of the window's latest element —
+    the rest are evicted first (evictBefore). The oracle recomputes the
+    same cut in SQL: per (user, hour-bucket) max ts, keep ts > max - 15min,
+    aggregate, and drop the open tail windows past the final watermark
+    (append semantics, as in stream_tumble_append)."""
+    from proteus_engine_spark.streaming.triggers import (
+        EventTimeTrigger,
+        TimeEvictor,
+        triggered_window_agg,
+    )
+
+    ev = events_stream(spark, sf_dir)
+    out = triggered_window_agg(
+        ev, "user_id", "ts", "value",
+        trigger=EventTimeTrigger(),
+        evictor=TimeEvictor(15 * 60_000),
+        window_ms=3_600_000,
+        watermark_delay="10 minutes",
+    )
+    res = run_to_completion(out, "stream_tumble_time_evictor_sink", "append")
+    return res.select("user_id", "win_start", "n", "total_value")
+
+
+@register(
+    "stream_count_evictor_fires",
+    oracle="""
+    WITH f AS (
+      SELECT user_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS s3
+      FROM events
+      WHERE ts <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)
+    )
+    SELECT user_id, CAST(rn // 5 AS BIGINT) AS fire_seq,
+           CAST(3 AS BIGINT) AS n, s3 AS total_value
+    FROM f WHERE rn % 5 = 0
+    """,
+    tags=("streaming", "trigger", "evictor"),
+)
+def stream_count_evictor_fires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigger-composition gate (PurgingTrigger.java:33 wrapping
+    CountTrigger.java:33, plus CountEvictor.java:32, on
+    GlobalWindows.java:32): per user, every 5th event in event-time order
+    fires the global window; the evictor keeps only the last 3 of the 5
+    buffered elements, the fire emits their sum, and the purge clears the
+    buffer. Fire points and eviction fronts are positions in watermark-
+    sequenced (ts, id) order — micro-batch boundaries cannot move them —
+    so the oracle is plain SQL: rank events per user, emit the 3-row
+    rolling sum at every rank divisible by 5. Events above the final
+    watermark are never released (append semantics)."""
+    from proteus_engine_spark.streaming.triggers import (
+        CountEvictor,
+        CountTrigger,
+        PurgingTrigger,
+        triggered_window_agg,
+    )
+
+    ev = events_stream(spark, sf_dir)
+    out = triggered_window_agg(
+        ev, "user_id", "ts", "value",
+        trigger=PurgingTrigger(CountTrigger(5)),
+        evictor=CountEvictor(3),
+        window_ms=None,
+        watermark_delay="10 minutes",
+    )
+    res = run_to_completion(out, "stream_count_evictor_sink", "append")
+    return res.select("user_id", "fire_seq", "n", "total_value")
+
+
+@register(
+    "queryable_state_lookup",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type
+    """,
+    tags=("streaming", "state", "queryable"),
+)
+def queryable_state_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Queryable-state gate (QueryableStateClient.java:64,
+    KeyedStream.asQueryableState :987): the per-event-type aggregate runs
+    as a CHECKPOINTED streaming query, and the returned frame is read from
+    the operator's keyed STATE STORE via the state data source — not from
+    the sink. The oracle sees the batch aggregate, so a state row that
+    was lost, duplicated, or stale fails the gate. The sink table is
+    intentionally ignored: the only data path to the result is
+    checkpoint → QueryableStateClient.get_state()."""
+    import tempfile
+
+    from proteus_engine_spark.streaming.queryable import QueryableStateClient
+
+    ev = events_stream(spark, sf_dir)
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(dec("value")).alias("s")
+    )
+    ckpt = tempfile.mkdtemp(prefix="proteus_qstate_")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("queryable_state_sink")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    state = QueryableStateClient(spark, ckpt).get_state()
+    return state.select(
+        "event_type",
+        F.col("count").alias("n"),
+        F.col("sum").cast("double").alias("total_value"),
+    )

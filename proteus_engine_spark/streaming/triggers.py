@@ -1,0 +1,258 @@
+"""Window triggers and evictors (SURVEY §2.9 — previously a documented
+non-goal, now implemented on the custom-stateful path).
+
+Reference:
+- Trigger.java (flink-streaming-java/.../windowing/triggers/Trigger.java:54)
+  with EventTimeTrigger.java:36 (fire when the watermark passes the window
+  end), CountTrigger.java:33 (fire every `maxCount` elements; the counter
+  resets on fire but the window contents are kept), PurgingTrigger.java:33
+  (wraps a trigger, turning FIRE into FIRE_AND_PURGE).
+- Evictor.java (.../windowing/evictors/Evictor.java:48) with
+  CountEvictor.java:32 (keep the last `maxCount` elements, evicting from
+  the front) and TimeEvictor.java:35 (evict elements with
+  ts <= max_ts_in_window - windowSize). Evictors run BEFORE the window
+  function (evictBefore; doEvictAfter=false default) and the eviction is
+  persistent — EvictingWindowOperator.java:239 rewrites the window state
+  with the surviving elements.
+- KeyedStream.countWindow(size) (KeyedStream.java:383) is
+  GlobalWindows + PurgingTrigger(CountTrigger(size)) — that composition is
+  expressible here and checked against `stateful.count_window_agg`.
+
+Spark-first shape: Structured Streaming's native windowed aggregation owns
+the default EventTimeTrigger path (streaming/windows.py — stays JVM-side);
+this module exists ONLY for the compositions Spark cannot express — early
+count fires and per-window element eviction — so it pays the same
+justified Python-stateful cost as CEP. Events are watermark-buffered per
+key (the cep.py transition_buffered discipline): a row is released into
+its window only once the watermark has sequenced it, so every trigger
+decision sees a gapless (ts, id)-ordered prefix and the emitted fires are
+deterministic regardless of micro-batch boundaries. State per key =
+pending buffer + open-window buffers; count-evicted windows stay bounded
+(the evictor rewrite keeps at most `keep` elements live), and tumbling
+windows are dropped at watermark — the same cleanup
+WindowOperator.clearAllState does at window.maxTimestamp.
+"""
+
+from __future__ import annotations
+
+import pickle
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+# --------------------------------------------------------------------------
+# Trigger / Evictor surface (Trigger.java:54, Evictor.java:48)
+
+
+class Trigger:
+    """Base trigger: decides when a window's contents are emitted."""
+
+    purging = False
+
+    def fires_on_element(self, count_since_fire: int) -> bool:
+        return False
+
+    def fires_on_event_time(self) -> bool:
+        return False
+
+
+class EventTimeTrigger(Trigger):
+    """EventTimeTrigger.java:36 — single FIRE when the watermark passes the
+    window end; elements never fire early."""
+
+    def fires_on_event_time(self) -> bool:
+        return True
+
+
+@dataclass(frozen=True)
+class CountTrigger(Trigger):
+    """CountTrigger.java:33 — FIRE every `max_count` elements added to the
+    window; the element counter resets on fire, the window contents do not
+    (compose with PurgingTrigger for countWindow semantics). onEventTime is
+    CONTINUE: a count-triggered window is cleaned up at the watermark
+    without a final fire."""
+
+    max_count: int
+
+    def fires_on_element(self, count_since_fire: int) -> bool:
+        return count_since_fire >= self.max_count
+
+
+@dataclass(frozen=True)
+class PurgingTrigger(Trigger):
+    """PurgingTrigger.java:33 — wraps another trigger and upgrades its FIRE
+    to FIRE_AND_PURGE (window contents cleared after emission)."""
+
+    inner: Trigger
+    purging = True
+
+    def fires_on_element(self, count_since_fire: int) -> bool:
+        return self.inner.fires_on_element(count_since_fire)
+
+    def fires_on_event_time(self) -> bool:
+        return self.inner.fires_on_event_time()
+
+
+class Evictor:
+    """Base evictor: prunes window elements before the window function.
+    The surviving list replaces the window state (persistent eviction,
+    EvictingWindowOperator.java:239)."""
+
+    def evict(self, elems: list[tuple[int, int, int]]) -> list[tuple[int, int, int]]:
+        return elems
+
+
+@dataclass(frozen=True)
+class CountEvictor(Evictor):
+    """CountEvictor.java:32 — keep the last `keep` elements in buffer
+    order (event-time order here), evicting from the front."""
+
+    keep: int
+
+    def evict(self, elems):
+        return elems[-self.keep:] if len(elems) > self.keep else elems
+
+
+@dataclass(frozen=True)
+class TimeEvictor(Evictor):
+    """TimeEvictor.java:35 — evict elements with
+    ts <= max_ts_in_window - keep_ms."""
+
+    keep_ms: int
+
+    def evict(self, elems):
+        if not elems:
+            return elems
+        cutoff = max(t for t, _i, _c in elems) - self.keep_ms
+        return [e for e in elems if e[0] > cutoff]
+
+
+# --------------------------------------------------------------------------
+# The evicting window operator
+
+
+def triggered_window_agg(
+    stream: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    trigger: Trigger,
+    evictor: Evictor | None = None,
+    window_ms: int | None = None,
+    watermark_delay: str = "10 minutes",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Windowed aggregation with an explicit trigger/evictor pair
+    (WindowedStream.trigger/evictor — WindowedStream.java:119,131).
+
+    `window_ms=None` is GlobalWindows (GlobalWindows.java:32): one
+    never-ending window per key, only count triggers ever fire it.
+    Otherwise tumbling event-time windows of `window_ms`.
+
+    Emits (key, win_start, fire_seq, n, total_value) per fire: count fires
+    carry fire_seq 1,2,… per window; the event-time fire carries fire_seq 0.
+    Sums are exact integer cents (order-independent, oracle-safe).
+
+    Determinism: arrivals are buffered per key and released into windows
+    only at ts <= watermark, in (ts, id) order — trigger fire points and
+    eviction fronts are positions in that order, not in arrival order, so
+    results are reproducible across replays and micro-batch splits (the
+    reference gets the same from watermark-ordered processing in
+    WindowOperator). Rows later than the watermark are dropped by Spark
+    upstream; the open tail past the final watermark never fires — append
+    semantics, like the native-path stream_tumble_append."""
+    import numpy as np
+
+    if window_ms is None and trigger.fires_on_event_time():
+        raise ValueError(
+            "GlobalWindows never end: an event-time trigger would never fire "
+            "(use a CountTrigger, as KeyedStream.countWindow does)"
+        )
+    evictor = evictor or Evictor()
+    out_schema = (
+        f"{key_col} long, win_start timestamp, fire_seq long, "
+        "n long, total_value double"
+    )
+
+    def _fire(win: dict) -> tuple[int, float]:
+        """Evict, aggregate, persist the eviction. Returns (n, sum)."""
+        kept = evictor.evict(win["elems"])
+        win["elems"] = [] if trigger.purging else kept
+        return len(kept), sum(c for _t, _i, c in kept) / 100.0
+
+    def transition(key, pdfs, state: GroupState):
+        wm = state.getCurrentWatermarkMs()
+        st = pickle.loads(state.get[0]) if state.exists else {"buf": [], "wins": {}}
+        if not state.hasTimedOut:
+            batches = [p for p in pdfs if len(p)]
+            if batches:
+                pdf = pd.concat(batches)
+                ts_ms = pdf[ts_col].values.astype("datetime64[ms]").astype("int64")
+                ids = pdf[id_col].to_numpy()
+                cents = np.rint(
+                    pdf[value_col].to_numpy(dtype="float64") * 100
+                ).astype("int64")
+                st["buf"].extend(zip(ts_ms.tolist(), ids.tolist(), cents.tolist()))
+        ready = sorted(e for e in st["buf"] if e[0] <= wm)
+        st["buf"] = [e for e in st["buf"] if e[0] > wm]
+
+        out_rows: list[tuple] = []
+        for t, i, c in ready:
+            ws = 0 if window_ms is None else t - (t % window_ms)
+            win = st["wins"].setdefault(ws, {"elems": [], "since": 0, "fires": 0})
+            win["elems"].append((t, i, c))
+            win["since"] += 1
+            if trigger.fires_on_element(win["since"]):
+                win["since"] = 0
+                win["fires"] += 1
+                n, total = _fire(win)
+                out_rows.append((key[0], ws, win["fires"], n, total))
+
+        if window_ms is not None:
+            for ws in sorted(st["wins"]):
+                if ws + window_ms <= wm:  # window closed by the watermark
+                    win = st["wins"].pop(ws)
+                    if trigger.fires_on_event_time() and win["elems"]:
+                        n, total = _fire(win)
+                        out_rows.append((key[0], ws, 0, n, total))
+                    # count-trigger windows: cleanup without firing
+                    # (CountTrigger.onEventTime == CONTINUE)
+
+        if st["buf"] or st["wins"]:
+            state.update((pickle.dumps(st),))
+            pending = [t for t, _i, _c in st["buf"]]
+            if window_ms is not None:
+                pending += [ws + window_ms for ws in st["wins"]]
+            pending = [p for p in pending if p > wm]
+            if pending:
+                state.setTimeoutTimestamp(min(pending))
+        elif state.exists:
+            state.remove()
+        if out_rows:
+            out = pd.DataFrame(
+                out_rows,
+                columns=[key_col, "win_start", "fire_seq", "n", "total_value"],
+            )
+            out["win_start"] = (
+                pd.to_datetime(out["win_start"], unit="ms")
+                if window_ms is not None
+                else pd.NaT
+            )
+            yield out
+
+    return (
+        stream.select(key_col, ts_col, id_col, value_col)
+        .withWatermark(ts_col, watermark_delay)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            transition,
+            out_schema,
+            "blob binary",
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -1,0 +1,66 @@
+"""Graph library tests (Gelly parity) on hand-computable graphs."""
+
+from __future__ import annotations
+
+import pytest
+
+from proteus_engine_spark.graph import (
+    degrees,
+    jaccard_index,
+    label_propagation,
+    page_rank,
+    triangle_list,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_degrees_directed(spark):
+    e = _edges(spark, [(1, 2), (1, 3), (2, 3), (4, 1)])
+    got = {r["vertex"]: (r["out_degree"], r["in_degree"], r["degree"])
+           for r in degrees(e).collect()}
+    assert got == {1: (2, 1, 3), 2: (1, 1, 2), 3: (0, 2, 2), 4: (1, 0, 1)}
+
+
+def test_triangle_list_k4_plus_tail(spark):
+    # K4 on {1,2,3,4} has 4 triangles; tail 4-5 adds none. Duplicate and
+    # reversed edges must not duplicate triangles.
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    e = _edges(spark, k4 + [(4, 5), (2, 1), (1, 2)])
+    tris = sorted(tuple(r) for r in triangle_list(e).collect())
+    assert tris == [(1, 2, 3), (1, 2, 4), (1, 3, 4), (2, 3, 4)]
+
+
+def test_page_rank_cycle_uniform(spark):
+    e = _edges(spark, [(1, 2), (2, 3), (3, 1)])
+    scores = {r["vertex"]: r["score"] for r in page_rank(e, 0.85, 5).collect()}
+    for v in (1, 2, 3):
+        assert scores[v] == pytest.approx(1 / 3)
+
+
+def test_page_rank_sink_mass_redistributed(spark):
+    # a→b with b a sink: after one iteration with d=0.85,
+    # sinkMass=0.5, base=((0.15)+0.85*0.5)/2=0.2875, contrib(b)=0.85*0.5.
+    e = _edges(spark, [(1, 2)])
+    scores = {r["vertex"]: r["score"] for r in page_rank(e, 0.85, 1).collect()}
+    assert scores[1] == pytest.approx(0.2875)
+    assert scores[2] == pytest.approx(0.7125)
+    assert sum(scores.values()) == pytest.approx(1.0)  # mass conserved
+
+
+def test_label_propagation_path_adopts_greatest(spark):
+    # Symmetrized path 1-2-3: every step is all-ties at frequency 1, the
+    # greater label wins (LabelPropagation.java:129-141) → all converge to 3.
+    e = _edges(spark, [(1, 2), (2, 1), (2, 3), (3, 2)])
+    got = {r["vertex"]: r["label"] for r in label_propagation(e, iterations=5).collect()}
+    assert got == {1: 3, 2: 3, 3: 3}
+
+
+def test_jaccard_square(spark):
+    # 4-cycle: (1,3) and (2,4) each share both neighbors → jaccard 1.0;
+    # adjacent pairs share none and are absent.
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 1)])
+    got = {(r["u"], r["v"]): r["jaccard_score"] for r in jaccard_index(e).collect()}
+    assert got == {(1, 3): pytest.approx(1.0), (2, 4): pytest.approx(1.0)}
