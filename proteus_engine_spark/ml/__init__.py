@@ -1,0 +1,16 @@
+"""ML library subset (SURVEY §2.11 — FlinkML re-expressed Spark-first)."""
+
+from proteus_engine_spark.ml.preprocessing import (
+    min_max_scaler,
+    polynomial_features,
+    standard_scaler,
+)
+from proteus_engine_spark.ml.regression import LinearRegressionModel, linear_regression
+
+__all__ = [
+    "LinearRegressionModel",
+    "linear_regression",
+    "min_max_scaler",
+    "polynomial_features",
+    "standard_scaler",
+]

@@ -13,6 +13,7 @@ from proteus_engine_spark.queries import (  # noqa: F401
     datapipe_q,
     functions_q,
     graph_q,
+    ml_q,
     relational,
     relational_ext,
     streaming_q,

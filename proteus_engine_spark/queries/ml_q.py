@@ -1,0 +1,77 @@
+"""Oracle gates for the ML library (SURVEY §2.11, FlinkML parity —
+ml/regression.py, ml/preprocessing.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from proteus_engine_spark.queries.registry import register
+from proteus_engine_spark.sources import load_table
+
+
+@register(
+    "ml_linreg_price_vs_qty",
+    oracle="""
+    SELECT regr_slope(l_extendedprice, l_quantity) AS slope,
+           regr_intercept(l_extendedprice, l_quantity) AS intercept,
+           regr_r2(l_extendedprice, l_quantity) AS r2
+    FROM lineitem
+    """,
+    tags=("ml", "regression"),
+)
+def ml_linreg_price_vs_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression gate (MultipleLinearRegression.scala:67, model =
+    WeightVector): OLS of extended price on quantity over the whole
+    lineitem table — one JVM moment pass, driver-side 2×2 solve. The
+    oracle is DuckDB's regr_slope/regr_intercept/regr_r2, which define the
+    same least-squares line, so slope, intercept AND fit quality must all
+    agree (to the 6-decimal float hash) despite the entirely different
+    computation paths."""
+    from proteus_engine_spark.ml import linear_regression
+
+    li = load_table(spark, sf_dir, "lineitem")
+    m = linear_regression(li, "l_extendedprice", ["l_quantity"])
+    return spark.createDataFrame(
+        [(m.weights[0], m.intercept, m.r2)], "slope double, intercept double, r2 double"
+    )
+
+
+@register(
+    "ml_feature_scaling",
+    oracle="""
+    WITH base AS (
+      SELECT l_orderkey, l_linenumber, l_quantity, l_tax
+      FROM lineitem WHERE l_partkey < 30
+    ),
+    s AS (
+      SELECT avg(l_quantity) AS mu, stddev_pop(l_quantity) AS sd,
+             min(l_tax) AS mn, max(l_tax) AS mx
+      FROM base
+    )
+    SELECT l_orderkey, l_linenumber,
+           (l_quantity - mu) / (CASE WHEN sd = 0 THEN 1 ELSE sd END) AS l_quantity_scaled,
+           CASE WHEN mx = mn THEN 0
+                ELSE (l_tax - mn) / (mx - mn) END AS l_tax_scaled
+    FROM base, s
+    """,
+    tags=("ml", "preprocessing"),
+)
+def ml_feature_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scaler gate (StandardScaler.scala:35 — population std, zero-std→1
+    guard; MinMaxScaler.scala:37 — zero-range→target_min guard): quantity
+    standardized and tax min-max-rescaled per row over a filtered slice;
+    both fit passes run on the same slice the oracle aggregates. The
+    learned statistics travel as a broadcast single-row join, so the
+    transform stays one codegen projection."""
+    from proteus_engine_spark.ml import min_max_scaler, standard_scaler
+
+    base = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") < 30)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_tax")
+    )
+    scaled = min_max_scaler(standard_scaler(base, ["l_quantity"]), ["l_tax"])
+    return scaled.select(
+        "l_orderkey", "l_linenumber", "l_quantity_scaled", "l_tax_scaled"
+    )

@@ -1163,3 +1163,56 @@ def queryable_state_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("count").alias("n"),
         F.col("sum").cast("double").alias("total_value"),
     )
+
+
+@register(
+    "stream_iterate_halving",
+    oracle="""
+    WITH RECURSIVE h AS (
+      SELECT event_id, CAST(round(value * 100) AS BIGINT) // 2 AS v, 1 AS c
+      FROM events
+      UNION ALL
+      SELECT event_id, v // 2, c + 1 FROM h WHERE v > 0
+    )
+    SELECT event_id, CAST(c AS BIGINT) AS n_iter FROM h WHERE v = 0
+    """,
+    tags=("streaming", "iteration"),
+)
+def stream_iterate_halving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-iteration gate (DataStream.iterate, DataStream.java:477;
+    IterativeStream.closeWith :79; the IterateExample loop shape): every
+    event enters the loop as (event_id, value-in-cents, 0); each hop halves
+    the amount and increments the counter; rows loop back through the
+    storage feedback edge while the amount is positive and exit with their
+    hop count — so each row's n_iter is its own loop depth (up to ~17
+    micro-batch hops here), which the recursive-CTE oracle recomputes
+    exactly. A feedback row that is lost, duplicated, or mis-routed
+    changes n_iter or the row count."""
+    import tempfile
+
+    from proteus_engine_spark.streaming.iterations import (
+        iterative_stream,
+        run_iterative_to_completion,
+    )
+
+    d = tempfile.mkdtemp(prefix="proteus_stream_iter_")
+    ev = events_stream(spark, sf_dir).select(
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+        F.lit(0).cast("long").alias("c"),
+    )
+
+    def step(df: DataFrame) -> DataFrame:
+        return df.select(
+            "event_id", (F.col("v") / 2).cast("long").alias("v"),
+            (F.col("c") + 1).alias("c"),
+        )
+
+    body, fb = iterative_stream(
+        spark, ev, step, F.col("v") > 0, f"{d}/feedback",
+        schema="event_id long, v long, c long",
+    )
+    out = run_iterative_to_completion(
+        body, fb, f"{d}/feedback", f"{d}/out", "stream_iterate_halving_q"
+    )
+    return out.select("event_id", F.col("c").alias("n_iter"))
