@@ -70,12 +70,17 @@ def triangle_list(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataF
     vertex regardless of hub skew; without it a single hot vertex with d
     neighbors produces d² triads. Output is (v1, v2, v3), v1 < v2 < v3 by
     id, one row per triangle."""
-    # canonical undirected edge set, self-loops dropped
+    # canonical undirected edge set, self-loops dropped — materialized
+    # once (localCheckpoint, the iterate-primitive discipline): it feeds
+    # the degree agg AND the orientation join, and without truncation the
+    # caller's edge-construction subplan (often a self-join) re-executes
+    # per branch — the triangle plan referenced the raw scan 60× before.
     a, b = F.col(src), F.col(dst)
     sym = (
         edges.filter(a != b)
         .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     deg = (
         sym.select(F.col("a").alias("vertex"))
@@ -91,11 +96,12 @@ def triangle_list(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataF
     lower_first = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
     )
+    # referenced three times (both triad sides + the closing-edge probe)
     oriented = withd.select(
         F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
         F.when(lower_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
-    )
+    ).localCheckpoint(eager=True)
     e1 = oriented.select(
         F.col("u").alias("u1"), F.col("v").alias("v1"), F.col("dv").alias("d1")
     )
@@ -136,6 +142,10 @@ def page_rank(
     sink-mass term is a single global double collected per iteration —
     the same synchronous aggregate the reference materializes
     (PageRank.java:420-427); N is collected once."""
+    # truncate the caller's edge construction once — the loop references
+    # `edges` every iteration, and an un-materialized subplan would rerun
+    # its joins per step (same rule as operators.iterations.iterate)
+    edges = edges.select(src, dst).localCheckpoint(eager=True)
     verts = _vertices(edges, src, dst).localCheckpoint(eager=True)
     n = verts.count()
     outd = edges.groupBy(F.col(src).alias("vertex")).agg(
@@ -188,9 +198,18 @@ def label_propagation(
     window partitioned on the vertex id — no global sort, no Python."""
     from proteus_engine_spark.operators.iterations import iterate
 
+    # materialized once: the step closure replays msgs_edges every
+    # superstep (same rule as page_rank / iterate)
+    msgs_edges = edges.select(
+        F.col(src).alias("mfrom"), F.col(dst).alias("vertex")
+    ).localCheckpoint(eager=True)
     if labels is None:
-        labels = _vertices(edges, src, dst).withColumn("label", F.col("vertex"))
-    msgs_edges = edges.select(F.col(src).alias("mfrom"), F.col(dst).alias("vertex"))
+        labels = (
+            msgs_edges.select(F.col("mfrom").alias("vertex"))
+            .union(msgs_edges.select("vertex"))
+            .distinct()
+            .withColumn("label", F.col("vertex"))
+        )
 
     def step(lbl: DataFrame, _i: int) -> DataFrame:
         msgs = msgs_edges.join(
@@ -235,8 +254,11 @@ def jaccard_index(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataF
         .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
         .distinct()
     )
-    adj = sym.select(F.col("a").alias("v"), F.col("b").alias("w")).union(
-        sym.select(F.col("b").alias("v"), F.col("a").alias("w"))
+    # referenced three times (degree + both pair sides) — materialize
+    adj = (
+        sym.select(F.col("a").alias("v"), F.col("b").alias("w"))
+        .union(sym.select(F.col("b").alias("v"), F.col("a").alias("w")))
+        .localCheckpoint(eager=True)
     )
     deg = adj.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
     p1 = adj.select(F.col("w").alias("shared"), F.col("v").alias("u"))
