@@ -64,3 +64,23 @@ def test_jaccard_square(spark):
     e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 1)])
     got = {(r["u"], r["v"]): r["jaccard_score"] for r in jaccard_index(e).collect()}
     assert got == {(1, 3): pytest.approx(1.0), (2, 4): pytest.approx(1.0)}
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_graph_plans_stay_jvm_side(spark):
+    """Plan-shape pins: every graph algorithm is pure Catalyst (no Python
+    eval nodes in the data path), and the materialization points bound
+    subplan fan-out — the triangle plan must not re-derive the caller's
+    edge construction per branch (it referenced the raw scan 60× before
+    the localCheckpoint truncation)."""
+    e = _edges(spark, [(a, b) for a in range(1, 6) for b in range(1, 6) if a < b])
+    for df in (degrees(e), triangle_list(e), jaccard_index(e)):
+        p = _plan(df)
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # post-materialization the triangle plan reads checkpointed RDDs, not
+    # a per-branch replay of the edge subplan
+    tri = _plan(triangle_list(e))
+    assert tri.count("Scan ExistingRDD") <= 6

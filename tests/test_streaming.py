@@ -309,3 +309,69 @@ def test_checkpoint_restart_exactly_once(spark):
     q2.stop()
     got = sorted(r["id"] for r in spark.read.parquet(out).collect())
     assert got == list(range(60))  # no dups (0-29 once), no loss (30-59 present)
+
+
+def test_savepoint_fork_and_immutability(spark):
+    """Savepoint parity (SavepointStore.java:47; `flink run -s`): stop with
+    savepoint after 3 files, then restore TWICE — both forks replay the
+    post-savepoint files into the SAME parquet sink, and the sink's
+    batch-id transaction log keeps the result exactly-once (the second
+    fork's replayed commits are recognized as already applied); the
+    savepoint itself stays byte-identical through both restores."""
+    from proteus_engine_spark.sources.sinks import stream_to_parquet
+    from proteus_engine_spark.streaming.savepoints import (
+        restore_from_savepoint,
+        trigger_savepoint,
+    )
+
+    d = tempfile.mkdtemp(prefix="proteus_sp_")
+    src, sp = f"{d}/src", f"{d}/sp"
+    os.makedirs(src)
+    schema = "id long, v double"
+
+    def add_file(i):
+        rows = [(i * 10 + j, float(j)) for j in range(10)]
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(f"{d}/tmp{i}")
+        part = [f for f in os.listdir(f"{d}/tmp{i}") if f.endswith(".parquet")][0]
+        os.rename(f"{d}/tmp{i}/{part}", f"{src}/{i:02d}.parquet")
+
+    def start(out, ckpt):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        return stream_to_parquet(stream, out, ckpt)
+
+    for i in range(3):
+        add_file(i)
+    q = start(f"{d}/out0", f"{d}/ckpt0")
+    q.processAllAvailable()
+    trigger_savepoint(f"{d}/ckpt0", sp, query=q)  # stop-with-savepoint
+
+    def listing(root):
+        return sorted(
+            (os.path.relpath(os.path.join(r, f), root), os.path.getsize(os.path.join(r, f)))
+            for r, _dirs, files in os.walk(root)
+            for f in files
+        )
+
+    snap = listing(sp)
+    for i in range(3, 6):
+        add_file(i)
+
+    for fork in ("a", "b"):  # one savepoint, two independent restarts
+        ckpt = restore_from_savepoint(sp, f"{d}/ckpt_{fork}")
+        out = f"{d}/out0"  # file sink state continues against the same output
+        q2 = start(out, ckpt)
+        q2.processAllAvailable()
+        q2.stop()
+        q2.awaitTermination()
+        got = sorted(r["id"] for r in spark.read.parquet(out).collect())
+        assert got == list(range(60)), f"fork {fork}: {len(got)} rows"
+
+    assert listing(sp) == snap  # savepoint untouched by both restores
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="immutable"):
+        trigger_savepoint(f"{d}/ckpt_a", sp)
