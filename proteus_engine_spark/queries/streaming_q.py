@@ -1216,3 +1216,101 @@ def stream_iterate_halving(spark: SparkSession, sf_dir: str) -> DataFrame:
         body, fb, f"{d}/feedback", f"{d}/out", "stream_iterate_halving_q"
     )
     return out.select("event_id", F.col("c").alias("n_iter"))
+
+
+@register(
+    "cep_group_times",
+    oracle="""
+    SELECT user_id,
+           id2 AS click_id, epoch_ms(ts2) AS click_ts, CAST(2 AS BIGINT) AS click_cnt,
+           id3 AS view_id, epoch_ms(ts3) AS view_ts, CAST(2 AS BIGINT) AS view_cnt
+    FROM (
+      SELECT user_id, event_id, ts, event_type,
+             lead(event_type, 1) OVER w AS t1,
+             lead(event_type, 2) OVER w AS t2,
+             lead(event_type, 3) OVER w AS t3,
+             lead(event_id, 2) OVER w AS id2,
+             lead(event_id, 3) OVER w AS id3,
+             lead(ts, 2) OVER w AS ts2,
+             lead(ts, 3) OVER w AS ts3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ) s
+    WHERE event_type = 'click' AND t1 = 'view' AND t2 = 'click' AND t3 = 'view'
+    """,
+    tags=("streaming", "cep", "group"),
+)
+def cep_group_times(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-pattern gate (GroupPattern.java:42; Pattern.begin(Pattern)
+    .times(2).consecutive()): the sub-sequence (click NEXT view) repeated
+    exactly twice with strict chaining — four adjacent events per user.
+    The engine flattens the quantified group to step-sequence variants and
+    runs the standard NFA (variant expansion); the oracle finds the same
+    runs with lead() over the per-user event order, reporting the LAST
+    repeat's events and the repeat count, exactly the repeat-stable match
+    schema match_group_pattern emits."""
+    from proteus_engine_spark.streaming.cep import GroupPattern, match_group_pattern
+
+    ev = load_table(spark, sf_dir, "events")
+    sub = Pattern.begin(
+        "click", lambda r: r["event_type"] == "click"
+    ).next("view", lambda r: r["event_type"] == "view")
+    g = GroupPattern.begin(sub).times(2).consecutive()
+    return match_group_pattern(ev, g, "user_id")
+
+
+@register(
+    "cep_group_optional",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_id, ts, event_type,
+             lead(event_type, 1) OVER w AS t1, lead(event_id, 1) OVER w AS id1,
+             lead(ts, 1) OVER w AS ts1,
+             lead(event_type, 2) OVER w AS t2, lead(event_id, 2) OVER w AS id2,
+             lead(ts, 2) OVER w AS ts2,
+             lead(event_type, 3) OVER w AS t3, lead(event_id, 3) OVER w AS id3,
+             lead(ts, 3) OVER w AS ts3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           id1 AS click_id, epoch_ms(ts1) AS click_ts, CAST(1 AS BIGINT) AS click_cnt,
+           id2 AS view_id, epoch_ms(ts2) AS view_ts, CAST(1 AS BIGINT) AS view_cnt,
+           id3 AS purchase_id, epoch_ms(ts3) AS purchase_ts,
+           CAST(1 AS BIGINT) AS purchase_cnt
+    FROM o
+    WHERE event_type = 'error' AND t1 = 'click' AND t2 = 'view' AND t3 = 'purchase'
+    UNION ALL
+    SELECT user_id,
+           NULL AS click_id, NULL AS click_ts, CAST(0 AS BIGINT) AS click_cnt,
+           NULL AS view_id, NULL AS view_ts, CAST(0 AS BIGINT) AS view_cnt,
+           id1 AS purchase_id, epoch_ms(ts1) AS purchase_ts,
+           CAST(1 AS BIGINT) AS purchase_cnt
+    FROM o
+    WHERE event_type = 'error' AND t1 = 'purchase'
+    """,
+    tags=("streaming", "cep", "group"),
+)
+def cep_group_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optional-group gate (GroupPattern + Pattern.optional — all-or-
+    nothing skip of the whole sub-sequence, which per-step optional cannot
+    express: error NEXT [click NEXT view]? NEXT purchase. An error
+    followed by click-without-view then purchase must NOT match — the
+    with-group variant needs the full sub-sequence, the without-group
+    variant needs purchase immediately after error. The oracle's two arms
+    mirror the two variants, NULL ids and cnt=0 marking the skipped
+    group."""
+    from proteus_engine_spark.streaming.cep import GroupPattern, match_group_pattern
+
+    ev = load_table(spark, sf_dir, "events")
+    g = (
+        GroupPattern.begin(
+            Pattern.begin("error", lambda r: r["event_type"] == "error")
+        )
+        .next(
+            Pattern.begin("click", lambda r: r["event_type"] == "click")
+            .next("view", lambda r: r["event_type"] == "view")
+        ).optional()
+        .next(Pattern.begin("purchase", lambda r: r["event_type"] == "purchase"))
+    )
+    return match_group_pattern(ev, g, "user_id").drop("error_id", "error_ts", "error_cnt")

@@ -34,6 +34,7 @@ from typing import Callable
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 @dataclass(frozen=True)
@@ -719,3 +720,204 @@ def match_pattern_stream(
         transition_buffered if use_wm else transition_replay,
         schema, "blob binary", "append", timeout_conf,
     )
+
+
+# ---------------------------------------------------------------------------
+# Group patterns (Pattern.begin(Pattern) — GroupPattern.java:42)
+
+
+@dataclass
+class _GroupItem:
+    sub: "Pattern"
+    contiguity: str  # how the group's first repeat attaches
+    reps: tuple[int, ...] = (1,)  # allowed repeat counts
+    consecutive: bool = False  # strict chaining BETWEEN repeats
+
+
+class GroupPattern:
+    """Group patterns (GroupPattern.java:42; built by
+    Pattern.begin(Pattern) / next(Pattern) / followedBy(Pattern) /
+    followedByAny(Pattern), quantified with times/optional/oneOrMore —
+    NFACompiler's group handling).
+
+    Spark-first strategy: VARIANT EXPANSION instead of a nested NFA. A
+    quantified group admits a finite set of repeat counts; each choice
+    vector flattens to an ordinary step-sequence `Pattern` (the group's
+    consume strategy attaches repeat j's first step, inner steps keep
+    their own contiguity — the same wiring NFACompiler emits state-by-
+    state), every variant runs the existing NFA, and the union of their
+    matches is the group-pattern match set. Repeat counts are therefore
+    explicit: `one_or_more` takes a `max_repeats` bound (the reference's
+    unbounded group loop has no finite variant set — bound it by the
+    within() horizon you actually care about; documented deviation).
+
+    Sub-patterns must be simple sequences (single-event steps, no
+    negation/until/greedy) — quantifiers belong on the GROUP here, which
+    is exactly the case group patterns exist for.
+
+    Match columns are repeat-stable: per inner step `{name}_id`/`{name}_ts`
+    (the LAST repeat's event, like loop steps report their last event) and
+    `{name}_cnt` (repeats matched; 0 with NULL ids for a skipped optional
+    group) — one schema for every variant, so the union is well-formed.
+    """
+
+    _MAX_VARIANTS = 64
+
+    def __init__(self) -> None:
+        self.items: list[_GroupItem] = []
+        self.within_ms: int | None = None
+
+    # -- construction ------------------------------------------------------
+    @staticmethod
+    def begin(sub: Pattern) -> "GroupPattern":
+        g = GroupPattern()
+        g.items.append(_GroupItem(sub, "begin"))
+        return g
+
+    def next(self, sub: Pattern) -> "GroupPattern":
+        self.items.append(_GroupItem(sub, "next"))
+        return self
+
+    def followed_by(self, sub: Pattern) -> "GroupPattern":
+        self.items.append(_GroupItem(sub, "followedBy"))
+        return self
+
+    def followed_by_any(self, sub: Pattern) -> "GroupPattern":
+        self.items.append(_GroupItem(sub, "followedByAny"))
+        return self
+
+    def times(self, n: int) -> "GroupPattern":
+        """Pattern.times on a group: the whole sub-sequence repeats exactly
+        n times, chained with the group's consume strategy."""
+        if n < 1:
+            raise ValueError("times(n) requires n >= 1")
+        self.items[-1].reps = (n,)
+        return self
+
+    def one_or_more(self, max_repeats: int) -> "GroupPattern":
+        """Pattern.oneOrMore on a group, bounded: a match per repeat count
+        1..max_repeats (the reference emits per-prefix matches the same
+        way; the bound makes the variant set finite)."""
+        if max_repeats < 1:
+            raise ValueError("one_or_more requires max_repeats >= 1")
+        self.items[-1].reps = tuple(range(1, max_repeats + 1))
+        return self
+
+    def consecutive(self) -> "GroupPattern":
+        """Pattern.consecutive on a quantified group (Pattern.java:462):
+        repeats must chain STRICTLY (next) instead of the relaxed default —
+        the same default/override step-level times/oneOrMore have."""
+        self.items[-1].consecutive = True
+        return self
+
+    def optional(self) -> "GroupPattern":
+        """Pattern.optional on a group: all-or-nothing skip of the whole
+        sub-sequence (per-step optional cannot express this)."""
+        if len(self.items) == 1:
+            raise ValueError("the first group cannot be optional")
+        it = self.items[-1]
+        it.reps = tuple(sorted({0, *it.reps}))
+        return self
+
+    def within(self, ms: int) -> "GroupPattern":
+        self.within_ms = ms
+        return self
+
+    # -- expansion ---------------------------------------------------------
+    def _validate(self) -> None:
+        if not self.items:
+            raise ValueError("empty group pattern")
+        seen: set[str] = set()
+        for it in self.items:
+            for st in it.sub.steps:
+                if st.quantifier != "single" or st.contiguity in ("notNext", "notFollowedBy") \
+                        or st.until_pred is not None or st.greedy:
+                    raise ValueError(
+                        "group sub-patterns must be simple sequences "
+                        "(quantify the GROUP, not its steps)"
+                    )
+                if st.name in seen:
+                    raise ValueError(f"duplicate step name across groups: {st.name!r}")
+                seen.add(st.name)
+        n_variants = 1
+        for it in self.items:
+            n_variants *= len(it.reps)
+        if n_variants > self._MAX_VARIANTS:
+            raise ValueError(f"{n_variants} variants exceeds cap {self._MAX_VARIANTS}")
+
+    def variants(self) -> list[tuple[Pattern, dict[int, int]]]:
+        """All (flattened Pattern, {item_index: repeat_count}) choices."""
+        from itertools import product
+
+        self._validate()
+        out = []
+        for choice in product(*[it.reps for it in self.items]):
+            steps: list[Step] = []
+            for i, (it, r) in enumerate(zip(self.items, choice)):
+                between = "next" if it.consecutive else "followedBy"
+                for j in range(r):
+                    for k, st in enumerate(it.sub.steps):
+                        # repeat 0's first step attaches with the group's
+                        # consume strategy; repeats j>0 chain relaxed by
+                        # default or strict under consecutive() — the same
+                        # between-repeat rule step-level loops have; inner
+                        # steps keep their own contiguity
+                        if not steps:
+                            cont = "begin"
+                        elif k == 0:
+                            cont = it.contiguity if j == 0 else between
+                        else:
+                            cont = st.contiguity
+                        steps.append(
+                            Step(
+                                name=f"{st.name}__g{i}r{j}",
+                                predicate=st.predicate,
+                                contiguity=cont,
+                                expr=st.expr,
+                            )
+                        )
+            if not steps:
+                continue  # every group skipped — not a pattern
+            pat = Pattern(steps=steps, within_ms=self.within_ms)
+            out.append((pat, {i: r for i, r in enumerate(choice)}))
+        return out
+
+
+def match_group_pattern(
+    df: DataFrame,
+    gpattern: GroupPattern,
+    key_col: str,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Batch group-pattern matching: run the NFA once per flattened
+    variant (each a plain `match_pattern` plan over the same input — the
+    prefilter/shuffle work per variant, Catalyst shares the scan) and
+    union the matches onto the repeat-stable schema. Distinct repeat
+    counts yield distinct rows by construction (`_cnt` differs), so the
+    union needs no dedup."""
+    frames = []
+    for pat, choice in gpattern.variants():
+        m = match_pattern(df, pat, key_col, ts_col=ts_col, id_col=id_col)
+        cols = [F.col(key_col)]
+        for i, it in enumerate(gpattern.items):
+            r = choice[i]
+            for st in it.sub.steps:
+                if r == 0:
+                    cols += [
+                        F.lit(None).cast("long").alias(f"{st.name}_id"),
+                        F.lit(None).cast("long").alias(f"{st.name}_ts"),
+                        F.lit(0).cast("long").alias(f"{st.name}_cnt"),
+                    ]
+                else:
+                    last = f"{st.name}__g{i}r{r - 1}"
+                    cols += [
+                        F.col(f"{last}_id").alias(f"{st.name}_id"),
+                        F.col(f"{last}_ts").alias(f"{st.name}_ts"),
+                        F.lit(r).cast("long").alias(f"{st.name}_cnt"),
+                    ]
+        frames.append(m.select(*cols))
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out

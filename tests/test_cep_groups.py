@@ -1,0 +1,99 @@
+"""Group-pattern tests (GroupPattern.java parity via variant expansion):
+quantified sub-sequences, all-or-nothing optional groups, per-repeat-count
+matches, and the validation contract."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from proteus_engine_spark.streaming.cep import (
+    GroupPattern,
+    Pattern,
+    match_group_pattern,
+)
+
+SCHEMA = "event_id long, ts timestamp, user_id long, event_type string"
+
+
+def _events(spark, seq_per_user):
+    rows = []
+    for user, types in seq_per_user.items():
+        for i, t in enumerate(types):
+            rows.append((user * 100 + i, datetime(2024, 1, 1, 0, i), user, t))
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _sub(*names):
+    it = Pattern.begin(names[0], lambda r, n=names[0]: r["event_type"] == n)
+    for n in names[1:]:
+        it = it.next(n, lambda r, n=n: r["event_type"] == n)
+    return it
+
+
+def test_group_times_consecutive_vs_relaxed(spark):
+    # (a next b) times(2): u1 has the repeats adjacent, u2 has noise
+    # between them. Relaxed default matches both; consecutive() only u1.
+    ev = _events(spark, {1: ["a", "b", "a", "b"], 2: ["a", "b", "x", "a", "b"]})
+    relaxed = GroupPattern.begin(_sub("a", "b")).times(2)
+    assert {r["user_id"] for r in match_group_pattern(ev, relaxed, "user_id").collect()} == {1, 2}
+    strict = GroupPattern.begin(_sub("a", "b")).times(2).consecutive()
+    got = match_group_pattern(ev, strict, "user_id").collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["user_id"] == 1 and r["a_cnt"] == 2 and r["b_cnt"] == 2
+    assert r["a_id"] == 102 and r["b_id"] == 103  # LAST repeat's events
+
+
+def test_group_optional_all_or_nothing(spark):
+    # e, then OPTIONAL (c next v), then p — all strict. u1 takes the group,
+    # u2 skips it, u3 has only half the group (c without v): per-step
+    # optional would wrongly match u3; all-or-nothing must not.
+    ev = _events(spark, {1: ["e", "c", "v", "p"], 2: ["e", "p"], 3: ["e", "c", "p"]})
+    g = (
+        GroupPattern.begin(_sub("e"))
+        .next(_sub("c", "v")).optional()
+        .next(_sub("p"))
+    )
+    rows = {r["user_id"]: r for r in match_group_pattern(ev, g, "user_id").collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["c_cnt"] == 1 and rows[1]["c_id"] == 101 and rows[1]["v_id"] == 102
+    assert rows[2]["c_cnt"] == 0 and rows[2]["c_id"] is None and rows[2]["v_id"] is None
+    assert rows[1]["p_cnt"] == 1 and rows[2]["p_cnt"] == 1
+
+
+def test_group_one_or_more_emits_per_repeat_count(spark):
+    # (a next b) oneOrMore(max 3): u1's a b a b emits repeat counts 1 and 2
+    # (per-prefix, like step-level oneOrMore), anchored at each start.
+    ev = _events(spark, {1: ["a", "b", "a", "b"]})
+    g = GroupPattern.begin(_sub("a", "b")).one_or_more(max_repeats=3)
+    got = sorted(
+        (r["a_cnt"], r["a_id"], r["b_id"])
+        for r in match_group_pattern(ev, g, "user_id").collect()
+    )
+    # starts at event 0 (counts 1 and 2) and at event 2 (count 1)
+    assert got == [(1, 100, 101), (1, 102, 103), (2, 102, 103)]
+
+
+def test_group_relaxed_attachment(spark):
+    # followed_by between groups skips noise; inside the group stays strict.
+    ev = _events(spark, {1: ["a", "b", "x", "x", "c", "d"]})
+    g = GroupPattern.begin(_sub("a", "b")).followed_by(_sub("c", "d"))
+    got = match_group_pattern(ev, g, "user_id").collect()
+    assert len(got) == 1 and got[0]["c_id"] == 104 and got[0]["d_id"] == 105
+
+
+def test_group_validation(spark):
+    with pytest.raises(ValueError, match="simple sequences"):
+        GroupPattern.begin(_sub("a", "b").one_or_more()).times(2).variants()
+    with pytest.raises(ValueError, match="duplicate step name"):
+        GroupPattern.begin(_sub("a")).followed_by(_sub("a")).variants()
+    with pytest.raises(ValueError, match="first group cannot be optional"):
+        GroupPattern.begin(_sub("a")).optional()
+    with pytest.raises(ValueError, match="exceeds cap"):
+        g = GroupPattern.begin(_sub("a"))
+        for n in "bcdefg":
+            g = g.followed_by(_sub(n)).one_or_more(max_repeats=3)
+        g.variants()
