@@ -69,6 +69,23 @@ class EventTimeTrigger(Trigger):
 
 
 @dataclass(frozen=True)
+class ContinuousEventTimeTrigger(Trigger):
+    """ContinuousEventTimeTrigger.java:38 — fires repeatedly every
+    `interval_ms` of EVENT time: the first element arms a timer at its
+    aligned boundary + interval (:64-65), each firing re-arms + interval
+    (:84-86), and the window end still produces the final fire (:76-77).
+    A boundary fire sees the elements with ts <= boundary — the window's
+    contents when event time reached it; the evictor is evaluated per
+    fire on that subset (not persisted — persistent eviction composes
+    with the single-fire triggers)."""
+
+    interval_ms: int
+
+    def fires_on_event_time(self) -> bool:
+        return True
+
+
+@dataclass(frozen=True)
 class CountTrigger(Trigger):
     """CountTrigger.java:33 — FIRE every `max_count` elements added to the
     window; the element counter resets on fire, the window contents do not
@@ -129,6 +146,23 @@ class TimeEvictor(Evictor):
             return elems
         cutoff = max(t for t, _i, _c in elems) - self.keep_ms
         return [e for e in elems if e[0] > cutoff]
+
+
+@dataclass(frozen=True)
+class DeltaEvictor(Evictor):
+    """DeltaEvictor.java:72-78 — evict every element whose
+    delta(value, LAST element's value) >= threshold. `delta` defaults to
+    absolute difference (values in the operator's value units)."""
+
+    threshold: float
+    delta: object = None  # Callable[[float, float], float]
+
+    def evict(self, elems):
+        if not elems:
+            return elems
+        fn = self.delta or (lambda a, b: abs(a - b))
+        last_v = elems[-1][2] / 100.0
+        return [e for e in elems if fn(e[2] / 100.0, last_v) < self.threshold]
 
 
 # --------------------------------------------------------------------------
@@ -201,9 +235,12 @@ def triggered_window_agg(
         st["buf"] = [e for e in st["buf"] if e[0] > wm]
 
         out_rows: list[tuple] = []
+        interval = getattr(trigger, "interval_ms", None)
         for t, i, c in ready:
             ws = 0 if window_ms is None else t - (t % window_ms)
             win = st["wins"].setdefault(ws, {"elems": [], "since": 0, "fires": 0})
+            if interval is not None and "nf" not in win:
+                win["nf"] = t - (t % interval) + interval  # :64-65 arming
             win["elems"].append((t, i, c))
             win["since"] += 1
             if trigger.fires_on_element(win["since"]):
@@ -213,6 +250,21 @@ def triggered_window_agg(
                 out_rows.append((key[0], ws, win["fires"], n, total))
 
         if window_ms is not None:
+            if interval is not None:
+                # continuous boundary fires: each passed boundary emits the
+                # window's contents as of that boundary, then re-arms
+                for ws in sorted(st["wins"]):
+                    win = st["wins"][ws]
+                    while "nf" in win and win["nf"] <= wm and win["nf"] < ws + window_ms:
+                        b = win["nf"]
+                        kept = evictor.evict([e for e in win["elems"] if e[0] <= b])
+                        if kept:
+                            win["fires"] += 1
+                            out_rows.append((
+                                key[0], ws, win["fires"], len(kept),
+                                sum(c for _t, _i, c in kept) / 100.0,
+                            ))
+                        win["nf"] = b + interval
             for ws in sorted(st["wins"]):
                 if ws + window_ms <= wm:  # window closed by the watermark
                     win = st["wins"].pop(ws)

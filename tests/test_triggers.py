@@ -125,3 +125,47 @@ def test_global_window_rejects_event_time_trigger(spark):
             stream, "user_id", "ts", "value",
             trigger=EventTimeTrigger(), window_ms=None,
         )
+
+
+def test_continuous_event_time_trigger_boundary_fires(spark):
+    # 10-min tumbling window, continuous fires every 4 min of event time:
+    # window [0,10) fires at boundary 4 (events 0-4), boundary 8 (events
+    # 0-7), then the final fire (fire_seq 0) at the watermark close.
+    from proteus_engine_spark.streaming.triggers import ContinuousEventTimeTrigger
+
+    a = [_ev(i, i, 1, "x", 1.0) for i in range(8)]
+    b = [_ev(20 + i, 20 + i, 1, "x", 1.0) for i in range(3)]
+    stream = _two_batch_stream(spark, a, b, EV_SCHEMA)
+    out = triggered_window_agg(
+        stream, "user_id", "ts", "value",
+        trigger=ContinuousEventTimeTrigger(4 * 60_000),
+        window_ms=10 * 60_000,
+        watermark_delay="1 minute",
+    )
+    rows = sorted(
+        (r["fire_seq"], r["n"], r["total_value"])
+        for r in _run(out, "trig_cont").collect()
+        if pd.Timestamp(r["win_start"]) == pd.Timestamp("2024-01-01 00:00:00")
+    )
+    assert rows == [(0, 8, 8.0), (1, 5, 5.0), (2, 8, 8.0)]
+
+
+def test_delta_evictor_keeps_near_last(spark):
+    # CountTrigger(5)+purge with DeltaEvictor(threshold 2): values 10,11,1,
+    # 12,11 → last is 11; |1-11|=10 evicted, the rest stay.
+    from proteus_engine_spark.streaming.triggers import DeltaEvictor
+
+    vals = [10.0, 11.0, 1.0, 12.0, 11.0]
+    a = [_ev(i, i, 1, "x", vals[i]) for i in range(5)]
+    b = [_ev(5, 7, 1, "x", 0.0)]  # advances the watermark past event 4
+    stream = _two_batch_stream(spark, a, b, EV_SCHEMA)
+    out = triggered_window_agg(
+        stream, "user_id", "ts", "value",
+        trigger=PurgingTrigger(CountTrigger(5)),
+        evictor=DeltaEvictor(2.0),
+        window_ms=None,
+        watermark_delay="1 minute",
+    )
+    rows = _run(out, "trig_delta").collect()
+    assert len(rows) == 1
+    assert rows[0]["n"] == 4 and rows[0]["total_value"] == pytest.approx(44.0)
