@@ -283,3 +283,97 @@ def jaccard_index(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataF
             ).alias("jaccard_score"),
         )
     )
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 10,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Hubs-and-authorities — linkanalysis/HITS.java:67 (per-iteration
+    hub/authority transfer with L2 normalization — the HUBBINESS/
+    AUTHORITY_SUM_SQUARED accumulators :72-74). Each iteration:
+    auth(v) = Σ_{u→v} hub(u) then L2-normalize; hub(u) = Σ_{u→v} auth(v)
+    then L2-normalize; hubs start at 1. Returns (vertex, hub_score,
+    authority_score).
+
+    Scale: two shuffles per iteration (the two transfer aggs, each grouped
+    on a vertex id); the L2 norms are single-double global aggregates per
+    half-step (the reference's accumulator sync), edges materialized once."""
+    edges = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint(eager=True)
+    verts = _vertices(edges, "src", "dst").localCheckpoint(eager=True)
+    scores = verts.select("vertex", F.lit(1.0).alias("hub"), F.lit(0.0).alias("auth"))
+    for _ in range(iterations):
+        auth_raw = (
+            edges.join(scores.select(F.col("vertex").alias("src"), "hub"), "src")
+            .groupBy(F.col("dst").alias("vertex"))
+            .agg(F.sum("hub").alias("a_raw"))
+        )
+        a_norm = auth_raw.agg(F.sqrt(F.sum(F.col("a_raw") * F.col("a_raw")))).collect()[0][0]
+        auth = verts.join(auth_raw, "vertex", "left").select(
+            "vertex",
+            (F.coalesce("a_raw", F.lit(0.0)) / F.lit(a_norm or 1.0)).alias("auth"),
+        )
+        hub_raw = (
+            edges.join(auth.select(F.col("vertex").alias("dst"), "auth"), "dst")
+            .groupBy(F.col("src").alias("vertex"))
+            .agg(F.sum("auth").alias("h_raw"))
+        )
+        h_norm = hub_raw.agg(F.sqrt(F.sum(F.col("h_raw") * F.col("h_raw")))).collect()[0][0]
+        scores = (
+            verts.join(hub_raw, "vertex", "left")
+            .join(auth, "vertex")
+            .select(
+                "vertex",
+                (F.coalesce("h_raw", F.lit(0.0)) / F.lit(h_norm or 1.0)).alias("hub"),
+                "auth",
+            )
+            .localCheckpoint(eager=True)
+        )
+    return scores.select(
+        "vertex", F.col("hub").alias("hub_score"), F.col("auth").alias("authority_score")
+    )
+
+
+def local_clustering_coefficient(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-vertex clustering — library/clustering/undirected/
+    LocalClusteringCoefficient.java:54 (Result = vertex degree + triangle
+    count; score = triangles / C(degree, 2)). Triangles come from the
+    degree-ordered enumerator; degree-< 2 vertices score 0. Returns
+    (vertex, degree, triangle_count, lcc)."""
+    a, b = F.col(src), F.col(dst)
+    sym = (
+        edges.filter(a != b)
+        .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        sym.select(F.col("a").alias("vertex"))
+        .union(sym.select(F.col("b").alias("vertex")))
+        .groupBy("vertex")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    tri = triangle_list(sym, src="a", dst="b")
+    per_vertex = (
+        tri.select(F.explode(F.array("v1", "v2", "v3")).alias("vertex"))
+        .groupBy("vertex")
+        .agg(F.count(F.lit(1)).alias("triangle_count"))
+    )
+    pairs = (F.col("degree") * (F.col("degree") - 1) / 2).cast("double")
+    return (
+        deg.join(per_vertex, "vertex", "left")
+        .select(
+            "vertex",
+            "degree",
+            F.coalesce("triangle_count", F.lit(0)).alias("triangle_count"),
+            F.when(F.col("degree") < 2, F.lit(0.0))
+            .otherwise(F.coalesce("triangle_count", F.lit(0)) / pairs)
+            .alias("lcc"),
+        )
+    )

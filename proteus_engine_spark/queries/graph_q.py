@@ -223,3 +223,73 @@ def graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from proteus_engine_spark.graph import jaccard_index
 
     return jaccard_index(_part_part_edges(spark, sf_dir))
+
+
+@register(
+    "graph_hits",
+    oracle=f"""
+    WITH e AS ({_CUST_PART_EDGES_SQL}),
+    v AS (SELECT src AS vertex FROM e UNION SELECT dst FROM e),
+    h0 AS (SELECT vertex, 1.0 AS hub FROM v),
+    ar1 AS (SELECT e.dst AS vertex, SUM(h.hub) AS raw FROM e JOIN h0 h ON h.vertex = e.src GROUP BY 1),
+    a1 AS (SELECT v.vertex, COALESCE(ar1.raw, 0) / (SELECT sqrt(SUM(raw * raw)) FROM ar1) AS auth
+           FROM v LEFT JOIN ar1 ON ar1.vertex = v.vertex),
+    hr1 AS (SELECT e.src AS vertex, SUM(a.auth) AS raw FROM e JOIN a1 a ON a.vertex = e.dst GROUP BY 1),
+    h1 AS (SELECT v.vertex, COALESCE(hr1.raw, 0) / (SELECT sqrt(SUM(raw * raw)) FROM hr1) AS hub
+           FROM v LEFT JOIN hr1 ON hr1.vertex = v.vertex),
+    ar2 AS (SELECT e.dst AS vertex, SUM(h.hub) AS raw FROM e JOIN h1 h ON h.vertex = e.src GROUP BY 1),
+    a2 AS (SELECT v.vertex, COALESCE(ar2.raw, 0) / (SELECT sqrt(SUM(raw * raw)) FROM ar2) AS auth
+           FROM v LEFT JOIN ar2 ON ar2.vertex = v.vertex),
+    hr2 AS (SELECT e.src AS vertex, SUM(a.auth) AS raw FROM e JOIN a2 a ON a.vertex = e.dst GROUP BY 1),
+    h2 AS (SELECT v.vertex, COALESCE(hr2.raw, 0) / (SELECT sqrt(SUM(raw * raw)) FROM hr2) AS hub
+           FROM v LEFT JOIN hr2 ON hr2.vertex = v.vertex)
+    SELECT v.vertex, h2.hub AS hub_score, a2.auth AS authority_score
+    FROM v JOIN h2 ON h2.vertex = v.vertex JOIN a2 ON a2.vertex = v.vertex
+    """,
+    tags=("graph", "iteration"),
+)
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS gate (linkanalysis/HITS.java:67): two hub↔authority transfer
+    iterations with L2 normalization per half-step on the customer→part
+    graph — customers are pure hubs, parts pure authorities, so a wrong
+    transfer direction or a missed normalization moves every score. The
+    oracle unrolls the same four half-steps as chained CTEs."""
+    from proteus_engine_spark.graph.library import hits
+
+    return hits(_cust_part_edges(spark, sf_dir), iterations=2)
+
+
+@register(
+    "graph_clustering_coeff",
+    oracle=f"""
+    WITH e AS ({_PART_PART_EDGES_SQL}),
+    adj AS (SELECT src AS v, dst AS w FROM e UNION ALL SELECT dst, src FROM e),
+    deg AS (SELECT v AS vertex, count(*) AS degree FROM adj GROUP BY v),
+    tri AS (
+      SELECT x.src AS v1, x.dst AS v2, y.dst AS v3
+      FROM e x JOIN e y ON y.src = x.src AND x.dst < y.dst
+               JOIN e z ON z.src = x.dst AND z.dst = y.dst
+    ),
+    pv AS (
+      SELECT vertex, count(*) AS tc FROM (
+        SELECT v1 AS vertex FROM tri UNION ALL
+        SELECT v2 FROM tri UNION ALL SELECT v3 FROM tri
+      ) t GROUP BY vertex
+    )
+    SELECT d.vertex, d.degree, COALESCE(pv.tc, 0) AS triangle_count,
+           CASE WHEN d.degree < 2 THEN 0.0
+                ELSE COALESCE(pv.tc, 0) / (d.degree * (d.degree - 1) / 2.0)
+           END AS lcc
+    FROM deg d LEFT JOIN pv ON pv.vertex = d.vertex
+    """,
+    tags=("graph", "clustering"),
+)
+def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-clustering gate (clustering/undirected/
+    LocalClusteringCoefficient.java:54): per part vertex, degree, number
+    of triangles it sits in, and triangles / C(degree, 2) on the
+    part↔part graph. The engine counts triangles via the degree-ordered
+    enumerator; the oracle recounts them with the naive three-way join."""
+    from proteus_engine_spark.graph.library import local_clustering_coefficient
+
+    return local_clustering_coefficient(_part_part_edges(spark, sf_dir))

@@ -84,3 +84,31 @@ def test_graph_plans_stay_jvm_side(spark):
     # a per-branch replay of the edge subplan
     tri = _plan(triangle_list(e))
     assert tri.count("Scan ExistingRDD") <= 6
+
+
+def test_hits_star(spark):
+    # 1→2 ← 3: vertex 2 is the sole authority (score 1); hubs 1 and 3
+    # split the hubbiness mass (1/sqrt(2) each after L2 normalization).
+    from proteus_engine_spark.graph.library import hits
+
+    e = _edges(spark, [(1, 2), (3, 2)])
+    got = {r["vertex"]: (r["hub_score"], r["authority_score"])
+           for r in hits(e, iterations=2).collect()}
+    inv_sqrt2 = 1 / 2 ** 0.5
+    assert got[2] == (pytest.approx(0.0), pytest.approx(1.0))
+    assert got[1] == (pytest.approx(inv_sqrt2), pytest.approx(0.0))
+    assert got[3] == (pytest.approx(inv_sqrt2), pytest.approx(0.0))
+
+
+def test_local_clustering_coefficient(spark):
+    # K4 plus tail 4-5: K4-only vertices have lcc 1 (3 triangles / C(3,2));
+    # vertex 4 has degree 4 → 3/6; vertex 5 has degree 1 → 0.
+    from proteus_engine_spark.graph.library import local_clustering_coefficient
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    e = _edges(spark, k4 + [(4, 5)])
+    got = {r["vertex"]: (r["degree"], r["triangle_count"], r["lcc"])
+           for r in local_clustering_coefficient(e).collect()}
+    assert got[1] == (3, 3, pytest.approx(1.0))
+    assert got[4] == (4, 3, pytest.approx(0.5))
+    assert got[5] == (1, 0, pytest.approx(0.0))
