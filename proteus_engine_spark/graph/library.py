@@ -377,3 +377,69 @@ def local_clustering_coefficient(
             .alias("lcc"),
         )
     )
+
+
+def summarize(
+    vertices: DataFrame,
+    edges: DataFrame,
+    vertex_col: str = "vertex",
+    value_col: str = "value",
+    src: str = "src",
+    dst: str = "dst",
+) -> tuple[DataFrame, DataFrame]:
+    """Graph summarization — library/Summarization.java:92: vertices with
+    the same value collapse into one super-vertex (:103-109), edges roll
+    up between super-vertices with a count (:111+). The reference picks an
+    arbitrary group representative; here it is the MIN vertex id
+    (deterministic, oracle-checkable). Returns (super_vertices,
+    super_edges): (vertex, value, count) and (src, dst, count) over
+    representative ids — edges between members of one group become
+    super-self-loops, as in the reference.
+
+    Scale: one shuffle to group vertices, one broadcast-or-shuffle join to
+    map each edge endpoint to its representative, one shuffle to roll up
+    super-edges."""
+    groups = vertices.groupBy(value_col).agg(
+        F.min(vertex_col).alias("__rep__"), F.count(F.lit(1)).alias("count")
+    )
+    super_vertices = groups.select(
+        F.col("__rep__").alias(vertex_col), value_col, "count"
+    )
+    rep_map = vertices.join(groups, value_col).select(
+        F.col(vertex_col).alias("__member__"), "__rep__"
+    )
+    super_edges = (
+        edges.join(rep_map.withColumnRenamed("__member__", src), src)
+        .withColumnRenamed("__rep__", "__rs__")
+        .join(rep_map.withColumnRenamed("__member__", dst), dst)
+        .groupBy(F.col("__rs__").alias(src), F.col("__rep__").alias(dst))
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+    return super_vertices, super_edges
+
+
+def vertex_metrics(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Global undirected vertex metrics — library/metric/undirected/
+    VertexMetrics.java:46: vertex count, edge count, average degree
+    bounds via sum of degrees, maximum degree, and triplet count
+    (Σ C(d, 2) — the denominator pool for clustering coefficients). One
+    row. Pure aggregation: one shuffle for degrees, one global fold."""
+    a, b = F.col(src), F.col(dst)
+    sym = (
+        edges.filter(a != b)
+        .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .distinct()
+    )
+    deg = (
+        sym.select(F.col("a").alias("vertex"))
+        .union(sym.select(F.col("b").alias("vertex")))
+        .groupBy("vertex")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    return deg.agg(
+        F.count(F.lit(1)).alias("n_vertices"),
+        (F.sum("d") / 2).cast("long").alias("n_edges"),
+        F.sum("d").alias("sum_degree"),
+        F.max("d").alias("max_degree"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_triplets"),
+    )

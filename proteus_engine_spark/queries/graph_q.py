@@ -293,3 +293,58 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from proteus_engine_spark.graph.library import local_clustering_coefficient
 
     return local_clustering_coefficient(_part_part_edges(spark, sf_dir))
+
+
+@register(
+    "graph_summarize",
+    oracle=f"""
+    WITH v AS (SELECT p_partkey AS vertex, p_brand AS value FROM part WHERE p_partkey < 120),
+    g AS (SELECT value, min(vertex) AS rep FROM v GROUP BY value),
+    m AS (SELECT v.vertex AS member, g.rep FROM v JOIN g ON g.value = v.value),
+    e AS ({_PART_PART_EDGES_SQL})
+    SELECT ms.rep AS src, md.rep AS dst, count(*) AS count
+    FROM e JOIN m ms ON ms.member = e.src JOIN m md ON md.member = e.dst
+    GROUP BY 1, 2
+    """,
+    tags=("graph",),
+)
+def graph_summarize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Summarization gate (library/Summarization.java:92): parts collapse
+    into brand super-vertices (representative = min partkey —
+    deterministic where the reference picks arbitrarily) and the
+    part↔part co-purchase edges roll up to brand-pair counts, same-brand
+    pairs becoming super-self-loops. The oracle rebuilds the
+    representative map and rollup in SQL."""
+    from proteus_engine_spark.graph.library import summarize
+
+    verts = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < 120)
+        .select(F.col("p_partkey").alias("vertex"), F.col("p_brand").alias("value"))
+    )
+    _sv, se = summarize(verts, _part_part_edges(spark, sf_dir))
+    return se
+
+
+@register(
+    "graph_vertex_metrics",
+    oracle=f"""
+    WITH e AS ({_PART_PART_EDGES_SQL}),
+    adj AS (SELECT src AS v FROM e UNION ALL SELECT dst FROM e),
+    deg AS (SELECT v, count(*) AS d FROM adj GROUP BY v)
+    SELECT count(*) AS n_vertices,
+           CAST(SUM(d) / 2 AS BIGINT) AS n_edges,
+           SUM(d) AS sum_degree,
+           MAX(d) AS max_degree,
+           CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS n_triplets
+    FROM deg
+    """,
+    tags=("graph", "metric"),
+)
+def graph_vertex_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global-metrics gate (library/metric/undirected/VertexMetrics.java:46):
+    vertex/edge counts, degree sum and max, and the triplet pool
+    Σ C(d, 2) over the part↔part graph, as one row."""
+    from proteus_engine_spark.graph.library import vertex_metrics
+
+    return vertex_metrics(_part_part_edges(spark, sf_dir))

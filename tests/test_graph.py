@@ -112,3 +112,28 @@ def test_local_clustering_coefficient(spark):
     assert got[1] == (3, 3, pytest.approx(1.0))
     assert got[4] == (4, 3, pytest.approx(0.5))
     assert got[5] == (1, 0, pytest.approx(0.0))
+
+
+def test_summarize_groups_and_rolls_up(spark):
+    from proteus_engine_spark.graph.library import summarize
+
+    verts = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "y"), (4, "z")], "vertex long, value string"
+    )
+    e = _edges(spark, [(1, 3), (2, 3), (1, 2), (3, 4)])
+    sv, se = summarize(verts, e)
+    got_v = {r["value"]: (r["vertex"], r["count"]) for r in sv.collect()}
+    assert got_v == {"x": (1, 2), "y": (3, 1), "z": (4, 1)}
+    got_e = {(r["src"], r["dst"]): r["count"] for r in se.collect()}
+    # 1→3 and 2→3 roll up to (1,3):2; 1→2 becomes the super-self-loop (1,1)
+    assert got_e == {(1, 3): 2, (1, 1): 1, (3, 4): 1}
+
+
+def test_vertex_metrics_k4_tail(spark):
+    from proteus_engine_spark.graph.library import vertex_metrics
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    e = _edges(spark, k4 + [(4, 5)])
+    r = vertex_metrics(e).collect()[0]
+    assert (r["n_vertices"], r["n_edges"], r["sum_degree"], r["max_degree"]) == (5, 7, 14, 4)
+    assert r["n_triplets"] == 3 * 3 + 6  # three C(3,2) vertices + C(4,2)
