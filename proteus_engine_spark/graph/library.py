@@ -396,6 +396,10 @@ def summarize(
     representative ids — edges between members of one group become
     super-self-loops, as in the reference.
 
+    Edges whose endpoints are missing from `vertices` are dropped (the
+    reference's Graph invariant requires the vertex set to cover the edge
+    set — validate upstream if unsure).
+
     Scale: one shuffle to group vertices, one broadcast-or-shuffle join to
     map each edge endpoint to its representative, one shuffle to roll up
     super-edges."""

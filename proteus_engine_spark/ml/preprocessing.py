@@ -52,9 +52,10 @@ def min_max_scaler(
     target_max: float = 1.0,
     suffix: str = "_scaled",
 ) -> DataFrame:
-    """MinMaxScaler.scala:37: rescale each feature's observed [min, max]
+    """MinMaxScaler.scala:34: rescale each feature's observed [min, max]
     onto [target_min, target_max]; a constant feature (range 0) maps to
-    target_min, mirroring the scaler's zero-range guard."""
+    target_min — exactly the reference's guard (:255-256 sets the zero
+    range to 1, so (x-min)/1·span + target_min = target_min)."""
     stats = df.agg(
         *[F.min(c).alias(f"__mn_{c}") for c in cols],
         *[F.max(c).alias(f"__mx_{c}") for c in cols],
