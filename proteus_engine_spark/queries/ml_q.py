@@ -75,3 +75,47 @@ def ml_feature_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scaled.select(
         "l_orderkey", "l_linenumber", "l_quantity_scaled", "l_tax_scaled"
     )
+
+
+@register(
+    "ml_distance_metrics",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id <= 20)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           sqrt(list_sum([(a.e[i] - b.e[i])^2 for i in generate_series(1, len(a.e))])) AS euclidean,
+           list_sum([abs(a.e[i] - b.e[i]) for i in generate_series(1, len(a.e))]) AS manhattan,
+           list_max([abs(a.e[i] - b.e[i]) for i in generate_series(1, len(a.e))]) AS chebyshev,
+           1 - list_dot_product(a.e, b.e)
+             / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS cosine_dist,
+           1 - list_dot_product(a.e, b.e)
+             / (list_dot_product(a.e, a.e) + list_dot_product(b.e, b.e)
+                - list_dot_product(a.e, b.e)) AS tanimoto_dist
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    """,
+    tags=("ml", "distance"),
+)
+def ml_distance_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-metric gate (metrics/distances/ — Euclidean :30, Manhattan
+    :30, Chebyshev :31, Cosine :31, Tanimoto :30): five metrics over every
+    pair of the first 20 embeddings, computed as pure Catalyst
+    zip_with/aggregate expressions (no UDF in the plan) and mirrored in
+    DuckDB list arithmetic. Five formulas per row make any sign, norm, or
+    fold error visible."""
+    from proteus_engine_spark.ml import distances as D
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") <= 20)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    )
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("e").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("e").alias("eb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return pairs.select(
+        "id_a", "id_b",
+        D.euclidean("ea", "eb").alias("euclidean"),
+        D.manhattan("ea", "eb").alias("manhattan"),
+        D.chebyshev("ea", "eb").alias("chebyshev"),
+        D.cosine_distance("ea", "eb").alias("cosine_dist"),
+        D.tanimoto_distance("ea", "eb").alias("tanimoto_dist"),
+    )

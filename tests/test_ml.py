@@ -70,3 +70,27 @@ def test_polynomial_features_degree2(spark):
     assert row["poly_a_a"] == 4.0
     assert row["poly_a_b"] == 6.0
     assert row["poly_b_b"] == 9.0
+
+
+def test_distance_metrics_hand_values(spark):
+    from proteus_engine_spark.ml import distances as D
+
+    df = spark.createDataFrame(
+        [([3.0, 0.0], [0.0, 4.0])], "a array<double>, b array<double>"
+    )
+    r = df.select(
+        D.euclidean("a", "b").alias("euc"),
+        D.squared_euclidean("a", "b").alias("sq"),
+        D.manhattan("a", "b").alias("man"),
+        D.chebyshev("a", "b").alias("che"),
+        D.minkowski("a", "b", 3).alias("mink3"),
+        D.cosine_distance("a", "b").alias("cos"),
+        D.tanimoto_distance("a", "b").alias("tani"),
+    ).collect()[0]
+    assert r["euc"] == pytest.approx(5.0)
+    assert r["sq"] == pytest.approx(25.0)
+    assert r["man"] == pytest.approx(7.0)
+    assert r["che"] == pytest.approx(4.0)
+    assert r["mink3"] == pytest.approx((27 + 64) ** (1 / 3))
+    assert r["cos"] == pytest.approx(1.0)  # orthogonal
+    assert r["tani"] == pytest.approx(1.0)  # dot = 0
