@@ -16,9 +16,12 @@ to feedback_dir (where the head's file source discovers them next
 trigger), finished rows to the output sink. Latency per hop is one
 micro-batch (the reference's in-memory edge is sub-second; its
 `iterate(maxWaitMillis)` timeout exists because that edge can deadlock on
-backpressure — the storage edge cannot, it just spills to files, and is
-exactly-once under checkpointing because the feedback write is an
-idempotent per-batch file commit).
+backpressure — the storage edge cannot, it just spills to files). Both
+routes write ONE deterministically-named file per micro-batch
+(`b{batch_id}.parquet`, atomically renamed into place), so a replayed
+batch after a failure overwrites its own previous attempt instead of
+appending a duplicate — the idempotent-per-epoch contract foreachBatch
+requires for exactly-once.
 
 Scale: the feedback volume per trigger is the live frontier, not the
 corpus; each hop's files are pruned by normal file-source listing. For a
@@ -62,27 +65,49 @@ def run_iterative_to_completion(
     feedback_dir: str,
     out_dir: str,
     query_name: str,
+    checkpoint: str | None = None,
 ) -> DataFrame:
     """Drive the loop until quiescent: each micro-batch routes rows
     matching `feedback` back to the head (append to feedback_dir) and the
     rest to out_dir; processAllAvailable() keeps triggering while feedback
     files keep appearing, so it returns exactly when the loop drains.
     Returns the accumulated output as a batch DataFrame."""
+    import shutil
+    import tempfile
+
     spark = body.sparkSession
     os.makedirs(out_dir, exist_ok=True)
 
-    def route(batch_df: DataFrame, _batch_id: int) -> None:
+    def _write_idempotent(df: DataFrame, target_dir: str, batch_id: int) -> None:
+        # one deterministically-named file per epoch, renamed into place:
+        # a replayed batch overwrites its own attempt (no duplicates), and
+        # an empty frontier writes nothing (an empty file would be
+        # "discovered" by the head and trigger empty batches forever)
+        tmp = tempfile.mkdtemp(prefix="proteus_iter_route_")
+        try:
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+            os.replace(os.path.join(tmp, part), os.path.join(target_dir, f"b{batch_id}.parquet"))
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    def route(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.localCheckpoint(eager=True)  # route both ways off one pass
         fb = batch_df.filter(feedback)
-        # an empty append still creates a file the head would "discover",
-        # triggering an empty batch forever — only write a live frontier
         if not fb.isEmpty():
-            fb.coalesce(1).write.mode("append").parquet(feedback_dir)
+            _write_idempotent(fb, feedback_dir, batch_id)
         done = batch_df.filter(~feedback)
         if not done.isEmpty():
-            done.coalesce(1).write.mode("append").parquet(out_dir)
+            _write_idempotent(done, out_dir, batch_id)
 
-    q = body.writeStream.foreachBatch(route).queryName(query_name).start()
+    w = body.writeStream.foreachBatch(route).queryName(query_name)
+    if checkpoint is not None:
+        # with a checkpoint, a restart resumes from committed offsets and a
+        # replayed epoch overwrites its own b{batch_id} files — exactly-once;
+        # without one, a re-run is a NEW query that re-reads the feedback
+        # directory as input (fine for one-shot oracle harnesses)
+        w = w.option("checkpointLocation", checkpoint)
+    q = w.start()
     try:
         q.processAllAvailable()
     finally:
