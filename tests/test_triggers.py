@@ -169,3 +169,37 @@ def test_delta_evictor_keeps_near_last(spark):
     rows = _run(out, "trig_delta").collect()
     assert len(rows) == 1
     assert rows[0]["n"] == 4 and rows[0]["total_value"] == pytest.approx(44.0)
+
+
+def test_event_time_trigger_matches_native_window_path(spark):
+    """Differential check: the custom stateful path (EventTimeTrigger, no
+    evictor) must agree with Spark's native windowed aggregation in append
+    mode on the real events table — same closed windows, same counts, same
+    exact-cents sums."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from proteus_engine_spark.queries.exact import dsum
+    from proteus_engine_spark.streaming.sources import events_stream, run_to_completion
+    from proteus_engine_spark.streaming.windows import windowed_agg
+
+    sf_dir = os.environ.get("PROTEUS_TEST_SF_DIR", "/root/testdata/sf0.001")
+    trig = triggered_window_agg(
+        events_stream(spark, sf_dir), "user_id", "ts", "value",
+        trigger=EventTimeTrigger(), window_ms=3_600_000,
+        watermark_delay="10 minutes",
+    )
+    got = sorted(
+        (r["user_id"], pd.Timestamp(r["win_start"]), r["n"], round(r["total_value"], 6))
+        for r in _run(trig, "trig_native_diff").collect()
+    )
+    native = windowed_agg(
+        events_stream(spark, sf_dir), "ts", "10 minutes", "1 hour", ["user_id"],
+        [F.count(F.lit(1)).alias("n"), dsum("value", "total_value")],
+    )
+    ref = sorted(
+        (r["user_id"], pd.Timestamp(r["window_start"]), r["n"], round(r["total_value"], 6))
+        for r in run_to_completion(native, "native_diff_sink", "append").collect()
+    )
+    assert got == ref and len(got) > 0
