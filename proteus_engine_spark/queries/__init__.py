@@ -83,12 +83,13 @@ _GATE_PRIORITY = [
     "window_count_tumbling",
     "window_tumble_sql",
     # round-6: trigger/evictor + graph-library gates, never driver-checked
-    # (5). Twelve more round-6 queries sit just past the window and queue
-    # for r7 — all locally gated green this round (gatecheck_local.json):
-    # graph_hits, graph_label_propagation, graph_jaccard,
-    # graph_clustering_coeff, graph_summarize, graph_vertex_metrics,
-    # ml_linreg_price_vs_qty, ml_feature_scaling, queryable_state_lookup,
-    # stream_iterate_halving, cep_group_times, cep_group_optional.
+    # (5). Thirteen more round-6 queries sit just past the window and
+    # queue for r7 — all locally gated green this round
+    # (gatecheck_local.json): graph_hits, graph_label_propagation,
+    # graph_jaccard, graph_clustering_coeff, graph_summarize,
+    # graph_vertex_metrics, ml_linreg_price_vs_qty, ml_feature_scaling,
+    # ml_distance_metrics, queryable_state_lookup, stream_iterate_halving,
+    # cep_group_times, cep_group_optional.
     "stream_tumble_time_evictor",
     "stream_count_evictor_fires",
     "graph_degrees",
