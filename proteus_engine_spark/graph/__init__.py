@@ -2,17 +2,33 @@
 DataFrames + the `operators.iterations` primitive)."""
 
 from proteus_engine_spark.graph.library import (
+    adamic_adar,
+    community_detection,
     degrees,
+    global_clustering_coefficient,
+    hits,
     jaccard_index,
     label_propagation,
+    local_clustering_coefficient,
     page_rank,
+    summarize,
+    triadic_census,
     triangle_list,
+    vertex_metrics,
 )
 
 __all__ = [
+    "adamic_adar",
+    "community_detection",
     "degrees",
+    "global_clustering_coefficient",
+    "hits",
     "jaccard_index",
     "label_propagation",
+    "local_clustering_coefficient",
     "page_rank",
+    "summarize",
+    "triadic_census",
     "triangle_list",
+    "vertex_metrics",
 ]

@@ -238,16 +238,63 @@ def label_propagation(
     return iterate(labels, step, iterations, converged)
 
 
-def jaccard_index(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+def _shared_neighbor_pairs(
+    adj: DataFrame, group_size: int = 64
+) -> DataFrame:
+    """Span-batched pair generation over shared neighbors — the hub-safe
+    core of JaccardIndex/AdamicAdar (JaccardIndex.java:187-202
+    GenerateGroupSpans / GenerateGroupPairs, reused by AdamicAdar.java:
+    171-188). Input `adj` is the symmetric adjacency (v, w) = "v has
+    neighbor w"; output is one row (shared, u, v) with u < v for EVERY
+    unordered pair of vertices sharing neighbor `shared` — exactly the
+    rows the naive self-join would produce, differently scheduled.
+
+    Why not the naive self-join on `shared`: a hub of degree d routes d²
+    pairs through ONE shuffle key = one straggler task. Instead each
+    neighbor group is split into spans of ≤ group_size members (ranked by
+    vertex id, so span i's members all precede span j's for i < j); the
+    span-level self-join produces (d/group_size)² span-pair rows — arrays,
+    not pairs — which are repartitioned across the cluster BEFORE the
+    ≤ group_size² explode. Per-task fan-out is bounded by group_size²
+    regardless of hub degree; total pair count is unchanged."""
+    neigh = adj.select(F.col("w").alias("shared"), F.col("v").alias("u"))
+    ranked = neigh.withColumn(
+        "__span__",
+        F.floor(
+            (F.row_number().over(Window.partitionBy("shared").orderBy("u")) - 1)
+            / group_size
+        ),
+    )
+    spans = ranked.groupBy("shared", "__span__").agg(
+        F.sort_array(F.collect_list("u")).alias("mem")
+    )
+    s1 = spans.select("shared", F.col("__span__").alias("si"), F.col("mem").alias("mi"))
+    s2 = spans.select("shared", F.col("__span__").alias("sj"), F.col("mem").alias("mj"))
+    span_pairs = (
+        s1.join(s2, "shared")
+        .filter(F.col("si") <= F.col("sj"))
+        .repartition("shared", "si", "sj")
+    )
+    # members are ranked ascending across spans, so u < v is automatic for
+    # si < sj; the filter only prunes the within-span diagonal.
+    return (
+        span_pairs.select("shared", F.explode("mi").alias("u"), "mj")
+        .select("shared", "u", F.explode("mj").alias("v"))
+        .filter(F.col("u") < F.col("v"))
+    )
+
+
+def jaccard_index(
+    edges: DataFrame, src: str = "src", dst: str = "dst", group_size: int = 64
+) -> DataFrame:
     """Neighborhood similarity — similarity/JaccardIndex.java:54: for every
     vertex pair sharing at least one neighbor on the undirected graph,
     jaccard = |N(u) ∩ N(v)| / |N(u) ∪ N(v)|, with
     |union| = d(u) + d(v) - |shared|. Output (u, v, jaccard_score), u < v.
 
-    Scale: pairs are generated per shared neighbor (the reference's
-    group-pairs step) — fan-out is Σ d(w)² over neighbors w, the same
-    bound Gelly documents; hub mitigation belongs upstream (filter or
-    sample hot vertices before calling)."""
+    Scale: pair generation is span-batched (JaccardIndex.java:187-202) —
+    per-task fan-out bounded by group_size² even at million-degree hubs;
+    see _shared_neighbor_pairs."""
     a, b = F.col(src), F.col(dst)
     sym = (
         edges.filter(a != b)
@@ -261,11 +308,9 @@ def jaccard_index(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataF
         .localCheckpoint(eager=True)
     )
     deg = adj.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
-    p1 = adj.select(F.col("w").alias("shared"), F.col("v").alias("u"))
-    p2 = adj.select(F.col("w").alias("shared"), F.col("v").alias("v2"))
     shared = (
-        p1.join(p2, "shared")
-        .filter(F.col("u") < F.col("v2"))
+        _shared_neighbor_pairs(adj, group_size)
+        .withColumnRenamed("v", "v2")
         .groupBy("u", "v2")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
@@ -282,6 +327,46 @@ def jaccard_index(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataF
                 / (F.col("du") + F.col("dv") - F.col("n_shared"))
             ).alias("jaccard_score"),
         )
+    )
+
+
+def adamic_adar(
+    edges: DataFrame, src: str = "src", dst: str = "dst", group_size: int = 64
+) -> DataFrame:
+    """Adamic-Adar similarity — similarity/AdamicAdar.java:59: for every
+    vertex pair with at least one shared neighbor on the undirected graph,
+    score(u, v) = Σ over shared neighbors s of 1 / ln(d(s)) — shared
+    neighbors weighted by the inverse log of their degree, so rare mutual
+    friends count more. Output (u, v, aa_score), u < v.
+
+    Same span-batched pair pipeline as jaccard_index (the reference reuses
+    the group-span functions, AdamicAdar.java:171-188); the only addition
+    is attaching 1/ln(d(shared)) to each generated pair before summing —
+    a join against the degree frame on the shared-neighbor key."""
+    a, b = F.col(src), F.col(dst)
+    sym = (
+        edges.filter(a != b)
+        .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .distinct()
+    )
+    adj = (
+        sym.select(F.col("a").alias("v"), F.col("b").alias("w"))
+        .union(sym.select(F.col("b").alias("v"), F.col("a").alias("w")))
+        .localCheckpoint(eager=True)
+    )
+    # degree-1 neighbors can't connect a pair, and ln(1) = 0 would trip
+    # ANSI division — prune them before the weight join
+    inv_log = (
+        adj.groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .filter(F.col("d") >= 2)
+        .select(F.col("v").alias("shared"), (F.lit(1.0) / F.log("d")).alias("w_s"))
+    )
+    pairs = _shared_neighbor_pairs(adj, group_size)
+    return (
+        pairs.join(inv_log, "shared")
+        .groupBy("u", "v")
+        .agg(F.sum("w_s").alias("aa_score"))
     )
 
 
@@ -446,4 +531,158 @@ def vertex_metrics(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         F.sum("d").alias("sum_degree"),
         F.max("d").alias("max_degree"),
         F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_triplets"),
+    )
+
+
+def community_detection(
+    edges: DataFrame,
+    iterations: int = 10,
+    delta: float = 0.5,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+) -> DataFrame:
+    """Community detection with hop attenuation — library/
+    CommunityDetection.java:49 (Leung et al., arXiv:0808.2633): vertices
+    start with their own id as label and score 1.0; each superstep i every
+    vertex sends (label, score × edge_weight) to its neighbors on the
+    UNDIRECTED graph (:95-99), then adopts the label with the highest SUM
+    of received scores (:147-156, ties to the smallest label — the
+    reference's ascending TreeMap scan keeps the first maximum), re-scored
+    to the highest SINGLE received score of that label minus delta/i if
+    the label changed (:159-165). Returns (vertex, label).
+
+    Scale per superstep: one join to attach labels to edges (shuffle on
+    vertex id), one two-key aggregation, one per-vertex top-1 window —
+    the scatter-gather shuffle pair the reference's spargel plan has.
+    Lineage is truncated per iteration by `iterate`."""
+    from proteus_engine_spark.operators.iterations import iterate
+
+    w_col = F.col(weight) if weight else F.lit(1.0)
+    a, b = F.col(src), F.col(dst)
+    msgs_edges = (
+        edges.filter(a != b)
+        .select(F.col(src).alias("mfrom"), F.col(dst).alias("vertex"), w_col.alias("w"))
+        .union(
+            edges.filter(a != b).select(
+                F.col(dst).alias("mfrom"), F.col(src).alias("vertex"), w_col.alias("w")
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    state = (
+        msgs_edges.select(F.col("mfrom").alias("vertex"))
+        .union(msgs_edges.select("vertex"))
+        .distinct()
+        .withColumn("label", F.col("vertex"))
+        .withColumn("score", F.lit(1.0))
+    )
+    def step(st: DataFrame, i0: int) -> DataFrame:
+        superstep = i0 + 1  # 1-based, as getSuperstepNumber() (:163)
+        msgs = msgs_edges.join(
+            st.select(F.col("vertex").alias("mfrom"), "label", "score"), "mfrom"
+        ).select("vertex", "label", (F.col("score") * F.col("w")).alias("score"))
+        agg = msgs.groupBy("vertex", "label").agg(
+            F.sum("score").alias("tot"), F.max("score").alias("mx")
+        )
+        top = Window.partitionBy("vertex").orderBy(
+            F.col("tot").desc(), F.col("label").asc()
+        )
+        picked = (
+            agg.withColumn("__rn__", F.row_number().over(top))
+            .filter(F.col("__rn__") == 1)
+            .select("vertex", "label", "mx")
+        )
+        return (
+            picked.join(
+                st.select("vertex", F.col("label").alias("old_label")), "vertex"
+            )
+            .select(
+                "vertex",
+                "label",
+                F.when(
+                    F.col("label") != F.col("old_label"),
+                    F.col("mx") - F.lit(delta) / superstep,
+                )
+                .otherwise(F.col("mx"))
+                .alias("score"),
+            )
+        )
+
+    return iterate(state, step, iterations).select("vertex", "label")
+
+
+def triadic_census(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Undirected triadic census — library/clustering/undirected/
+    TriadicCensus.java:81-120: counts of vertex triples by number of
+    connecting edges, derived algebraically from four global aggregates
+    (never enumerating the O(n³) triples):
+      t3 = triangles                         (:99)
+      t2 = triplets − 3·t3                   (:103)
+      t1 = edges·(n−2) − 2·t2 − 3·t3         (:107-110)
+      t0 = C(n,3) − t1 − t2 − t3             (:114-120)
+    where triplets = Σ_v C(d(v), 2). One row (t0, t1, t2, t3).
+
+    Scale: the only superlinear work is the triangle count (degree-ordered
+    enumeration); everything else is two scans worth of aggregation."""
+    a, b = F.col(src), F.col(dst)
+    sym = (
+        edges.filter(a != b)
+        .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    metrics = vertex_metrics(sym, src="a", dst="b")
+    tri = triangle_list(sym, src="a", dst="b").agg(
+        F.count(F.lit(1)).alias("n_tri")
+    )
+    return (
+        metrics.crossJoin(tri)
+        .select(
+            (
+                F.col("n_vertices")
+                * (F.col("n_vertices") - 1)
+                * (F.col("n_vertices") - 2)
+                / 6
+                - (
+                    F.col("n_edges") * (F.col("n_vertices") - 2)
+                    - 2 * (F.col("n_triplets") - 3 * F.col("n_tri"))
+                    - 3 * F.col("n_tri")
+                )
+                - (F.col("n_triplets") - 3 * F.col("n_tri"))
+                - F.col("n_tri")
+            ).cast("long").alias("t0"),
+            (
+                F.col("n_edges") * (F.col("n_vertices") - 2)
+                - 2 * (F.col("n_triplets") - 3 * F.col("n_tri"))
+                - 3 * F.col("n_tri")
+            ).cast("long").alias("t1"),
+            (F.col("n_triplets") - 3 * F.col("n_tri")).cast("long").alias("t2"),
+            F.col("n_tri").cast("long").alias("t3"),
+        )
+    )
+
+
+def global_clustering_coefficient(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Global clustering coefficient — library/clustering/undirected/
+    GlobalClusteringCoefficient.java:79-84: triplet count (Σ C(d,2)) and
+    triangle count ×3 (each triangle closes three triplets), score =
+    3·triangles / triplets (NaN on a triplet-free graph, :135). One row
+    (n_triplets, n_closed_triplets, gcc)."""
+    a, b = F.col(src), F.col(dst)
+    sym = (
+        edges.filter(a != b)
+        .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    triplets = vertex_metrics(sym, src="a", dst="b").select("n_triplets")
+    tri = triangle_list(sym, src="a", dst="b").agg(F.count(F.lit(1)).alias("n_tri"))
+    return triplets.crossJoin(tri).select(
+        "n_triplets",
+        (3 * F.col("n_tri")).alias("n_closed_triplets"),
+        (3 * F.col("n_tri") / F.col("n_triplets")).alias("gcc"),
     )

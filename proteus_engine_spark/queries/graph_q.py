@@ -348,3 +348,133 @@ def graph_vertex_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from proteus_engine_spark.graph.library import vertex_metrics
 
     return vertex_metrics(_part_part_edges(spark, sf_dir))
+
+
+@register(
+    "graph_adamic_adar",
+    oracle=f"""
+    WITH e AS ({_PART_PART_EDGES_SQL}),
+    adj AS (SELECT src AS v, dst AS w FROM e UNION ALL SELECT dst, src FROM e),
+    deg AS (SELECT v, count(*) AS d FROM adj GROUP BY v)
+    SELECT a.v AS u, b.v AS v, SUM(1.0 / ln(dg.d)) AS aa_score
+    FROM adj a JOIN adj b ON a.w = b.w AND a.v < b.v
+    JOIN deg dg ON dg.v = a.w
+    GROUP BY 1, 2
+    """,
+    tags=("graph", "similarity"),
+)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar gate (similarity/AdamicAdar.java:59): for each part
+    pair with a shared neighbor, Σ 1/ln(d(s)) over shared neighbors s —
+    the engine runs the span-batched pair pipeline (bounded hub fan-out);
+    the oracle is the naive per-shared-neighbor join with the same
+    weighting, independently derived."""
+    from proteus_engine_spark.graph import adamic_adar
+
+    return adamic_adar(_part_part_edges(spark, sf_dir))
+
+
+@register(
+    "graph_community_detection",
+    oracle=f"""
+    WITH e0 AS ({_PART_PART_EDGES_SQL}),
+    adj AS (SELECT src AS mfrom, dst AS vertex FROM e0
+            UNION SELECT dst, src FROM e0),
+    s0 AS (SELECT vertex, vertex AS label, 1.0 AS score
+           FROM (SELECT mfrom AS vertex FROM adj UNION SELECT vertex FROM adj)),
+    m1 AS (SELECT a.vertex, s.label, s.score
+           FROM adj a JOIN s0 s ON s.vertex = a.mfrom),
+    g1 AS (SELECT vertex, label, SUM(score) AS tot, MAX(score) AS mx
+           FROM m1 GROUP BY 1, 2),
+    p1 AS (SELECT vertex, label, mx,
+                  row_number() OVER (PARTITION BY vertex
+                                     ORDER BY tot DESC, label ASC) AS rn
+           FROM g1),
+    s1 AS (SELECT p.vertex, p.label,
+                  CASE WHEN p.label <> s.label THEN p.mx - 0.5 ELSE p.mx END AS score
+           FROM p1 p JOIN s0 s ON s.vertex = p.vertex WHERE rn = 1),
+    m2 AS (SELECT a.vertex, s.label, s.score
+           FROM adj a JOIN s1 s ON s.vertex = a.mfrom),
+    g2 AS (SELECT vertex, label, SUM(score) AS tot, MAX(score) AS mx
+           FROM m2 GROUP BY 1, 2),
+    p2 AS (SELECT vertex, label, mx,
+                  row_number() OVER (PARTITION BY vertex
+                                     ORDER BY tot DESC, label ASC) AS rn
+           FROM g2),
+    s2 AS (SELECT p.vertex, p.label,
+                  CASE WHEN p.label <> s.label THEN p.mx - 0.25 ELSE p.mx END AS score
+           FROM p2 p JOIN s1 s ON s.vertex = p.vertex WHERE rn = 1)
+    SELECT vertex, label FROM s2
+    """,
+    tags=("graph", "iteration"),
+)
+def graph_community_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community-detection gate (library/CommunityDetection.java:49, Leung
+    et al. hop attenuation): two supersteps on the part↔part graph with
+    delta=0.5 — every score stays a dyadic rational (1.0, 0.5, 0.75…), so
+    sums are exact in either engine and the tot-DESC/label-ASC tie-break
+    is deterministic. The oracle unrolls both supersteps as CTE pairs
+    (message→aggregate→top-1→re-score), independently derived — the same
+    discipline as the pagerank oracle."""
+    from proteus_engine_spark.graph import community_detection
+
+    return community_detection(_part_part_edges(spark, sf_dir), iterations=2, delta=0.5)
+
+
+@register(
+    "graph_triadic_census",
+    oracle=f"""
+    WITH e AS ({_PART_PART_EDGES_SQL}),
+    adj AS (SELECT src AS v FROM e UNION ALL SELECT dst FROM e),
+    deg AS (SELECT v, count(*) AS d FROM adj GROUP BY v),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS nv,
+                 CAST(SUM(d) / 2 AS BIGINT) AS ne,
+                 CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS ntrip
+          FROM deg),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS ntri
+          FROM e x JOIN e y ON y.src = x.src AND x.dst < y.dst
+                   JOIN e z ON z.src = x.dst AND z.dst = y.dst)
+    SELECT CAST(nv * (nv - 1) * (nv - 2) / 6
+                - (ne * (nv - 2) - 2 * (ntrip - 3 * ntri) - 3 * ntri)
+                - (ntrip - 3 * ntri) - ntri AS BIGINT) AS t0,
+           CAST(ne * (nv - 2) - 2 * (ntrip - 3 * ntri) - 3 * ntri AS BIGINT) AS t1,
+           CAST(ntrip - 3 * ntri AS BIGINT) AS t2,
+           ntri AS t3
+    FROM m, t
+    """,
+    tags=("graph", "metric"),
+)
+def graph_triadic_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triadic-census gate (clustering/undirected/TriadicCensus.java:
+    81-120): triple counts by edge count, derived algebraically from
+    (n, m, triplets, triangles) — the oracle recomputes the same four
+    aggregates with the naive triangle join and applies the reference's
+    formulas independently."""
+    from proteus_engine_spark.graph import triadic_census
+
+    return triadic_census(_part_part_edges(spark, sf_dir))
+
+
+@register(
+    "graph_global_clustering",
+    oracle=f"""
+    WITH e AS ({_PART_PART_EDGES_SQL}),
+    adj AS (SELECT src AS v FROM e UNION ALL SELECT dst FROM e),
+    deg AS (SELECT v, count(*) AS d FROM adj GROUP BY v),
+    m AS (SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS n_triplets FROM deg),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS ntri
+          FROM e x JOIN e y ON y.src = x.src AND x.dst < y.dst
+                   JOIN e z ON z.src = x.dst AND z.dst = y.dst)
+    SELECT n_triplets, 3 * ntri AS n_closed_triplets,
+           3 * ntri / CAST(n_triplets AS DOUBLE) AS gcc
+    FROM m, t
+    """,
+    tags=("graph", "metric"),
+)
+def graph_global_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global-clustering-coefficient gate (clustering/undirected/
+    GlobalClusteringCoefficient.java:79-84): 3·triangles / triplets with
+    the triplet pool Σ C(d,2), one row."""
+    from proteus_engine_spark.graph import global_clustering_coefficient
+
+    return global_clustering_coefficient(_part_part_edges(spark, sf_dir))

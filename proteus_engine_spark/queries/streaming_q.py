@@ -950,14 +950,17 @@ def cep_greedy_click_run(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream_over_bounded_rows",
     oracle="""
-    SELECT user_id, event_id, ts,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS w_sum,
-           COUNT(*) OVER w AS w_cnt,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
-             / COUNT(*) OVER w AS w_avg
-    FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    WITH w AS (
+      SELECT user_id, event_id, ts,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS w_sum,
+             COUNT(*) OVER w AS w_cnt,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+               / COUNT(*) OVER w AS w_avg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+    SELECT * FROM w
+    WHERE epoch_ms(ts) <= (SELECT max(epoch_ms(ts)) FROM events) - 600000
     """,
     tags=("streaming", "over"),
 )
@@ -965,13 +968,85 @@ def stream_over_bounded_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming BOUNDED OVER aggregation (DataStreamOverAggregate.scala:
     250-276 / RowTimeBoundedRowsOver parity): per-key SUM/COUNT/AVG over
     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW, one output row per event,
-    the last 4 values carried in keyed state (the reference keeps the same
-    bound in its retraction MapState). The oracle is the equivalent batch
-    bounded window — identical because the state carries exact integer
-    cents and in-batch rows are processed in (ts, event_id) order."""
+    watermark-buffered — rows are held in keyed state and released in
+    (ts, event_id) order once the watermark passes them, the reference's
+    MapState-by-timestamp discipline, so event-time order holds even under
+    out-of-order arrival (gated separately: stream_over_bounded_rows_ooo).
+    The oracle is the equivalent batch bounded window minus the
+    watermark-delay tail (rows inside the final 10-minute delay stay
+    buffered — append semantics, as in stream_tumble_append)."""
     ev = events_stream(spark, sf_dir)
     out = bounded_over_agg(ev, "user_id", "ts", "value", n_rows=5)
     return run_to_completion(out, "stream_over_bounded_sink", "append")
+
+
+@register(
+    "stream_over_bounded_rows_ooo",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, event_id, ts,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS w_sum,
+             COUNT(*) OVER w AS w_cnt,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+               / COUNT(*) OVER w AS w_avg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+    SELECT * FROM w
+    WHERE epoch_ms(ts) <= (SELECT max(epoch_ms(ts)) FROM events) - 18000000
+    """,
+    tags=("streaming", "over"),
+)
+def stream_over_bounded_rows_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The out-of-order-replay proof for the bounded OVER operator
+    (RowTimeBoundedRowsOver.scala buffers by timestamp and processes at
+    the watermark precisely so late rows land in the right position):
+    events arrive with adjacent 2-hour event-time blocks pair-swapped
+    across micro-batches (maxFilesPerTrigger=1 — each file is its own
+    batch, so an entire later block precedes an earlier one), watermark
+    delay 5h > the 4h worst-case lateness. The oracle is the SAME batch
+    bounded window as the in-order gate — identical results under
+    reordered arrival is the point — minus the 5h watermark tail."""
+    from proteus_engine_spark.streaming.sources import events_stream_ooo
+
+    ev = events_stream_ooo(spark, sf_dir)
+    out = bounded_over_agg(
+        ev, "user_id", "ts", "value", n_rows=5, watermark_delay="5 hours"
+    )
+    return run_to_completion(out, "stream_over_bounded_ooo_sink", "append")
+
+
+@register(
+    "stream_over_bounded_range",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, event_id, ts,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS w_sum,
+             COUNT(*) OVER w AS w_cnt,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+               / COUNT(*) OVER w AS w_avg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW))
+    SELECT * FROM w
+    WHERE epoch_ms(ts) <= (SELECT max(epoch_ms(ts)) FROM events) - 600000
+    """,
+    tags=("streaming", "over"),
+)
+def stream_over_bounded_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming bounded RANGE OVER aggregation — the last streaming OVER
+    shape (RowTimeBoundedRangeOver.scala, dispatched from
+    DataStreamOverAggregate.scala:250-276): per-key SUM/COUNT/AVG over
+    RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW, one output
+    row per event, rows within the interval carried in keyed state and
+    evicted by timestamp delta (not row count). Peer rows (equal ts) share
+    one complete frame — they release in the same watermark flush. Oracle:
+    the equivalent batch RANGE window minus the 10-minute watermark tail."""
+    from proteus_engine_spark.streaming.stateful import bounded_range_over_agg
+
+    ev = events_stream(spark, sf_dir)
+    out = bounded_range_over_agg(ev, "user_id", "ts", "value", range_ms=86_400_000)
+    return run_to_completion(out, "stream_over_bounded_range_sink", "append")
 
 
 @register(

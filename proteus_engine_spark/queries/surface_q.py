@@ -25,11 +25,35 @@ from proteus_engine_spark.operators.sort import sort_partition
 
 
 def _scratch(tag: str, sf_dir: str) -> str:
-    return os.path.join(
+    """Per-invocation scratch directory for round-trip gates.
+
+    Hermetic by construction: every call returns a fresh, unique directory
+    (tempfile.mkdtemp), so a concurrent oracle run, a stale file from an
+    earlier overwrite, or two driver processes sharing the repo can never
+    read each other's sink output — the round-6 gate flake was exactly a
+    fixed shared path. The directory is NOT removed here because the
+    returned DataFrame reads it lazily; instead stale siblings (>30 min
+    old) are garbage-collected best-effort on the next call.
+    """
+    import shutil
+    import tempfile
+    import time
+
+    parent = os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
         ".scratch",
-        f"{tag}_" + sf_dir.rstrip("/").replace("/", "_").replace(".", "_"),
     )
+    os.makedirs(parent, exist_ok=True)
+    now = time.time()
+    for entry in os.listdir(parent):
+        full = os.path.join(parent, entry)
+        try:
+            if os.path.isdir(full) and now - os.path.getmtime(full) > 1800:
+                shutil.rmtree(full, ignore_errors=True)
+        except OSError:
+            pass
+    sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    return tempfile.mkdtemp(prefix=f"{tag}_{sf_tag}_", dir=parent)
 
 
 @register(

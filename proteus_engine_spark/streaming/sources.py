@@ -86,3 +86,81 @@ def run_to_completion(df: DataFrame, query_name: str, output_mode: str = "comple
         q.stop()
         q.awaitTermination()
     return spark.table(query_name)
+
+
+def events_stream_ooo(
+    spark: SparkSession,
+    sf_dir: str,
+    block_ms: int = 7_200_000,
+    n_blocks: int = 12,
+) -> DataFrame:
+    """The events table replayed OUT OF ORDER across micro-batches — the
+    harness for event-time correctness tests of watermark-buffered
+    operators (the reference's RowTime*Over / WindowOperator ITCases feed
+    late elements the same way).
+
+    Staging (once per sf, atomic rename — concurrent runs safe): rows are
+    split into files [head] [b1 b0 b3 b2 … b11 b10] [tail], where b0..b11
+    are consecutive `block_ms` event-time blocks starting at 45% of the
+    span and the pair-swap makes every other file arrive BEFORE an
+    earlier-in-event-time file. File mtimes force that arrival order, and
+    maxFilesPerTrigger=1 makes each file its own micro-batch, so a
+    downstream operator sees genuinely late (but within-watermark-delay)
+    data. With 2h blocks the worst lateness is < 4h, so any watermark
+    delay >= 4h (callers use 5h) loses no rows.
+    """
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    parent = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".scratch",
+    )
+    os.makedirs(parent, exist_ok=True)
+    sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    target = os.path.join(parent, f"ooo_events_{sf_tag}_{block_ms}_{n_blocks}")
+    if not os.path.exists(os.path.join(target, "_SUCCESS")):
+        tmp = tempfile.mkdtemp(prefix="ooo_stage_", dir=parent)
+        tbl = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+        ts_us = tbl.column("ts").to_numpy().astype("datetime64[us]").astype("int64")
+        lo, hi = int(ts_us.min()), int(ts_us.max())
+        swap_start = lo + (hi - lo) * 45 // 100
+        block_us = block_ms * 1000
+        # piece index per row: 0 = head, 1..n_blocks = swapped blocks
+        # (block i -> piece 1 + (i XOR 1)), n_blocks+1 = tail
+        blk = (ts_us - swap_start) // block_us
+        piece = np.where(
+            ts_us < swap_start,
+            0,
+            np.where(blk >= n_blocks, n_blocks + 1, 1 + (blk ^ 1)),
+        ).astype("int64")
+        mtime_base = 1_000_000_000  # fixed epoch: deterministic ordering
+        for p in range(n_blocks + 2):
+            sub = tbl.filter(pa.array(piece == p))
+            path = os.path.join(tmp, f"f{p:02d}.parquet")
+            pq.write_table(sub, path)
+            os.utime(path, (mtime_base + 60 * p, mtime_base + 60 * p))
+        open(os.path.join(tmp, "_SUCCESS"), "w").close()
+        os.utime(os.path.join(tmp, "_SUCCESS"), (mtime_base, mtime_base))
+        try:
+            os.replace(tmp, target)  # atomic: same filesystem (sibling dirs)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # concurrent run won
+    schema = probe_parquet_schema(spark, os.path.join(target, "f00.parquet"))
+    raw = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(target)
+    )
+    ts_type = schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(ts_type, T.TimestampNTZType):
+        raw = raw.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    return raw

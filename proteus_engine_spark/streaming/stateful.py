@@ -27,6 +27,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
+def field_ddl(df: DataFrame, col: str) -> str:
+    """`name type` DDL for one column, taken from the frame's own schema —
+    output/state schemas must not hard-code a key type the API doesn't
+    actually constrain (a string or int key is as legal as a long one)."""
+    return f"{col} {df.schema[col].dataType.simpleString()}"
+
+
 def count_window_agg(
     stream: DataFrame,
     key_col: str,
@@ -229,70 +236,214 @@ def bounded_over_agg(
     value_col: str,
     n_rows: int,
     id_col: str = "event_id",
+    watermark_delay: str = "10 minutes",
 ) -> DataFrame:
     """Streaming bounded OVER aggregation: per-key SUM/COUNT/AVG over
     ``ROWS BETWEEN (n_rows-1) PRECEDING AND CURRENT ROW`` in event-time
-    order — one output row per input row.
+    order — one output row per input row once the watermark passes it.
 
     Reference: DataStreamOverAggregate.scala:250-276 routes bounded
-    ROWS-preceding OVER windows to RowTimeBoundedRowsOver.scala /
-    ProcTimeBoundedRowsOver.scala — a keyed ProcessFunction that retracts
-    the row falling out of the window as each new row arrives, keeping the
-    last n rows in MapState. Same shape here: keyed state carries the last
-    ``n_rows - 1`` values (as exact integer cents), each batch prepends the
-    carried tail and computes all window sums with one cumsum difference —
-    no per-row Python loop.
+    ROWS-preceding OVER windows to RowTimeBoundedRowsOver.scala — a keyed
+    ProcessFunction that buffers rows in MapState keyed by timestamp and
+    only processes a timestamp once the watermark passes it (onTimer),
+    retracting the row that falls out of the window. Same discipline here:
+    arrivals are buffered in keyed state and released in (ts, id) order
+    only at ts <= watermark — so event-time order (and hence window
+    contents) is correct under OUT-OF-ORDER arrival across micro-batches,
+    not just on in-order replay. Released rows' last ``n_rows - 1`` values
+    carry forward as the window tail (exact integer cents).
 
-    Determinism: exact-cents accumulation (order-independent), in-batch
-    rows processed in (ts, id) order, so on in-order replay the result
-    hash-matches the batch SQL ``ROWS BETWEEN n-1 PRECEDING AND CURRENT
-    ROW`` window. State is O(n_rows) per key — the same bound the
-    reference's retraction state has.
+    Release order is globally correct per key: everything released so far
+    had ts <= previous watermark, and Spark drops late arrivals below the
+    watermark upstream of the stateful operator, so new arrivals always
+    sort after everything already emitted.
+
+    State is O(n_rows + in-flight rows inside the watermark delay) per
+    key — the same bound the reference's MapState-by-timestamp carries.
+    Rows later than the final watermark stay buffered (append semantics;
+    oracles exclude the watermark-delay tail).
     """
+    import pickle
+
     import numpy as np
 
     if n_rows < 1:
         raise ValueError("n_rows must be >= 1")
     out_schema = (
-        f"{key_col} long, {id_col} long, {ts_col} timestamp, "
-        "w_sum double, w_cnt long, w_avg double"
+        f"{field_ddl(stream, key_col)}, {field_ddl(stream, id_col)}, "
+        f"{ts_col} timestamp, w_sum double, w_cnt long, w_avg double"
     )
 
     def transition(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        tail = list(state.get[0]) if state.exists and state.get[0] is not None else []
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            pdf = pdf.sort_values([ts_col, id_col], kind="mergesort")
-            cents = np.rint(pdf[value_col].to_numpy(dtype="float64") * 100).astype("int64")
-            carried = np.asarray(tail, dtype="int64")
+        # Buffer entries carry microsecond event time (full source
+        # precision — the emitted ts and the (ts, id) sort must match the
+        # batch oracle bit-for-bit); the watermark comparison floors to ms
+        # because Spark's watermark itself is ms-floored max event time.
+        wm = state.getCurrentWatermarkMs()
+        st = pickle.loads(state.get[0]) if state.exists else {"buf": [], "tail": []}
+        if not state.hasTimedOut:
+            batches = [p for p in pdfs if len(p)]
+            if batches:
+                pdf = pd.concat(batches)
+                ts_us = pdf[ts_col].values.astype("datetime64[us]").astype("int64")
+                ids = pdf[id_col].to_numpy()
+                cents = np.rint(
+                    pdf[value_col].to_numpy(dtype="float64") * 100
+                ).astype("int64")
+                st["buf"].extend(zip(ts_us.tolist(), ids.tolist(), cents.tolist()))
+        ready = sorted(e for e in st["buf"] if e[0] // 1000 <= wm)
+        st["buf"] = [e for e in st["buf"] if e[0] // 1000 > wm]
+
+        if ready:
+            cents = np.asarray([c for _t, _i, c in ready], dtype="int64")
+            carried = np.asarray(st["tail"], dtype="int64")
             allc = np.concatenate([carried, cents])
             csum = np.concatenate([[0], np.cumsum(allc)])
             gi = len(carried) + np.arange(len(cents))
             start = np.maximum(0, gi - n_rows + 1)
             wsum = (csum[gi + 1] - csum[start]) / 100.0
             wcnt = gi + 1 - start
+            st["tail"] = allc[len(allc) - min(len(allc), n_rows - 1):].tolist()
             yield pd.DataFrame(
                 {
-                    key_col: pdf[key_col].values,
-                    id_col: pdf[id_col].values,
-                    ts_col: pdf[ts_col].values,
+                    key_col: key[0],
+                    id_col: [i for _t, i, _c in ready],
+                    ts_col: pd.to_datetime([t for t, _i, _c in ready], unit="us"),
                     "w_sum": wsum,
                     "w_cnt": wcnt,
                     "w_avg": wsum / wcnt,
                 }
             )
-            tail = allc[len(allc) - min(len(allc), n_rows - 1):].tolist()
-        state.update((tail,))
+
+        if st["buf"] or st["tail"]:
+            state.update((pickle.dumps(st),))
+            pending = [t // 1000 for t, _i, _c in st["buf"] if t // 1000 > wm]
+            if pending:
+                state.setTimeoutTimestamp(min(pending))
+        elif state.exists:
+            state.remove()
 
     return (
         stream.select(key_col, id_col, ts_col, value_col)
+        .withWatermark(ts_col, watermark_delay)
         .groupBy(key_col)
         .applyInPandasWithState(
-            transition, out_schema, "tail array<long>", "append",
-            GroupStateTimeout.NoTimeout,
+            transition, out_schema, "blob binary", "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def bounded_range_over_agg(
+    stream: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    range_ms: int,
+    id_col: str = "event_id",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming bounded RANGE OVER aggregation: per-key SUM/COUNT/AVG over
+    ``RANGE BETWEEN INTERVAL range_ms PRECEDING AND CURRENT ROW`` in
+    event-time order — one output row per input row once the watermark
+    passes it.
+
+    Reference: RowTimeBoundedRangeOver.scala (dispatched from
+    DataStreamOverAggregate.scala:250-276) — the last remaining streaming
+    OVER shape: a keyed ProcessFunction that buffers rows by timestamp,
+    processes each timestamp at the watermark, and retracts rows whose
+    timestamp falls more than `range_ms` behind. SQL RANGE semantics: the
+    frame of a row at time t is ALL rows with ts in [t - range_ms, t]
+    inclusive — peers at the same ts share one frame that includes all of
+    them (they are always released in the same watermark flush, so the
+    frame is complete when computed).
+
+    Same watermark-buffer discipline as bounded_over_agg; the retained
+    window state is rows with ts > watermark - range_ms (any future row
+    has ts > watermark, so nothing older can re-enter a frame) — the exact
+    cleanup bound of the reference's retraction loop. Vectorized via one
+    cumsum + two searchsorted calls per flush, no per-row Python loop.
+    """
+    import pickle
+
+    import numpy as np
+
+    if range_ms < 0:
+        raise ValueError("range_ms must be >= 0")
+    out_schema = (
+        f"{field_ddl(stream, key_col)}, {field_ddl(stream, id_col)}, "
+        f"{ts_col} timestamp, w_sum double, w_cnt long, w_avg double"
+    )
+
+    range_us = range_ms * 1000
+
+    def transition(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        # Microsecond event time throughout (frame membership [t-range, t]
+        # must be judged at full source precision to match the batch RANGE
+        # oracle); only the release decision floors to ms, since Spark's
+        # watermark is ms-floored.
+        wm = state.getCurrentWatermarkMs()
+        st = pickle.loads(state.get[0]) if state.exists else {"buf": [], "win": []}
+        if not state.hasTimedOut:
+            batches = [p for p in pdfs if len(p)]
+            if batches:
+                pdf = pd.concat(batches)
+                ts_us = pdf[ts_col].values.astype("datetime64[us]").astype("int64")
+                ids = pdf[id_col].to_numpy()
+                cents = np.rint(
+                    pdf[value_col].to_numpy(dtype="float64") * 100
+                ).astype("int64")
+                st["buf"].extend(zip(ts_us.tolist(), ids.tolist(), cents.tolist()))
+        ready = sorted(e for e in st["buf"] if e[0] // 1000 <= wm)
+        st["buf"] = [e for e in st["buf"] if e[0] // 1000 > wm]
+
+        if ready:
+            # carried window rows are already ts-sorted; released rows all
+            # have ts above every carried ts (watermark monotonicity), so
+            # concatenation preserves sort order.
+            car_ts = np.asarray([t for t, _c in st["win"]], dtype="int64")
+            car_c = np.asarray([c for _t, c in st["win"]], dtype="int64")
+            rdy_ts = np.asarray([t for t, _i, _c in ready], dtype="int64")
+            rdy_c = np.asarray([c for _t, _i, c in ready], dtype="int64")
+            all_ts = np.concatenate([car_ts, rdy_ts])
+            all_c = np.concatenate([car_c, rdy_c])
+            csum = np.concatenate([[0], np.cumsum(all_c)])
+            lo = np.searchsorted(all_ts, rdy_ts - range_us, side="left")
+            hi = np.searchsorted(all_ts, rdy_ts, side="right")
+            wsum = (csum[hi] - csum[lo]) / 100.0
+            wcnt = hi - lo
+            keep = np.searchsorted(all_ts, wm * 1000 - range_us, side="right")
+            st["win"] = list(zip(all_ts[keep:].tolist(), all_c[keep:].tolist()))
+            yield pd.DataFrame(
+                {
+                    key_col: key[0],
+                    id_col: [i for _t, i, _c in ready],
+                    ts_col: pd.to_datetime(rdy_ts, unit="us"),
+                    "w_sum": wsum,
+                    "w_cnt": wcnt,
+                    "w_avg": wsum / wcnt,
+                }
+            )
+
+        if st["buf"] or st["win"]:
+            state.update((pickle.dumps(st),))
+            pending = [t // 1000 for t, _i, _c in st["buf"] if t // 1000 > wm]
+            if pending:
+                state.setTimeoutTimestamp(min(pending))
+        elif state.exists:
+            state.remove()
+
+    return (
+        stream.select(key_col, id_col, ts_col, value_col)
+        .withWatermark(ts_col, watermark_delay)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            transition, out_schema, "blob binary", "append",
+            GroupStateTimeout.EventTimeTimeout,
         )
     )
 

@@ -207,8 +207,10 @@ def triggered_window_agg(
             "(use a CountTrigger, as KeyedStream.countWindow does)"
         )
     evictor = evictor or Evictor()
+    from proteus_engine_spark.streaming.stateful import field_ddl
+
     out_schema = (
-        f"{key_col} long, win_start timestamp, fire_seq long, "
+        f"{field_ddl(stream, key_col)}, win_start timestamp, fire_seq long, "
         "n long, total_value double"
     )
 

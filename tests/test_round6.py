@@ -168,7 +168,8 @@ def test_bounded_over_agg_carries_tail_across_batches(spark):
     a = [_ev(i, i + 1, 1, "x", float(i + 1)) for i in range(4)]   # values 1..4
     b = [_ev(i, i + 1, 1, "x", float(i + 1)) for i in range(4, 6)]  # 5, 6
     out = bounded_over_agg(
-        _two_batch_stream(spark, a, b, EV_SCHEMA), "user_id", "ts", "value", n_rows=3
+        _two_batch_stream(spark, a, b, EV_SCHEMA), "user_id", "ts", "value",
+        n_rows=3, watermark_delay="0 seconds",
     )
     q = out.writeStream.outputMode("append").format("memory").queryName("bover_test").start()
     q.processAllAvailable()

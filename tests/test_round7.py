@@ -1,0 +1,229 @@
+"""Round-7 tests: watermark-buffered bounded OVER (out-of-order
+correctness), the streaming bounded RANGE OVER shape, non-long stateful
+keys, and the hub-bounded jaccard grouping.
+
+Reference parity targets:
+- RowTimeBoundedRowsOver.scala  — MapState-by-timestamp buffering, rows
+  processed only once the watermark passes them (out-of-order safe).
+- RowTimeBoundedRangeOver.scala — same discipline, eviction by timestamp
+  delta; peers (equal rowtime) share one complete frame.
+"""
+
+from __future__ import annotations
+
+from tests.test_streaming import EV_SCHEMA, _ev, _two_batch_stream
+
+
+def _run(stream_df, name):
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return stream_df.sparkSession.table(name)
+
+
+def _three_batch_stream(spark, rows_a, rows_b, rows_c, schema):
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="proteus_stream3_")
+    src_dir = f"{d}/src"
+    os.makedirs(src_dir)
+    for i, rows in enumerate([rows_a, rows_b, rows_c]):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(f"{d}/b{i}")
+        part = [f for f in os.listdir(f"{d}/b{i}") if f.endswith(".parquet")][0]
+        os.rename(f"{d}/b{i}/{part}", f"{src_dir}/{i:02d}.parquet")
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+
+
+def test_bounded_over_rows_out_of_order_across_batches(spark):
+    """Events for minutes 10,11 arrive a batch BEFORE minutes 5,6; the
+    watermark buffer must sequence them back into event-time order, so the
+    window sums equal the in-order batch result (the old carry-tail-only
+    implementation would compute windows in arrival order and fail)."""
+    from proteus_engine_spark.streaming.stateful import bounded_over_agg
+
+    a = [_ev(3, 10, 1, "x", 30.0), _ev(4, 11, 1, "x", 40.0)]
+    b = [_ev(1, 5, 1, "x", 10.0), _ev(2, 6, 1, "x", 20.0)]
+    c = [_ev(9, 40, 1, "x", 1.0)]  # watermark pusher; stays buffered
+    out = bounded_over_agg(
+        _three_batch_stream(spark, a, b, c, EV_SCHEMA),
+        "user_id", "ts", "value", n_rows=2, watermark_delay="5 minutes",
+    )
+    rows = sorted(_run(out, "bover_ooo_test").collect(), key=lambda r: r["event_id"])
+    assert [r["event_id"] for r in rows] == [1, 2, 3, 4]
+    assert [r["w_sum"] for r in rows] == [10.0, 30.0, 50.0, 70.0]
+    assert [r["w_cnt"] for r in rows] == [1, 2, 2, 2]
+
+
+def test_bounded_range_over_peers_and_eviction(spark):
+    """RANGE INTERVAL 5 MINUTES PRECEDING: peer rows (equal ts) share one
+    frame containing all of them; a row 8 minutes later sees none of the
+    earlier values (evicted by time delta, though fewer than n rows ago)."""
+    from proteus_engine_spark.streaming.stateful import bounded_range_over_agg
+
+    a = [_ev(1, 1, 1, "x", 10.0), _ev(2, 2, 1, "x", 20.0), _ev(3, 2, 1, "x", 5.0)]
+    b = [_ev(4, 10, 1, "x", 40.0), _ev(9, 20, 1, "x", 1.0)]
+    out = bounded_range_over_agg(
+        _two_batch_stream(spark, a, b, EV_SCHEMA),
+        "user_id", "ts", "value", range_ms=5 * 60_000, watermark_delay="0 seconds",
+    )
+    rows = sorted(_run(out, "brange_test").collect(), key=lambda r: r["event_id"])
+    assert [r["event_id"] for r in rows] == [1, 2, 3, 4, 9]
+    # peers at minute 2 both see 10+20+5; minute 10 sees only itself
+    assert [r["w_sum"] for r in rows] == [10.0, 35.0, 35.0, 40.0, 1.0]
+    assert [r["w_cnt"] for r in rows] == [1, 3, 3, 1, 1]
+
+
+def test_bounded_over_string_key(spark):
+    """The stateful OVER helpers must not hard-code a long key type: a
+    string key column (event_type) works end-to-end (field_ddl derives the
+    output schema from the frame itself)."""
+    from proteus_engine_spark.streaming.stateful import bounded_over_agg
+
+    a = [_ev(1, 1, 1, "a", 10.0), _ev(2, 2, 1, "b", 20.0)]
+    b = [_ev(3, 3, 1, "a", 30.0), _ev(9, 30, 1, "b", 1.0)]
+    out = bounded_over_agg(
+        _two_batch_stream(spark, a, b, EV_SCHEMA),
+        "event_type", "ts", "value", n_rows=2, watermark_delay="0 seconds",
+    )
+    rows = sorted(_run(out, "bover_strkey_test").collect(), key=lambda r: r["event_id"])
+    assert [r["event_type"] for r in rows] == ["a", "b", "a"]
+    assert [r["w_sum"] for r in rows] == [10.0, 20.0, 40.0]
+
+
+def test_events_stream_ooo_replay_is_actually_out_of_order(spark):
+    """The staged replay must deliver at least one pair of micro-batches
+    whose event-time ranges are swapped (a later block before an earlier
+    one) — otherwise the ooo gate proves nothing."""
+    import os
+
+    from proteus_engine_spark.streaming.sources import events_stream_ooo
+
+    sf_dir = os.environ.get("PROTEUS_TEST_SF_DIR", "/root/testdata/sf0.001")
+    ev = events_stream_ooo(spark, sf_dir)
+    q = (
+        ev.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ooo_probe")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    # reconstruct per-batch event-time bounds from the staged files instead
+    # of progress (memory sink keeps no batch id): read the staged dir
+    import glob
+
+    import pyarrow.parquet as pq
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    scratch = sorted(
+        glob.glob(
+            os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                ".scratch",
+                f"ooo_events_{sf_tag}_*",
+                "f*.parquet",
+            )
+        )
+    )
+    assert len(scratch) >= 4
+    bounds = []
+    for f in scratch:
+        t = pq.read_table(f, columns=["ts"])
+        if len(t):
+            ts = t.column("ts").to_numpy()
+            bounds.append((ts.min(), ts.max()))
+    swapped = sum(
+        1 for i in range(len(bounds) - 1) if bounds[i][0] > bounds[i + 1][1]
+    )
+    assert swapped >= 3, f"expected pair-swapped blocks, got bounds {bounds}"
+    # and the stream replays every row exactly once
+    n_src = sum(pq.read_metadata(f).num_rows for f in scratch)
+    assert spark.table("ooo_probe").count() == n_src
+
+
+def test_jaccard_span_batching_on_hot_vertex(spark):
+    """Star graph K1,60 (one hub of degree 60): every leaf pair shares
+    exactly the hub, so jaccard = 1/(1+1-1) = 1.0 for all C(60,2) pairs.
+    A tiny group_size forces many spans — the result must be identical to
+    the unbatched (single-span) run, pair-for-pair (JaccardIndex.java:
+    187-202 GenerateGroupSpans invariance)."""
+    from proteus_engine_spark.graph import adamic_adar, jaccard_index
+
+    n = 60
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, n + 1)], "src long, dst long"
+    )
+    small = jaccard_index(edges, group_size=7).collect()
+    big = jaccard_index(edges, group_size=10_000).collect()
+    assert len(small) == n * (n - 1) // 2
+    assert {(r["u"], r["v"]) for r in small} == {(r["u"], r["v"]) for r in big}
+    assert all(r["jaccard_score"] == 1.0 for r in small)
+    # adamic-adar on the same graph: every pair scores 1/ln(60)
+    import math
+
+    aa = adamic_adar(edges, group_size=7).collect()
+    assert len(aa) == n * (n - 1) // 2
+    assert all(abs(r["aa_score"] - 1 / math.log(n)) < 1e-12 for r in aa)
+
+
+def test_shared_neighbor_spans_are_bounded(spark):
+    """The span frame's member arrays never exceed group_size — the
+    per-task explode fan-out bound that makes hubs safe."""
+    from pyspark.sql import functions as F
+
+    from proteus_engine_spark.graph.library import _shared_neighbor_pairs
+
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 41)], "src long, dst long"
+    )
+    adj = edges.select(
+        F.col("src").alias("v"), F.col("dst").alias("w")
+    ).union(edges.select(F.col("dst").alias("v"), F.col("src").alias("w")))
+    pairs = _shared_neighbor_pairs(adj, group_size=8)
+    # structural bound: count pairs per (shared) — fan-out exists, but the
+    # plan's explode inputs are ≤ 8 members; verify via the pair count and
+    # the exact pair set (0..40 star: C(40,2) pairs through vertex 0)
+    assert pairs.count() == 40 * 39 // 2
+    got = {(r["u"], r["v"]) for r in pairs.collect()}
+    assert got == {(i, j) for i in range(1, 41) for j in range(i + 1, 41)}
+
+
+def test_triadic_census_small_graph(spark):
+    """Triangle + pendant edge + isolated-in-triple vertex: counts match a
+    hand enumeration (TriadicCensus.java:99-120 formulas)."""
+    from proteus_engine_spark.graph import triadic_census
+
+    # vertices 1,2,3 triangle; 4 attached to 3; n=4
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "src long, dst long"
+    )
+    r = triadic_census(edges).collect()[0]
+    # triples: {123}=3 edges; {124}=1 (12); {134}=2 (13,34); {234}=2 (23,34)
+    assert (r["t0"], r["t1"], r["t2"], r["t3"]) == (0, 1, 2, 1)
+
+
+def test_community_detection_two_cliques(spark):
+    """Two triangles joined by one bridge edge: after a few supersteps each
+    clique converges to its minimum label (hop-attenuated scores keep the
+    bridge from flipping a whole clique)."""
+    from proteus_engine_spark.graph import community_detection
+
+    tri1 = [(1, 2), (2, 3), (1, 3)]
+    tri2 = [(11, 12), (12, 13), (11, 13)]
+    edges = spark.createDataFrame(tri1 + tri2 + [(3, 11)], "src long, dst long")
+    labels = {
+        r["vertex"]: r["label"]
+        for r in community_detection(edges, iterations=4).collect()
+    }
+    assert labels[1] == labels[2] == labels[3] == 1
+    assert labels[11] == labels[12] == labels[13]
