@@ -63,17 +63,27 @@ def main() -> None:
     if extra:
         names = [n.strip() for n in extra.split(",") if n.strip() in REGISTRY]
 
-    timings: dict[str, float] = {}
-    for name in names:
-        fn = REGISTRY[name].fn
-        # warm-up run (JIT, codegen, file-listing caches)
-        fn(spark, SF_DIR).count()
+    def timed(action) -> float:
+        action()  # warm-up run (JIT, codegen, file-listing caches)
         runs = []
         for _ in range(3):
             t0 = time.perf_counter()
-            fn(spark, SF_DIR).count()
+            action()
             runs.append(time.perf_counter() - t0)
-        timings[name] = round(statistics.median(runs), 4)
+        return round(statistics.median(runs), 4)
+
+    # Fixed-shape calibration probe, independent of the data and of every
+    # engine change: sum over a 200M-row range (pure codegen, no I/O).
+    # Recorded so cross-round wall-clock drift (sandbox load, CPU
+    # throttling) is measurable — it is EXCLUDED from the headline total.
+    calibration = timed(
+        lambda: spark.range(200_000_000).selectExpr("sum(id)").collect()
+    )
+
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = REGISTRY[name].fn
+        timings[name] = timed(lambda: fn(spark, SF_DIR).count())
 
     total = round(sum(timings.values()), 4)
     print(
@@ -83,6 +93,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "calibration_sec": calibration,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

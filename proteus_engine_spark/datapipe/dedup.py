@@ -153,29 +153,27 @@ def minhash_lsh_pairs(
       that already collided — and the exact values are engine-portable
       (oracle-checkable), unlike the xxhash64 signatures.
 
-    ``persist_signatures`` trades storage for the estimate tier's second
-    signature evaluation: the narrow (id, mh_*) table — num_perm×8 B/doc —
-    is persisted MEMORY_AND_DISK so the hash pass runs once even though the
-    plan references it twice (candidate generation + signature re-attach).
-    Off by default: the exact tier never needs it (single reference by
-    construction), and the persisted blocks live until the caller drops the
-    returned DataFrame (Spark's ContextCleaner reclaims them) or calls
-    ``spark.catalog.clearCache()`` — a lazily-returned result cannot scope
-    its own unpersist.
+    The estimate tier references the signature subplan twice (candidate
+    generation + signature re-attach), so it persists the narrow
+    (id, mh_*) table — num_perm×8 B/doc, MEMORY_AND_DISK — for the
+    duration of the call, eagerly finalizes the candidate-bounded result
+    (a localCheckpoint of the PAIRS, tiny by LSH construction), and
+    unpersists in a finally: the hash pass runs ONCE and no storage
+    outlives the call. ``persist_signatures`` is kept for API
+    compatibility but is now implied by the estimate tier. The exact tier
+    stays fully lazy — its plan references the signature pass once by
+    construction (the shingle re-attach reads `docs`, not `mh`).
     """
     if verify not in ("estimate", "exact"):
         raise ValueError(f"unknown verify {verify!r}: expected 'estimate' or 'exact'")
     rows_per_band = num_perm // bands
-    # No persist: the signature table stays lazy (persisting it here pinned
-    # num_perm×8 B/doc in executor storage with an unbounded lifetime, and a
-    # localCheckpoint truncates lineage onto unreplicated executor-local
-    # blocks — a fault-tolerance hazard on a real cluster). Instead the plan
+    # Exact tier: no persist — the signature table stays lazy. The plan
     # is shaped so the signature pass is referenced ONCE on the candidate
     # path: bucket GROUPING below, not a self-join (a self-join evaluates
     # the signature subplan per side — AQE broadcasts one side, so exchange
     # reuse never kicks in and the whole hash pass runs twice).
     mh = _minhash_columns(docs, id_col, text_col, num_perm, shingle_k)
-    if persist_signatures and verify == "estimate":
+    if verify == "estimate":
         from pyspark import StorageLevel
 
         mh = mh.persist(StorageLevel.MEMORY_AND_DISK)
@@ -268,6 +266,13 @@ def minhash_lsh_pairs(
             / F.lit(num_perm)
         ).alias("jaccard_est")
         out = pair.select("doc_a", "doc_b", est).filter(F.col("jaccard_est") >= jaccard_threshold)
+        # finalize while the signature persist is alive, then release it:
+        # the result is candidate-bounded (tiny), so the eager checkpoint
+        # costs one pass over pairs, and nothing outlives the call.
+        try:
+            out = out.localCheckpoint(eager=True)
+        finally:
+            mh.unpersist()
     return out
 
 

@@ -22,79 +22,74 @@ from proteus_engine_spark.queries import (  # noqa: F401
     windows_q,
 )
 
-# Round-6 priority window (the driver checks the first ~50 registry
-# entries): the 4 queries added after the round-5 snapshot (never
-# driver-checked) first, then queries whose shared code changed post-r5
-# (cep.py greedy-optional hand-off fix, dedup.py gemm edge cases,
-# partitioning.py Catalyst-only zip_with_index rewrite), then the 26
-# queries whose only driver verification was round 1 (the stalest set),
-# then the r3-only-green batch, then the round-6 trigger/evictor and
-# graph-library gates to fill the 50. The r1/r2 rotations (r4, r5) both
-# passed clean; this closes the freshness loop on every remaining pre-r3
-# row.
+# Round-7 priority window (the driver checks the first ~50 registry
+# entries): the re-gated text round-trip first (round 6's only red row —
+# the gate is hermetic now: per-invocation scratch dirs), then the 13
+# round-6 queries that have never seen a driver window (locally green in
+# r6's gatecheck_local.json), then the round-7 additions (out-of-order
+# bounded OVER, bounded RANGE OVER, AdamicAdar, CommunityDetection,
+# TriadicCensus, GlobalClusteringCoefficient), then re-verifies for
+# queries whose shared code changed this round (bounded_over_agg was
+# rewritten with watermark buffering; jaccard pair generation is now
+# span-batched; the minhash estimate tier persists its signature pass),
+# then the entire r4-stale rotation (every query whose latest driver
+# green is round 4) — exactly 50.
 _GATE_PRIORITY = [
-    # round-6: new operators/gates, never driver-checked (5)
-    "udf_scalar_weighted",
-    "stream_over_bounded_rows",
-    "cep_allow_combinations",
+    # round 6's only red row, re-gated after the hermetic-scratch fix (1)
     "text_roundtrip_initials",
-    "zip_with_index_bulk",
-    # shared-code re-verify: files rewritten after the r5 snapshot (3)
-    "zip_with_index_ranked",
-    "cep_greedy_click_run",
-    "dedup_embedding_cosine_lsh",
-    # regression rotation: checked only in round 1 — stalest set (26)
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "text_quality_stats",
-    "text_language_id",
-    "text_fingerprint",
-    "sim_topk_bruteforce",
-    "fn_conditional_suite",
-    "fn_array_suite",
-    "fn_cast_suite",
-    "join_left_outer",
-    "join_right_outer",
-    "join_full_outer",
-    "join_anti",
-    "join_cross",
-    "join_single_row",
-    "join_theta",
-    "cogroup_counts",
-    "agg_distinct",
-    "agg_minby_maxby",
-    "agg_grouping_sets",
-    "agg_rollup",
-    "agg_cube",
-    "agg_stats_exact",
-    "agg_collect",
-    "agg_having",
-    "distinct_rows",
-    # regression rotation: r3-only-green batch (11)
-    "dedup_exact",
-    "fn_math_suite",
-    "fn_json_suite",
-    "sort_limit_offset",
-    "subquery_in",
-    "agg_reduce_group_sorted",
-    "stream_side_input_keyed",
-    "stream_side_input_broadcast",
-    "stream_split_select",
-    "window_count_tumbling",
-    "window_tumble_sql",
-    # round-6: trigger/evictor + graph-library gates, never driver-checked
-    # (5). Thirteen more round-6 queries sit just past the window and
-    # queue for r7 — all locally gated green this round
-    # (gatecheck_local.json): graph_hits, graph_label_propagation,
-    # graph_jaccard, graph_clustering_coeff, graph_summarize,
-    # graph_vertex_metrics, ml_linreg_price_vs_qty, ml_feature_scaling,
-    # ml_distance_metrics, queryable_state_lookup, stream_iterate_halving,
-    # cep_group_times, cep_group_optional.
-    "stream_tumble_time_evictor",
-    "stream_count_evictor_fires",
-    "graph_degrees",
-    "graph_triangles",
-    "graph_pagerank",
+    # round-6 queries never driver-checked, locally green since r6 (13)
+    "graph_hits",
+    "graph_label_propagation",
+    "graph_jaccard",
+    "graph_clustering_coeff",
+    "graph_summarize",
+    "graph_vertex_metrics",
+    "ml_linreg_price_vs_qty",
+    "ml_feature_scaling",
+    "ml_distance_metrics",
+    "queryable_state_lookup",
+    "stream_iterate_halving",
+    "cep_group_times",
+    "cep_group_optional",
+    # round-7: new operators/gates (6)
+    "stream_over_bounded_rows_ooo",
+    "stream_over_bounded_range",
+    "graph_adamic_adar",
+    "graph_community_detection",
+    "graph_triadic_census",
+    "graph_global_clustering",
+    # shared-code re-verify: rewritten this round (2)
+    "stream_over_bounded_rows",
+    "dedup_minhash_lsh",
+    # regression rotation: latest driver green is round 4 (28)
+    "sim_ann_ivf",
+    "multimodal_decode",
+    "fn_string_suite",
+    "fn_temporal_suite",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
+    "q5_local_supplier_volume",
+    "q10_returned_items",
+    "q14_promo_effect",
+    "q18_large_volume_customer",
+    "join_inner_dims",
+    "join_semi",
+    "agg_basic",
+    "sort_topk_per_group",
+    "over_running_agg",
+    "over_bounded_rows",
+    "subquery_exists_correlated",
+    "explode_unnest",
+    "q9_product_type_profit",
+    "q12_ship_priority_class",
+    "q21_waiting_supplier",
+    "iter_connected_components",
+    "join_salted_skew",
+    "asof_join_events",
+    "range_join_events",
+    "window_tumble",
+    "window_session",
 ]
 
 

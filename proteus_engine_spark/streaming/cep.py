@@ -788,19 +788,25 @@ class GroupPattern:
 
     def times(self, n: int) -> "GroupPattern":
         """Pattern.times on a group: the whole sub-sequence repeats exactly
-        n times, chained with the group's consume strategy."""
+        n times, chained with the group's consume strategy. Composes with
+        optional() in either order (GroupPattern.java parity — quantifier
+        and optionality are independent flags there): a previously-applied
+        optional()'s 0-repeat variant is preserved, not overwritten."""
         if n < 1:
             raise ValueError("times(n) requires n >= 1")
-        self.items[-1].reps = (n,)
+        it = self.items[-1]
+        it.reps = ((0,) if 0 in it.reps else ()) + (n,)
         return self
 
     def one_or_more(self, max_repeats: int) -> "GroupPattern":
         """Pattern.oneOrMore on a group, bounded: a match per repeat count
         1..max_repeats (the reference emits per-prefix matches the same
-        way; the bound makes the variant set finite)."""
+        way; the bound makes the variant set finite). Order-insensitive
+        with optional(), like times()."""
         if max_repeats < 1:
             raise ValueError("one_or_more requires max_repeats >= 1")
-        self.items[-1].reps = tuple(range(1, max_repeats + 1))
+        it = self.items[-1]
+        it.reps = ((0,) if 0 in it.reps else ()) + tuple(range(1, max_repeats + 1))
         return self
 
     def consecutive(self) -> "GroupPattern":

@@ -82,8 +82,12 @@ def run_iterative_to_completion(
         # one deterministically-named file per epoch, renamed into place:
         # a replayed batch overwrites its own attempt (no duplicates), and
         # an empty frontier writes nothing (an empty file would be
-        # "discovered" by the head and trigger empty batches forever)
-        tmp = tempfile.mkdtemp(prefix="proteus_iter_route_")
+        # "discovered" by the head and trigger empty batches forever).
+        # The staging dir is a dot-prefixed sibling INSIDE the target dir
+        # (ignored by the file source's default filters), not TMPDIR — a
+        # cross-filesystem os.replace would raise EXDEV and kill the loop.
+        os.makedirs(target_dir, exist_ok=True)
+        tmp = tempfile.mkdtemp(prefix=".proteus_iter_route_", dir=target_dir)
         try:
             df.coalesce(1).write.mode("overwrite").parquet(tmp)
             part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))

@@ -97,3 +97,46 @@ def test_group_validation(spark):
         for n in "bcdefg":
             g = g.followed_by(_sub(n)).one_or_more(max_repeats=3)
         g.variants()
+
+
+def test_group_optional_times_order_insensitive(spark):
+    """optional() before or after the quantifier composes identically —
+    the reference's optional/times are independent flags (Pattern.java);
+    applying a quantifier must not silently discard the 0-repeat variant."""
+    ev = _events(spark, {1: ["e", "a", "b", "a", "b", "p"], 2: ["e", "p"]})
+
+    def build(opt_first):
+        g = GroupPattern.begin(_sub("e")).next(_sub("a", "b"))
+        g = g.optional().times(2) if opt_first else g.times(2).optional()
+        return g.next(_sub("p"))
+
+    for opt_first in (True, False):
+        rows = {
+            r["user_id"]: r
+            for r in match_group_pattern(ev, build(opt_first), "user_id").collect()
+        }
+        assert set(rows) == {1, 2}, f"opt_first={opt_first}"
+        assert rows[1]["a_cnt"] == 2
+        assert rows[2]["a_cnt"] == 0 and rows[2]["a_id"] is None
+
+
+def test_group_optional_one_or_more_order_insensitive(spark):
+    ev = _events(spark, {1: ["e", "a", "p"], 2: ["e", "p"]})
+
+    def build(opt_first):
+        g = GroupPattern.begin(_sub("e")).next(_sub("a"))
+        g = (
+            g.optional().one_or_more(max_repeats=2)
+            if opt_first
+            else g.one_or_more(max_repeats=2).optional()
+        )
+        return g.next(_sub("p"))
+
+    for opt_first in (True, False):
+        counts = sorted(
+            (r["user_id"], r["a_cnt"])
+            for r in match_group_pattern(ev, build(opt_first), "user_id").collect()
+        )
+        # u1's 0-repeat variant can't match (the 'a' blocks the strict
+        # e→p chain); u2 matches only via the skip. One row each.
+        assert counts == [(1, 1), (2, 0)], f"opt_first={opt_first}"
