@@ -91,6 +91,11 @@ _GATE_PRIORITY = [
     "window_tumble",
     "window_session",
 ]
+# Queued for the r8 window (past the 50): stream_over_running_agg and
+# stream_event_time_sort (re-verify — rewritten this round with watermark
+# buffering) and their new ooo proofs stream_over_running_ooo /
+# stream_event_time_sort_ooo; all four are green in this round's local
+# 146-query gate (gatecheck_local.json).
 
 
 def _reorder() -> None:

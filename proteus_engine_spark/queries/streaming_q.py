@@ -223,16 +223,23 @@ def stream_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream_event_time_sort",
     oracle="""
-    SELECT user_id, event_id, ts,
-           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
-    FROM events
+    WITH w AS (
+      SELECT user_id, event_id, ts,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
+      FROM events)
+    SELECT * FROM w
+    WHERE epoch_ms(ts) <= (SELECT max(epoch_ms(ts)) FROM events) - 600000
     """,
     tags=("streaming", "sort", "stateful"),
 )
 def stream_event_time_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time sorted emission per key (DataStreamSort.scala:42 /
-    RowTimeSortProcessFunction parity): a custom stateful operator assigns
-    contiguous per-key sequence numbers in (ts, id) order."""
+    RowTimeSortProcessFunction parity): rows buffer in keyed state until
+    the watermark passes, then emit in (ts, id) order with contiguous
+    per-key sequence numbers — seq is the true event-time rank even under
+    out-of-order arrival. Withheld rows beyond the final watermark rank
+    after every emitted row, so the oracle is the batch row_number minus
+    the 10-minute watermark tail."""
     ev = events_stream(spark, sf_dir)
     sorted_ev = event_time_sort(ev, "user_id", "ts")
     return run_to_completion(sorted_ev, "stream_ets_sink", "append")
@@ -523,25 +530,86 @@ def cep_strict_next(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream_over_running_agg",
     oracle="""
-    SELECT user_id, event_id, ts,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_sum,
-           COUNT(*) OVER w AS running_cnt,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) / COUNT(*) OVER w AS running_avg
-    FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+    WITH w AS (
+      SELECT user_id, event_id, ts,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_sum,
+             COUNT(*) OVER w AS running_cnt,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+               / COUNT(*) OVER w AS running_avg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING))
+    SELECT * FROM w
+    WHERE epoch_ms(ts) <= (SELECT max(epoch_ms(ts)) FROM events) - 600000
     """,
     tags=("streaming", "over"),
 )
 def stream_over_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming OVER aggregation (DataStreamOverAggregate.scala:45 /
     RowTimeUnboundedOver parity): per-key running SUM/COUNT/AVG over an
-    unbounded stream, one output row per event, accumulator in keyed state.
-    The oracle is the equivalent batch OVER window — identical because the
-    accumulator adds exact integer cents (order-independent) and in-batch
-    rows are processed in (ts, event_id) order."""
+    unbounded stream, one output row per event, accumulator in keyed
+    state, arrivals watermark-buffered and accumulated in (ts, event_id)
+    order — correct under out-of-order arrival, like the bounded shapes.
+    The oracle is the equivalent batch OVER window (exact integer-cents
+    accumulation is order-independent) minus the watermark-delay tail."""
     ev = events_stream(spark, sf_dir)
     out = running_over_agg(ev, "user_id", "ts", "value")
     return run_to_completion(out, "stream_over_running_sink", "append")
+
+
+@register(
+    "stream_over_running_ooo",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, event_id, ts,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_sum,
+             COUNT(*) OVER w AS running_cnt,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+               / COUNT(*) OVER w AS running_avg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING))
+    SELECT * FROM w
+    WHERE epoch_ms(ts) <= (SELECT max(epoch_ms(ts)) FROM events) - 18000000
+    """,
+    tags=("streaming", "over"),
+)
+def stream_over_running_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-order-replay proof for the unbounded OVER operator
+    (RowTimeUnboundedOver buffers by timestamp for exactly this): the
+    pair-swapped-block replay (whole later blocks arrive before earlier
+    ones), watermark delay 5h > the 4h worst-case lateness; the oracle is
+    the same batch running window as the in-order gate minus the 5h tail —
+    identical running sums under reordered arrival is the proof."""
+    from proteus_engine_spark.streaming.sources import events_stream_ooo
+
+    ev = events_stream_ooo(spark, sf_dir)
+    out = running_over_agg(ev, "user_id", "ts", "value", watermark_delay="5 hours")
+    return run_to_completion(out, "stream_over_running_ooo_sink", "append")
+
+
+@register(
+    "stream_event_time_sort_ooo",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, event_id, ts,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
+      FROM events)
+    SELECT * FROM w
+    WHERE epoch_ms(ts) <= (SELECT max(epoch_ms(ts)) FROM events) - 18000000
+    """,
+    tags=("streaming", "sort", "stateful"),
+)
+def stream_event_time_sort_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-order-replay proof for streaming event-time sort
+    (RowTimeSortProcessFunction parity): blocks arrive swapped, yet every
+    emitted seq must equal the batch event-time rank — the watermark
+    buffer re-sequences the swapped blocks before assigning ranks."""
+    from proteus_engine_spark.streaming.sources import events_stream_ooo
+
+    ev = events_stream_ooo(spark, sf_dir)
+    out = event_time_sort(ev, "user_id", "ts", watermark_delay="5 hours")
+    return run_to_completion(out, "stream_ets_ooo_sink", "append")
 
 
 @register(

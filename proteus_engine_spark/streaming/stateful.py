@@ -34,6 +34,56 @@ def field_ddl(df: DataFrame, col: str) -> str:
     return f"{col} {df.schema[col].dataType.simpleString()}"
 
 
+def _ingest_and_release(st, pdfs, state, ts_col, id_col, value_col):
+    """Shared watermark-buffer step for event-time stateful operators
+    (the RowTime*Over / RowTimeSortProcessFunction MapState-by-timestamp
+    discipline): append arrivals to the keyed buffer as (ts_us, id,
+    cents), then split out — in (ts, id) order — the rows the watermark
+    has passed. Microsecond event time is kept end-to-end (emitted ts and
+    sort order must match batch oracles bit-for-bit); only the release
+    comparison floors to ms, because Spark's watermark is ms-floored.
+
+    Release order is globally correct per key across batches: everything
+    released earlier had ts <= the then-watermark, and Spark drops
+    below-watermark late rows upstream, so new arrivals always sort after
+    everything already released. Returns (watermark_ms, ready_rows)."""
+    import numpy as np
+
+    wm = state.getCurrentWatermarkMs()
+    if not state.hasTimedOut:
+        batches = [p for p in pdfs if len(p)]
+        if batches:
+            pdf = pd.concat(batches)
+            ts_us = pdf[ts_col].values.astype("datetime64[us]").astype("int64")
+            ids = pdf[id_col].to_numpy()
+            if value_col is None:
+                cents = np.zeros(len(pdf), dtype="int64")
+            else:
+                cents = np.rint(
+                    pdf[value_col].to_numpy(dtype="float64") * 100
+                ).astype("int64")
+            st["buf"].extend(zip(ts_us.tolist(), ids.tolist(), cents.tolist()))
+    ready = sorted(e for e in st["buf"] if e[0] // 1000 <= wm)
+    st["buf"] = [e for e in st["buf"] if e[0] // 1000 > wm]
+    return wm, ready
+
+
+def _persist_or_clear(st, state, wm, keep_if):
+    """Persist the buffer state and arm the event-time timer at the next
+    pending row's timestamp (so buffered rows flush when the watermark
+    advances without new data for this key), or drop the key's state
+    entirely when nothing remains."""
+    import pickle
+
+    if st["buf"] or keep_if:
+        state.update((pickle.dumps(st),))
+        pending = [t // 1000 for t, _i, _c in st["buf"] if t // 1000 > wm]
+        if pending:
+            state.setTimeoutTimestamp(min(pending))
+    elif state.exists:
+        state.remove()
+
+
 def count_window_agg(
     stream: DataFrame,
     key_col: str,
@@ -120,6 +170,7 @@ def event_time_sort(
     key_col: str,
     ts_col: str,
     id_col: str = "event_id",
+    watermark_delay: str = "10 minutes",
 ) -> DataFrame:
     """Event-time sorted emission per key (DataStreamSort parity —
     flink-table/.../plan/nodes/datastream/DataStreamSort.scala:42 allows
@@ -127,35 +178,47 @@ def event_time_sort(
     RowTimeSortProcessFunction buffers rows per key until the watermark
     passes, then emits in event-time order).
 
-    Spark shape: rows are buffered in keyed state and assigned a contiguous
-    per-key sequence number in (ts, id) order. Within a micro-batch the
-    sort is exact; across micro-batches the per-key counter carries in
-    state, so the emitted seq reflects global arrival order per key on
-    in-order replay — the same guarantee the reference gives once the
-    watermark passes. State is O(1) per key (a counter)."""
-    out_schema = f"{key_col} long, {id_col} long, {ts_col} timestamp, seq long"
+    Spark shape: rows are watermark-buffered in keyed state (the
+    RowTimeSortProcessFunction MapState) and released in (ts, id) order
+    once the watermark passes them, each assigned a contiguous per-key
+    sequence number — so seq IS the global per-key event-time rank, even
+    under out-of-order arrival across micro-batches. Rows later than the
+    final watermark stay buffered (append semantics). State is the
+    in-flight rows inside the watermark delay plus a counter."""
+    out_schema = (
+        f"{field_ddl(stream, key_col)}, {field_ddl(stream, id_col)}, "
+        f"{ts_col} timestamp, seq long"
+    )
 
     def transition(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        seq = state.get[0] if state.exists else 0
-        for pdf in pdfs:
-            pdf = pdf.sort_values([ts_col, id_col], kind="mergesort")
-            n = len(pdf)
+        import pickle
+
+        st = pickle.loads(state.get[0]) if state.exists else {"buf": [], "seq": 0}
+        wm, ready = _ingest_and_release(st, pdfs, state, ts_col, id_col, None)
+        if ready:
+            n = len(ready)
             out = pd.DataFrame(
                 {
-                    key_col: pdf[key_col].values,
-                    id_col: pdf[id_col].values,
-                    ts_col: pdf[ts_col].values,
-                    "seq": range(seq + 1, seq + n + 1),
+                    key_col: key[0],
+                    id_col: [i for _t, i, _c in ready],
+                    ts_col: pd.to_datetime([t for t, _i, _c in ready], unit="us"),
+                    "seq": range(st["seq"] + 1, st["seq"] + n + 1),
                 }
             )
-            seq += n
+            st["seq"] += n
             yield out
-        state.update((seq,))
+        _persist_or_clear(st, state, wm, keep_if=st["seq"] > 0)
 
-    return stream.select(key_col, id_col, ts_col).groupBy(key_col).applyInPandasWithState(
-        transition, out_schema, "seq long", "append", GroupStateTimeout.NoTimeout
+    return (
+        stream.select(key_col, id_col, ts_col)
+        .withWatermark(ts_col, watermark_delay)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            transition, out_schema, "blob binary", "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
     )
 
 
@@ -165,6 +228,8 @@ def running_over_agg(
     ts_col: str,
     value_col: str,
     id_col: str = "event_id",
+    watermark_delay: str = "10 minutes",
+    time_mode: str = "event",
 ) -> DataFrame:
     """Streaming OVER aggregation: per-key running SUM/COUNT/AVG in
     event-time order, ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW —
@@ -181,50 +246,69 @@ def running_over_agg(
     Determinism: the running sum is accumulated in integer cents (exact),
     converted to double per row — addition-order independent, so the result
     hash-matches a batch SQL `SUM(CAST(value AS DECIMAL(18,2))) OVER
-    (... ROWS UNBOUNDED PRECEDING)` on in-order replay. Within a
-    micro-batch rows are processed in (ts, id) order; across micro-batches
-    state carries the accumulator, the same continuity RowTimeUnboundedOver
-    gets from watermark-ordered processing. State is O(1) per key.
+    (... ROWS UNBOUNDED PRECEDING)`. In the default ``time_mode="event"``
+    rows are watermark-buffered and released in (ts, id) order — the
+    RowTimeUnboundedOver discipline, correct under out-of-order arrival;
+    rows later than the final watermark stay buffered (append semantics).
+    ``time_mode="proc"`` (ProcTimeUnboundedOver.scala) accumulates in
+    arrival order and emits immediately. State is O(1) per key plus, in
+    event mode, the in-flight rows inside the watermark delay.
     """
-    import numpy as np
-
+    if time_mode not in ("event", "proc"):
+        raise ValueError(f"unknown time_mode {time_mode!r}: 'event' or 'proc'")
     out_schema = (
-        f"{key_col} long, {id_col} long, {ts_col} timestamp, "
-        "running_sum double, running_cnt long, running_avg double"
+        f"{field_ddl(stream, key_col)}, {field_ddl(stream, id_col)}, "
+        f"{ts_col} timestamp, running_sum double, running_cnt long, "
+        "running_avg double"
     )
+
+    def emit(key, ready, st):
+        import numpy as np
+
+        cents = np.asarray([c for _t, _i, c in ready], dtype="int64")
+        run = st["sum"] + np.cumsum(cents)
+        counts = st["cnt"] + np.arange(1, len(cents) + 1)
+        st["cnt"] = int(counts[-1])
+        st["sum"] = int(run[-1])
+        return pd.DataFrame(
+            {
+                key_col: key[0],
+                id_col: [i for _t, i, _c in ready],
+                ts_col: pd.to_datetime([t for t, _i, _c in ready], unit="us"),
+                "running_sum": run / 100.0,
+                "running_cnt": counts,
+                "running_avg": (run / 100.0) / counts,
+            }
+        )
+
+    if time_mode == "proc":
+        return _proc_time_over(
+            stream, key_col, ts_col, value_col, id_col, out_schema, emit,
+            init_state={"buf": [], "cnt": 0, "sum": 0},
+        )
 
     def transition(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        cnt, sum_cents = state.get if state.exists else (0, 0)
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            pdf = pdf.sort_values([ts_col, id_col], kind="mergesort")
-            cents = np.rint(pdf[value_col].to_numpy(dtype="float64") * 100).astype("int64")
-            run = sum_cents + np.cumsum(cents)
-            n = len(pdf)
-            counts = cnt + np.arange(1, n + 1)
-            yield pd.DataFrame(
-                {
-                    key_col: pdf[key_col].values,
-                    id_col: pdf[id_col].values,
-                    ts_col: pdf[ts_col].values,
-                    "running_sum": run / 100.0,
-                    "running_cnt": counts,
-                    "running_avg": (run / 100.0) / counts,
-                }
-            )
-            cnt = int(counts[-1])
-            sum_cents = int(run[-1])
-        state.update((cnt, sum_cents))
+        import pickle
+
+        st = (
+            pickle.loads(state.get[0])
+            if state.exists
+            else {"buf": [], "cnt": 0, "sum": 0}
+        )
+        wm, ready = _ingest_and_release(st, pdfs, state, ts_col, id_col, value_col)
+        if ready:
+            yield emit(key, ready, st)
+        _persist_or_clear(st, state, wm, keep_if=st["cnt"] > 0)
 
     return (
         stream.select(key_col, id_col, ts_col, value_col)
+        .withWatermark(ts_col, watermark_delay)
         .groupBy(key_col)
         .applyInPandasWithState(
-            transition, out_schema, "cnt long, sum_cents long", "append",
-            GroupStateTimeout.NoTimeout,
+            transition, out_schema, "blob binary", "append",
+            GroupStateTimeout.EventTimeTimeout,
         )
     )
 
@@ -237,10 +321,14 @@ def bounded_over_agg(
     n_rows: int,
     id_col: str = "event_id",
     watermark_delay: str = "10 minutes",
+    time_mode: str = "event",
 ) -> DataFrame:
     """Streaming bounded OVER aggregation: per-key SUM/COUNT/AVG over
     ``ROWS BETWEEN (n_rows-1) PRECEDING AND CURRENT ROW`` in event-time
     order — one output row per input row once the watermark passes it.
+    ``time_mode="proc"`` selects the processing-time variant
+    (ProcTimeBoundedRowsOver.scala): arrival-order windows, immediate
+    emission, no watermark — see _proc_time_over.
 
     Reference: DataStreamOverAggregate.scala:250-276 routes bounded
     ROWS-preceding OVER windows to RowTimeBoundedRowsOver.scala — a keyed
@@ -269,61 +357,52 @@ def bounded_over_agg(
 
     if n_rows < 1:
         raise ValueError("n_rows must be >= 1")
+    if time_mode not in ("event", "proc"):
+        raise ValueError(f"unknown time_mode {time_mode!r}: 'event' or 'proc'")
     out_schema = (
         f"{field_ddl(stream, key_col)}, {field_ddl(stream, id_col)}, "
         f"{ts_col} timestamp, w_sum double, w_cnt long, w_avg double"
     )
 
+    def emit(key, ready, st):
+        import numpy as np
+
+        cents = np.asarray([c for _t, _i, c in ready], dtype="int64")
+        carried = np.asarray(st["tail"], dtype="int64")
+        allc = np.concatenate([carried, cents])
+        csum = np.concatenate([[0], np.cumsum(allc)])
+        gi = len(carried) + np.arange(len(cents))
+        start = np.maximum(0, gi - n_rows + 1)
+        wsum = (csum[gi + 1] - csum[start]) / 100.0
+        wcnt = gi + 1 - start
+        st["tail"] = allc[len(allc) - min(len(allc), n_rows - 1):].tolist()
+        return pd.DataFrame(
+            {
+                key_col: key[0],
+                id_col: [i for _t, i, _c in ready],
+                ts_col: pd.to_datetime([t for t, _i, _c in ready], unit="us"),
+                "w_sum": wsum,
+                "w_cnt": wcnt,
+                "w_avg": wsum / wcnt,
+            }
+        )
+
+    if time_mode == "proc":
+        return _proc_time_over(
+            stream, key_col, ts_col, value_col, id_col, out_schema, emit,
+            init_state={"buf": [], "tail": []},
+        )
+
     def transition(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        # Buffer entries carry microsecond event time (full source
-        # precision — the emitted ts and the (ts, id) sort must match the
-        # batch oracle bit-for-bit); the watermark comparison floors to ms
-        # because Spark's watermark itself is ms-floored max event time.
-        wm = state.getCurrentWatermarkMs()
+        import pickle
+
         st = pickle.loads(state.get[0]) if state.exists else {"buf": [], "tail": []}
-        if not state.hasTimedOut:
-            batches = [p for p in pdfs if len(p)]
-            if batches:
-                pdf = pd.concat(batches)
-                ts_us = pdf[ts_col].values.astype("datetime64[us]").astype("int64")
-                ids = pdf[id_col].to_numpy()
-                cents = np.rint(
-                    pdf[value_col].to_numpy(dtype="float64") * 100
-                ).astype("int64")
-                st["buf"].extend(zip(ts_us.tolist(), ids.tolist(), cents.tolist()))
-        ready = sorted(e for e in st["buf"] if e[0] // 1000 <= wm)
-        st["buf"] = [e for e in st["buf"] if e[0] // 1000 > wm]
-
+        wm, ready = _ingest_and_release(st, pdfs, state, ts_col, id_col, value_col)
         if ready:
-            cents = np.asarray([c for _t, _i, c in ready], dtype="int64")
-            carried = np.asarray(st["tail"], dtype="int64")
-            allc = np.concatenate([carried, cents])
-            csum = np.concatenate([[0], np.cumsum(allc)])
-            gi = len(carried) + np.arange(len(cents))
-            start = np.maximum(0, gi - n_rows + 1)
-            wsum = (csum[gi + 1] - csum[start]) / 100.0
-            wcnt = gi + 1 - start
-            st["tail"] = allc[len(allc) - min(len(allc), n_rows - 1):].tolist()
-            yield pd.DataFrame(
-                {
-                    key_col: key[0],
-                    id_col: [i for _t, i, _c in ready],
-                    ts_col: pd.to_datetime([t for t, _i, _c in ready], unit="us"),
-                    "w_sum": wsum,
-                    "w_cnt": wcnt,
-                    "w_avg": wsum / wcnt,
-                }
-            )
-
-        if st["buf"] or st["tail"]:
-            state.update((pickle.dumps(st),))
-            pending = [t // 1000 for t, _i, _c in st["buf"] if t // 1000 > wm]
-            if pending:
-                state.setTimeoutTimestamp(min(pending))
-        elif state.exists:
-            state.remove()
+            yield emit(key, ready, st)
+        _persist_or_clear(st, state, wm, keep_if=bool(st["tail"]))
 
     return (
         stream.select(key_col, id_col, ts_col, value_col)
@@ -336,6 +415,48 @@ def bounded_over_agg(
     )
 
 
+def _proc_time_over(
+    stream, key_col, ts_col, value_col, id_col, out_schema, emit, init_state
+):
+    """Processing-time OVER harness (ProcTimeBoundedRowsOver.scala /
+    ProcTimeBoundedRangeOver.scala / ProcTimeUnboundedOver.scala): rows
+    are processed in ARRIVAL order — no watermark, no buffering, every
+    row emits in the micro-batch it arrives in. Within a micro-batch
+    arrival order is refined to (ts, id) for deterministic replay (the
+    reference's per-element processing has no intra-batch notion). The
+    carried state (window tail / accumulator) is whatever `emit`
+    maintains in the shared state dict."""
+    import pickle
+
+    def transition(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        st = pickle.loads(state.get[0]) if state.exists else dict(init_state)
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values([ts_col, id_col], kind="mergesort")
+            ts_us = pdf[ts_col].values.astype("datetime64[us]").astype("int64")
+            ids = pdf[id_col].to_numpy()
+            if value_col is None:
+                cents = np.zeros(len(pdf), dtype="int64")
+            else:
+                cents = np.rint(
+                    pdf[value_col].to_numpy(dtype="float64") * 100
+                ).astype("int64")
+            rows = list(zip(ts_us.tolist(), ids.tolist(), cents.tolist()))
+            yield emit(key, rows, st)
+        state.update((pickle.dumps(st),))
+
+    cols = [key_col, id_col, ts_col] + ([value_col] if value_col else [])
+    return stream.select(*cols).groupBy(key_col).applyInPandasWithState(
+        transition, out_schema, "blob binary", "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def bounded_range_over_agg(
     stream: DataFrame,
     key_col: str,
@@ -344,11 +465,15 @@ def bounded_range_over_agg(
     range_ms: int,
     id_col: str = "event_id",
     watermark_delay: str = "10 minutes",
+    time_mode: str = "event",
 ) -> DataFrame:
     """Streaming bounded RANGE OVER aggregation: per-key SUM/COUNT/AVG over
     ``RANGE BETWEEN INTERVAL range_ms PRECEDING AND CURRENT ROW`` in
     event-time order — one output row per input row once the watermark
-    passes it.
+    passes it. ``time_mode="proc"`` is the ProcTimeBoundedRangeOver.scala
+    variant: arrival-order processing, immediate emission, frames over the
+    ts column which — as with the reference's processing time — is assumed
+    per-key non-decreasing across batches.
 
     Reference: RowTimeBoundedRangeOver.scala (dispatched from
     DataStreamOverAggregate.scala:250-276) — the last remaining streaming
@@ -366,12 +491,10 @@ def bounded_range_over_agg(
     cleanup bound of the reference's retraction loop. Vectorized via one
     cumsum + two searchsorted calls per flush, no per-row Python loop.
     """
-    import pickle
-
-    import numpy as np
-
     if range_ms < 0:
         raise ValueError("range_ms must be >= 0")
+    if time_mode not in ("event", "proc"):
+        raise ValueError(f"unknown time_mode {time_mode!r}: 'event' or 'proc'")
     out_schema = (
         f"{field_ddl(stream, key_col)}, {field_ddl(stream, id_col)}, "
         f"{ts_col} timestamp, w_sum double, w_cnt long, w_avg double"
@@ -379,63 +502,57 @@ def bounded_range_over_agg(
 
     range_us = range_ms * 1000
 
+    def emit(key, ready, st, wm_us=None):
+        # Microsecond event time throughout (frame membership [t-range, t]
+        # must be judged at full source precision to match the batch RANGE
+        # oracle). Carried window rows are already ts-sorted; released
+        # rows all have ts above every carried ts (watermark monotonicity;
+        # the proc contract assumes the same), so concatenation preserves
+        # sort order. Retention floor: in event mode the watermark (any
+        # future row is above it), in proc mode the last processed ts.
+        import numpy as np
+
+        car_ts = np.asarray([t for t, _c in st["win"]], dtype="int64")
+        car_c = np.asarray([c for _t, c in st["win"]], dtype="int64")
+        rdy_ts = np.asarray([t for t, _i, _c in ready], dtype="int64")
+        rdy_c = np.asarray([c for _t, _i, c in ready], dtype="int64")
+        all_ts = np.concatenate([car_ts, rdy_ts])
+        all_c = np.concatenate([car_c, rdy_c])
+        csum = np.concatenate([[0], np.cumsum(all_c)])
+        lo = np.searchsorted(all_ts, rdy_ts - range_us, side="left")
+        hi = np.searchsorted(all_ts, rdy_ts, side="right")
+        wsum = (csum[hi] - csum[lo]) / 100.0
+        wcnt = hi - lo
+        floor = (wm_us if wm_us is not None else int(rdy_ts[-1])) - range_us
+        keep = np.searchsorted(all_ts, floor, side="right")
+        st["win"] = list(zip(all_ts[keep:].tolist(), all_c[keep:].tolist()))
+        return pd.DataFrame(
+            {
+                key_col: key[0],
+                id_col: [i for _t, i, _c in ready],
+                ts_col: pd.to_datetime(rdy_ts, unit="us"),
+                "w_sum": wsum,
+                "w_cnt": wcnt,
+                "w_avg": wsum / wcnt,
+            }
+        )
+
+    if time_mode == "proc":
+        return _proc_time_over(
+            stream, key_col, ts_col, value_col, id_col, out_schema, emit,
+            init_state={"buf": [], "win": []},
+        )
+
     def transition(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        # Microsecond event time throughout (frame membership [t-range, t]
-        # must be judged at full source precision to match the batch RANGE
-        # oracle); only the release decision floors to ms, since Spark's
-        # watermark is ms-floored.
-        wm = state.getCurrentWatermarkMs()
+        import pickle
+
         st = pickle.loads(state.get[0]) if state.exists else {"buf": [], "win": []}
-        if not state.hasTimedOut:
-            batches = [p for p in pdfs if len(p)]
-            if batches:
-                pdf = pd.concat(batches)
-                ts_us = pdf[ts_col].values.astype("datetime64[us]").astype("int64")
-                ids = pdf[id_col].to_numpy()
-                cents = np.rint(
-                    pdf[value_col].to_numpy(dtype="float64") * 100
-                ).astype("int64")
-                st["buf"].extend(zip(ts_us.tolist(), ids.tolist(), cents.tolist()))
-        ready = sorted(e for e in st["buf"] if e[0] // 1000 <= wm)
-        st["buf"] = [e for e in st["buf"] if e[0] // 1000 > wm]
-
+        wm, ready = _ingest_and_release(st, pdfs, state, ts_col, id_col, value_col)
         if ready:
-            # carried window rows are already ts-sorted; released rows all
-            # have ts above every carried ts (watermark monotonicity), so
-            # concatenation preserves sort order.
-            car_ts = np.asarray([t for t, _c in st["win"]], dtype="int64")
-            car_c = np.asarray([c for _t, c in st["win"]], dtype="int64")
-            rdy_ts = np.asarray([t for t, _i, _c in ready], dtype="int64")
-            rdy_c = np.asarray([c for _t, _i, c in ready], dtype="int64")
-            all_ts = np.concatenate([car_ts, rdy_ts])
-            all_c = np.concatenate([car_c, rdy_c])
-            csum = np.concatenate([[0], np.cumsum(all_c)])
-            lo = np.searchsorted(all_ts, rdy_ts - range_us, side="left")
-            hi = np.searchsorted(all_ts, rdy_ts, side="right")
-            wsum = (csum[hi] - csum[lo]) / 100.0
-            wcnt = hi - lo
-            keep = np.searchsorted(all_ts, wm * 1000 - range_us, side="right")
-            st["win"] = list(zip(all_ts[keep:].tolist(), all_c[keep:].tolist()))
-            yield pd.DataFrame(
-                {
-                    key_col: key[0],
-                    id_col: [i for _t, i, _c in ready],
-                    ts_col: pd.to_datetime(rdy_ts, unit="us"),
-                    "w_sum": wsum,
-                    "w_cnt": wcnt,
-                    "w_avg": wsum / wcnt,
-                }
-            )
-
-        if st["buf"] or st["win"]:
-            state.update((pickle.dumps(st),))
-            pending = [t // 1000 for t, _i, _c in st["buf"] if t // 1000 > wm]
-            if pending:
-                state.setTimeoutTimestamp(min(pending))
-        elif state.exists:
-            state.remove()
+            yield emit(key, ready, st, wm_us=wm * 1000)
+        _persist_or_clear(st, state, wm, keep_if=bool(st["win"]))
 
     return (
         stream.select(key_col, id_col, ts_col, value_col)

@@ -199,7 +199,11 @@ def test_running_over_agg_spans_micro_batches(spark):
     a = [_ev(0, 1, 1, "x", 1.11), _ev(1, 2, 1, "x", 2.22)]
     b = [_ev(2, 3, 1, "x", 3.33), _ev(3, 1, 2, "x", 10.0)]
     stream = _two_batch_stream(spark, a, b, EV_SCHEMA)
-    out = running_over_agg(stream, "user_id", "ts", "value")
+    # proc mode: arrival-order accumulation (user 2's event arrives in
+    # batch 2 with an event time before batch 1's max — the event-time
+    # path would drop it as late; what's under test here is accumulator
+    # continuity across micro-batches, the ProcTimeUnboundedOver shape)
+    out = running_over_agg(stream, "user_id", "ts", "value", time_mode="proc")
     q = out.writeStream.outputMode("append").format("memory").queryName("over_test").start()
     q.processAllAvailable()
     q.stop()

@@ -227,3 +227,63 @@ def test_community_detection_two_cliques(spark):
     }
     assert labels[1] == labels[2] == labels[3] == 1
     assert labels[11] == labels[12] == labels[13]
+
+
+def test_bounded_over_proc_mode_arrival_order(spark):
+    """ProcTimeBoundedRowsOver parity: proc mode processes in arrival
+    order (batch by batch), emits immediately, carries the window tail —
+    the event at minute 5 arriving AFTER minute 10 extends the arrival-
+    order window, unlike event mode which re-sequences."""
+    from proteus_engine_spark.streaming.stateful import bounded_over_agg
+
+    a = [_ev(1, 10, 1, "x", 10.0)]
+    b = [_ev(2, 5, 1, "x", 20.0)]  # earlier event time, later arrival
+    out = bounded_over_agg(
+        _two_batch_stream(spark, a, b, EV_SCHEMA),
+        "user_id", "ts", "value", n_rows=2, time_mode="proc",
+    )
+    rows = sorted(_run(out, "bover_proc_test").collect(), key=lambda r: r["event_id"])
+    # arrival order: id1 first (w_sum 10), id2 second (window = 10+20)
+    assert [(r["event_id"], r["w_sum"], r["w_cnt"]) for r in rows] == [
+        (1, 10.0, 1), (2, 30.0, 2),
+    ]
+
+
+def test_running_over_proc_vs_event_mode(spark):
+    """Same out-of-order feed: proc mode accumulates in arrival order,
+    event mode re-sequences to event-time order — their running sums at
+    the same event differ accordingly."""
+    from proteus_engine_spark.streaming.stateful import running_over_agg
+
+    a = [_ev(1, 10, 1, "x", 10.0), _ev(2, 11, 1, "x", 20.0)]
+    b = [_ev(3, 5, 1, "x", 5.0)]   # event-time-first, arrival-last
+    c = [_ev(9, 40, 1, "x", 1.0)]  # watermark pusher
+    proc = running_over_agg(
+        _three_batch_stream(spark, a, b, c, EV_SCHEMA),
+        "user_id", "ts", "value", time_mode="proc",
+    )
+    rows = {r["event_id"]: r for r in _run(proc, "rover_proc_test").collect()}
+    assert rows[3]["running_sum"] == 35.0  # arrived after 10+20
+    event = running_over_agg(
+        _three_batch_stream(spark, a, b, c, EV_SCHEMA),
+        "user_id", "ts", "value", time_mode="event", watermark_delay="7 minutes",
+    )
+    erows = {r["event_id"]: r for r in _run(event, "rover_event_test").collect()}
+    # event-time order: minute 5 is FIRST (sum 5), then 10 (15), then 11 (35)
+    assert erows[3]["running_sum"] == 5.0
+    assert erows[1]["running_sum"] == 15.0
+    assert erows[2]["running_sum"] == 35.0
+
+
+def test_event_time_sort_reorders_across_batches(spark):
+    from proteus_engine_spark.streaming.stateful import event_time_sort
+
+    a = [_ev(4, 10, 1, "x"), _ev(5, 11, 1, "x")]
+    b = [_ev(1, 5, 1, "x")]
+    c = [_ev(9, 40, 1, "x")]  # pusher, stays buffered
+    out = event_time_sort(
+        _three_batch_stream(spark, a, b, c, EV_SCHEMA),
+        "user_id", "ts", watermark_delay="7 minutes",
+    )
+    rows = sorted(_run(out, "ets_ooo_test").collect(), key=lambda r: r["seq"])
+    assert [(r["event_id"], r["seq"]) for r in rows] == [(1, 1), (4, 2), (5, 3)]
