@@ -16,6 +16,7 @@ from proteus_engine_spark.queries import (  # noqa: F401
     ml_q,
     relational,
     relational_ext,
+    resilience_q,
     streaming_q,
     surface_q,
     temporal_q,
@@ -93,9 +94,11 @@ _GATE_PRIORITY = [
 ]
 # Queued for the r8 window (past the 50): stream_over_running_agg and
 # stream_event_time_sort (re-verify — rewritten this round with watermark
-# buffering) and their new ooo proofs stream_over_running_ooo /
-# stream_event_time_sort_ooo; all four are green in this round's local
-# 146-query gate (gatecheck_local.json).
+# buffering), their new ooo proofs stream_over_running_ooo /
+# stream_event_time_sort_ooo, and the former tests-only surfaces now
+# oracle-gated (socket_text_source_agg, stream_from_elements_agg,
+# savepoint_fork_resume); all seven are green in this round's local
+# 149-query gate (gatecheck_local.json).
 
 
 def _reorder() -> None:

@@ -78,13 +78,24 @@ def stream_csv_tumble_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exists precisely so the streaming gate does not hinge on a single
     source decode path: every other stream_* query replays parquet."""
     import os
+    import shutil
+    import tempfile
 
-    scratch = os.path.join(
+    parent = os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
         ".scratch",
-        "csv_events_" + sf_dir.rstrip("/").replace("/", "_").replace(".", "_"),
+    )
+    scratch = os.path.join(
+        parent,
+        "csv_events_" + os.path.basename(sf_dir.rstrip("/")).replace(".", "_"),
     )
     if not os.path.exists(os.path.join(scratch, "_SUCCESS")):
+        # stage into a unique sibling, atomically rename into place —
+        # a concurrent run either wins the rename or discards its copy
+        # (the content is deterministic either way); never write into the
+        # shared path directly (the text-gate flake class).
+        os.makedirs(parent, exist_ok=True)
+        tmp = tempfile.mkdtemp(prefix="csv_events_stage_", dir=parent)
         ev = load_table(spark, sf_dir, "events")
         (
             ev.select(
@@ -97,8 +108,13 @@ def stream_csv_tumble_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .coalesce(1)
             .write.mode("overwrite")
             .option("header", "false")
-            .csv(scratch)
+            .csv(os.path.join(tmp, "data"))
         )
+        try:
+            os.replace(os.path.join(tmp, "data"), scratch)
+        except OSError:
+            pass  # concurrent run won; contents identical
+        shutil.rmtree(tmp, ignore_errors=True)
     csv_schema = "event_id long, ts_ms long, user_id long, event_type string, value double"
     stream = (
         spark.readStream.schema(csv_schema)
