@@ -1,6 +1,7 @@
 """Graph library (SURVEY §2.11 — Gelly's in-tree library re-expressed on
 DataFrames + the `operators.iterations` primitive)."""
 
+from proteus_engine_spark.graph.spargel import scatter_gather, sssp
 from proteus_engine_spark.graph.library import (
     adamic_adar,
     community_detection,
@@ -28,6 +29,8 @@ __all__ = [
     "local_clustering_coefficient",
     "page_rank",
     "summarize",
+    "scatter_gather",
+    "sssp",
     "triadic_census",
     "triangle_list",
     "vertex_metrics",

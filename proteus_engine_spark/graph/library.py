@@ -195,14 +195,14 @@ def label_propagation(
 
     `labels` defaults to (vertex, label=vertex). Scale: per step one
     shuffle of messages grouped on (vertex, label) plus a per-vertex argmax
-    window partitioned on the vertex id — no global sort, no Python."""
-    from proteus_engine_spark.operators.iterations import iterate
+    window partitioned on the vertex id — no global sort, no Python.
 
-    # materialized once: the step closure replays msgs_edges every
-    # superstep (same rule as page_rank / iterate)
-    msgs_edges = edges.select(
-        F.col(src).alias("mfrom"), F.col(dst).alias("vertex")
-    ).localCheckpoint(eager=True)
+    Expressed as a `graph.spargel.scatter_gather` client — the reference
+    runs it through runScatterGatherIteration the same way
+    (LabelPropagation.java:73)."""
+    from proteus_engine_spark.graph.spargel import scatter_gather
+
+    msgs_edges = edges.select(F.col(src).alias("mfrom"), F.col(dst).alias("vertex"))
     if labels is None:
         labels = (
             msgs_edges.select(F.col("mfrom").alias("vertex"))
@@ -211,13 +211,15 @@ def label_propagation(
             .withColumn("label", F.col("vertex"))
         )
 
-    def step(lbl: DataFrame, _i: int) -> DataFrame:
-        msgs = msgs_edges.join(
-            lbl.select(F.col("vertex").alias("mfrom"), "label"), "mfrom"
+    def scatter(state: DataFrame, edges_f: DataFrame, _s: int) -> DataFrame:
+        return edges_f.join(
+            state.select(F.col("vertex").alias("mfrom"), "label"), "mfrom"
         ).select("vertex", "label")
-        cand = msgs.groupBy("vertex", "label").agg(
+
+    def gather(state: DataFrame, messages: DataFrame, _s: int) -> DataFrame:
+        cand = messages.groupBy("vertex", "label").agg(
             F.count(F.lit(1)).alias("freq")
-        ).unionByName(lbl.select("vertex", "label", F.lit(1).alias("freq")))
+        ).unionByName(state.select("vertex", "label", F.lit(1).alias("freq")))
         w = Window.partitionBy("vertex").orderBy(
             F.col("freq").desc(), F.col("label").desc()
         )
@@ -235,7 +237,7 @@ def label_propagation(
             .isEmpty()
         )
 
-    return iterate(labels, step, iterations, converged)
+    return scatter_gather(msgs_edges, labels, scatter, gather, iterations, converged)
 
 
 def _shared_neighbor_pairs(
@@ -265,9 +267,11 @@ def _shared_neighbor_pairs(
             / group_size
         ),
     )
+    # materialized once: both sides of the span self-join reference this
+    # subplan, and without truncation the ranking window runs twice
     spans = ranked.groupBy("shared", "__span__").agg(
         F.sort_array(F.collect_list("u")).alias("mem")
-    )
+    ).localCheckpoint(eager=True)
     s1 = spans.select("shared", F.col("__span__").alias("si"), F.col("mem").alias("mi"))
     s2 = spans.select("shared", F.col("__span__").alias("sj"), F.col("mem").alias("mj"))
     span_pairs = (
@@ -555,8 +559,10 @@ def community_detection(
     Scale per superstep: one join to attach labels to edges (shuffle on
     vertex id), one two-key aggregation, one per-vertex top-1 window —
     the scatter-gather shuffle pair the reference's spargel plan has.
-    Lineage is truncated per iteration by `iterate`."""
-    from proteus_engine_spark.operators.iterations import iterate
+    Expressed as a `graph.spargel.scatter_gather` client, as the
+    reference runs it (runScatterGatherIteration, CommunityDetection
+    .java:85)."""
+    from proteus_engine_spark.graph.spargel import scatter_gather
 
     w_col = F.col(weight) if weight else F.lit(1.0)
     a, b = F.col(src), F.col(dst)
@@ -569,7 +575,6 @@ def community_detection(
             )
         )
         .distinct()
-        .localCheckpoint(eager=True)
     )
     state = (
         msgs_edges.select(F.col("mfrom").alias("vertex"))
@@ -578,12 +583,14 @@ def community_detection(
         .withColumn("label", F.col("vertex"))
         .withColumn("score", F.lit(1.0))
     )
-    def step(st: DataFrame, i0: int) -> DataFrame:
-        superstep = i0 + 1  # 1-based, as getSuperstepNumber() (:163)
-        msgs = msgs_edges.join(
+
+    def scatter(st: DataFrame, edges_f: DataFrame, _s: int) -> DataFrame:
+        return edges_f.join(
             st.select(F.col("vertex").alias("mfrom"), "label", "score"), "mfrom"
         ).select("vertex", "label", (F.col("score") * F.col("w")).alias("score"))
-        agg = msgs.groupBy("vertex", "label").agg(
+
+    def gather(st: DataFrame, messages: DataFrame, superstep: int) -> DataFrame:
+        agg = messages.groupBy("vertex", "label").agg(
             F.sum("score").alias("tot"), F.max("score").alias("mx")
         )
         top = Window.partitionBy("vertex").orderBy(
@@ -603,14 +610,16 @@ def community_detection(
                 "label",
                 F.when(
                     F.col("label") != F.col("old_label"),
-                    F.col("mx") - F.lit(delta) / superstep,
+                    F.col("mx") - F.lit(delta) / superstep,  # :163 delta/superstep
                 )
                 .otherwise(F.col("mx"))
                 .alias("score"),
             )
         )
 
-    return iterate(state, step, iterations).select("vertex", "label")
+    return scatter_gather(msgs_edges, state, scatter, gather, iterations).select(
+        "vertex", "label"
+    )
 
 
 def triadic_census(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:

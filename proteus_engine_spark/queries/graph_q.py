@@ -478,3 +478,32 @@ def graph_global_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     from proteus_engine_spark.graph import global_clustering_coefficient
 
     return global_clustering_coefficient(_part_part_edges(spark, sf_dir))
+
+
+@register(
+    "graph_sssp_scatter_gather",
+    oracle=f"""
+    WITH RECURSIVE e AS ({_PART_PART_EDGES_SQL}),
+    r(vertex, distance) AS (
+        SELECT CAST(1 AS BIGINT) AS vertex, CAST(0.0 AS DOUBLE) AS distance
+        UNION
+        SELECT e.dst, r.distance + 1.0
+        FROM r JOIN e ON e.src = r.vertex
+        WHERE r.distance < 10
+    )
+    SELECT vertex, MIN(distance) AS distance FROM r GROUP BY vertex
+    """,
+    tags=("graph", "iteration"),
+)
+def graph_sssp_scatter_gather(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scatter-gather framework gate (Graph.runScatterGatherIteration,
+    Graph.java:1624; spargel/ScatterGatherIteration.java:63): SSSP from
+    part 1 on the DIRECTED part↔part edge list as the canonical spargel
+    client — scatter sends distance+1 along out-edges, gather keeps the
+    minimum, vertices without messages keep state (the setNewVertexValue
+    contract the framework enforces). 10 supersteps = min over paths of
+    ≤ 10 edges; the oracle is a depth-bounded recursive CTE computing
+    exactly that, independently derived."""
+    from proteus_engine_spark.graph.spargel import sssp
+
+    return sssp(_part_part_edges(spark, sf_dir), source=1, iterations=10)
