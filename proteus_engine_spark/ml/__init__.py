@@ -1,9 +1,11 @@
 """ML library subset (SURVEY §2.11 — FlinkML re-expressed Spark-first)."""
 
+from proteus_engine_spark.ml.outlier import stochastic_outlier_selection
 from proteus_engine_spark.ml.preprocessing import (
     min_max_scaler,
     polynomial_features,
     standard_scaler,
+    train_test_split,
 )
 from proteus_engine_spark.ml.regression import LinearRegressionModel, linear_regression
 
@@ -13,4 +15,6 @@ __all__ = [
     "min_max_scaler",
     "polynomial_features",
     "standard_scaler",
+    "stochastic_outlier_selection",
+    "train_test_split",
 ]

@@ -86,3 +86,17 @@ def polynomial_features(
                 expr = expr * F.col(c)
             out = out.withColumn(f"{prefix}_" + "_".join(combo), expr)
     return out
+
+
+def train_test_split(
+    df: DataFrame, fraction: float = 0.75, seed: int = 0
+) -> tuple[DataFrame, DataFrame]:
+    """Splitter.scala randomSplit parity: partition rows into
+    (train, test) with P(train) = fraction, disjoint and exhaustive.
+    Deterministic per seed; Spark's native randomSplit performs the
+    per-partition Bernoulli assignment the reference's RichMapFunction
+    does."""
+    if not 0.0 < fraction < 1.0:
+        raise ValueError("fraction must be in (0, 1)")
+    train, test = df.randomSplit([fraction, 1.0 - fraction], seed=seed)
+    return train, test

@@ -119,3 +119,24 @@ def ml_distance_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         D.cosine_distance("ea", "eb").alias("cosine_dist"),
         D.tanimoto_distance("ea", "eb").alias("tanimoto_dist"),
     )
+
+
+@register(
+    "ml_outlier_sos",
+    tags=("ml", "outlier"),
+)
+def ml_outlier_sos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stochastic Outlier Selection (flink-ml outlier/
+    StochasticOutlierSelection.scala — perplexity-bound Gaussian
+    affinities, binding probabilities, column-product outlier score) over
+    the embeddings corpus. No SQL oracle: the per-point perplexity
+    bisection is not SQL-expressible — rows-only driver check; value
+    correctness is pytest-proven against an independently-written scalar
+    reference implementation (tests/test_round7.py) plus planted-outlier
+    properties."""
+    from proteus_engine_spark.ml import stochastic_outlier_selection
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return stochastic_outlier_selection(emb, perplexity=30.0)

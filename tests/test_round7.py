@@ -287,3 +287,110 @@ def test_event_time_sort_reorders_across_batches(spark):
     )
     rows = sorted(_run(out, "ets_ooo_test").collect(), key=lambda r: r["seq"])
     assert [(r["event_id"], r["seq"]) for r in rows] == [(1, 1), (4, 2), (5, 3)]
+
+
+# ---------------- FlinkML stragglers: SOS + Splitter ----------------
+
+
+def _sos_reference(vectors, perplexity=30.0, max_iterations=5000, tol=1e-20):
+    """Independent scalar re-derivation of SOS (per-row recursive
+    bisection, written from the paper's definition — deliberately NOT the
+    vectorized engine shape) used to cross-check the operator."""
+    import math
+
+    import numpy as np
+
+    n = len(vectors)
+    V = np.asarray(vectors, dtype=float)
+    D = np.sqrt(
+        np.maximum(
+            (V * V).sum(1)[:, None] + (V * V).sum(1)[None, :] - 2 * (V @ V.T), 0
+        )
+    )
+    A = np.zeros((n, n))
+    log_perp = math.log(perplexity)
+    for i in range(n):
+        beta, bmin, bmax = 1.0, -math.inf, math.inf
+        for _ in range(max_iterations):
+            a = np.array(
+                [math.exp(-D[i, j] * beta) if j != i else 0.0 for j in range(n)]
+            )
+            s = a.sum()
+            h = math.log(s) + beta * float((D[i] * a).sum()) / s if s > 0 else float("nan")
+            diff = h - log_perp
+            if abs(diff) <= tol:
+                break
+            if math.isnan(diff):
+                beta = beta / 10.0
+            elif diff > 0:
+                bmin, beta = beta, (beta * 2.0 if math.isinf(bmax) else (beta + bmax) / 2)
+            else:
+                bmax, beta = beta, (beta / 2.0 if math.isinf(bmin) else (beta + bmin) / 2)
+        A[i] = a
+    B = A / A.sum(1, keepdims=True)
+    return np.prod(1.0 - B, axis=0)
+
+
+def test_sos_matches_independent_reference(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(40, 4))
+    vecs[0] += 25.0  # a far outlier
+    from proteus_engine_spark.ml import stochastic_outlier_selection
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: r["outlier_prob"]
+        for r in stochastic_outlier_selection(df, perplexity=10.0).collect()
+    }
+    want = _sos_reference(vecs, perplexity=10.0)
+    for i in range(40):
+        assert abs(got[i] - want[i]) < 1e-9, (i, got[i], want[i])
+    # the planted outlier scores near 1, inliers well below
+    assert got[0] > 0.95
+    assert sorted(got, key=got.get)[-1] == 0
+
+
+def test_sos_blocked_scoring(spark):
+    """block_col scores outliers within blocks independently — the
+    100 TB sharding contract."""
+    import numpy as np
+
+    from proteus_engine_spark.ml import stochastic_outlier_selection
+
+    rng = np.random.default_rng(1)
+    rows = []
+    for blk in (0, 1):
+        vs = rng.normal(size=(20, 3))
+        vs[5] += 40.0
+        rows += [
+            (blk * 100 + i, [float(x) for x in v], blk) for i, v in enumerate(vs)
+        ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, blk int")
+    got = {
+        r["vec_id"]: r["outlier_prob"]
+        for r in stochastic_outlier_selection(
+            df, perplexity=5.0, block_col="blk"
+        ).collect()
+    }
+    assert len(got) == 40
+    assert got[5] > 0.9 and got[105] > 0.9
+
+
+def test_train_test_split_disjoint_exhaustive(spark):
+    from proteus_engine_spark.ml import train_test_split
+
+    df = spark.range(1000)
+    train, test = train_test_split(df, fraction=0.8, seed=42)
+    a = {r["id"] for r in train.collect()}
+    b = {r["id"] for r in test.collect()}
+    assert a.isdisjoint(b)
+    assert a | b == set(range(1000))
+    assert 700 < len(a) < 900  # Bernoulli around 800
+    # deterministic per seed
+    a2 = {r["id"] for r in train_test_split(df, fraction=0.8, seed=42)[0].collect()}
+    assert a2 == a
