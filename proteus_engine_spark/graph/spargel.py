@@ -132,3 +132,95 @@ def sssp(
 
     final = scatter_gather(topo.select("mfrom", "vertex", "w"), verts, scatter, gather, iterations)
     return final.filter(F.col("distance").isNotNull())
+
+
+def gather_sum_apply(
+    edges: DataFrame,
+    vertices: DataFrame,
+    gather_expr,
+    sum_agg,
+    apply_fn: Callable[[DataFrame, DataFrame, int], DataFrame],
+    max_iterations: int,
+    converged: Callable[[DataFrame, DataFrame], bool] | None = None,
+    src: str = "src",
+    dst: str = "dst",
+    vertex_col: str = "vertex",
+) -> DataFrame:
+    """Gather-Sum-Apply iteration — Graph.runGatherSumApplyIteration
+    (gsa/GatherSumApplyIteration.java:66): per superstep,
+    GATHER maps each (edge, source-vertex state) neighbor pair to a
+    partial value (gather_expr: a Column over the joined neighbor frame,
+    which carries the edge columns plus every source-state column),
+    SUM reduces the partials per destination vertex (sum_agg: an
+    aggregate Column), and APPLY folds the summed value into the vertex
+    state (apply_fn(state, summed, superstep) → updated rows; absent
+    vertices keep state). The same superstep plan shape as
+    scatter_gather — GSA differs in factoring the user surface into the
+    three reference UDFs, which constrain the message stage to
+    one-partial-per-edge + an associative reduce (the shape that gets
+    map-side partial aggregation for free).
+    """
+
+    def scatter(state: DataFrame, edges_f: DataFrame, superstep: int) -> DataFrame:
+        neighbors = edges_f.join(
+            state.withColumnRenamed(vertex_col, "__src_v__"),
+            F.col(src) == F.col("__src_v__"),
+        )
+        return neighbors.select(
+            F.col(dst).alias(vertex_col), gather_expr.alias("__partial__")
+        )
+
+    def gather(state: DataFrame, messages: DataFrame, superstep: int) -> DataFrame:
+        summed = messages.groupBy(vertex_col).agg(sum_agg.alias("__summed__"))
+        return apply_fn(state, summed, superstep)
+
+    return scatter_gather(
+        edges, vertices, scatter, gather, max_iterations, converged, vertex_col
+    )
+
+
+def pregel(
+    edges: DataFrame,
+    vertices: DataFrame,
+    compute: Callable[[DataFrame, DataFrame, DataFrame, int], tuple[DataFrame, DataFrame]],
+    max_iterations: int,
+    message_schema: str = "vertex long, __msg__ double",
+    src: str = "src",
+    dst: str = "dst",
+    vertex_col: str = "vertex",
+) -> DataFrame:
+    """Vertex-centric (Pregel) iteration — Graph.runVertexCentricIteration
+    (pregel/VertexCentricIteration.java:63, ComputeFunction.java:48): one
+    user function both updates state and emits the next round's messages.
+    ``compute(state, messages, edges, superstep)`` returns
+    (updated_vertices, out_messages); vertices absent from
+    updated_vertices keep their state (setNewVertexValue contract), and
+    the iteration HALTS EARLY when no messages are produced — the
+    reference's implicit vote-to-halt (a vertex with no incoming messages
+    is inactive; no messages anywhere = convergence).
+
+    Superstep 1 runs with an empty message frame, as the reference's
+    first superstep does.
+    """
+    from proteus_engine_spark.operators.iterations import iterate
+
+    edges = edges.localCheckpoint(eager=True)
+    empty_msgs = {"df": None}
+
+    def step(state: DataFrame, i0: int) -> DataFrame:
+        superstep = i0 + 1
+        msgs = empty_msgs["df"]
+        if msgs is None and superstep > 1:
+            return state  # halted: no messages last round
+        if msgs is None:
+            # superstep 1: no incoming messages yet (message_schema gives
+            # the empty frame its shape — compute() must accept it)
+            msgs = state.sparkSession.createDataFrame([], message_schema)
+        updated, out_msgs = compute(state, msgs, edges, superstep)
+        empty_msgs["df"] = (
+            out_msgs.localCheckpoint(eager=True) if not out_msgs.isEmpty() else None
+        )
+        kept = state.join(updated.select(vertex_col), vertex_col, "left_anti")
+        return updated.unionByName(kept)
+
+    return iterate(vertices, step, max_iterations)

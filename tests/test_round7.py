@@ -394,3 +394,99 @@ def test_train_test_split_disjoint_exhaustive(spark):
     # deterministic per seed
     a2 = {r["id"] for r in train_test_split(df, fraction=0.8, seed=42)[0].collect()}
     assert a2 == a
+
+
+# ---------------- GSA + Pregel iteration frameworks ----------------
+
+
+def test_gather_sum_apply_sssp_equivalent(spark):
+    """GSA SSSP (gsa/GatherSumApplyIteration.java shape: gather = dist +
+    edge weight, sum = min, apply = keep improvement) equals the
+    scatter-gather sssp on the same graph."""
+    from pyspark.sql import functions as F
+
+    from proteus_engine_spark.graph.spargel import gather_sum_apply, sssp
+
+    edges = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 2.0), (1, 3, 5.0), (3, 4, 1.0), (5, 6, 1.0)],
+        "src long, dst long, w double",
+    )
+    verts = (
+        edges.select(F.col("src").alias("vertex"))
+        .union(edges.select(F.col("dst").alias("vertex")))
+        .distinct()
+        .withColumn(
+            "distance",
+            F.when(F.col("vertex") == 1, F.lit(0.0)).otherwise(F.lit(None)),
+        )
+    )
+    out = gather_sum_apply(
+        edges,
+        verts,
+        gather_expr=F.col("distance") + F.col("w"),
+        sum_agg=F.min("__partial__"),
+        apply_fn=lambda state, summed, _s: state.join(summed, "vertex").select(
+            "vertex",
+            F.when(  # NULL partials = unreached sources: keep old state
+                F.col("__summed__").isNull(), F.col("distance")
+            )
+            .otherwise(
+                F.least(
+                    F.coalesce("distance", F.lit(float("inf"))), F.col("__summed__")
+                )
+            )
+            .alias("distance"),
+        ),
+        max_iterations=5,
+    )
+    got = {
+        r["vertex"]: r["distance"]
+        for r in out.filter(F.col("distance").isNotNull()).collect()
+    }
+    assert got == {1: 0.0, 2: 1.0, 3: 3.0, 4: 4.0}
+    want = {
+        r["vertex"]: r["distance"]
+        for r in sssp(edges, source=1, iterations=5, weight="w").collect()
+    }
+    assert got == want
+
+
+def test_pregel_min_label_halts_early(spark):
+    """Pregel connected-components (ComputeFunction parity): each vertex
+    keeps the min label seen, sends only on improvement — the iteration
+    halts when no messages are produced (vote-to-halt), well before
+    max_iterations."""
+    from pyspark.sql import functions as F
+
+    from proteus_engine_spark.graph.spargel import pregel
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (10, 11)], "src long, dst long"
+    )
+    sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    verts = (
+        sym.select(F.col("src").alias("vertex")).distinct()
+        .withColumn("label", F.col("vertex"))
+    )
+
+    def compute(state, msgs, edges_f, superstep):
+        if superstep == 1:
+            improved = state  # every vertex starts active, broadcasts its label
+        else:
+            best = msgs.groupBy("vertex").agg(F.min("m_label").alias("m_label"))
+            improved = (
+                state.join(best, "vertex")
+                .filter(F.col("m_label") < F.col("label"))
+                .select("vertex", F.col("m_label").alias("label"))
+            )
+        out_msgs = edges_f.join(
+            improved.withColumnRenamed("vertex", "src"), "src"
+        ).select(F.col("dst").alias("vertex"), F.col("label").alias("m_label"))
+        return improved, out_msgs
+
+    out = pregel(
+        sym, verts, compute, max_iterations=20,
+        message_schema="vertex long, m_label long",
+    )
+    got = {r["vertex"]: r["label"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
