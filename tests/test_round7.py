@@ -490,3 +490,36 @@ def test_pregel_min_label_halts_early(spark):
     )
     got = {r["vertex"]: r["label"] for r in out.collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+# ---------------- plan-shape regressions for round-7 operators ----------------
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_jaccard_plan_distributes_span_pairs(spark):
+    """The span-pair explode must sit above a repartition keyed by
+    (shared, si, sj) — the property that bounds per-task hub fan-out. If
+    a refactor drops the repartition, pairs for one hub collapse back
+    into one task."""
+    from pyspark.sql import functions as F
+
+    from proteus_engine_spark.graph import jaccard_index
+
+    edges = spark.createDataFrame([(0, i) for i in range(1, 20)], "src long, dst long")
+    plan = _plan(jaccard_index(edges, group_size=4))
+    assert "REPARTITION_BY_COL" in plan or "RepartitionByExpression" in plan, plan[:500]
+    # and the pair explode is a Generate node (JVM explode, not Python)
+    assert "Generate explode" in plan
+
+
+def test_sssp_no_python_in_plan(spark):
+    """The scatter-gather loop's per-superstep plan is pure Catalyst —
+    no Python workers anywhere (messages = join, gather = agg)."""
+    from proteus_engine_spark.graph.spargel import sssp
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    plan = _plan(sssp(edges, source=1, iterations=2))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
