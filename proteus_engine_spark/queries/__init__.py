@@ -97,8 +97,10 @@ _GATE_PRIORITY = [
 # buffering), their new ooo proofs stream_over_running_ooo /
 # stream_event_time_sort_ooo, and the former tests-only surfaces now
 # oracle-gated (socket_text_source_agg, stream_from_elements_agg,
-# savepoint_fork_resume); all seven are green in this round's local
-# 149-query gate (gatecheck_local.json).
+# savepoint_fork_resume), the SQL-dispatch gate stream_over_sql_dispatch,
+# the scatter-gather SSSP gate graph_sssp_scatter_gather, and the
+# rows-only ml_outlier_sos; all are green in this round's local 152-query
+# gate (gatecheck_local.json).
 
 
 def _reorder() -> None:

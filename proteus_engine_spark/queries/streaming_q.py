@@ -1473,3 +1473,37 @@ def cep_group_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
         .next(Pattern.begin("purchase", lambda r: r["event_type"] == "purchase"))
     )
     return match_group_pattern(ev, g, "user_id").drop("error_id", "error_ts", "error_cnt")
+
+
+@register(
+    "stream_over_sql_dispatch",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, event_id, ts,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS total
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW))
+    SELECT * FROM w
+    WHERE epoch_ms(ts) <= (SELECT max(epoch_ms(ts)) FROM events) - 600000
+    """,
+    tags=("streaming", "over", "sql"),
+)
+def stream_over_sql_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-surface dispatch gate for streaming OVER
+    (DataStreamOverAggregate.scala:250-276 is a SQL planner rule — the
+    user writes the OVER clause, the engine picks the stateful operator):
+    the canonical text `SUM(value) OVER (PARTITION BY user_id ORDER BY ts
+    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)` must parse, route to the
+    bounded-rows operator, and produce the batch window's values (minus
+    the watermark tail)."""
+    from proteus_engine_spark.plans.stream_over_sql import stream_over_sql
+
+    ev = events_stream(spark, sf_dir)
+    out = stream_over_sql(
+        ev,
+        "SUM(value) OVER (PARTITION BY user_id ORDER BY ts "
+        "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)",
+        alias="total",
+    )
+    return run_to_completion(out, "stream_over_sql_sink", "append")

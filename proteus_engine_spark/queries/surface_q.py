@@ -45,10 +45,22 @@ def _scratch(tag: str, sf_dir: str) -> str:
     )
     os.makedirs(parent, exist_ok=True)
     now = time.time()
+    # GC only per-invocation scratch dirs (this function's own output and
+    # staging leftovers) — NEVER the long-lived staged replay dirs
+    # (ooo_events_*, csv_events_*), which a concurrently-running query may
+    # be streaming from.
+    gc_prefixes = (
+        "csv_supplier_", "insert_into_orders_", "text_part_",
+        "from_elements_", "savepoint_gate_", "ooo_stage_", "csv_events_stage_",
+    )
     for entry in os.listdir(parent):
         full = os.path.join(parent, entry)
         try:
-            if os.path.isdir(full) and now - os.path.getmtime(full) > 1800:
+            if (
+                entry.startswith(gc_prefixes)
+                and os.path.isdir(full)
+                and now - os.path.getmtime(full) > 1800
+            ):
                 shutil.rmtree(full, ignore_errors=True)
         except OSError:
             pass

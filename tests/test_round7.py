@@ -523,3 +523,43 @@ def test_sssp_no_python_in_plan(spark):
     edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
     plan = _plan(sssp(edges, source=1, iterations=2))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------- streaming OVER SQL dispatch ----------------
+
+
+def test_stream_over_sql_parses_all_shapes(spark):
+    import pytest
+
+    from proteus_engine_spark.plans.stream_over_sql import stream_over_sql
+
+    a = [_ev(1, 1, 1, "x", 10.0), _ev(2, 2, 1, "x", 20.0)]
+    b = [_ev(9, 40, 1, "x", 1.0)]
+    shapes = {
+        "rows": "AVG(value) OVER (PARTITION BY user_id ORDER BY ts "
+                "ROWS BETWEEN 1 PRECEDING AND CURRENT ROW)",
+        "range": "COUNT(value) OVER (PARTITION BY user_id ORDER BY ts RANGE "
+                 "BETWEEN INTERVAL '5' MINUTE PRECEDING AND CURRENT ROW)",
+        "unbounded": "SUM(value) OVER (PARTITION BY user_id ORDER BY ts "
+                     "ROWS UNBOUNDED PRECEDING)",
+    }
+    want = {"rows": [10.0, 15.0], "range": [1, 2], "unbounded": [10.0, 30.0]}
+    for name, expr in shapes.items():
+        out = stream_over_sql(
+            _two_batch_stream(spark, a, b, EV_SCHEMA), expr,
+            watermark_delay="0 seconds", alias="x",
+        )
+        rows = sorted(
+            _run(out, f"sql_over_{name}").collect(), key=lambda r: r["event_id"]
+        )
+        assert [r["x"] for r in rows[:2]] == want[name], name
+    # shapes the reference rejects are rejected, not silently mis-planned
+    for bad in (
+        "SUM(value) OVER (PARTITION BY user_id ORDER BY ts DESC)",
+        "SUM(value) OVER (ORDER BY ts)",
+        "MEDIAN(value) OVER (PARTITION BY user_id ORDER BY ts)",
+        "SUM(value) OVER (PARTITION BY user_id ORDER BY ts "
+        "ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)",
+    ):
+        with pytest.raises(ValueError):
+            stream_over_sql(_two_batch_stream(spark, a, b, EV_SCHEMA), bad)
