@@ -563,3 +563,121 @@ def test_stream_over_sql_parses_all_shapes(spark):
     ):
         with pytest.raises(ValueError):
             stream_over_sql(_two_batch_stream(spark, a, b, EV_SCHEMA), bad)
+
+
+# ---------------- randomized cross-check of the watermark buffer ----------------
+
+
+def test_bounded_over_randomized_vs_batch_window(spark):
+    """Seeded random events, shuffled into random micro-batches with
+    bounded lateness: the streaming bounded ROWS and RANGE operators must
+    equal the batch-window computation for every row the watermark
+    passed. This exercises buffer carry, multi-flush releases, peer ties,
+    and timeout flushes in one go."""
+    import os
+    import tempfile
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from proteus_engine_spark.streaming.stateful import (
+        bounded_over_agg,
+        bounded_range_over_agg,
+    )
+
+    rng = np.random.default_rng(42)
+    n = 120
+    # minute offsets with duplicates (peer ties for RANGE) over ~4 hours
+    minutes = np.sort(rng.integers(0, 240, size=n))
+    users = rng.integers(1, 4, size=n)
+    values = np.round(rng.uniform(0.5, 99.5, size=n), 2)
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (
+            int(i),
+            base + timedelta(minutes=int(minutes[i])),
+            int(users[i]),
+            "x",
+            float(values[i]),
+        )
+        for i in range(n)
+    ]
+    # batches: contiguous time slices, adjacent pairs swapped (lateness
+    # bounded by two slices = 60 min < the 90-min watermark delay)
+    slices = [[r for r in rows if lo <= r[1].minute + r[1].hour * 60 < lo + 30]
+              for lo in range(0, 240, 30)]
+    order = [1, 0, 3, 2, 5, 4, 7, 6]
+    d = tempfile.mkdtemp(prefix="proteus_rand_ooo_")
+    src = f"{d}/src"
+    os.makedirs(src)
+    written = 0
+    for pos, si in enumerate(order):
+        if not slices[si]:
+            continue
+        spark.createDataFrame(slices[si], EV_SCHEMA).coalesce(1).write.parquet(
+            f"{d}/b{pos}"
+        )
+        part = [f for f in os.listdir(f"{d}/b{pos}") if f.endswith(".parquet")][0]
+        os.rename(f"{d}/b{pos}/{part}", f"{src}/{pos:02d}.parquet")
+        written += len(slices[si])
+    assert written == n
+
+    def stream():
+        return (
+            spark.readStream.schema(EV_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+
+    # batch expectation via Spark SQL window on the full data
+    batch = spark.createDataFrame(rows, EV_SCHEMA)
+    max_ts = batch.agg(F.max("ts")).collect()[0][0]
+    from pyspark.sql.window import Window
+
+    w_rows = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, 0)
+    )
+    exp_rows = {
+        r["event_id"]: (round(r["s"], 6), r["c"])
+        for r in batch.select(
+            "event_id", "ts",
+            F.sum(F.col("value").cast("decimal(18,2)")).over(w_rows).cast("double").alias("s"),
+            F.count(F.lit(1)).over(w_rows).alias("c"),
+        ).collect()
+    }
+    got = bounded_over_agg(
+        stream(), "user_id", "ts", "value", n_rows=3, watermark_delay="90 minutes"
+    )
+    rows_out = _run(got, "rand_bover").collect()
+    assert len(rows_out) > n // 2  # the watermark passed most rows
+    for r in rows_out:
+        s, c = exp_rows[r["event_id"]]
+        assert round(r["w_sum"], 6) == s and r["w_cnt"] == c, r["event_id"]
+
+    # RANGE 45 minutes — peers at equal ts share complete frames
+    w_rng = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-45 * 60, 0)
+    )
+    exp_rng = {
+        r["event_id"]: (round(r["s"], 6), r["c"])
+        for r in batch.select(
+            "event_id",
+            F.sum(F.col("value").cast("decimal(18,2)")).over(w_rng).cast("double").alias("s"),
+            F.count(F.lit(1)).over(w_rng).alias("c"),
+        ).collect()
+    }
+    got2 = bounded_range_over_agg(
+        stream(), "user_id", "ts", "value",
+        range_ms=45 * 60_000, watermark_delay="90 minutes",
+    )
+    rows_out2 = _run(got2, "rand_brange").collect()
+    assert len(rows_out2) > n // 2
+    for r in rows_out2:
+        s, c = exp_rng[r["event_id"]]
+        assert round(r["w_sum"], 6) == s and r["w_cnt"] == c, r["event_id"]
