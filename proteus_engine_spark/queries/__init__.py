@@ -59,10 +59,28 @@ _GATE_PRIORITY = [
     "graph_community_detection",
     "graph_triadic_census",
     "graph_global_clustering",
-    # shared-code re-verify: rewritten this round (2)
+    # round-7: late additions, never driver-checked (8)
+    "stream_over_running_ooo",
+    "stream_event_time_sort_ooo",
+    "socket_text_source_agg",
+    "stream_from_elements_agg",
+    "savepoint_fork_resume",
+    "graph_sssp_scatter_gather",
+    "stream_over_sql_dispatch",
+    "ml_outlier_sos",
+    # shared-code re-verify: rewritten this round (4: bounded_over_agg,
+    # running_over_agg, event_time_sort watermark-buffered; minhash
+    # estimate-tier persist)
     "stream_over_bounded_rows",
+    "stream_over_running_agg",
+    "stream_event_time_sort",
     "dedup_minhash_lsh",
-    # regression rotation: latest driver green is round 4 (28)
+    # regression rotation: latest driver green is round 4 — the stalest
+    # 18 of the 28 r4-only rows fill the window; the other ten
+    # (join_inner_dims, join_semi, agg_basic, sort_topk_per_group,
+    # over_running_agg, over_bounded_rows, subquery_exists_correlated,
+    # explode_unnest, window_tumble, window_session) stay r4-green +
+    # local-148-gate green and lead the r8 rotation.
     "sim_ann_ivf",
     "multimodal_decode",
     "fn_string_suite",
@@ -74,14 +92,6 @@ _GATE_PRIORITY = [
     "q10_returned_items",
     "q14_promo_effect",
     "q18_large_volume_customer",
-    "join_inner_dims",
-    "join_semi",
-    "agg_basic",
-    "sort_topk_per_group",
-    "over_running_agg",
-    "over_bounded_rows",
-    "subquery_exists_correlated",
-    "explode_unnest",
     "q9_product_type_profit",
     "q12_ship_priority_class",
     "q21_waiting_supplier",
@@ -89,18 +99,7 @@ _GATE_PRIORITY = [
     "join_salted_skew",
     "asof_join_events",
     "range_join_events",
-    "window_tumble",
-    "window_session",
 ]
-# Queued for the r8 window (past the 50): stream_over_running_agg and
-# stream_event_time_sort (re-verify — rewritten this round with watermark
-# buffering), their new ooo proofs stream_over_running_ooo /
-# stream_event_time_sort_ooo, and the former tests-only surfaces now
-# oracle-gated (socket_text_source_agg, stream_from_elements_agg,
-# savepoint_fork_resume), the SQL-dispatch gate stream_over_sql_dispatch,
-# the scatter-gather SSSP gate graph_sssp_scatter_gather, and the
-# rows-only ml_outlier_sos; all are green in this round's local 152-query
-# gate (gatecheck_local.json).
 
 
 def _reorder() -> None:
