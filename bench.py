@@ -48,6 +48,11 @@ HEADLINE = [
     "asof_join_events",
     "stream_tumble_agg",
     "cep_signup_purchase",
+    # added round 7 (exclude from cross-round like-for-like totals):
+    # the graph library's heaviest two — iterative pagerank and the
+    # span-batched shared-neighbor pipeline
+    "graph_pagerank",
+    "graph_jaccard",
 ]
 
 
