@@ -153,11 +153,14 @@ def page_rank(
     ).localCheckpoint(eager=True)
     scores = verts.withColumn("score", F.lit(1.0 / n))
     for _ in range(iterations):
-        nonsink = (
-            scores.join(outd, "vertex").agg(F.sum("score")).collect()[0][0]
+        # the sink-mass scalar stays IN the plan: a one-row aggregate
+        # broadcast onto every vertex (the reference materializes the same
+        # global as a broadcast set, PageRank.java:420-427). One job per
+        # iteration — no driver-side collect barrier between the aggregate
+        # and the transfer.
+        nonsink = scores.join(outd, "vertex").agg(
+            F.coalesce(F.sum("score"), F.lit(0.0)).alias("__ns__")
         )
-        sink_mass = 1.0 - (nonsink or 0.0)
-        base = ((1.0 - damping) + damping * sink_mass) / n
         contrib = (
             edges.select(F.col(src).alias("vertex"), F.col(dst).alias("to"))
             .join(scores, "vertex")
@@ -165,12 +168,16 @@ def page_rank(
             .groupBy(F.col("to").alias("vertex"))
             .agg(F.sum(F.col("score") / F.col("od")).alias("contrib"))
         )
+        base = (
+            F.lit(1.0 - damping) + F.lit(damping) * (F.lit(1.0) - F.col("__ns__"))
+        ) / n
         scores = (
             verts.join(contrib, "vertex", "left")
+            .crossJoin(F.broadcast(nonsink))
             .select(
                 "vertex",
                 (
-                    F.lit(base) + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
+                    base + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
                 ).alias("score"),
             )
             .localCheckpoint(eager=True)
@@ -388,8 +395,17 @@ def hits(
     authority_score).
 
     Scale: two shuffles per iteration (the two transfer aggs, each grouped
-    on a vertex id); the L2 norms are single-double global aggregates per
-    half-step (the reference's accumulator sync), edges materialized once."""
+    on a vertex id); the L2 norms stay IN the plan as one-row broadcast
+    aggregates (the reference's accumulator sync) — no driver collect
+    barrier inside an iteration, just the per-half-step checkpoint."""
+
+    def _safe(norm_col: str):
+        # empty/zero raw frame → norm NULL/0 → divide by 1 (reference's
+        # `norm or 1` guard)
+        return F.coalesce(
+            F.when(F.col(norm_col) != 0, F.col(norm_col)), F.lit(1.0)
+        )
+
     edges = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst")
     ).localCheckpoint(eager=True)
@@ -400,24 +416,35 @@ def hits(
             edges.join(scores.select(F.col("vertex").alias("src"), "hub"), "src")
             .groupBy(F.col("dst").alias("vertex"))
             .agg(F.sum("hub").alias("a_raw"))
+            .localCheckpoint(eager=True)  # referenced by norm agg AND join
         )
-        a_norm = auth_raw.agg(F.sqrt(F.sum(F.col("a_raw") * F.col("a_raw")))).collect()[0][0]
-        auth = verts.join(auth_raw, "vertex", "left").select(
-            "vertex",
-            (F.coalesce("a_raw", F.lit(0.0)) / F.lit(a_norm or 1.0)).alias("auth"),
+        a_norm = auth_raw.agg(
+            F.sqrt(F.sum(F.col("a_raw") * F.col("a_raw"))).alias("__an__")
+        )
+        auth = (
+            verts.join(auth_raw, "vertex", "left")
+            .crossJoin(F.broadcast(a_norm))
+            .select(
+                "vertex",
+                (F.coalesce("a_raw", F.lit(0.0)) / _safe("__an__")).alias("auth"),
+            )
         )
         hub_raw = (
             edges.join(auth.select(F.col("vertex").alias("dst"), "auth"), "dst")
             .groupBy(F.col("src").alias("vertex"))
             .agg(F.sum("auth").alias("h_raw"))
+            .localCheckpoint(eager=True)
         )
-        h_norm = hub_raw.agg(F.sqrt(F.sum(F.col("h_raw") * F.col("h_raw")))).collect()[0][0]
+        h_norm = hub_raw.agg(
+            F.sqrt(F.sum(F.col("h_raw") * F.col("h_raw"))).alias("__hn__")
+        )
         scores = (
             verts.join(hub_raw, "vertex", "left")
+            .crossJoin(F.broadcast(h_norm))
             .join(auth, "vertex")
             .select(
                 "vertex",
-                (F.coalesce("h_raw", F.lit(0.0)) / F.lit(h_norm or 1.0)).alias("hub"),
+                (F.coalesce("h_raw", F.lit(0.0)) / _safe("__hn__")).alias("hub"),
                 "auth",
             )
             .localCheckpoint(eager=True)
