@@ -97,12 +97,18 @@ def stream_over_sql(
         )
         native = _OUT_COL[agg].format(w="w")
     elif "UNBOUNDED" in frame or frame == "":
-        # no frame clause = RANGE UNBOUNDED PRECEDING (SQL default), which
-        # for one-row-per-input emission equals ROWS UNBOUNDED on distinct
-        # rowtimes — routed to the unbounded operator, as :45 does
+        # ROWS UNBOUNDED → RowTimeUnboundedRowsOver; RANGE UNBOUNDED or no
+        # frame clause (the SQL default is RANGE) → the peer-inclusive
+        # RowTimeUnboundedRangeOver — the reference dispatches both (:45)
+        # proc time: every element is its own peer group (ProcTime*Over),
+        # so the rows/range distinction collapses to rows
+        peer_frame = (
+            "rows" if frame.startswith("ROWS") or time_mode == "proc" else "range"
+        )
         out = running_over_agg(
             stream, key, ts, col,
             id_col=id_col, watermark_delay=watermark_delay, time_mode=time_mode,
+            frame=peer_frame,
         )
         native = _OUT_COL[agg].format(w="running")
     else:  # pragma: no cover — regex shape guarantees one of the above

@@ -1507,3 +1507,42 @@ def stream_over_sql_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         alias="total",
     )
     return run_to_completion(out, "stream_over_sql_sink", "append")
+
+
+@register(
+    "stream_over_running_range_peers",
+    oracle="""
+    WITH src AS (
+      SELECT user_id, event_id, date_trunc('hour', ts) AS ts_h, value
+      FROM events),
+    w AS (
+      SELECT user_id, event_id, ts_h,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER pw AS DOUBLE) AS running_sum,
+             COUNT(*) OVER pw AS running_cnt
+      FROM src
+      WINDOW pw AS (PARTITION BY user_id ORDER BY ts_h
+                    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT * FROM w
+    WHERE epoch_ms(ts_h) <= (SELECT max(epoch_ms(ts)) FROM events) - 4200000
+    """,
+    tags=("streaming", "over"),
+)
+def stream_over_running_range_peers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peer-inclusive unbounded RANGE OVER gate
+    (RowTimeUnboundedRangeOver vs RowTimeUnboundedRowsOver — the
+    reference dispatches BOTH unbounded variants): event times truncated
+    to the hour create real peer groups (several events per user-hour),
+    and every peer must report the aggregate over its WHOLE group — the
+    SQL default RANGE frame. The rows-variant would emit strictly
+    increasing counts within a group and fail the oracle. Watermark delay
+    10 minutes on the truncated times ⇒ the oracle cuts rows whose hour
+    bucket is within 70 minutes of the raw max (the bucket can lag the
+    raw timestamp by up to an hour)."""
+    ev = events_stream(spark, sf_dir).select(
+        "user_id", "event_id", F.date_trunc("hour", F.col("ts")).alias("ts_h"), "value"
+    )
+    out = running_over_agg(
+        ev, "user_id", "ts_h", "value", frame="range", watermark_delay="10 minutes"
+    )
+    res = run_to_completion(out, "stream_over_rrange_sink", "append")
+    return res.select("user_id", "event_id", "ts_h", "running_sum", "running_cnt")

@@ -230,10 +230,18 @@ def running_over_agg(
     id_col: str = "event_id",
     watermark_delay: str = "10 minutes",
     time_mode: str = "event",
+    frame: str = "rows",
 ) -> DataFrame:
     """Streaming OVER aggregation: per-key running SUM/COUNT/AVG in
     event-time order, ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW —
     one output row per input row, emitted as the stream flows.
+    ``frame="range"`` selects the peer-inclusive variant
+    (RowTimeUnboundedRangeOver vs RowTimeUnboundedRowsOver — the
+    reference ships BOTH, RowTimeUnboundedOver.scala subclasses): all
+    rows sharing a timestamp report the aggregate over the whole peer
+    group, the SQL default `RANGE UNBOUNDED PRECEDING` frame. Peers are
+    always released in one watermark flush (equal ts), so the group is
+    complete when computed; `frame="range"` requires event time mode.
 
     Reference: DataStreamOverAggregate.scala:45 routes unbounded
     processing/event-time OVER windows to RowTimeUnboundedOver.scala /
@@ -256,6 +264,14 @@ def running_over_agg(
     """
     if time_mode not in ("event", "proc"):
         raise ValueError(f"unknown time_mode {time_mode!r}: 'event' or 'proc'")
+    if frame not in ("rows", "range"):
+        raise ValueError(f"unknown frame {frame!r}: 'rows' or 'range'")
+    if frame == "range" and time_mode == "proc":
+        raise ValueError(
+            "frame='range' needs event time: processing-time peers are an "
+            "arrival-order accident (the reference's ProcTime variants "
+            "treat each element as its own peer group)"
+        )
     out_schema = (
         f"{field_ddl(stream, key_col)}, {field_ddl(stream, id_col)}, "
         f"{ts_col} timestamp, running_sum double, running_cnt long, "
@@ -266,10 +282,22 @@ def running_over_agg(
         import numpy as np
 
         cents = np.asarray([c for _t, _i, c in ready], dtype="int64")
-        run = st["sum"] + np.cumsum(cents)
-        counts = st["cnt"] + np.arange(1, len(cents) + 1)
-        st["cnt"] = int(counts[-1])
-        st["sum"] = int(run[-1])
+        if frame == "range":
+            # peer-inclusive: every row of a ts group reports the group's
+            # closing cumulative (carried state applies wholly — peers
+            # never straddle a flush)
+            ts_arr = np.asarray([t for t, _i, _c in ready], dtype="int64")
+            hi = np.searchsorted(ts_arr, ts_arr, side="right")
+            csum = np.cumsum(cents)
+            run = st["sum"] + csum[hi - 1]
+            counts = st["cnt"] + hi
+            st["cnt"] = int(counts[-1])
+            st["sum"] = int(st["sum"] + csum[-1])
+        else:
+            run = st["sum"] + np.cumsum(cents)
+            counts = st["cnt"] + np.arange(1, len(cents) + 1)
+            st["cnt"] = int(counts[-1])
+            st["sum"] = int(run[-1])
         return pd.DataFrame(
             {
                 key_col: key[0],

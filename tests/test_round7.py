@@ -681,3 +681,36 @@ def test_bounded_over_randomized_vs_batch_window(spark):
     for r in rows_out2:
         s, c = exp_rng[r["event_id"]]
         assert round(r["w_sum"], 6) == s and r["w_cnt"] == c, r["event_id"]
+
+
+def test_running_over_range_frame_peer_groups(spark):
+    """frame='range': rows sharing a timestamp all report the peer
+    group's closing aggregate (RowTimeUnboundedRangeOver), while
+    frame='rows' gives each row its own prefix."""
+    import pytest
+
+    from proteus_engine_spark.streaming.stateful import running_over_agg
+
+    a = [_ev(1, 1, 1, "x", 10.0), _ev(2, 1, 1, "x", 20.0)]  # peers at minute 1
+    b = [_ev(3, 2, 1, "x", 5.0), _ev(9, 40, 1, "x", 1.0)]
+    rng = running_over_agg(
+        _two_batch_stream(spark, a, b, EV_SCHEMA),
+        "user_id", "ts", "value", frame="range", watermark_delay="0 seconds",
+    )
+    rows = {r["event_id"]: r for r in _run(rng, "rrange_test").collect()}
+    assert rows[1]["running_sum"] == 30.0 and rows[2]["running_sum"] == 30.0
+    assert rows[1]["running_cnt"] == 2 and rows[2]["running_cnt"] == 2
+    assert rows[3]["running_sum"] == 35.0 and rows[3]["running_cnt"] == 3
+
+    rws = running_over_agg(
+        _two_batch_stream(spark, a, b, EV_SCHEMA),
+        "user_id", "ts", "value", frame="rows", watermark_delay="0 seconds",
+    )
+    rows = {r["event_id"]: r for r in _run(rws, "rrows_test").collect()}
+    assert rows[1]["running_cnt"] == 1 and rows[2]["running_cnt"] == 2
+
+    with pytest.raises(ValueError):
+        running_over_agg(
+            _two_batch_stream(spark, a, b, EV_SCHEMA),
+            "user_id", "ts", "value", frame="range", time_mode="proc",
+        )
