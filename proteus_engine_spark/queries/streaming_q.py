@@ -1546,3 +1546,38 @@ def stream_over_running_range_peers(spark: SparkSession, sf_dir: str) -> DataFra
     )
     res = run_to_completion(out, "stream_over_rrange_sink", "append")
     return res.select("user_id", "event_id", "ts_h", "running_sum", "running_cnt")
+
+
+@register(
+    "stream_window_all",
+    oracle="""
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1
+    """,
+    tags=("streaming", "window"),
+)
+def stream_window_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-keyed windowed stream gate (DataStream.windowAll /
+    AllWindowedStream.java — windows over the WHOLE stream, no key):
+    1-hour tumbling windows with count/sum/distinct-users. The distinct
+    count is stream-native two-stage (window×user pairs are the state
+    keys, rolled up per window), so window parallelism survives even
+    though the reference executes windowAll single-parallel — the Spark
+    plan shards by (window, user) then reduces per window."""
+    ev = events_stream(spark, sf_dir)
+    pairs = windowed_agg(
+        ev, "ts", "10 minutes", "1 hour", ["user_id"],
+        [F.count(F.lit(1)).alias("pn"), dsum("value", "pv")],
+    )
+    out = run_to_completion(pairs, "stream_window_all_sink", "complete")
+    return (
+        out.groupBy("window_start")
+        .agg(
+            F.sum("pn").alias("n"),
+            F.sum(F.col("pv").cast("decimal(18,2)")).cast("double").alias("total_value"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+    )
