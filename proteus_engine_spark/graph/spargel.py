@@ -223,4 +223,9 @@ def pregel(
         kept = state.join(updated.select(vertex_col), vertex_col, "left_anti")
         return updated.unionByName(kept)
 
-    return iterate(vertices, step, max_iterations)
+    def halted(_prev: DataFrame, _cur: DataFrame) -> bool:
+        # vote-to-halt: a round that emitted no messages ends the loop
+        # right away (no idle checkpoint passes up to max_iterations)
+        return empty_msgs["df"] is None
+
+    return iterate(vertices, step, max_iterations, halted)

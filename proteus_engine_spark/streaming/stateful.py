@@ -461,7 +461,12 @@ def _proc_time_over(
     ) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        st = pickle.loads(state.get[0]) if state.exists else dict(init_state)
+        import copy
+
+        # deep copy: init_state's container values must not be shared
+        # across keys (a future emit() that mutates in place would
+        # otherwise leak state between keys in the same worker)
+        st = pickle.loads(state.get[0]) if state.exists else copy.deepcopy(init_state)
         for pdf in pdfs:
             if not len(pdf):
                 continue
