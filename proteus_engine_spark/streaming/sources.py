@@ -92,7 +92,7 @@ def events_stream_ooo(
     spark: SparkSession,
     sf_dir: str,
     block_ms: int = 7_200_000,
-    n_blocks: int = 12,
+    n_blocks: int = 6,
 ) -> DataFrame:
     """The events table replayed OUT OF ORDER across micro-batches — the
     harness for event-time correctness tests of watermark-buffered
@@ -100,7 +100,7 @@ def events_stream_ooo(
     late elements the same way).
 
     Staging (once per sf, atomic rename — concurrent runs safe): rows are
-    split into files [head] [b1 b0 b3 b2 … b11 b10] [tail], where b0..b11
+    split into files [head] [b1 b0 b3 b2 b5 b4] [tail], where b0..b5
     are consecutive `block_ms` event-time blocks starting at 45% of the
     span and the pair-swap makes every other file arrive BEFORE an
     earlier-in-event-time file. File mtimes force that arrival order, and
