@@ -125,12 +125,14 @@ def test_events_stream_ooo_replay_is_actually_out_of_order(spark):
     import pyarrow.parquet as pq
 
     sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    # exact staging name (block_ms=7_200_000, n_blocks=6 defaults): stale
+    # stagings with other parameters may coexist in .scratch
     scratch = sorted(
         glob.glob(
             os.path.join(
                 os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                 ".scratch",
-                f"ooo_events_{sf_tag}_*",
+                f"ooo_events_{sf_tag}_7200000_6",
                 "f*.parquet",
             )
         )
