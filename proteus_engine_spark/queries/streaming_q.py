@@ -1581,3 +1581,48 @@ def stream_window_all(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_users"),
         )
     )
+
+
+@register(
+    "cep_skip_past_last_event",
+    oracle="""
+    WITH f AS (SELECT user_id, event_id, ts, event_type FROM events
+               WHERE event_type IN ('signup', 'purchase')),
+    seq AS (
+      SELECT *, COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS seg
+      FROM f),
+    s AS (SELECT user_id, seg, event_id AS signup_id, epoch_ms(ts) AS signup_ts,
+                 row_number() OVER (PARTITION BY user_id, seg
+                                    ORDER BY ts, event_id) AS j
+          FROM seq WHERE event_type = 'signup'),
+    p AS (SELECT user_id, seg, event_id AS purchase_id, epoch_ms(ts) AS purchase_ts
+          FROM seq WHERE event_type = 'purchase')
+    SELECT s.user_id, s.signup_id, s.signup_ts,
+           unnest(generate_series(1, s.j)) AS signup_cnt,
+           p.purchase_id, p.purchase_ts
+    FROM s JOIN p ON s.user_id = p.user_id AND s.seg = p.seg
+    """,
+    tags=("streaming", "cep"),
+)
+def cep_skip_past_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AfterMatchSkipStrategy gate (nfa/AfterMatchSkipStrategy.java:61
+    SKIP_PAST_LAST_EVENT): signup+ followedBy purchase — when a purchase
+    emits its matches, every partial holding any of the consumed events
+    dies, so signup runs never leak across a purchase: matches for
+    purchase k cover exactly the signups since purchase k-1. The oracle
+    partitions each user's events into purchase-delimited segments and
+    enumerates, per segment, every (last-signup s_j, cnt 1..j) prefix
+    against the segment's closing purchase — the no-skip extra matches
+    (old branches extended with next-segment signups) would fail it."""
+    ev = load_table(spark, sf_dir, "events")
+    pat = (
+        Pattern.begin("signup", lambda r: r["event_type"] == "signup",
+                      expr="event_type = 'signup'")
+        .one_or_more()
+        .followed_by("purchase", lambda r: r["event_type"] == "purchase",
+                     expr="event_type = 'purchase'")
+        .after_match_skip("skip_past_last_event")
+    )
+    return match_pattern(ev, pat, key_col="user_id")

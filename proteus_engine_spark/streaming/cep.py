@@ -8,17 +8,19 @@ within (pattern/Pattern.java:123–536), notNext (:267), notFollowedBy
 next (strict), followedBy (relaxed), followedByAny (skip-till-any-match),
 notNext / notFollowedBy (negation, incl. trailing absence-with-within),
 within, times/timesOrMore/oneOrMore/optional quantifiers, consecutive(),
-until (loop stop), greedy (maximal consecutive runs, Pattern.java:361).
-Not covered (documented in COVERAGE.md): subtype (in Python a predicate is
-strictly more general), group patterns.
+until (loop stop), greedy (maximal consecutive runs, Pattern.java:361),
+AfterMatchSkipStrategy (nfa/AfterMatchSkipStrategy.java — no_skip /
+skip_past_last_event / skip_to_first / skip_to_last, pruned at emission
+time exactly as the reference does). Not covered (documented in
+COVERAGE.md): subtype (in Python a predicate is strictly more general).
 
 Match semantics (mirrors the reference NFA defaults): every event
 satisfying step 0 opens a partial match; `next` requires the immediately
 following event (per key, event-time order) to satisfy the step or the
 partial dies; `followedBy` skips non-matching events and consumes the
-FIRST matching one; `within` bounds last.ts - first.ts. Overlapping matches
-are emitted (no after-match skip), like the reference's default
-NoSkipStrategy.
+FIRST matching one; `within` bounds last.ts - first.ts. By default
+overlapping matches are all emitted (NoSkipStrategy); Pattern.
+after_match_skip selects the other skip strategies.
 
 Implementation: the NFA transition core is a pure function over a sorted
 per-key event list; batch runs it inside applyInPandas (one shuffle on the
@@ -103,6 +105,7 @@ class Pattern:
 
     steps: list[Step] = field(default_factory=list)
     within_ms: int | None = None
+    skip_strategy: tuple | None = None
 
     @staticmethod
     def begin(
@@ -295,6 +298,33 @@ class Pattern:
         ]
         return " OR ".join(f"({e})" for e in exprs)
 
+    def after_match_skip(
+        self, strategy: str, pattern_name: str | None = None
+    ) -> "Pattern":
+        """AfterMatchSkipStrategy (nfa/AfterMatchSkipStrategy.java:33-69):
+        what happens to LIVE PARTIAL matches when a match is emitted —
+        - "no_skip" (default): nothing; every match is found.
+        - "skip_past_last_event": partials containing ANY event of the
+          emitted match die; matching effectively restarts after it.
+        - "skip_to_first"/"skip_to_last" + pattern_name: partials that
+          STARTED before the first/last event mapped to `pattern_name` in
+          the emitted match die.
+        Matches completing on the same event are all emitted before
+        pruning applies (emission happens per element, pruning after).
+        The emitted match set under any strategy is a subset of no_skip's.
+        """
+        kinds = ("no_skip", "skip_past_last_event", "skip_to_first", "skip_to_last")
+        if strategy not in kinds:
+            raise ValueError(f"unknown skip strategy {strategy!r}: one of {kinds}")
+        if strategy in ("skip_to_first", "skip_to_last"):
+            if pattern_name is None:
+                # AfterMatchSkipStrategy.java:77 throws on a null name
+                raise ValueError(f"{strategy} requires a pattern_name")
+        elif pattern_name is not None:
+            raise ValueError(f"{strategy} takes no pattern_name")
+        self.skip_strategy = (strategy, pattern_name)
+        return self
+
     def validate(self) -> None:
         """Structural checks applied at match time (within() may be added
         after the negative step, so construction-time checks can't cover
@@ -310,6 +340,12 @@ class Pattern:
             # FLINK-8914 parity: a greedy loop needs a following step to
             # hand the run-breaking event to.
             raise ValueError("a greedy loop cannot be the last step")
+        if self.skip_strategy and self.skip_strategy[1] is not None:
+            names = {st.name for st in self.steps}
+            if self.skip_strategy[1] not in names:
+                raise ValueError(
+                    f"skip strategy references unknown pattern {self.skip_strategy[1]!r}"
+                )
 
 
 def _run_nfa(
@@ -420,6 +456,14 @@ def _scan(
             cnt = p["cnt"] + 1
             ev = dict(p["events"])
             ev[step.name] = (eid, t, cnt)
+            # full consumed-event set + per-step first event, carried
+            # inside the events dict so every fork's dict() copy
+            # propagates them — AfterMatchSkipStrategy needs real event
+            # identity (interval overlap is NOT equivalent under relaxed
+            # contiguity), and per-step first for SKIP_TO_FIRST
+            ev["__ids__"] = ev.get("__ids__", ()) + ((t, eid),)
+            if cnt == 1:
+                ev["__first__"] = {**ev.get("__first__", {}), step.name: (eid, t)}
             if step.quantifier == "oneOrMore":
                 # extend the loop AND branch past the step (prefix match);
                 # greedy spawns NO prefix branches — the loop exits only in
@@ -475,7 +519,10 @@ def _scan(
             # else: strict contiguity broken → partial dies
 
     trailing_neg = steps[-1].contiguity == "notFollowedBy"
+    skip = pattern.skip_strategy
+    apply_skip = skip is not None and skip[0] != "no_skip"
     for s, t in zip(rows, ts_ms):
+        n_before = len(matches)
         eid = int(s[id_col])
         survivors: list[dict] = []
         for p in partials:
@@ -491,7 +538,59 @@ def _scan(
         partials = survivors
         if steps[0].predicate(s):
             advance({"idx": 0, "cnt": 0, "events": {}, "t0": None}, s, t, eid, partials)
+        if apply_skip and len(matches) > n_before:
+            # AfterMatchSkipStrategy (nfa/AfterMatchSkipStrategy.java):
+            # every match completing ON this element was emitted above;
+            # the strategy now prunes LIVE partials — exactly the
+            # reference's order (emit per element, then discard), so
+            # same-element completions never prune each other, and the
+            # branch seeded BY this element is itself subject to pruning.
+            partials = _prune_after_match(partials, matches[n_before:], skip)
     return matches, partials, timeouts
+
+
+def _prune_after_match(
+    partials: list[dict], new_matches: list[dict], skip: tuple
+) -> list[dict]:
+    """Apply one AfterMatchSkipStrategy round (AfterMatchSkipStrategy
+    .java:103-110): SKIP_PAST_LAST_EVENT kills partials sharing an actual
+    EVENT with an emitted match (event identity, not interval overlap —
+    relaxed-contiguity partials may interleave without sharing events);
+    SKIP_TO_FIRST/LAST kill partials that STARTED before the first/last
+    event mapped to the referenced pattern in any emitted match."""
+    kind, pname = skip
+    if kind == "skip_past_last_event":
+        emitted: set = set()
+        for m in new_matches:
+            emitted |= set(m.get("__ids__", ()))
+        return [
+            p
+            for p in partials
+            if not (set(p["events"].get("__ids__", ())) & emitted)
+        ]
+    bar = None
+    for m in new_matches:
+        if kind == "skip_to_first":
+            ref = m.get("__first__", {}).get(pname)
+        else:
+            e = m.get(pname)
+            ref = (e[0], e[1]) if e else None
+        if ref is None:
+            # AfterMatchSkipStrategy contract: the referenced pattern must
+            # have a mapped event in the match
+            raise ValueError(
+                f"after-match skip references pattern {pname!r} which matched "
+                "no event in an emitted match"
+            )
+        point = (ref[1], ref[0])  # (ts, id) order for comparisons
+        bar = point if bar is None else max(bar, point)
+    out = []
+    for p in partials:
+        ids = p["events"].get("__ids__", ())
+        if ids and min(ids) < bar:
+            continue
+        out.append(p)
+    return out
 
 
 def _prune_expired(partials: list[dict], horizon_ms: int, pattern: Pattern) -> tuple[list[dict], list[dict]]:

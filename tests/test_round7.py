@@ -716,3 +716,113 @@ def test_running_over_range_frame_peer_groups(spark):
             _two_batch_stream(spark, a, b, EV_SCHEMA),
             "user_id", "ts", "value", frame="range", time_mode="proc",
         )
+
+
+# ---------------- CEP AfterMatchSkipStrategy ----------------
+
+import pandas as pd
+import pytest
+
+from proteus_engine_spark.streaming.cep import Pattern, _run_nfa
+
+
+def _frame(events):
+    """events: (event_id, ts_ms, event_type)"""
+    return pd.DataFrame(
+        {
+            "event_id": [e[0] for e in events],
+            "ts": pd.to_datetime([e[1] for e in events], unit="ms"),
+            "event_type": [e[2] for e in events],
+        }
+    )
+
+
+def _etype(t):
+    return lambda r: r["event_type"] == t
+
+
+def _ab_pattern(skip=None, name=None):
+    pat = Pattern.begin("a", _etype("a")).one_or_more().followed_by("b", _etype("b"))
+    if skip:
+        pat = pat.after_match_skip(skip, name)
+    return pat
+
+
+_AB_INPUT = [(1, 1, "a"), (2, 2, "a"), (3, 3, "b"), (4, 4, "a"), (5, 5, "b")]
+
+
+def _matches(pat, events=_AB_INPUT):
+    m, _open, _t = _run_nfa(_frame(events), pat, "ts", "event_id")
+    return sorted((x["a"][0], x["a"][2], x["b"][0]) for x in m)
+
+
+def test_skip_no_skip_baseline():
+    """a+ b over a1 a2 b3 a4 b5, NO_SKIP: at b3 the loop branches emit
+    (a1,1) (a2,2) (a2-start,1); surviving loop branches extend with a4 and
+    close at b5."""
+    got = _matches(_ab_pattern())
+    assert (1, 1, 3) in got and (2, 2, 3) in got and (2, 1, 3) in got
+    assert any(b == 5 for _a, _c, b in got)
+    assert len(got) > 4
+
+
+def test_skip_past_last_event():
+    """SKIP_PAST_LAST_EVENT: all matches completing AT b3 are emitted
+    (same-element completions never prune each other), then every partial
+    holding a1/a2/b3 dies — so b5 matches contain ONLY a4."""
+    got = _matches(_ab_pattern("skip_past_last_event"))
+    at_b3 = [x for x in got if x[2] == 3]
+    at_b5 = [x for x in got if x[2] == 5]
+    assert sorted(at_b3) == [(1, 1, 3), (2, 1, 3), (2, 2, 3)]
+    assert at_b5 == [(4, 1, 5)]
+
+
+def _times3_matches(skip=None, name=None):
+    """a.times(3) fby c over a1 a2 a3 c4 a5 a6 c7: the c4 match M has
+    first(a)=a1, last(a)=a3, and two live partials started at a2 and a3 —
+    the scenario that separates all three strategies."""
+    pat = Pattern.begin("a", _etype("a")).times(3).followed_by("c", _etype("c"))
+    if skip:
+        pat = pat.after_match_skip(skip, name)
+    events = [(1, 1, "a"), (2, 2, "a"), (3, 3, "a"), (4, 4, "c"),
+              (5, 5, "a"), (6, 6, "a"), (7, 7, "c")]
+    m, _o, _t = _run_nfa(_frame(events), pat, "ts", "event_id")
+    return sorted((x["a"][0], x["c"][0]) for x in m)
+
+
+def test_skip_to_first_vs_last_vs_past():
+    """The same input under the four strategies (AfterMatchSkipStrategy
+    .java semantics, hand-derived):
+    - no_skip: c4 match + both surviving partials close at c7;
+    - skip_to_first('a'): bar = a1 — nothing started before it, same as
+      no_skip here;
+    - skip_to_last('a'): bar = a3 — the a2-started partial dies, the
+      a3-started one lives;
+    - skip_past_last_event: both partials share a2/a3 with the emitted
+      match and die; a5 a6 alone can't reach times(3)."""
+    assert _times3_matches() == [(3, 4), (5, 7), (6, 7)]
+    assert _times3_matches("skip_to_first", "a") == [(3, 4), (5, 7), (6, 7)]
+    assert _times3_matches("skip_to_last", "a") == [(3, 4), (6, 7)]
+    assert _times3_matches("skip_past_last_event") == [(3, 4)]
+
+
+def test_skip_strategy_validation():
+    with pytest.raises(ValueError):
+        _ab_pattern("skip_to_first")  # missing pattern_name
+    with pytest.raises(ValueError):
+        _ab_pattern("skip_past_last_event", "a")  # spurious name
+    with pytest.raises(ValueError):
+        _ab_pattern("bogus")
+    with pytest.raises(ValueError):
+        pat = _ab_pattern("skip_to_first", "zzz")
+        _run_nfa(_frame(_AB_INPUT), pat, "ts", "event_id")
+
+
+def test_skip_strategies_are_subsets_of_no_skip():
+    base = set(_matches(_ab_pattern()))
+    for kind, name in [
+        ("skip_past_last_event", None),
+        ("skip_to_first", "a"),
+        ("skip_to_last", "a"),
+    ]:
+        assert set(_matches(_ab_pattern(kind, name))) <= base, kind
