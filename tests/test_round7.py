@@ -826,3 +826,33 @@ def test_skip_strategies_are_subsets_of_no_skip():
         ("skip_to_last", "a"),
     ]:
         assert set(_matches(_ab_pattern(kind, name))) <= base, kind
+
+
+def test_skip_strategy_spans_micro_batches(spark):
+    """skip_past_last_event across a batch boundary: the emission at b3
+    (batch 1) must prune the carried partials so an a in batch 2 starts
+    fresh — streaming result equals the batch NFA's (the pruning lives in
+    the shared _scan, so state needs no extra history)."""
+    from proteus_engine_spark.streaming.cep import match_pattern, match_pattern_stream
+
+    pat = (
+        Pattern.begin("a", _etype("a")).one_or_more()
+        .followed_by("b", _etype("b"))
+        .after_match_skip("skip_past_last_event")
+    )
+    a = [_ev(1, 1, 1, "a"), _ev(2, 2, 1, "a"), _ev(3, 3, 1, "b")]
+    b = [_ev(4, 4, 1, "a"), _ev(5, 5, 1, "b")]
+    stream_out = match_pattern_stream(
+        _two_batch_stream(spark, a, b, EV_SCHEMA), pat, key_col="user_id"
+    )
+    got = sorted(
+        (r["a_id"], r["a_cnt"], r["b_id"])
+        for r in _run(stream_out, "skip_stream_test").collect()
+    )
+    batch = spark.createDataFrame(a + b, EV_SCHEMA)
+    want = sorted(
+        (r["a_id"], r["a_cnt"], r["b_id"])
+        for r in match_pattern(batch, pat, key_col="user_id").collect()
+    )
+    assert got == want
+    assert (4, 1, 5) in got and all(not (x[0] in (1, 2) and x[2] == 5) for x in got)
