@@ -11,8 +11,9 @@ within, times/timesOrMore/oneOrMore/optional quantifiers, consecutive(),
 until (loop stop), greedy (maximal consecutive runs, Pattern.java:361),
 AfterMatchSkipStrategy (nfa/AfterMatchSkipStrategy.java — no_skip /
 skip_past_last_event / skip_to_first / skip_to_last, pruned at emission
-time exactly as the reference does). Not covered (documented in
-COVERAGE.md): subtype (in Python a predicate is strictly more general).
+time exactly as the reference does), and where/or/subtype condition
+composition (Pattern.java:123/142/166 — subtype as the discriminator
+conjunction). The full Pattern surface is covered.
 
 Match semantics (mirrors the reference NFA defaults): every event
 satisfying step 0 opens a partial match; `next` requires the immediately
@@ -274,6 +275,56 @@ class Pattern:
 
     def within(self, ms: int) -> "Pattern":
         self.within_ms = ms
+        return self
+
+    def where(
+        self, predicate: Callable[[pd.Series], bool], expr: str | None = None
+    ) -> "Pattern":
+        """Pattern.where (Pattern.java:123): AND another condition into the
+        last step (repeated where() calls conjoin, as the reference's
+        AndCondition does). The SQL mirror composes too, so prefilter
+        pushdown stays exact."""
+        return self._compose_condition(predicate, expr, "and")
+
+    def or_where(
+        self, predicate: Callable[[pd.Series], bool], expr: str | None = None
+    ) -> "Pattern":
+        """Pattern.or (Pattern.java:142): OR another condition into the
+        last step (OrCondition)."""
+        return self._compose_condition(predicate, expr, "or")
+
+    def subtype(
+        self, predicate: Callable[[pd.Series], bool], expr: str | None = None
+    ) -> "Pattern":
+        """Pattern.subtype (Pattern.java:166): restrict the last step to a
+        subtype of the stream's event type. Rows are not polymorphic, so
+        the subtype check is a discriminator predicate (e.g. a type
+        column) ANDed into the step — the SubtypeCondition is literally an
+        instanceof predicate in the reference too. Conditions added after
+        subtype() keep conjoining, matching the reference's
+        subtype-then-where chaining."""
+        return self._compose_condition(predicate, expr, "and")
+
+    def _compose_condition(
+        self, predicate: Callable[[pd.Series], bool], expr: str | None, mode: str
+    ) -> "Pattern":
+        last = self.steps[-1]
+        if last.contiguity in ("notNext", "notFollowedBy"):
+            # the reference composes conditions on negative patterns too;
+            # supported the same way — the guard predicate is refined
+            pass
+        old_pred, new_pred = last.predicate, predicate
+        if mode == "and":
+            combined = lambda r: bool(old_pred(r)) and bool(new_pred(r))  # noqa: E731
+        else:
+            combined = lambda r: bool(old_pred(r)) or bool(new_pred(r))  # noqa: E731
+        if last.expr is not None and expr is not None:
+            combined_expr = f"(({last.expr}) {mode.upper()} ({expr}))"
+        else:
+            # one side undeclared → the composed step has no sound SQL
+            # mirror; prefilter pushdown disables itself for this step
+            combined_expr = None
+        self.steps[-1] = replace(last, predicate=combined, expr=combined_expr)
         return self
 
     def prefilter_expr(self) -> str | None:

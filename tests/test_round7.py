@@ -856,3 +856,51 @@ def test_skip_strategy_spans_micro_batches(spark):
     )
     assert got == want
     assert (4, 1, 5) in got and all(not (x[0] in (1, 2) and x[2] == 5) for x in got)
+
+
+# ---------------- CEP condition composition (where / or / subtype) ----------------
+
+
+def test_cep_where_or_subtype_composition():
+    """where() conjoins, or_where() disjoins, subtype() is the
+    discriminator conjunction (Pattern.java:123/142/166) — and the SQL
+    mirrors compose so prefilter pushdown stays exact."""
+    events = [
+        (1, 1, "signup"), (2, 2, "click"), (3, 3, "purchase"),
+        (4, 4, "signup"), (5, 5, "view"), (6, 6, "purchase"),
+    ]
+    # signup followedBy (purchase OR view): or_where widens step 2
+    pat = (
+        Pattern.begin("s", _etype("signup"), expr="event_type = 'signup'")
+        .followed_by("x", _etype("purchase"), expr="event_type = 'purchase'")
+        .or_where(_etype("view"), expr="event_type = 'view'")
+    )
+    m, _o, _t = _run_nfa(_frame(events), pat, "ts", "event_id")
+    assert sorted((x["s"][0], x["x"][0]) for x in m) == [(1, 3), (4, 5)]
+    assert "OR" in pat.prefilter_expr()
+
+    # where() narrows: even-id purchases only
+    pat2 = (
+        Pattern.begin("s", _etype("signup"), expr="event_type = 'signup'")
+        .followed_by("p", _etype("purchase"), expr="event_type = 'purchase'")
+        .where(lambda r: r["event_id"] % 2 == 0, expr="event_id % 2 = 0")
+    )
+    m2, _o, _t = _run_nfa(_frame(events), pat2, "ts", "event_id")
+    assert sorted((x["s"][0], x["p"][0]) for x in m2) == [(1, 6), (4, 6)]
+
+    # subtype(): same conjunction semantics, chained with a further where
+    pat3 = (
+        Pattern.begin("e", lambda r: True, expr="true")
+        .subtype(_etype("purchase"), expr="event_type = 'purchase'")
+        .where(lambda r: r["event_id"] > 3, expr="event_id > 3")
+    )
+    m3, _o, _t = _run_nfa(_frame(events), pat3, "ts", "event_id")
+    assert sorted(x["e"][0] for x in m3) == [6]
+
+    # composing with an undeclared expr disables the prefilter (soundness)
+    pat4 = (
+        Pattern.begin("s", _etype("signup"), expr="event_type = 'signup'")
+        .followed_by("p", _etype("purchase"), expr="event_type = 'purchase'")
+        .where(lambda r: r["event_id"] % 2 == 0)  # no expr
+    )
+    assert pat4.prefilter_expr() is None
