@@ -1626,3 +1626,51 @@ def cep_skip_past_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         .after_match_skip("skip_past_last_event")
     )
     return match_pattern(ev, pat, key_col="user_id")
+
+
+@register(
+    "cep_stream_ooo",
+    oracle="""
+    WITH s AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'signup'),
+         p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+         pairs AS (
+           SELECT s.user_id,
+                  s.event_id AS signup_id, epoch_ms(s.ts) AS signup_ts,
+                  p.event_id AS purchase_id, epoch_ms(p.ts) AS purchase_ts,
+                  row_number() OVER (PARTITION BY s.user_id, s.event_id
+                                     ORDER BY p.ts, p.event_id) AS rn
+           FROM s JOIN p
+             ON s.user_id = p.user_id
+            AND (p.ts > s.ts OR (p.ts = s.ts AND p.event_id > s.event_id))
+            AND epoch_ms(p.ts) - epoch_ms(s.ts) <= 14400000
+         )
+    SELECT user_id, signup_id, signup_ts, purchase_id, purchase_ts
+    FROM pairs
+    WHERE rn = 1
+      AND purchase_ts <= (SELECT max(epoch_ms(ts)) FROM events) - 18000000
+    """,
+    tags=("streaming", "cep"),
+)
+def cep_stream_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time STREAMING CEP under out-of-order arrival
+    (AbstractKeyedCEPPatternOperator row-time mode: elements buffer in
+    keyed state and feed the NFA only when the watermark passes them):
+    the pair-swapped-block replay delivers whole later blocks before
+    earlier ones, yet the emitted matches must equal the batch NFA's —
+    signup followedBy first purchase within 4 hours — because the
+    buffer re-sequences releases into strict (ts, id) order per key.
+    Oracle: the batch CEP equivalent minus matches completing inside the
+    5h watermark tail (their purchase is never released)."""
+    from proteus_engine_spark.streaming.cep import match_pattern_stream
+    from proteus_engine_spark.streaming.sources import events_stream_ooo
+
+    ev = events_stream_ooo(spark, sf_dir)
+    pat = (
+        Pattern.begin("signup", lambda r: r["event_type"] == "signup",
+                      expr="event_type = 'signup'")
+        .followed_by("purchase", lambda r: r["event_type"] == "purchase",
+                     expr="event_type = 'purchase'")
+        .within(14_400_000)
+    )
+    out = match_pattern_stream(ev, pat, key_col="user_id", watermark_delay="5 hours")
+    return run_to_completion(out, "cep_stream_ooo_sink", "append")
