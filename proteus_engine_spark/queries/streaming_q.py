@@ -1647,7 +1647,8 @@ def cep_skip_past_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, signup_id, signup_ts, purchase_id, purchase_ts
     FROM pairs
     WHERE rn = 1
-      AND purchase_ts <= (SELECT max(epoch_ms(ts)) FROM events) - 18000000
+      AND purchase_ts <= (SELECT max(epoch_ms(ts)) FROM events
+                          WHERE event_type IN ('signup', 'purchase')) - 18000000
     """,
     tags=("streaming", "cep"),
 )
@@ -1660,7 +1661,11 @@ def cep_stream_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
     signup followedBy first purchase within 4 hours — because the
     buffer re-sequences releases into strict (ts, id) order per key.
     Oracle: the batch CEP equivalent minus matches completing inside the
-    5h watermark tail (their purchase is never released)."""
+    5h watermark tail (their purchase is never released). The watermark
+    derives from the PREFILTERED stream (predicate pushdown runs below
+    the watermark node), so the tail is measured from the last
+    signup/purchase event — the same behavior a pre-filtered Flink CEP
+    input has."""
     from proteus_engine_spark.streaming.cep import match_pattern_stream
     from proteus_engine_spark.streaming.sources import events_stream_ooo
 
@@ -1674,3 +1679,50 @@ def cep_stream_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = match_pattern_stream(ev, pat, key_col="user_id", watermark_delay="5 hours")
     return run_to_completion(out, "cep_stream_ooo_sink", "append")
+
+
+@register(
+    "cep_stream_timeouts",
+    oracle="""
+    WITH s AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'signup'),
+         p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase')
+    SELECT s.user_id, s.event_id AS signup_id, epoch_ms(s.ts) AS signup_ts,
+           CAST(NULL AS BIGINT) AS purchase_id, CAST(NULL AS BIGINT) AS purchase_ts,
+           epoch_ms(s.ts) + 600000 AS timeout_ts
+    FROM s
+    WHERE NOT EXISTS (
+            SELECT 1 FROM p
+            WHERE p.user_id = s.user_id
+              AND (p.ts > s.ts OR (p.ts = s.ts AND p.event_id > s.event_id))
+              AND epoch_ms(p.ts) - epoch_ms(s.ts) <= 600000)
+      AND epoch_ms(s.ts) + 600000
+          < (SELECT max(epoch_ms(ts)) FROM events
+             WHERE event_type IN ('signup', 'purchase')) - 600000
+    """,
+    tags=("streaming", "cep", "timeout"),
+)
+def cep_stream_timeouts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CEP timeout side output (PatternStream.select with a
+    timeout handler, PatternStream.java:301, on the row-time operator): a
+    signup whose 10-minute window the WATERMARK closes without a purchase
+    emits a timed-out partial — signup columns filled, purchase columns
+    NULL, timeout_ts = window expiry. The oracle is the NOT EXISTS
+    anti-join over the same window, cut at the final watermark — which
+    derives from the PREFILTERED stream (pushdown runs below the
+    watermark node), i.e. the last signup/purchase event. Windows still
+    open at that watermark stay pending, exactly the reference's
+    watermark-relative NFA cleanup."""
+    from proteus_engine_spark.streaming.cep import match_pattern_stream
+
+    ev = events_stream(spark, sf_dir)
+    pat = (
+        Pattern.begin("signup", lambda r: r["event_type"] == "signup",
+                      expr="event_type = 'signup'")
+        .followed_by("purchase", lambda r: r["event_type"] == "purchase",
+                     expr="event_type = 'purchase'")
+        .within(600_000)
+    )
+    out = match_pattern_stream(
+        ev, pat, key_col="user_id", watermark_delay="10 minutes", output="timeouts"
+    )
+    return run_to_completion(out, "cep_stream_timeouts_sink", "append")

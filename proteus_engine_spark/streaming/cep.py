@@ -644,20 +644,27 @@ def _prune_after_match(
     return out
 
 
-def _prune_expired(partials: list[dict], horizon_ms: int, pattern: Pattern) -> tuple[list[dict], list[dict]]:
+def _prune_expired(
+    partials: list[dict], horizon_ms: int, pattern: Pattern
+) -> tuple[list[dict], list[dict], list[dict]]:
     """Drop partials whose within() window has passed `horizon_ms`; a
     partial sitting at a trailing notFollowedBy guard COMPLETES instead
-    (absence confirmed). Returns (kept, completed_event_dicts)."""
+    (absence confirmed), every other expired partial is a TIMEOUT (the
+    PatternStream timeout side output). Returns
+    (kept, completed_event_dicts, timed_out_partials)."""
     trailing = pattern.steps[-1].contiguity == "notFollowedBy"
     last = len(pattern.steps) - 1
     keep: list[dict] = []
     done: list[dict] = []
+    timed_out: list[dict] = []
     for p in partials:
         if horizon_ms - p["t0"] <= pattern.within_ms:
             keep.append(p)
         elif trailing and p["idx"] == last:
             done.append(p["events"])
-    return keep, done
+        else:
+            timed_out.append({**p, "__timeout_ts__": p["t0"] + pattern.within_ms})
+    return keep, done, timed_out
 
 
 def _match_columns(pattern: Pattern) -> list[str]:
@@ -751,6 +758,7 @@ def match_pattern_stream(
     ts_col: str = "ts",
     id_col: str = "event_id",
     watermark_delay: str | None = None,
+    output: str = "matches",
 ) -> DataFrame:
     """Streaming CEP: open partial matches persist in keyed state across
     micro-batches (the NFA ComputationState equivalent); completed matches
@@ -781,14 +789,31 @@ def match_pattern_stream(
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     pattern.validate()
+    if output not in ("matches", "timeouts"):
+        raise ValueError(f"unknown output {output!r}: expected 'matches' or 'timeouts'")
+    if output == "timeouts" and pattern.within_ms is None:
+        raise ValueError("output='timeouts' requires a within() bound")
     out_cols = [key_col] + _match_columns(pattern)
-    schema = f"{key_col} long, " + ", ".join(f"{c} long" for c in _match_columns(pattern))
+    if output == "timeouts":
+        out_cols = out_cols + ["timeout_ts"]
+    schema = f"{key_col} long, " + ", ".join(f"{c} long" for c in out_cols[1:])
     use_wm = watermark_delay is not None
 
     def emit(key, matches):
         return pd.DataFrame(
             [[key[0]] + _match_row(pattern, m) for m in matches], columns=out_cols
         )
+
+    def emit_timeouts(key, timed_out):
+        # fork-twins can expire with identical matched prefixes — one row
+        # per distinct ComputationState, like the batch path
+        return pd.DataFrame(
+            [
+                [key[0]] + _match_row(pattern, p["events"]) + [int(p["__timeout_ts__"])]
+                for p in timed_out
+            ],
+            columns=out_cols,
+        ).drop_duplicates()
 
     def transition_replay(key, pdfs, state: GroupState):
         partials = pickle.loads(state.get[0]) if state.exists else []
@@ -797,18 +822,23 @@ def match_pattern_stream(
             return
         pdf = pd.concat(batches).sort_values([ts_col, id_col], kind="mergesort")
         # Same pure NFA as batch, seeded with the carried-over partials.
-        matches, partials, _expired = _run_nfa(pdf, pattern, ts_col, id_col, partials)
+        matches, partials, nfa_timeouts = _run_nfa(pdf, pattern, ts_col, id_col, partials)
+        timed_out = list(nfa_timeouts)
         if pattern.within_ms is not None and partials:
             # In-order assumption ⇒ the batch max is a sound horizon: no
             # future event is earlier, so expired partials cannot complete.
             horizon = int(pdf[ts_col].values.astype("datetime64[ms]").astype("int64").max())
-            partials, absence_done = _prune_expired(partials, horizon, pattern)
+            partials, absence_done, expired = _prune_expired(partials, horizon, pattern)
             matches.extend(absence_done)
+            timed_out.extend(expired)
         if partials:
             state.update((pickle.dumps(partials),))
         elif state.exists:
             state.remove()
-        if matches:
+        if output == "timeouts":
+            if timed_out:
+                yield emit_timeouts(key, timed_out)
+        elif matches:
             yield emit(key, matches)
 
     def transition_buffered(key, pdfs, state: GroupState):
@@ -832,16 +862,19 @@ def match_pattern_stream(
         )
         st["buf"] = [e for e in st["buf"] if e["__t__"] > wm]
         matches = []
+        timed_out: list[dict] = []
         partials = st["partials"]
         if ready:
-            matches, partials, _expired = _scan(
+            matches, partials, nfa_timeouts = _scan(
                 ready, [e["__t__"] for e in ready], pattern, id_col, partials
             )
+            timed_out.extend(nfa_timeouts)
         if pattern.within_ms is not None and partials:
             # Sound horizon = watermark: every event still to be released
             # (buffered or future) has ts > wm.
-            partials, absence_done = _prune_expired(partials, wm, pattern)
+            partials, absence_done, expired = _prune_expired(partials, wm, pattern)
             matches.extend(absence_done)
+            timed_out.extend(expired)
         st["partials"] = partials
         if st["buf"] or partials:
             state.update((pickle.dumps(st),))
@@ -855,7 +888,10 @@ def match_pattern_stream(
                 state.setTimeoutTimestamp(min(pending))
         elif state.exists:
             state.remove()
-        if matches:
+        if output == "timeouts":
+            if timed_out:
+                yield emit_timeouts(key, timed_out)
+        elif matches:
             yield emit(key, matches)
 
     pre = pattern.prefilter_expr()
