@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import os
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -380,3 +381,62 @@ def text_roundtrip_initials(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.length("value")).alias("total_len"),
     )
+
+
+@register(
+    "rich_udf_broadcast_join",
+    oracle="""
+    SELECT n.n_name AS nation, COUNT(*) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1
+    """,
+    tags=("udf", "rich", "surface"),
+)
+def rich_udf_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-function gate (RichFunction.open + RuntimeContext
+    .getBroadcastVariable, RuntimeContext.java:183; withBroadcastSet on
+    DataSet operators): the nation name lookup rides a BROADCAST VARIABLE
+    into a vectorized UDF — the reference's map-with-broadcast-set shape —
+    and a counter accumulator tallies processed rows worker-side. The
+    oracle is the equivalent join; a stale/partial broadcast value would
+    mis-map nations and fail it. The accumulator total is asserted
+    against the row count after the action (driver-merged, like
+    getLongCounter)."""
+    from proteus_engine_spark.functions.rich import runtime_context
+
+    nation_map = {
+        r["n_nationkey"]: r["n_name"]
+        for r in load_table(spark, sf_dir, "nation").collect()
+    }
+    ctx = runtime_context(
+        spark, broadcasts={"nations": nation_map}, counters=["rows_seen"]
+    )
+    counter = ctx._counters["rows_seen"]
+    handle = ctx._broadcasts["nations"]
+
+    @F.pandas_udf("string")
+    def nation_name(nk: pd.Series) -> pd.Series:
+        counter.add(len(nk))
+        m = handle.value
+        return nk.map(m)
+
+    cust = load_table(spark, sf_dir, "customer").select("c_nationkey", "c_acctbal")
+    out = (
+        cust.withColumn("nation", nation_name(F.col("c_nationkey")))
+        .groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("total_bal"),
+        )
+    )
+    # force one action so the accumulator check is part of the gate; the
+    # returned (tiny) frame is the checkpointed result
+    out = out.localCheckpoint(eager=True)
+    n_rows = cust.count()
+    if counter.value % n_rows != 0 or counter.value == 0:
+        # >= 1 full pass, in whole multiples (Spark may recompute a stage)
+        raise AssertionError(
+            f"accumulator saw {counter.value} rows, expected a multiple of {n_rows}"
+        )
+    return out
