@@ -81,9 +81,10 @@ _GATE_PRIORITY = [
     # over_running_agg, over_bounded_rows, subquery_exists_correlated,
     # explode_unnest, window_tumble, window_session) stay r4-green +
     # local-gate green and lead the r8 rotation, together with the
-    # post-freeze r7 additions stream_over_running_range_peers,
-    # stream_window_all, and cep_skip_past_last_event (local-gate-only
-    # this round).
+    # post-freeze r7 additions (local-gate-only this round):
+    # stream_over_running_range_peers, stream_window_all,
+    # cep_skip_past_last_event, cep_stream_ooo, cep_stream_timeouts,
+    # rich_udf_broadcast_join.
     "sim_ann_ivf",
     "multimodal_decode",
     "fn_string_suite",
