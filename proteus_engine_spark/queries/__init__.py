@@ -75,29 +75,30 @@ _GATE_PRIORITY = [
     "stream_over_running_agg",
     "stream_event_time_sort",
     "dedup_minhash_lsh",
+    # round-7: post-freeze additions, never driver-checked (6)
+    "stream_over_running_range_peers",
+    "stream_window_all",
+    "cep_skip_past_last_event",
+    "cep_stream_ooo",
+    "cep_stream_timeouts",
+    "rich_udf_broadcast_join",
     # regression rotation: latest driver green is round 4 — the stalest
-    # 18 of the 28 r4-only rows fill the window; the other ten
+    # 12 of the 28 r4-only rows fill the window; the other sixteen
     # (join_inner_dims, join_semi, agg_basic, sort_topk_per_group,
     # over_running_agg, over_bounded_rows, subquery_exists_correlated,
-    # explode_unnest, window_tumble, window_session) stay r4-green +
-    # local-gate green and lead the r8 rotation, together with the
-    # post-freeze r7 additions (local-gate-only this round):
-    # stream_over_running_range_peers, stream_window_all,
-    # cep_skip_past_last_event, cep_stream_ooo, cep_stream_timeouts,
-    # rich_udf_broadcast_join.
+    # explode_unnest, window_tumble, window_session, fn_string_suite,
+    # fn_temporal_suite, q5_local_supplier_volume, q10_returned_items,
+    # q14_promo_effect, q12_ship_priority_class) stay r4-green +
+    # local-gate green and lead the r8 rotation. graph_sssp_scatter_gather
+    # and ml_outlier_sos moved up with the late additions; every
+    # never-driver-checked query is inside the window.
     "sim_ann_ivf",
     "multimodal_decode",
-    "fn_string_suite",
-    "fn_temporal_suite",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q6_forecast_revenue",
-    "q5_local_supplier_volume",
-    "q10_returned_items",
-    "q14_promo_effect",
     "q18_large_volume_customer",
     "q9_product_type_profit",
-    "q12_ship_priority_class",
     "q21_waiting_supplier",
     "iter_connected_components",
     "join_salted_skew",
