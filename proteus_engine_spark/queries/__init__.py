@@ -89,9 +89,11 @@ _GATE_PRIORITY = [
     # explode_unnest, window_tumble, window_session, fn_string_suite,
     # fn_temporal_suite, q5_local_supplier_volume, q10_returned_items,
     # q14_promo_effect, q12_ship_priority_class) stay r4-green +
-    # local-gate green and lead the r8 rotation. graph_sssp_scatter_gather
-    # and ml_outlier_sos moved up with the late additions; every
-    # never-driver-checked query is inside the window.
+    # local-gate green and lead the r8 rotation, together with
+    # stream_window_cogroup (added after the final window freeze;
+    # local-gate green). graph_sssp_scatter_gather and ml_outlier_sos
+    # moved up with the late additions; every other never-driver-checked
+    # query is inside the window.
     "sim_ann_ivf",
     "multimodal_decode",
     "q1_pricing_summary",

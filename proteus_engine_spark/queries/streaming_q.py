@@ -1726,3 +1726,62 @@ def cep_stream_timeouts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, pat, key_col="user_id", watermark_delay="10 minutes", output="timeouts"
     )
     return run_to_completion(out, "cep_stream_timeouts_sink", "append")
+
+
+@register(
+    "stream_window_cogroup",
+    oracle="""
+    WITH c AS (SELECT user_id, time_bucket(INTERVAL 1 HOUR, ts) AS b,
+                      event_id AS click_id
+               FROM events WHERE event_type = 'click'),
+         p AS (SELECT user_id, time_bucket(INTERVAL 1 HOUR, ts) AS b,
+                      event_id AS purchase_id
+               FROM events WHERE event_type = 'purchase'),
+         wm AS (SELECT least(
+                  (SELECT max(epoch_ms(ts)) FROM events WHERE event_type = 'click'),
+                  (SELECT max(epoch_ms(ts)) FROM events WHERE event_type = 'purchase')
+                ) - 600000 AS w)
+    SELECT c.user_id, c.b AS window_start, c.click_id, p.purchase_id
+    FROM c LEFT JOIN p ON c.user_id = p.user_id AND c.b = p.b
+    WHERE p.purchase_id IS NOT NULL
+       OR epoch_ms(c.b) + 3600000 <= (SELECT w FROM wm)
+    """,
+    tags=("streaming", "join", "cogroup"),
+)
+def stream_window_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming windowed coGroup (DataStream.coGroup(...).where(...)
+    .window(...) — CoGroupedStreams.java; the window join/coGroup shape):
+    clicks and purchases co-grouped per (user, 1h tumbling window) with
+    OUTER semantics — unmatched clicks surface with NULL purchase, the
+    part a plain windowed join drops. Spark-first: a stream-stream LEFT
+    OUTER join on (key, window) — Catalyst recognizes the window equality
+    for state eviction; matched pairs append as they arrive, NULL rows
+    emit once the joint watermark (min over both sides) closes their
+    window. Oracle: the batch bucket left-join; NULL rows cut to windows
+    closed by the final joint watermark."""
+    ev = events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .withWatermark("ts", "10 minutes")
+        .select(
+            "user_id", F.window("ts", "1 hour").alias("w"),
+            F.col("event_id").alias("click_id"),
+        )
+    )
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "10 minutes")
+        .select(
+            F.col("user_id").alias("p_user"), F.window("ts", "1 hour").alias("pw"),
+            F.col("event_id").alias("purchase_id"),
+        )
+    )
+    j = clicks.join(
+        purch,
+        (F.col("user_id") == F.col("p_user")) & (F.col("w") == F.col("pw")),
+        "left_outer",
+    )
+    out = j.select(
+        "user_id", F.col("w.start").alias("window_start"), "click_id", "purchase_id"
+    )
+    return run_to_completion(out, "stream_window_cogroup_sink", "append")
