@@ -104,3 +104,37 @@ def stream_foreach_batch(
         .outputMode(output_mode)
         .start()
     )
+
+
+def stream_to_socket(
+    df, host: str, port: int, value_col: str = "value", checkpoint: str | None = None
+):
+    """Socket sink (DataStream.writeToSocket, DataStream.java — serialize
+    each record and push it over one TCP connection). Spark ships no
+    socket sink, so this is a foreachBatch writer: per micro-batch the
+    value column is collected IN ORDER and written as newline-delimited
+    text over a persistent connection (opened lazily, reused across
+    batches within the writer's lifetime — the reference keeps one
+    connection too).
+
+    At-least-once like the reference's socket sink (a retried batch
+    re-sends its lines; TCP gives no transactional sink to anchor
+    exactly-once). Test/bridge harness scale: rows cross the driver —
+    for high volume use the kafka/file sinks."""
+    state: dict = {}
+
+    def send(batch_df, _epoch):
+        import socket as socketlib
+
+        rows = batch_df.select(value_col).collect()
+        if not rows:
+            return
+        if "conn" not in state:
+            state["conn"] = socketlib.create_connection((host, port))
+        payload = "".join(str(r[value_col]) + "\n" for r in rows)
+        state["conn"].sendall(payload.encode())
+
+    w = df.writeStream.foreachBatch(send).outputMode("append")
+    if checkpoint is not None:
+        w = w.option("checkpointLocation", checkpoint)
+    return w.start()
