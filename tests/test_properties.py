@@ -107,3 +107,53 @@ def test_nfa_matches_brute_force_two_step(seq, within):
     got = sorted((m["a"][0], m["b"][0]) for m in matches)
     expect = sorted(_reference_matches(seq, within))
     assert got == expect
+
+
+# ---------------- AfterMatchSkipStrategy invariants ----------------
+
+
+def _skip_run(types, skip=None, name=None):
+    import pandas as pd
+
+    from proteus_engine_spark.streaming.cep import Pattern, _run_nfa
+
+    pat = (
+        Pattern.begin("a", lambda r: r["event_type"] == "a")
+        .one_or_more()
+        .followed_by("b", lambda r: r["event_type"] == "b")
+    )
+    if skip:
+        pat = pat.after_match_skip(skip, name)
+    df = pd.DataFrame(
+        {
+            "event_id": range(len(types)),
+            "ts": pd.to_datetime(range(len(types)), unit="ms"),
+            "event_type": types,
+        }
+    )
+    m, _o, _t = _run_nfa(df, pat, "ts", "event_id")
+    return m
+
+
+@given(st.lists(st.sampled_from(["a", "b", "x"]), min_size=1, max_size=14))
+@settings(max_examples=150, deadline=None)
+def test_skip_strategies_invariants(types):
+    """On random event sequences (AfterMatchSkipStrategy.java semantics):
+    - every strategy's match set is a subset of no_skip's;
+    - skip_past_last_event keeps matches pairwise event-disjoint except
+      when they complete on the same element (same-element emissions
+      never prune each other). (No ordering between skip_to_first and
+      skip_to_last sets is asserted: their bars stop being comparable
+      once their emission sets diverge.)"""
+    def keyset(m):
+        return frozenset(m["__ids__"])
+
+    base = {keyset(m) for m in _skip_run(types)}
+    past = [keyset(m) for m in _skip_run(types, "skip_past_last_event")]
+    first = {keyset(m) for m in _skip_run(types, "skip_to_first", "a")}
+    last = {keyset(m) for m in _skip_run(types, "skip_to_last", "a")}
+    assert set(past) <= base and first <= base and last <= base
+    for i, m1 in enumerate(past):
+        for m2 in past[i + 1:]:
+            if max(m1) != max(m2):  # different completion elements
+                assert not (m1 & m2), (types, sorted(m1), sorted(m2))
