@@ -485,7 +485,8 @@ def graph_global_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH RECURSIVE e AS ({_PART_PART_EDGES_SQL}),
     r(vertex, distance) AS (
-        SELECT CAST(1 AS BIGINT) AS vertex, CAST(0.0 AS DOUBLE) AS distance
+        SELECT CAST(0 AS BIGINT) AS vertex, CAST(0.0 AS DOUBLE) AS distance
+        WHERE EXISTS (SELECT 1 FROM e WHERE src = 0 OR dst = 0)
         UNION
         SELECT e.dst, r.distance + 1.0
         FROM r JOIN e ON e.src = r.vertex
@@ -498,12 +499,16 @@ def graph_global_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
 def graph_sssp_scatter_gather(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scatter-gather framework gate (Graph.runScatterGatherIteration,
     Graph.java:1624; spargel/ScatterGatherIteration.java:63): SSSP from
-    part 1 on the DIRECTED part↔part edge list as the canonical spargel
+    part 0 (present in the co-occurrence graph at every test SF) on the
+    DIRECTED part↔part edge list as the canonical spargel
     client — scatter sends distance+1 along out-edges, gather keeps the
     minimum, vertices without messages keep state (the setNewVertexValue
     contract the framework enforces). 10 supersteps = min over paths of
     ≤ 10 edges; the oracle is a depth-bounded recursive CTE computing
-    exactly that, independently derived."""
+    exactly that, independently derived, seeded only when the source
+    vertex exists in the graph (the vertex set derives from the edge
+    list — at scale factors where part 1 never co-occurs, both sides
+    are empty)."""
     from proteus_engine_spark.graph.spargel import sssp
 
-    return sssp(_part_part_edges(spark, sf_dir), source=1, iterations=10)
+    return sssp(_part_part_edges(spark, sf_dir), source=0, iterations=10)
