@@ -76,14 +76,22 @@ def zip_with_index(df: DataFrame, out: str = "idx") -> DataFrame:
     and the offsets broadcast-join back onto the tag. The final
     row_number window partitions by the ORIGINAL partition id, so
     parallelism equals the input partition count — no single-task global
-    window. One extra counting job, like RDD.zipWithIndex; both passes
-    recompute the input, so the input must be deterministic (file scans,
-    deterministic transforms — the same constraint RDD.zipWithIndex
-    carries for its two passes)."""
+    window.
+
+    The tagged frame is materialized ONCE (localCheckpoint): the count
+    pass and the assign pass must see the IDENTICAL partitioning, and
+    under AQE a recomputed subplan may coalesce differently between
+    evaluations — at sf0.1 that produced offset/pid mismatches and an
+    inner join that silently dropped whole partitions. RDD.zipWithIndex
+    carries the same requirement (its two passes run on one materialized
+    RDD); the checkpoint is that materialization, and it also removes
+    the double computation of the input."""
     from pyspark.sql.window import Window
 
-    tagged = df.withColumn("__mid__", F.monotonically_increasing_id()).withColumn(
-        "__pid__", F.spark_partition_id()
+    tagged = (
+        df.withColumn("__mid__", F.monotonically_increasing_id())
+        .withColumn("__pid__", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     counts = tagged.groupBy("__pid__").agg(F.count(F.lit(1)).alias("__cnt__"))
     w_off = Window.orderBy("__pid__").rowsBetween(Window.unboundedPreceding, -1)

@@ -161,7 +161,7 @@ def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     parameters only govern recall. At 100 TB the (table, bucket) key is
     8 bytes and the candidate join stays a plain shuffle-hash join."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_cosine_pairs(emb, threshold=0.35, block_col=None, dim=64, nbits=2, n_tables=16)
+    return embedding_cosine_pairs(emb, threshold=0.35, block_col=None, dim=64, nbits=2, n_tables=24)
 
 
 def _simhash_md5_oracle(n_bits: int = 60, prefix_bits: int = 16) -> str:

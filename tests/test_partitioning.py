@@ -64,12 +64,16 @@ def test_zip_with_index_contiguous_and_order_preserving(spark):
 
 def test_zip_with_index_plan_is_jvm_only(spark):
     # The whole scheme must stay inside Catalyst: no Python evaluation
-    # node, no RDD scan (the r5 implementation round-tripped every row
-    # through df.rdd.zipWithIndex — a full-corpus Python pass at 100 TB).
+    # node (the r5 implementation round-tripped every row through
+    # df.rdd.zipWithIndex — a full-corpus Python pass at 100 TB). The
+    # localCheckpoint scan DOES surface as an ExistingRDD of JVM
+    # InternalRows — that is the deliberate one-time materialization that
+    # pins one partitioning for both passes (AQE re-planning between the
+    # count and assign passes dropped whole partitions at sf0.1), not a
+    # Python crossing.
     df = spark.range(1000).repartition(8)
     plan = _plan(zip_with_index(df))
-    assert "BatchEvalPython" not in plan
-    assert "ExistingRDD" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "row_number" in plan
     # offsets arrive via broadcast, not a shuffled join
     assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
