@@ -23,89 +23,75 @@ from proteus_engine_spark.queries import (  # noqa: F401
     windows_q,
 )
 
-# Round-7 priority window (the driver checks the first ~50 registry
-# entries): the re-gated text round-trip first (round 6's only red row —
-# the gate is hermetic now: per-invocation scratch dirs), then the 13
-# round-6 queries that have never seen a driver window (locally green in
-# r6's gatecheck_local.json), then the round-7 additions (out-of-order
-# bounded OVER, bounded RANGE OVER, AdamicAdar, CommunityDetection,
-# TriadicCensus, GlobalClusteringCoefficient), then re-verifies for
-# queries whose shared code changed this round (bounded_over_agg was
-# rewritten with watermark buffering; jaccard pair generation is now
-# span-batched; the minhash estimate tier persists its signature pass),
-# then the entire r4-stale rotation (every query whose latest driver
-# green is round 4) — exactly 50.
+# Round-8 priority window (the driver checks the first ~50 registry
+# entries): stream_window_cogroup first (the only registry query that
+# has never seen a driver window), then the four round-7 reds re-gated
+# after the HUGEINT oracle fix (the driver's pandas fetch coerces
+# DuckDB HUGEINT sums to float64; the oracles now CAST to BIGINT —
+# engine output was always correct), then the sixteen rows whose latest
+# driver green is round 4, then new round-8 gates, then the stalest
+# round-5 rows to fill to 50. ml_outlier_sos is deliberately OUT of the
+# window: it is registered with oracle=None (per-point perplexity
+# bisection is not SQL-expressible) and a rows-only query must not burn
+# a window slot as `err: no_oracle` — its value correctness is
+# pytest-proven against an independent scalar implementation.
 _GATE_PRIORITY = [
-    # round 6's only red row, re-gated after the hermetic-scratch fix (1)
+    # never driver-checked (1)
+    "stream_window_cogroup",
+    # round-7 reds, re-gated after the HUGEINT->BIGINT oracle casts (4)
     "text_roundtrip_initials",
-    # round-6 queries never driver-checked, locally green since r6 (13)
-    "graph_hits",
-    "graph_label_propagation",
-    "graph_jaccard",
-    "graph_clustering_coeff",
-    "graph_summarize",
     "graph_vertex_metrics",
-    "ml_linreg_price_vs_qty",
-    "ml_feature_scaling",
-    "ml_distance_metrics",
-    "queryable_state_lookup",
-    "stream_iterate_halving",
-    "cep_group_times",
-    "cep_group_optional",
-    # round-7: new operators/gates (6)
-    "stream_over_bounded_rows_ooo",
-    "stream_over_bounded_range",
-    "graph_adamic_adar",
-    "graph_community_detection",
-    "graph_triadic_census",
-    "graph_global_clustering",
-    # round-7: late additions, never driver-checked (8)
-    "stream_over_running_ooo",
-    "stream_event_time_sort_ooo",
     "socket_text_source_agg",
     "stream_from_elements_agg",
-    "savepoint_fork_resume",
-    "graph_sssp_scatter_gather",
-    "stream_over_sql_dispatch",
-    "ml_outlier_sos",
-    # shared-code re-verify: rewritten this round (4: bounded_over_agg,
-    # running_over_agg, event_time_sort watermark-buffered; minhash
-    # estimate-tier persist)
-    "stream_over_bounded_rows",
-    "stream_over_running_agg",
-    "stream_event_time_sort",
-    "dedup_minhash_lsh",
-    # round-7: post-freeze additions, never driver-checked (6)
-    "stream_over_running_range_peers",
-    "stream_window_all",
-    "cep_skip_past_last_event",
-    "cep_stream_ooo",
-    "cep_stream_timeouts",
-    "rich_udf_broadcast_join",
-    # regression rotation: latest driver green is round 4 — the stalest
-    # 12 of the 28 r4-only rows fill the window; the other sixteen
-    # (join_inner_dims, join_semi, agg_basic, sort_topk_per_group,
-    # over_running_agg, over_bounded_rows, subquery_exists_correlated,
-    # explode_unnest, window_tumble, window_session, fn_string_suite,
-    # fn_temporal_suite, q5_local_supplier_volume, q10_returned_items,
-    # q14_promo_effect, q12_ship_priority_class) stay r4-green +
-    # local-gate green and lead the r8 rotation, together with
-    # stream_window_cogroup (added after the final window freeze;
-    # local-gate green). graph_sssp_scatter_gather and ml_outlier_sos
-    # moved up with the late additions; every other never-driver-checked
-    # query is inside the window.
-    "sim_ann_ivf",
-    "multimodal_decode",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q6_forecast_revenue",
-    "q18_large_volume_customer",
-    "q9_product_type_profit",
-    "q21_waiting_supplier",
-    "iter_connected_components",
-    "join_salted_skew",
-    "asof_join_events",
-    "range_join_events",
+    # stalest rotation: latest driver green is round 4 (16)
+    "join_inner_dims",
+    "join_semi",
+    "agg_basic",
+    "sort_topk_per_group",
+    "over_running_agg",
+    "over_bounded_rows",
+    "subquery_exists_correlated",
+    "explode_unnest",
+    "window_tumble",
+    "window_session",
+    "fn_string_suite",
+    "fn_temporal_suite",
+    "q5_local_supplier_volume",
+    "q10_returned_items",
+    "q14_promo_effect",
+    "q12_ship_priority_class",
+    # round-8 additions (new gates land here as they are built)
+    "cep_group_unbounded_repeat",
+    "stream_late_rows_observed",
+    "jdbc_roundtrip_agg",
+    "udf_vectorized_default",
+    # next-stalest rotation: latest driver green is round 5, registry
+    # order (fills to 50)
+    "dedup_simhash",
+    "sim_ann_lsh",
+    "setop_union_all",
+    "setop_union_distinct",
+    "setop_intersect",
+    "setop_intersect_all",
+    "setop_except",
+    "setop_except_all",
+    "over_rank_functions",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_part_count",
+    "q17_small_quantity_revenue",
+    "q19_discounted_revenue",
+    "q22_sales_opportunity",
+    "iter_delta_sssp",
+    "sort_partition_leaders",
+    "from_rows_dim_join",
+    "csv_roundtrip_agg",
+    "insert_into_append",
+    "stream_tumble_agg",
+    "stream_csv_tumble_agg",
 ]
 
 

@@ -334,7 +334,7 @@ def graph_summarize(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg AS (SELECT v, count(*) AS d FROM adj GROUP BY v)
     SELECT count(*) AS n_vertices,
            CAST(SUM(d) / 2 AS BIGINT) AS n_edges,
-           SUM(d) AS sum_degree,
+           CAST(SUM(d) AS BIGINT) AS sum_degree,
            MAX(d) AS max_degree,
            CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS n_triplets
     FROM deg

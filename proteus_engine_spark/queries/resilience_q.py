@@ -27,7 +27,7 @@ from proteus_engine_spark.sources import load_table
     "socket_text_source_agg",
     oracle="""
     SELECT substr(p_name, 1, 1) AS initial, COUNT(*) AS n,
-           SUM(length(p_name)) AS total_len
+           CAST(SUM(length(p_name)) AS BIGINT) AS total_len
     FROM part GROUP BY initial
     """,
     tags=("streaming", "source", "surface"),
@@ -105,7 +105,7 @@ def socket_text_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream_from_elements_agg",
     oracle="""
-    SELECT n_regionkey, COUNT(*) AS n, SUM(length(n_name)) AS total_len
+    SELECT n_regionkey, COUNT(*) AS n, CAST(SUM(length(n_name)) AS BIGINT) AS total_len
     FROM nation GROUP BY n_regionkey
     """,
     tags=("streaming", "source", "surface"),

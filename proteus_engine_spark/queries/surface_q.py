@@ -358,7 +358,7 @@ def udf_scalar_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_roundtrip_initials",
     oracle="""
     SELECT substr(p_name, 1, 1) AS initial, COUNT(*) AS n,
-           SUM(length(p_name)) AS total_len
+           CAST(SUM(length(p_name)) AS BIGINT) AS total_len
     FROM part GROUP BY initial
     """,
     tags=("source", "sink", "surface"),

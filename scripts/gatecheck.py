@@ -101,6 +101,22 @@ def main() -> None:
                 continue
             rel = con.sql(entry.oracle)
             dcols = rel.columns
+            # The driver fetches oracle results via pandas, which coerces
+            # DuckDB HUGEINT/UHUGEINT to float64 (2426 -> 2426.0) and then
+            # hash-mismatches against the engine's ints even when values are
+            # identical. fetchall() would hide that, so fail loudly here —
+            # the fix is always CAST(... AS BIGINT) in the oracle SQL.
+            hugeint_cols = [
+                c
+                for c, t in zip(dcols, rel.types)
+                if "HUGEINT" in str(t).upper()
+            ]
+            if hugeint_cols:
+                raise ValueError(
+                    f"oracle emits HUGEINT column(s) {hugeint_cols}; the driver's "
+                    "pandas fetch coerces these to float64 and the hash compare "
+                    "fails — CAST the column(s) AS BIGINT in the oracle SQL"
+                )
             ocols = sorted(dcols)
             idx = [dcols.index(c) for c in ocols]
             orows = sorted(
