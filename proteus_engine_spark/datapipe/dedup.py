@@ -233,9 +233,9 @@ def minhash_lsh_pairs(
             .select("doc", shingle_array(text_col, k=shingle_k).alias("payload"), "pairs")
         )
     else:
-        # Signature re-attach references the mh subplan a second time (the
-        # hash pass runs twice in this tier); the exact tier — the one a
-        # 100 TB dedup actually verifies with — runs it once.
+        # Signature re-attach references the mh subplan a second time, but
+        # mh is persisted in this tier (see the docstring), so the second
+        # reference reads the cache — the hash pass still runs ONCE.
         sig = F.array(*[F.col(f"mh_{p}") for p in range(num_perm)])
         attached = (
             mh.join(F.broadcast(per_doc), F.col(id_col) == F.col("doc"))

@@ -33,10 +33,14 @@ from pyspark.sql import functions as F
 class ScalarFunction:
     """ScalarFunction.scala:47 parity: subclass with an ``eval`` method.
 
-    If ``vectorized`` is True, ``eval`` receives/returns pandas Series
-    (Arrow path — ~10-100× the row path; always prefer it)."""
+    ``vectorized`` defaults to True: ``eval`` receives/returns pandas
+    Series (Arrow path — ~10-100× the row path), so a default subclass
+    lands on the fast plan (no BatchEvalPython node). Set
+    ``vectorized = False`` only for genuinely non-vectorizable per-row
+    logic — that opt-out warns, since a row-at-a-time Python UDF in a
+    hot path is the classic 100 TB scale-killer."""
 
-    vectorized = False
+    vectorized = True
     return_type = "string"
 
     def eval(self, *args):  # pragma: no cover - contract
@@ -50,6 +54,14 @@ class ScalarFunction:
                 return eval_fn(*series)
 
             return F.pandas_udf(vector_eval, returnType=self.return_type)
+        import warnings
+
+        warnings.warn(
+            f"{type(self).__name__}: vectorized=False selects the "
+            "row-at-a-time Python UDF path (~10-100x slower than the "
+            "Arrow path); write eval over pandas Series if possible",
+            stacklevel=2,
+        )
         return F.udf(self.eval, returnType=self.return_type)
 
 

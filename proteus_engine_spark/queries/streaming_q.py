@@ -244,7 +244,7 @@ def stream_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
              row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
       FROM events)
     SELECT * FROM w
-    WHERE epoch_ms(ts) <= (SELECT max(epoch_ms(ts)) FROM events) - 600000
+    WHERE epoch_ms(ts) < (SELECT max(epoch_ms(ts)) FROM events) - 600000
     """,
     tags=("streaming", "sort", "stateful"),
 )
@@ -556,7 +556,7 @@ def cep_strict_next(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS UNBOUNDED PRECEDING))
     SELECT * FROM w
-    WHERE epoch_ms(ts) <= (SELECT max(epoch_ms(ts)) FROM events) - 600000
+    WHERE epoch_ms(ts) < (SELECT max(epoch_ms(ts)) FROM events) - 600000
     """,
     tags=("streaming", "over"),
 )
@@ -586,7 +586,7 @@ def stream_over_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS UNBOUNDED PRECEDING))
     SELECT * FROM w
-    WHERE epoch_ms(ts) <= (SELECT max(epoch_ms(ts)) FROM events) - 18000000
+    WHERE epoch_ms(ts) < (SELECT max(epoch_ms(ts)) FROM events) - 18000000
     """,
     tags=("streaming", "over"),
 )
@@ -612,7 +612,7 @@ def stream_over_running_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
              row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
       FROM events)
     SELECT * FROM w
-    WHERE epoch_ms(ts) <= (SELECT max(epoch_ms(ts)) FROM events) - 18000000
+    WHERE epoch_ms(ts) < (SELECT max(epoch_ms(ts)) FROM events) - 18000000
     """,
     tags=("streaming", "sort", "stateful"),
 )
@@ -1044,7 +1044,7 @@ def cep_greedy_click_run(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
     SELECT * FROM w
-    WHERE epoch_ms(ts) <= (SELECT max(epoch_ms(ts)) FROM events) - 600000
+    WHERE epoch_ms(ts) < (SELECT max(epoch_ms(ts)) FROM events) - 600000
     """,
     tags=("streaming", "over"),
 )
@@ -1077,7 +1077,7 @@ def stream_over_bounded_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
     SELECT * FROM w
-    WHERE epoch_ms(ts) <= (SELECT max(epoch_ms(ts)) FROM events) - 18000000
+    WHERE epoch_ms(ts) < (SELECT max(epoch_ms(ts)) FROM events) - 18000000
     """,
     tags=("streaming", "over"),
 )
@@ -1113,7 +1113,7 @@ def stream_over_bounded_rows_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts
                    RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW))
     SELECT * FROM w
-    WHERE epoch_ms(ts) <= (SELECT max(epoch_ms(ts)) FROM events) - 600000
+    WHERE epoch_ms(ts) < (SELECT max(epoch_ms(ts)) FROM events) - 600000
     """,
     tags=("streaming", "over"),
 )
@@ -1485,7 +1485,7 @@ def cep_group_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW))
     SELECT * FROM w
-    WHERE epoch_ms(ts) <= (SELECT max(epoch_ms(ts)) FROM events) - 600000
+    WHERE epoch_ms(ts) < (SELECT max(epoch_ms(ts)) FROM events) - 600000
     """,
     tags=("streaming", "over", "sql"),
 )
@@ -1647,8 +1647,8 @@ def cep_skip_past_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, signup_id, signup_ts, purchase_id, purchase_ts
     FROM pairs
     WHERE rn = 1
-      AND purchase_ts <= (SELECT max(epoch_ms(ts)) FROM events
-                          WHERE event_type IN ('signup', 'purchase')) - 18000000
+      AND purchase_ts < (SELECT max(epoch_ms(ts)) FROM events
+                         WHERE event_type IN ('signup', 'purchase')) - 18000000
     """,
     tags=("streaming", "cep"),
 )
@@ -1785,3 +1785,102 @@ def stream_window_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.col("w.start").alias("window_start"), "click_id", "purchase_id"
     )
     return run_to_completion(out, "stream_window_cogroup_sink", "append")
+
+
+@register(
+    "stream_late_rows_observed",
+    oracle="""
+    WITH b AS (SELECT epoch_ms(ts) AS ms FROM events),
+         bounds AS (SELECT min(ms) AS lo, max(ms) AS hi FROM b),
+         cutv AS (SELECT lo + (hi - lo) * 55 // 100 AS cut, hi FROM bounds)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM b, cutv WHERE ms < cut)
+             AS n_dropped,
+           (SELECT CAST(count(*) AS BIGINT) FROM b, cutv
+             WHERE ms >= cut AND ms < hi - 600000) AS n_released
+    """,
+    tags=("streaming", "late", "observability"),
+)
+def stream_late_rows_observed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data observability gate (WindowedStream.sideOutputLateData,
+    WindowedStream.java:171): the staged replay delivers every pre-cut
+    row AFTER the watermark has jumped past it; the event-time sort
+    operator (applyInPandasWithState — Spark's late filter counts RAW
+    input rows there, unlike windowed aggregation where the count is
+    post-partial-agg groups) drops them all, and the drop count is read
+    back from StreamingQueryProgress.stateOperators[]
+    .numRowsDroppedByWatermark via the dropped_late_rows helper — the
+    reference re-routes the same rows to a side output; Spark counts
+    them. The oracle recomputes the drop count (every row below the 55%
+    cut) and the released on-time row count (strictly below the final
+    watermark) from the batch table, so a replay that leaks late rows
+    into the sort, or a metric that under/over-counts, both fail."""
+    from proteus_engine_spark.sources.tables import from_rows
+    from proteus_engine_spark.streaming.sources import (
+        dropped_late_rows,
+        events_stream_late,
+        run_to_completion_observed,
+    )
+
+    ev = events_stream_late(spark, sf_dir)
+    sorted_ev = event_time_sort(ev, "user_id", "ts")
+    sink, progress = run_to_completion_observed(
+        sorted_ev, "stream_late_obs_sink", "append"
+    )
+    n_dropped = dropped_late_rows(progress)
+    n_released = sink.count()
+    return from_rows(
+        spark,
+        [(int(n_dropped), int(n_released))],
+        schema="n_dropped long, n_released long",
+    )
+
+
+@register(
+    "cep_group_unbounded_repeat",
+    oracle="""
+    WITH RECURSIVE seq AS (
+      SELECT user_id, event_id, ts, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events),
+    pairs AS (
+      SELECT c.user_id, c.rn AS start_rn, v.rn AS end_rn,
+             c.event_id AS last_click_id, c.ts AS last_click_ts,
+             v.event_id AS last_view_id, v.ts AS last_view_ts, 1 AS r
+      FROM seq c JOIN seq v ON v.user_id = c.user_id AND v.rn = c.rn + 1
+      WHERE c.event_type = 'click' AND v.event_type = 'view'),
+    rec AS (
+      SELECT * FROM pairs
+      UNION ALL
+      SELECT rec.user_id, rec.start_rn, p.end_rn,
+             p.last_click_id, p.last_click_ts,
+             p.last_view_id, p.last_view_ts, rec.r + 1
+      FROM rec JOIN pairs p
+        ON p.user_id = rec.user_id AND p.start_rn = rec.end_rn + 1)
+    SELECT user_id,
+           last_click_id AS click_id, epoch_ms(last_click_ts) AS click_ts,
+           CAST(r AS BIGINT) AS click_cnt,
+           last_view_id AS view_id, epoch_ms(last_view_ts) AS view_ts,
+           CAST(r AS BIGINT) AS view_cnt
+    FROM rec
+    """,
+    tags=("streaming", "cep", "group"),
+)
+def cep_group_unbounded_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNBOUNDED group repetition gate (GroupPattern.java:42 — the
+    reference carries the group repeat count in NFA state; no enumeration
+    cap): (click NEXT view) repeated one-or-more times with strict
+    chaining between repeats. The engine's state-counted loop wires the
+    group's last step back to its first and emits a match per prefix —
+    repeat counts as deep as the data's alternation runs actually go,
+    which no finite variant expansion can promise. The oracle is a
+    genuinely recursive CTE: adjacent (click, view) pairs extended
+    per-repeat, reporting the LAST repeat's events and the repeat count,
+    the exact repeat-stable schema match_group_pattern emits."""
+    from proteus_engine_spark.streaming.cep import GroupPattern, match_group_pattern
+
+    ev = load_table(spark, sf_dir, "events")
+    sub = Pattern.begin(
+        "click", lambda r: r["event_type"] == "click"
+    ).next("view", lambda r: r["event_type"] == "view")
+    g = GroupPattern.begin(sub).one_or_more().consecutive()
+    return match_group_pattern(ev, g, "user_id")

@@ -18,6 +18,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from proteus_engine_spark.queries.exact import dsum
 from proteus_engine_spark.queries.registry import register
 from proteus_engine_spark.sources import load_table
 from proteus_engine_spark.sources.sinks import insert_into, write_csv
@@ -53,6 +54,7 @@ def _scratch(tag: str, sf_dir: str) -> str:
     gc_prefixes = (
         "csv_supplier_", "insert_into_orders_", "text_part_",
         "from_elements_", "savepoint_gate_", "ooo_stage_", "csv_events_stage_",
+        "jdbc_db_", "late_stage_",
     )
     for entry in os.listdir(parent):
         full = os.path.join(parent, entry)
@@ -351,6 +353,101 @@ def udf_scalar_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem_udf_gate
         GROUP BY flag_status_bucket(l_returnflag, l_linestatus)
         """
+    )
+
+
+class _DiscountTier(ScalarFunction):
+    """Deliberately does NOT set ``vectorized``: proves the DEFAULT
+    subclass rides the Arrow pandas_udf path (eval receives pandas
+    Series; the physical plan carries ArrowEvalPython, never
+    BatchEvalPython)."""
+
+    return_type = "string"
+
+    def eval(self, discount):
+        import pandas as pd
+
+        return pd.cut(
+            discount,
+            bins=[-1.0, 0.02, 0.06, 1.0],
+            labels=["low", "mid", "high"],
+        ).astype(str)
+
+
+@register(
+    "udf_vectorized_default",
+    oracle="""
+    SELECT CASE WHEN l_discount <= 0.02 THEN 'low'
+                WHEN l_discount <= 0.06 THEN 'mid'
+                ELSE 'high' END AS tier,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY tier
+    """,
+    tags=("udf", "surface"),
+)
+def udf_vectorized_default(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-by-default ScalarFunction gate (ScalarFunction.scala:47): a
+    subclass that never mentions ``vectorized`` must land on the
+    pandas_udf plan — the query asserts the physical plan contains no
+    row-at-a-time BatchEvalPython node before returning, then the oracle
+    checks the tiering values themselves."""
+    li = load_table(spark, sf_dir, "lineitem")
+    tier = _DiscountTier().to_udf()
+    out = (
+        li.groupBy(tier(F.col("l_discount").cast("double")).alias("tier"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("l_quantity", "sum_qty"),
+        )
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    if "BatchEvalPython" in plan:
+        raise AssertionError("default ScalarFunction took the row-UDF path")
+    return out
+
+
+@register(
+    "jdbc_roundtrip_agg",
+    oracle="""
+    SELECT s_nationkey, COUNT(*) AS n,
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM supplier GROUP BY s_nationkey
+    """,
+    tags=("source", "sink", "surface", "jdbc"),
+)
+def jdbc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JDBC connector gate (flink-connectors/flink-jdbc
+    JDBCInputFormat/JDBCOutputFormat): supplier goes out through the
+    batched JDBC sink into an embedded Derby database (the one JDBC
+    engine shipped inside Spark's own jars) and back in through a
+    PARTITIONED JDBC read — 4 range-predicated queries, the reference's
+    NumericBetweenParametersProvider split — then aggregates. A broken
+    type mapping, a dropped batch, or a range split that loses/duplicates
+    boundary rows fails the oracle."""
+    from proteus_engine_spark.sources.jdbc import (
+        DERBY_EMBEDDED_DRIVER,
+        read_jdbc,
+        write_jdbc,
+    )
+
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey", F.col("s_acctbal").cast("double").alias("s_acctbal")
+    )
+    url = f"jdbc:derby:{_scratch('jdbc_db', sf_dir)}/db;create=true"
+    write_jdbc(
+        sup, mode="overwrite", url=url, table="supplier_rt",
+        driver=DERBY_EMBEDDED_DRIVER, batch_size=1000,
+    )
+    back = read_jdbc(
+        spark, url=url, table="supplier_rt", driver=DERBY_EMBEDDED_DRIVER,
+        partition_column="s_suppkey", lower_bound=0, upper_bound=1_000_000,
+        num_partitions=4,
+    )
+    return back.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("s_acctbal").cast("decimal(18,2)")).cast("double").alias("total_bal"),
     )
 
 

@@ -19,6 +19,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLE_NAMES = (
     "region",
@@ -101,6 +102,26 @@ def read_csv(spark: SparkSession, path: str, schema=None, header: bool = True) -
 def read_text(spark: SparkSession, path: str) -> DataFrame:
     """Line-delimited text source (ExecutionEnvironment.readTextFile parity)."""
     return spark.read.text(path)
+
+
+def read_file_of_primitives(
+    spark: SparkSession, path: str, type_ddl: str, delimiter: str | None = None
+) -> DataFrame:
+    """readFileOfPrimitives parity (ExecutionEnvironment.java:466): a file
+    of delimiter-separated primitive values becomes a single-column
+    DataFrame of `type_ddl` (e.g. "long", "double", "string"). With the
+    default newline delimiter this is the text source + a cast; a custom
+    delimiter splits each line first (the reference's variant with a
+    delimiter argument). Unparseable tokens become NULL, matching the
+    permissive cast the reference's primitive parsers apply."""
+    lines = spark.read.text(path)
+    if delimiter is not None and delimiter != "\n":
+        lines = lines.select(
+            F.explode(F.split(F.col("value"), F.lit(delimiter))).alias("value")
+        ).filter(F.col("value") != "")
+    # try_cast: malformed tokens -> NULL even under ANSI mode (a plain
+    # cast would abort the whole scan on one bad line)
+    return lines.select(F.col("value").try_cast(type_ddl).alias("value"))
 
 
 def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:

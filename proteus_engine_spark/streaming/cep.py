@@ -73,6 +73,19 @@ class Step:
     # also survives, so later matching events can be taken with gaps —
     # every combination containing the first loop event matches
     combinations: bool = False
+    # -- state-counted GROUP loop (GroupPattern.java:42: the reference
+    # carries the group's repeat count in NFA state; NFACompiler wires the
+    # group's last state back to its first). Set on the LAST inner step of
+    # an unbounded one_or_more group: index of the group's FIRST inner
+    # step to loop back to, and the group's id for repeat-count
+    # bookkeeping (__gcnt__{gid} in the match's events dict).
+    group_loop_to: int | None = None
+    # set on EVERY inner step of such a group (adds {name}_cnt columns)
+    group_id: int | None = None
+    # set on the FIRST inner step: strict (next) chaining between repeats
+    # (GroupPattern.consecutive), distinct from the attach contiguity that
+    # gates repeat 0
+    group_between_strict: bool = False
 
 
 @dataclass
@@ -428,6 +441,10 @@ def _run_nfa(
     the event-time millis column is vectorized up front — no pandas object
     construction per row.
     """
+    # Structural problems (unknown skip-strategy reference, trailing
+    # greedy, ...) must surface at the entry point, not as executor-side
+    # data-time errors — the runtime prune degrades gracefully instead.
+    pattern.validate()
     ts_ms = events[ts_col].values.astype("datetime64[ms]").astype("int64").tolist()
     rows = events.to_dict("records")
     return _scan(rows, ts_ms, pattern, id_col, partials)
@@ -513,7 +530,10 @@ def _scan(
             # identity (interval overlap is NOT equivalent under relaxed
             # contiguity), and per-step first for SKIP_TO_FIRST
             ev["__ids__"] = ev.get("__ids__", ()) + ((t, eid),)
-            if cnt == 1:
+            if cnt == 1 and step.name not in ev.get("__first__", {}):
+                # first event EVER mapped to this step name — group
+                # loop-backs re-enter the same-named step with cnt reset,
+                # and SKIP_TO_FIRST must still see the first repeat's event
                 ev["__first__"] = {**ev.get("__first__", {}), step.name: (eid, t)}
             if step.quantifier == "oneOrMore":
                 # extend the loop AND branch past the step (prefix match);
@@ -536,6 +556,19 @@ def _scan(
                     out.append(p)
             elif step.quantifier == "times" and cnt < step.times_n:
                 out.append({"idx": p["idx"], "cnt": cnt, "events": ev, "t0": t0})
+            elif step.group_loop_to is not None:
+                # state-counted GROUP loop (GroupPattern.java:42): the
+                # group's last inner step completed one repeat — bump the
+                # repeat count carried in NFA state, fork a loop-back
+                # branch re-entering the group's first step, AND exit past
+                # the group (per-prefix matches, like step-level oneOrMore)
+                gk = f"__gcnt__{step.group_id}"
+                ev[gk] = ev.get(gk, 0) + 1
+                out.append({
+                    "idx": step.group_loop_to, "cnt": 0, "events": ev,
+                    "t0": t0, "gloop": True,
+                })
+                place({"idx": p["idx"] + 1, "cnt": 0, "events": dict(ev), "t0": t0}, out)
             else:  # single, optional-taken, or times complete
                 place({"idx": p["idx"] + 1, "cnt": 0, "events": ev, "t0": t0}, out)
             if step.contiguity == "followedByAny" and p["cnt"] == 0:
@@ -561,10 +594,15 @@ def _scan(
                     advance(q, s, t, eid, out)
                 return
             # mid-repeat contiguity is strict under consecutive(); the
-            # step's own contiguity gates the first repeat.
-            strict = (step.contiguity == "next") if p["cnt"] == 0 else (
-                step.consecutive or step.contiguity == "next"
-            )
+            # step's own contiguity gates the first repeat. A loop-back
+            # partial waiting at a group's first step is gated by the
+            # group's BETWEEN-repeat rule, not the attach contiguity.
+            if p.get("gloop"):
+                strict = step.group_between_strict
+            elif p["cnt"] == 0:
+                strict = step.contiguity == "next"
+            else:
+                strict = step.consecutive or step.contiguity == "next"
             if not strict:
                 out.append(p)  # relaxed: skip this event
             # else: strict contiguity broken → partial dies
@@ -607,8 +645,9 @@ def _prune_after_match(
     .java:103-110): SKIP_PAST_LAST_EVENT kills partials sharing an actual
     EVENT with an emitted match (event identity, not interval overlap —
     relaxed-contiguity partials may interleave without sharing events);
-    SKIP_TO_FIRST/LAST kill partials that STARTED before the first/last
-    event mapped to the referenced pattern in any emitted match."""
+    SKIP_TO_FIRST/LAST kill partials containing a match event that
+    precedes the first/last event mapped to the referenced pattern —
+    also event containment, never a start-point bar."""
     kind, pname = skip
     if kind == "skip_past_last_event":
         emitted: set = set()
@@ -619,29 +658,35 @@ def _prune_after_match(
             for p in partials
             if not (set(p["events"].get("__ids__", ())) & emitted)
         ]
-    bar = None
+    # SKIP_TO_FIRST/LAST (nfa/NFA.java:374-383): the discard set is the
+    # emitted match's OWN events that precede the first/last event mapped
+    # to the referenced pattern; only partials CONTAINING a discarded
+    # event die. A partial sharing no event with the match (common under
+    # followedBy interleaving) survives — pruning by start-point would
+    # silently under-emit its eventual match.
+    discard: set = set()
     for m in new_matches:
+        ids = m.get("__ids__", ())
         if kind == "skip_to_first":
             ref = m.get("__first__", {}).get(pname)
         else:
             e = m.get(pname)
             ref = (e[0], e[1]) if e else None
         if ref is None:
-            # AfterMatchSkipStrategy contract: the referenced pattern must
-            # have a mapped event in the match
-            raise ValueError(
-                f"after-match skip references pattern {pname!r} which matched "
-                "no event in an emitted match"
-            )
-        point = (ref[1], ref[0])  # (ts, id) order for comparisons
-        bar = point if bar is None else max(bar, point)
-    out = []
-    for p in partials:
-        ids = p["events"].get("__ids__", ())
-        if ids and min(ids) < bar:
-            continue
-        out.append(p)
-    return out
+            # Referenced step was optional() and skipped in this match:
+            # the reference treats a missing name as "discard all
+            # preceding match events" rather than throwing (NFA.java has
+            # no runtime guard here) — fall back to the whole match's
+            # consumed set; never raise inside the executor on data.
+            discard |= set(ids)
+        else:
+            point = (ref[1], ref[0])  # (ts, id): consumption order
+            discard |= {q for q in ids if q < point}
+    return [
+        p
+        for p in partials
+        if not (set(p["events"].get("__ids__", ())) & discard)
+    ]
 
 
 def _prune_expired(
@@ -673,7 +718,7 @@ def _match_columns(pattern: Pattern) -> list[str]:
         if st.contiguity in ("notNext", "notFollowedBy"):
             continue  # negative steps never consume an event
         cols += [f"{st.name}_id", f"{st.name}_ts"]
-        if st.quantifier in ("oneOrMore", "timesOrMore"):
+        if st.quantifier in ("oneOrMore", "timesOrMore") or st.group_id is not None:
             cols.append(f"{st.name}_cnt")
     return cols
 
@@ -689,6 +734,11 @@ def _match_row(pattern: Pattern, m: dict) -> list:
         row += [int(e[0]), int(e[1])] if e else [None, None]
         if st.quantifier in ("oneOrMore", "timesOrMore"):
             row.append(int(e[2]) if e else None)
+        elif st.group_id is not None:
+            # state-counted group loop: the repeat count lives in the
+            # match's NFA state, not the per-step tuple
+            g = m.get(f"__gcnt__{st.group_id}")
+            row.append(int(g) if g is not None else None)
     return row
 
 
@@ -844,23 +894,33 @@ def match_pattern_stream(
     def transition_buffered(key, pdfs, state: GroupState):
         wm = state.getCurrentWatermarkMs()
         st = pickle.loads(state.get[0]) if state.exists else {"buf": [], "partials": []}
+        frontier = st.get("frontier", 0)
         if not state.hasTimedOut:
             batches = [p for p in pdfs]
             if batches:
                 pdf = pd.concat(batches)
                 ts_ms = pdf[ts_col].values.astype("datetime64[ms]").astype("int64").tolist()
                 for r, t in zip(pdf.to_dict("records"), ts_ms):
+                    # Late-event drop (AbstractKeyedCEPPatternOperator
+                    # discards elements below the operator watermark;
+                    # Spark's own late filter lags one micro-batch): a row
+                    # below this key's last NFA frontier can no longer be
+                    # sequenced.
+                    if t < frontier:
+                        continue
                     r["__t__"] = t
                     st["buf"].append(r)
-        # Release everything the watermark has sequenced: rows at or below
-        # the watermark can no longer be preceded by new arrivals (Spark
-        # drops later-than-watermark input), so the NFA sees a gapless
-        # (ts, id)-ordered prefix across micro-batches.
+        st["frontier"] = max(frontier, wm)
+        # Release everything the watermark has sequenced: rows STRICTLY
+        # below the watermark can no longer be preceded by new arrivals
+        # (Spark admits ts == wm late rows — it drops only strictly older
+        # input), so the NFA sees a gapless (ts, id)-ordered prefix
+        # across micro-batches.
         ready = sorted(
-            (e for e in st["buf"] if e["__t__"] <= wm),
+            (e for e in st["buf"] if e["__t__"] < wm),
             key=lambda e: (e["__t__"], e[id_col]),
         )
-        st["buf"] = [e for e in st["buf"] if e["__t__"] > wm]
+        st["buf"] = [e for e in st["buf"] if e["__t__"] >= wm]
         matches = []
         timed_out: list[dict] = []
         partials = st["partials"]
@@ -878,10 +938,11 @@ def match_pattern_stream(
         st["partials"] = partials
         if st["buf"] or partials:
             state.update((pickle.dumps(st),))
-            # Earliest pending obligation; both candidate kinds are > wm by
-            # construction (release filter / prune above), as EventTimeTimeout
-            # requires.
-            pending = [e["__t__"] for e in st["buf"]]
+            # Earliest pending obligation; both candidate kinds are > wm
+            # by construction (a buffered row at ts releases when wm > ts,
+            # so its wake-up is ts + 1; expired partials prune at
+            # t0 + within + 1), as EventTimeTimeout requires.
+            pending = [e["__t__"] + 1 for e in st["buf"]]
             if pattern.within_ms is not None:
                 pending += [p["t0"] + pattern.within_ms + 1 for p in partials]
             if pending:
@@ -918,6 +979,7 @@ class _GroupItem:
     contiguity: str  # how the group's first repeat attaches
     reps: tuple[int, ...] = (1,)  # allowed repeat counts
     consecutive: bool = False  # strict chaining BETWEEN repeats
+    unbounded: bool = False  # one_or_more(): state-counted NFA loop
 
 
 class GroupPattern:
@@ -926,16 +988,17 @@ class GroupPattern:
     followedByAny(Pattern), quantified with times/optional/oneOrMore —
     NFACompiler's group handling).
 
-    Spark-first strategy: VARIANT EXPANSION instead of a nested NFA. A
+    Spark-first strategy: VARIANT EXPANSION for times/optional — a
     quantified group admits a finite set of repeat counts; each choice
     vector flattens to an ordinary step-sequence `Pattern` (the group's
     consume strategy attaches repeat j's first step, inner steps keep
     their own contiguity — the same wiring NFACompiler emits state-by-
     state), every variant runs the existing NFA, and the union of their
-    matches is the group-pattern match set. Repeat counts are therefore
-    explicit: `one_or_more` takes a `max_repeats` bound (the reference's
-    unbounded group loop has no finite variant set — bound it by the
-    within() horizon you actually care about; documented deviation).
+    matches is the group-pattern match set. `one_or_more()` with no bound
+    is STATE-COUNTED instead (GroupPattern.java:42 parity): the group's
+    last inner step loops back to its first and the repeat count rides in
+    NFA state, so matches reach as many repeats as the data does; an
+    explicit `one_or_more(max_repeats=N)` keeps the capped enumeration.
 
     Sub-patterns must be simple sequences (single-event steps, no
     negation/until/greedy) — quantifiers belong on the GROUP here, which
@@ -984,14 +1047,23 @@ class GroupPattern:
         it.reps = ((0,) if 0 in it.reps else ()) + (n,)
         return self
 
-    def one_or_more(self, max_repeats: int) -> "GroupPattern":
-        """Pattern.oneOrMore on a group, bounded: a match per repeat count
-        1..max_repeats (the reference emits per-prefix matches the same
-        way; the bound makes the variant set finite). Order-insensitive
-        with optional(), like times()."""
+    def one_or_more(self, max_repeats: int | None = None) -> "GroupPattern":
+        """Pattern.oneOrMore on a group (GroupPattern.java:42): with no
+        bound, the repeat count is carried in NFA state — the group's last
+        inner step loops back to its first, exactly the reference's
+        state-counted group loop, and a match is emitted per prefix
+        (repeat counts 1, 2, 3, ... as far as the data reaches). An
+        explicit ``max_repeats`` keeps the legacy variant-enumeration
+        path (one flattened pattern per repeat count) — useful when a
+        deliberate cap is part of the query. Order-insensitive with
+        optional(), like times()."""
+        it = self.items[-1]
+        if max_repeats is None:
+            it.unbounded = True
+            it.reps = ((0,) if 0 in it.reps else ()) + (1,)
+            return self
         if max_repeats < 1:
             raise ValueError("one_or_more requires max_repeats >= 1")
-        it = self.items[-1]
         it.reps = ((0,) if 0 in it.reps else ()) + tuple(range(1, max_repeats + 1))
         return self
 
@@ -1045,8 +1117,35 @@ class GroupPattern:
         out = []
         for choice in product(*[it.reps for it in self.items]):
             steps: list[Step] = []
+            eff: dict[int, int] = {}
             for i, (it, r) in enumerate(zip(self.items, choice)):
                 between = "next" if it.consecutive else "followedBy"
+                if it.unbounded and r == 1:
+                    # state-counted loop segment: the inner steps appear
+                    # ONCE under their base names; the last loops back to
+                    # the first, the repeat count lives in NFA state
+                    # (GroupPattern.java:42 parity — no enumeration cap)
+                    first_idx = len(steps)
+                    for k, st in enumerate(it.sub.steps):
+                        cont = "begin" if not steps else (
+                            it.contiguity if k == 0 else st.contiguity
+                        )
+                        steps.append(
+                            Step(
+                                name=st.name,
+                                predicate=st.predicate,
+                                contiguity=cont,
+                                expr=st.expr,
+                                group_id=i,
+                                group_between_strict=(
+                                    it.consecutive if k == 0 else False
+                                ),
+                            )
+                        )
+                    steps[-1] = replace(steps[-1], group_loop_to=first_idx)
+                    eff[i] = -1  # sentinel: looped, cnt comes from state
+                    continue
+                eff[i] = r
                 for j in range(r):
                     for k, st in enumerate(it.sub.steps):
                         # repeat 0's first step attaches with the group's
@@ -1071,7 +1170,7 @@ class GroupPattern:
             if not steps:
                 continue  # every group skipped — not a pattern
             pat = Pattern(steps=steps, within_ms=self.within_ms)
-            out.append((pat, {i: r for i, r in enumerate(choice)}))
+            out.append((pat, eff))
         return out
 
 
@@ -1100,6 +1199,14 @@ def match_group_pattern(
                         F.lit(None).cast("long").alias(f"{st.name}_id"),
                         F.lit(None).cast("long").alias(f"{st.name}_ts"),
                         F.lit(0).cast("long").alias(f"{st.name}_cnt"),
+                    ]
+                elif r == -1:
+                    # state-counted loop: base-named columns pass through;
+                    # _cnt carries the NFA-state repeat count
+                    cols += [
+                        F.col(f"{st.name}_id"),
+                        F.col(f"{st.name}_ts"),
+                        F.col(f"{st.name}_cnt"),
                     ]
                 else:
                     last = f"{st.name}__g{i}r{r - 1}"

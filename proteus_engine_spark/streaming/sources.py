@@ -146,10 +146,22 @@ def events_stream_ooo(
             os.utime(path, (mtime_base + 60 * p, mtime_base + 60 * p))
         open(os.path.join(tmp, "_SUCCESS"), "w").close()
         os.utime(os.path.join(tmp, "_SUCCESS"), (mtime_base, mtime_base))
+        if os.path.isdir(target) and not os.path.exists(
+            os.path.join(target, "_SUCCESS")
+        ):
+            # A previous staging run crashed after creating target but
+            # before its rename completed: os.replace onto a non-empty
+            # dir fails ENOTEMPTY forever, and treating that as
+            # "concurrent run won" would stream from the permanently
+            # incomplete dir. Clear the stale target first.
+            shutil.rmtree(target, ignore_errors=True)
         try:
             os.replace(tmp, target)  # atomic: same filesystem (sibling dirs)
         except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)  # concurrent run won
+            if os.path.exists(os.path.join(target, "_SUCCESS")):
+                shutil.rmtree(tmp, ignore_errors=True)  # concurrent run won
+            else:
+                raise  # neither ours nor a completed concurrent stage
     schema = probe_parquet_schema(spark, os.path.join(target, "f00.parquet"))
     raw = (
         spark.readStream.schema(schema)
@@ -164,3 +176,128 @@ def events_stream_ooo(
     elif isinstance(ts_type, T.TimestampNTZType):
         raw = raw.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return raw
+
+
+def events_stream_late(
+    spark: SparkSession,
+    sf_dir: str,
+    cut_pct: int = 55,
+) -> DataFrame:
+    """The events table replayed so that a known subset arrives LATE —
+    beyond the watermark — the harness for sideOutputLateData-style
+    observability (WindowedStream.java:171; the reference exposes dropped
+    late elements as a side output, Spark as the
+    numRowsDroppedByWatermark state-operator metric).
+
+    Staging (same atomic-rename discipline as events_stream_ooo): rows
+    split at cut = lo + (hi - lo) * cut_pct // 100 on epoch-ms —
+      f00: on-time rows (ts_ms >= cut) EXCEPT the earliest one; contains
+           the global max ts, so the watermark jumps to hi - delay.
+      f01: the single earliest on-time row — a spacer batch, because
+           Spark's late filter uses the watermark lagged one micro-batch
+           behind eviction; after this batch the filter watermark is
+           hi - delay.
+      f02: every row with ts_ms < cut — all far below the filter
+           watermark by construction, so ALL of them are dropped and
+           counted: drop count == COUNT(ts_ms < cut), SQL-expressible.
+    File mtimes force arrival order; maxFilesPerTrigger=1 makes each file
+    its own micro-batch.
+    """
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    parent = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".scratch",
+    )
+    os.makedirs(parent, exist_ok=True)
+    sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    target = os.path.join(parent, f"late_events_{sf_tag}_{cut_pct}")
+    if not os.path.exists(os.path.join(target, "_SUCCESS")):
+        tmp = tempfile.mkdtemp(prefix="late_stage_", dir=parent)
+        tbl = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+        ts_ms = (
+            tbl.column("ts").to_numpy().astype("datetime64[us]").astype("int64")
+            // 1000
+        )
+        ids = tbl.column("event_id").to_numpy().astype("int64")
+        lo, hi = int(ts_ms.min()), int(ts_ms.max())
+        cut = lo + (hi - lo) * cut_pct // 100
+        on_time = ts_ms >= cut
+        # earliest on-time row by (ts_ms, event_id) — the spacer
+        ot_idx = np.flatnonzero(on_time)
+        spacer = ot_idx[np.lexsort((ids[ot_idx], ts_ms[ot_idx]))[0]]
+        piece = np.where(on_time, 0, 2)
+        piece[spacer] = 1
+        mtime_base = 1_000_000_000
+        for p in range(3):
+            path = os.path.join(tmp, f"f{p:02d}.parquet")
+            pq.write_table(tbl.filter(pa.array(piece == p)), path)
+            os.utime(path, (mtime_base + 60 * p, mtime_base + 60 * p))
+        open(os.path.join(tmp, "_SUCCESS"), "w").close()
+        os.utime(os.path.join(tmp, "_SUCCESS"), (mtime_base, mtime_base))
+        if os.path.isdir(target) and not os.path.exists(
+            os.path.join(target, "_SUCCESS")
+        ):
+            shutil.rmtree(target, ignore_errors=True)  # stale crashed stage
+        try:
+            os.replace(tmp, target)
+        except OSError:
+            if os.path.exists(os.path.join(target, "_SUCCESS")):
+                shutil.rmtree(tmp, ignore_errors=True)  # concurrent run won
+            else:
+                raise
+    schema = probe_parquet_schema(spark, os.path.join(target, "f00.parquet"))
+    raw = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(target)
+    )
+    ts_type = schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(ts_type, T.TimestampNTZType):
+        raw = raw.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    return raw
+
+
+def run_to_completion_observed(
+    df: DataFrame, query_name: str, output_mode: str = "append"
+) -> tuple[DataFrame, list]:
+    """run_to_completion variant that also returns the query's progress
+    events, for metric assertions (dropped-late-row counts etc.)."""
+    spark = df.sparkSession
+    q = (
+        df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        progress = list(q.recentProgress)
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return spark.table(query_name), progress
+
+
+def dropped_late_rows(progress: list) -> int:
+    """Total input rows dropped by the watermark across a query's run —
+    the observability half of the reference's sideOutputLateData
+    (WindowedStream.java:171): Spark cannot re-route the dropped rows,
+    but it counts them per stateful operator
+    (StreamingQueryProgress.stateOperators[].numRowsDroppedByWatermark);
+    SURVEY §2.9's 'dropped-late-rows observable via metrics' hook."""
+    return sum(
+        so.get("numRowsDroppedByWatermark", 0) if isinstance(so, dict)
+        else so["numRowsDroppedByWatermark"]
+        for pr in progress
+        for so in (pr["stateOperators"] if isinstance(pr, dict) else pr["stateOperators"])
+    )

@@ -44,17 +44,28 @@ def _ingest_and_release(st, pdfs, state, ts_col, id_col, value_col):
     comparison floors to ms, because Spark's watermark is ms-floored.
 
     Release order is globally correct per key across batches: everything
-    released earlier had ts <= the then-watermark, and Spark drops
-    below-watermark late rows upstream, so new arrivals always sort after
-    everything already released. Returns (watermark_ms, ready_rows)."""
+    released earlier had ts strictly below the then-watermark, and Spark
+    admits any arrival with ts >= the watermark (it drops only strictly
+    older rows), so new arrivals always sort after everything already
+    released. Returns (watermark_ms, ready_rows)."""
     import numpy as np
 
     wm = state.getCurrentWatermarkMs()
+    frontier = st.get("frontier", 0)
     if not state.hasTimedOut:
         batches = [p for p in pdfs if len(p)]
         if batches:
             pdf = pd.concat(batches)
             ts_us = pdf[ts_col].values.astype("datetime64[us]").astype("int64")
+            # Late-event drop (the reference operators discard elements at
+            # or below the last watermark they processed): Spark's own
+            # late filter lags one micro-batch behind eviction, so a row
+            # below this key's last release frontier CAN still arrive —
+            # buffering it would emit it below already-released peers.
+            on_time = (ts_us // 1000) >= frontier
+            if not on_time.all():
+                pdf = pdf[on_time]
+                ts_us = ts_us[on_time]
             ids = pdf[id_col].to_numpy()
             if value_col is None:
                 cents = np.zeros(len(pdf), dtype="int64")
@@ -63,8 +74,15 @@ def _ingest_and_release(st, pdfs, state, ts_col, id_col, value_col):
                     pdf[value_col].to_numpy(dtype="float64") * 100
                 ).astype("int64")
             st["buf"].extend(zip(ts_us.tolist(), ids.tolist(), cents.tolist()))
-    ready = sorted(e for e in st["buf"] if e[0] // 1000 <= wm)
-    st["buf"] = [e for e in st["buf"] if e[0] // 1000 > wm]
+    st["frontier"] = max(frontier, wm)
+    # STRICTLY below the watermark: Spark's late-row filter only drops
+    # rows strictly older than the watermark, so an arrival with ts
+    # exactly == wm is still admitted in a later batch — releasing at
+    # <= wm would flush its peers first and break the global (ts, id)
+    # release order (and the "peers never straddle a flush" invariant
+    # the RANGE/peer-group aggregates rely on).
+    ready = sorted(e for e in st["buf"] if e[0] // 1000 < wm)
+    st["buf"] = [e for e in st["buf"] if e[0] // 1000 >= wm]
     return wm, ready
 
 
@@ -77,7 +95,11 @@ def _persist_or_clear(st, state, wm, keep_if):
 
     if st["buf"] or keep_if:
         state.update((pickle.dumps(st),))
-        pending = [t // 1000 for t, _i, _c in st["buf"] if t // 1000 > wm]
+        # A buffered row at ts releases only when wm > ts, so the timer
+        # is ts + 1 (also keeps it strictly above the current watermark,
+        # as EventTimeTimeout requires — buffered rows all have ts >= wm
+        # after the strict release).
+        pending = [t // 1000 + 1 for t, _i, _c in st["buf"]]
         if pending:
             state.setTimeoutTimestamp(min(pending))
     elif state.exists:
@@ -519,9 +541,10 @@ def bounded_range_over_agg(
     frame is complete when computed).
 
     Same watermark-buffer discipline as bounded_over_agg; the retained
-    window state is rows with ts > watermark - range_ms (any future row
-    has ts > watermark, so nothing older can re-enter a frame) — the exact
-    cleanup bound of the reference's retraction loop. Vectorized via one
+    window state is rows with ts >= watermark - range_ms (any future row
+    has ts >= the watermark under strict release, so nothing older can
+    re-enter a frame) — the exact cleanup bound of the reference's
+    retraction loop. Vectorized via one
     cumsum + two searchsorted calls per flush, no per-row Python loop.
     """
     if range_ms < 0:
@@ -557,7 +580,11 @@ def bounded_range_over_agg(
         wsum = (csum[hi] - csum[lo]) / 100.0
         wcnt = hi - lo
         floor = (wm_us if wm_us is not None else int(rdy_ts[-1])) - range_us
-        keep = np.searchsorted(all_ts, floor, side="right")
+        # Keep ts >= floor (side="left"): release is strictly below the
+        # watermark, so a future row can sit exactly AT the watermark and
+        # its frame [wm - range, wm] still needs history at exactly
+        # wm - range; dropping ts == floor would shave that frame edge.
+        keep = np.searchsorted(all_ts, floor, side="left")
         st["win"] = list(zip(all_ts[keep:].tolist(), all_c[keep:].tolist()))
         return pd.DataFrame(
             {

@@ -223,18 +223,31 @@ def triggered_window_agg(
     def transition(key, pdfs, state: GroupState):
         wm = state.getCurrentWatermarkMs()
         st = pickle.loads(state.get[0]) if state.exists else {"buf": [], "wins": {}}
+        frontier = st.get("frontier", 0)
         if not state.hasTimedOut:
             batches = [p for p in pdfs if len(p)]
             if batches:
                 pdf = pd.concat(batches)
                 ts_ms = pdf[ts_col].values.astype("datetime64[ms]").astype("int64")
+                # Late-event drop: Spark's own late filter lags one
+                # micro-batch, so a row below this key's last release
+                # frontier can still arrive — it can no longer be
+                # sequenced into its window pass.
+                on_time = ts_ms >= frontier
+                if not on_time.all():
+                    pdf = pdf[on_time]
+                    ts_ms = ts_ms[on_time]
                 ids = pdf[id_col].to_numpy()
                 cents = np.rint(
                     pdf[value_col].to_numpy(dtype="float64") * 100
                 ).astype("int64")
                 st["buf"].extend(zip(ts_ms.tolist(), ids.tolist(), cents.tolist()))
-        ready = sorted(e for e in st["buf"] if e[0] <= wm)
-        st["buf"] = [e for e in st["buf"] if e[0] > wm]
+        st["frontier"] = max(frontier, wm)
+        # Strictly below the watermark: Spark admits ts == wm late rows
+        # (drops only strictly older), so releasing at <= wm would let a
+        # later equal-ts arrival slot after its already-fired peers.
+        ready = sorted(e for e in st["buf"] if e[0] < wm)
+        st["buf"] = [e for e in st["buf"] if e[0] >= wm]
 
         out_rows: list[tuple] = []
         interval = getattr(trigger, "interval_ms", None)
@@ -278,7 +291,9 @@ def triggered_window_agg(
 
         if st["buf"] or st["wins"]:
             state.update((pickle.dumps(st),))
-            pending = [t for t, _i, _c in st["buf"]]
+            # A buffered row at ts releases when wm > ts → wake at ts + 1;
+            # a window closes when wm >= its end → wake at the end itself.
+            pending = [t + 1 for t, _i, _c in st["buf"]]
             if window_ms is not None:
                 pending += [ws + window_ms for ws in st["wins"]]
             pending = [p for p in pending if p > wm]

@@ -175,9 +175,13 @@ def test_bounded_over_agg_carries_tail_across_batches(spark):
     q.processAllAvailable()
     q.stop()
     rows = sorted(spark.table("bover_test").collect(), key=lambda r: r["event_id"])
-    assert [r["w_sum"] for r in rows] == [1.0, 3.0, 6.0, 9.0, 12.0, 15.0]
-    assert [r["w_cnt"] for r in rows] == [1, 2, 3, 3, 3, 3]
-    assert rows[-1]["w_avg"] == 5.0
+    # The last event's ts EQUALS the final watermark (delay 0) and stays
+    # buffered: release is strictly below the watermark, because Spark
+    # still admits equal-ts arrivals after the watermark reaches them —
+    # releasing at == wm would let such a peer slot after its flush.
+    assert [r["w_sum"] for r in rows] == [1.0, 3.0, 6.0, 9.0, 12.0]
+    assert [r["w_cnt"] for r in rows] == [1, 2, 3, 3, 3]
+    assert rows[-1]["w_avg"] == 4.0
 
 
 # ---------------- CEP allowCombinations ----------------

@@ -1,0 +1,315 @@
+"""Round-8 tests: strict watermark release, ingest-time late-event drop
+(the frontier guard), late-data observability, JDBC round trip, and the
+event-containment AfterMatchSkip pruning."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from tests.test_streaming import EV_SCHEMA, _ev, _two_batch_stream
+
+
+def _run(out, name):
+    q = out.writeStream.outputMode("append").format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    return out.sparkSession.table(name)
+
+
+# ---------------- ingest-time frontier guard ----------------
+
+
+def test_row_admitted_below_eviction_wm_sequences_correctly(spark):
+    """Spark's late filter lags one micro-batch behind eviction, so a row
+    below the CURRENT batch's eviction watermark (but above the previous
+    release frontier) still reaches the stateful operator. It must slot
+    into the same flush as its later peers in (ts, id) order — never
+    behind them — and the ingest frontier guard guarantees nothing below
+    the last flush's frontier can ever be buffered."""
+    from datetime import datetime
+
+    from proteus_engine_spark.streaming.stateful import event_time_sort
+
+    def ev(i, hour, minute):
+        return (i, datetime(2024, 1, 1, hour, minute, 0), 1, "x", 1.0)
+
+    a = [ev(1, 2, 0), ev(2, 2, 30)]
+    b = [ev(3, 0, 1), ev(4, 3, 0)]  # 3 arrives after wm jumped to 02:30
+    out = event_time_sort(
+        _two_batch_stream(spark, a, b, EV_SCHEMA), "user_id", "ts",
+        watermark_delay="0 seconds",
+    )
+    rows = sorted(_run(out, "frontier_test").collect(), key=lambda r: r["seq"])
+    # event 3 (00:01) was admitted in batch 1 BEFORE anything released
+    # below it had flushed, so it ranks FIRST — the global event-time
+    # order [3 (00:01), 1 (02:00), 2 (02:30)]; event 4 sits at the final
+    # watermark and stays buffered (strict release).
+    assert [r["event_id"] for r in rows] == [3, 1, 2]
+    assert [r["seq"] for r in rows] == [1, 2, 3]
+
+
+def test_ingest_frontier_guard_drops_below_frontier_rows():
+    """Direct unit check of the guard: an arrival strictly below the
+    key's last release frontier is discarded at ingest (it could no
+    longer be sequenced — its peers already flushed)."""
+    import pandas as pd
+
+    from proteus_engine_spark.streaming.stateful import _ingest_and_release
+
+    class _FakeState:
+        hasTimedOut = False
+
+        def __init__(self, wm):
+            self._wm = wm
+
+        def getCurrentWatermarkMs(self):
+            return self._wm
+
+    st = {"buf": [], "seq": 0, "frontier": 120_000}  # last flush at 2 min
+    pdf = pd.DataFrame({
+        "ts": pd.to_datetime([60_000, 120_000, 180_000], unit="ms"),
+        "event_id": [1, 2, 3],
+    })
+    wm, ready = _ingest_and_release(
+        st, [pdf], _FakeState(200_000), "ts", "event_id", None
+    )
+    # id 1 (1 min < frontier 2 min) dropped; id 2 (== frontier) kept and
+    # released (ts < wm); id 3 kept and released
+    assert [i for _t, i, _c in ready] == [2, 3]
+    assert st["buf"] == [] and st["frontier"] == 200_000
+
+
+# ---------------- late-data observability ----------------
+
+
+def test_dropped_late_rows_metric(spark, tmp_path):
+    """numRowsDroppedByWatermark (the sideOutputLateData observability
+    hook) counts raw input rows for applyInPandasWithState operators."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from proteus_engine_spark.streaming.sources import (
+        dropped_late_rows,
+        run_to_completion_observed,
+    )
+    from proteus_engine_spark.streaming.stateful import event_time_sort
+
+    def mk(ts, ids):
+        return pa.table({
+            "ts": pa.array(pd.to_datetime(ts), type=pa.timestamp("us")),
+            "event_id": pa.array(ids, type=pa.int64()),
+            "user_id": pa.array([1] * len(ids), type=pa.int64()),
+        })
+
+    files = [
+        mk(["2024-01-01 10:00", "2024-01-01 11:00"], [1, 2]),
+        mk(["2024-01-01 10:30"], [3]),  # spacer: filter watermark catches up
+        mk(["2024-01-01 00:00", "2024-01-01 00:30", "2024-01-01 01:00"], [4, 5, 6]),
+    ]
+    for i, t in enumerate(files):
+        p = os.path.join(tmp_path, f"f{i}.parquet")
+        pq.write_table(t, p)
+        os.utime(p, (1_000_000_000 + 60 * i,) * 2)
+    raw = (
+        spark.readStream.schema("ts timestamp, event_id long, user_id long")
+        .format("parquet").option("maxFilesPerTrigger", "1").load(str(tmp_path))
+    )
+    out = event_time_sort(raw, "user_id", "ts", watermark_delay="10 minutes")
+    sink, progress = run_to_completion_observed(out, "late_metric_test", "append")
+    assert dropped_late_rows(progress) == 3  # the whole third file
+    assert sorted(r["event_id"] for r in sink.collect()) == [1, 3]  # ts < wm_f
+
+
+# ---------------- strict release boundary ----------------
+
+
+def test_equal_ts_row_at_watermark_stays_buffered(spark):
+    """A row whose ts exactly equals the final watermark is withheld:
+    Spark admits equal-ts arrivals after the watermark reaches them, so
+    releasing at == wm could emit before a peer that still arrives."""
+    from proteus_engine_spark.streaming.stateful import event_time_sort
+
+    a = [_ev(1, 1, 1, "x", 1.0), _ev(2, 5, 1, "x", 2.0)]
+    b = [_ev(3, 10, 1, "x", 3.0)]
+    out = event_time_sort(
+        _two_batch_stream(spark, a, b, EV_SCHEMA), "user_id", "ts",
+        watermark_delay="0 seconds",
+    )
+    ids = sorted(r["event_id"] for r in _run(out, "strict_rel_test").collect())
+    assert ids == [1, 2]  # event 3 sits AT the final watermark
+
+
+# ---------------- JDBC ----------------
+
+
+def test_jdbc_option_builders():
+    from proteus_engine_spark.sources.jdbc import sink_options, source_options
+
+    with pytest.raises(ValueError):
+        source_options(url="jdbc:derby:x")  # neither table nor query
+    with pytest.raises(ValueError):
+        source_options(url="jdbc:derby:x", table="t", query="SELECT 1")
+    with pytest.raises(ValueError):
+        source_options(url="jdbc:derby:x", table="t", partition_column="c")
+    with pytest.raises(ValueError):
+        source_options(
+            url="jdbc:derby:x", query="SELECT 1", partition_column="c",
+            lower_bound=0, upper_bound=10, num_partitions=2,
+        )
+    opts = source_options(
+        url="jdbc:derby:x", table="t", partition_column="c",
+        lower_bound=0, upper_bound=10, num_partitions=2, fetch_size=500,
+    )
+    assert opts["partitionColumn"] == "c" and opts["fetchsize"] == "500"
+    sopts = sink_options(url="jdbc:derby:x", table="t", batch_size=100, truncate=True)
+    assert sopts["batchsize"] == "100" and sopts["truncate"] == "true"
+
+
+def test_jdbc_derby_roundtrip(spark, tmp_path):
+    """End-to-end against embedded Derby (shipped in Spark's jars): write
+    partitioned data out, read it back with a 3-way range split, verify
+    no boundary row is lost or duplicated."""
+    from proteus_engine_spark.sources.jdbc import (
+        DERBY_EMBEDDED_DRIVER,
+        read_jdbc,
+        write_jdbc,
+    )
+
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).cast("double").alias("v")
+    )
+    url = f"jdbc:derby:{tmp_path}/db;create=true"
+    write_jdbc(df, mode="overwrite", url=url, table="t_rt",
+               driver=DERBY_EMBEDDED_DRIVER, batch_size=10)
+    back = read_jdbc(
+        spark, url=url, table="t_rt", driver=DERBY_EMBEDDED_DRIVER,
+        partition_column="k", lower_bound=0, upper_bound=100, num_partitions=3,
+    )
+    assert back.rdd.getNumPartitions() == 3
+    got = sorted((r["k"], r["v"]) for r in back.collect())
+    assert got == [(i, float(i * 2)) for i in range(100)]
+
+
+# ---------------- AfterMatchSkip event containment ----------------
+
+
+def test_skip_to_first_spares_disjoint_partials():
+    """SKIP_TO_FIRST prunes by event containment (NFA.java:374-383): a
+    partial sharing NO event with the emitted match survives, even if it
+    started earlier — the old start-point bar killed it and under-emitted."""
+    from proteus_engine_spark.streaming.cep import Pattern, _run_nfa
+
+    # key events: a1(t1) b1(t2) a2(t3) b2(t4); pattern a followedBy b.
+    # When a1-b1 completes at t2, the partial opened by... we need a
+    # disjoint partial alive at emission time. Use types so that the
+    # emitted match consumes (x1, y1) while a partial (x2,...) opened
+    # between them shares nothing with it.
+    df = pd.DataFrame({
+        "ts": pd.to_datetime([
+            "2024-01-01 00:01",  # x1
+            "2024-01-01 00:02",  # x2 (disjoint partial opens here)
+            "2024-01-01 00:03",  # y1 -> completes x1-y1 AND x2-y1? no:
+        ]),
+        "event_id": [1, 2, 3],
+        "et": ["x", "x", "y"],
+    })
+    pat = (
+        Pattern.begin("a", lambda r: r["et"] == "x")
+        .followed_by("b", lambda r: r["et"] == "y")
+        .after_match_skip("skip_to_first", "b")
+    )
+    matches, partials, _ = _run_nfa(df, pat, "ts", "event_id")
+    # both x1-y1 and x2-y1 complete ON y1's element, before pruning
+    got = sorted((m["a"][0], m["b"][0]) for m in matches)
+    assert got == [(1, 3), (2, 3)]
+
+
+def test_skip_to_first_missing_mapping_does_not_raise():
+    """An optional() referenced step that matched no event must degrade
+    to discard-all (reference behavior), never raise inside the
+    executor."""
+    from proteus_engine_spark.streaming.cep import Pattern, _run_nfa
+
+    df = pd.DataFrame({
+        "ts": pd.to_datetime(["2024-01-01 00:01", "2024-01-01 00:02"]),
+        "event_id": [1, 2],
+        "et": ["x", "y"],
+    })
+    pat = (
+        Pattern.begin("a", lambda r: r["et"] == "x")
+        .followed_by("m", lambda r: r["et"] == "z").optional()
+        .followed_by("b", lambda r: r["et"] == "y")
+        .after_match_skip("skip_to_first", "m")
+    )
+    matches, _p, _t = _run_nfa(df, pat, "ts", "event_id")
+    assert [(m["a"][0], m["b"][0]) for m in matches] == [(1, 2)]
+
+
+# ---------------- state-counted group one_or_more ----------------
+
+
+def test_group_one_or_more_unbounded_state_counted():
+    """(a NEXT b) one_or_more with no cap: matches at every repeat depth
+    the data reaches — the state-counted loop, not a variant enumeration."""
+    from proteus_engine_spark.streaming.cep import (
+        GroupPattern,
+        Pattern,
+        _run_nfa,
+    )
+
+    g = GroupPattern.begin(
+        Pattern.begin("a", lambda r: r["et"] == "a")
+        .next("b", lambda r: r["et"] == "b")
+    ).one_or_more().consecutive()
+    (pat, choice), = g.variants()
+    assert choice == {0: -1}
+    n = 10  # (a b) x 10 — far beyond any variant cap
+    df = pd.DataFrame({
+        "ts": pd.to_datetime([f"2024-01-01 00:{m:02d}" for m in range(2 * n)]),
+        "event_id": list(range(1, 2 * n + 1)),
+        "et": ["a", "b"] * n,
+    })
+    matches, _p, _t = _run_nfa(df, pat, "ts", "event_id")
+    # strict chaining: start i, depth r for every i + r <= n
+    got = sorted((m["__first__"]["a"][0], m["__gcnt__0"]) for m in matches)
+    exp = sorted((2 * i + 1, r) for i in range(n) for r in range(1, n - i + 1))
+    assert got == exp
+
+
+def test_group_one_or_more_bounded_still_enumerates():
+    from proteus_engine_spark.streaming.cep import GroupPattern, Pattern
+
+    g = GroupPattern.begin(
+        Pattern.begin("a", lambda r: r["et"] == "a")
+        .next("b", lambda r: r["et"] == "b")
+    ).one_or_more(max_repeats=3)
+    vs = g.variants()
+    assert len(vs) == 3
+    assert sorted(c[0] for _p, c in vs) == [1, 2, 3]
+
+
+# ---------------- readFileOfPrimitives ----------------
+
+
+def test_read_file_of_primitives(spark, tmp_path):
+    from proteus_engine_spark.sources.tables import read_file_of_primitives
+
+    p = tmp_path / "prims.txt"
+    p.write_text("1\n2\n3\nnope\n")
+    vals = [r["value"] for r in read_file_of_primitives(spark, str(p), "long").collect()]
+    assert sorted(v for v in vals if v is not None) == [1, 2, 3]
+    assert None in vals  # unparseable token -> NULL, not an error
+
+    q = tmp_path / "csvish.txt"
+    q.write_text("1.5,2.5\n3.5,4.5\n")
+    got = sorted(
+        r["value"]
+        for r in read_file_of_primitives(spark, str(q), "double", delimiter=",").collect()
+    )
+    assert got == [1.5, 2.5, 3.5, 4.5]

@@ -133,3 +133,38 @@ def test_proteus_sql_end_to_end(spark, duck):
         FROM events GROUP BY 1, 2
         """,
     )
+
+
+class _DefaultUpper(ScalarFunction):
+    """No ``vectorized`` attribute: must default to the Arrow path."""
+
+    return_type = "string"
+
+    def eval(self, s: pd.Series) -> pd.Series:
+        return s.str.upper()
+
+
+class _RowUpper(ScalarFunction):
+    vectorized = False
+    return_type = "string"
+
+    def eval(self, s):
+        return str(s).upper()
+
+
+def test_scalar_function_defaults_to_arrow_plan(spark):
+    """A default subclass produces a pandas_udf plan — ArrowEvalPython,
+    never the row-at-a-time BatchEvalPython node."""
+    df = spark.createDataFrame([("abc",), ("xyz",)], "s string")
+    out = df.select(_DefaultUpper().to_udf()(F.col("s")).alias("u"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" in plan
+    assert sorted(r["u"] for r in out.collect()) == ["ABC", "XYZ"]
+
+
+def test_scalar_function_row_path_warns(spark):
+    df = spark.createDataFrame([("abc",),], "s string")
+    with pytest.warns(UserWarning, match="row-at-a-time"):
+        udf = _RowUpper().to_udf()
+    assert df.select(udf(F.col("s")).alias("u")).collect()[0]["u"] == "ABC"
