@@ -95,3 +95,89 @@ def document_fingerprint(text: str | Column) -> Column:
     winnowing-style fingerprints, combine with dedup.shingles + min-hash."""
     toks = F.sort_array(F.array_distinct(_tokens(text)))
     return F.md5(F.concat_ws(" ", toks))
+
+
+def repetition_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021, §A1.1 repetition
+    removal — the standard LLM-corpus quality filters):
+
+    - ``n_tokens``        whitespace token count
+    - ``dup_token_frac``  1 - distinct/total tokens (in-doc, no shuffle)
+    - ``top_bigram_cov``  chars covered by the best repeated word-bigram
+                          (max over bigrams with count >= 2 of
+                          count * len(gram)) / len(text); 0 if none repeat
+    - ``dup_trigram_cov`` chars covered by ALL repeated word-trigrams
+                          (sum over trigrams with count >= 2 of
+                          count * len(gram)) / len(text); overlapping
+                          occurrences double-count, as in the paper
+
+    Scale shape: token stats are per-row Catalyst expressions computed in
+    the scan projection; both gram sizes ride ONE tagged explode
+    (explode_outer — a doc too short for any n-gram keeps a NULL-gram
+    row, so no doc-key re-join is needed to preserve it), then two
+    doc-keyed aggregations. Everything is line-rate and perfectly
+    partitioned by document — no corpus-wide state, no join.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = docs.select(
+        F.col(id_col),
+        F.length(text_col).alias("n_chars"),
+        toks.alias("toks"),
+    ).select(
+        id_col,
+        "n_chars",
+        F.size("toks").alias("n_tokens"),
+        (
+            1.0
+            - F.size(F.array_distinct("toks")).cast("double") / F.size("toks")
+        ).alias("dup_token_frac"),
+        F.explode_outer(
+            F.flatten(
+                F.array(
+                    *[
+                        # guard: sequence(1, 0) would generate DESCENDING
+                        # [1, 0] and slice(_, 0, _) errors — short docs
+                        # contribute an empty gram list instead
+                        F.expr(
+                            f"CASE WHEN size(toks) >= {n} THEN"
+                            f" transform(sequence(1, size(toks) - {n - 1}),"
+                            f" i -> named_struct(\'n\', {n},"
+                            f" \'gram\', concat_ws(\' \', slice(toks, i, {n}))))"
+                            f" ELSE CAST(array() AS array<struct<n:int,gram:string>>) END"
+                        )
+                        for n in (2, 3)
+                    ]
+                )
+            )
+        ).alias("g"),
+    )
+    keys = [id_col, "n_chars", "n_tokens", "dup_token_frac"]
+    counts = base.groupBy(*keys, "g").agg(F.count(F.lit(1)).alias("cnt"))
+    return counts.groupBy(*keys).agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    (F.col("g.n") == 2) & (F.col("cnt") >= 2),
+                    F.col("cnt") * F.length("g.gram"),
+                )
+            ),
+            F.lit(0),
+        ).alias("big_cov"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("g.n") == 3) & (F.col("cnt") >= 2),
+                    F.col("cnt") * F.length("g.gram"),
+                )
+            ),
+            F.lit(0),
+        ).alias("tri_cov"),
+    ).select(
+        id_col,
+        "n_tokens",
+        "dup_token_frac",
+        (F.col("big_cov").cast("double") / F.col("n_chars")).alias("top_bigram_cov"),
+        (F.col("tri_cov").cast("double") / F.col("n_chars")).alias("dup_trigram_cov"),
+    )

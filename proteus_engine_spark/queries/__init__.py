@@ -60,11 +60,13 @@ _GATE_PRIORITY = [
     "q10_returned_items",
     "q14_promo_effect",
     "q12_ship_priority_class",
-    # round-8 additions (new gates land here as they are built)
+    # round-8 additions (new gates, never driver-checked)
     "cep_group_unbounded_repeat",
     "stream_late_rows_observed",
     "jdbc_roundtrip_agg",
     "udf_vectorized_default",
+    "text_repetition_stats",
+    "pii_redaction",
     # next-stalest rotation: latest driver green is round 5, registry
     # order (fills to 50)
     "dedup_simhash",
@@ -90,8 +92,6 @@ _GATE_PRIORITY = [
     "from_rows_dim_join",
     "csv_roundtrip_agg",
     "insert_into_append",
-    "stream_tumble_agg",
-    "stream_csv_tumble_agg",
 ]
 
 

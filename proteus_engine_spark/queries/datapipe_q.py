@@ -418,3 +418,123 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     media = attach_media_columns(docs)
     return decode_images(media)
+
+
+@register(
+    "text_repetition_stats",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, length(text) AS n_chars,
+             string_split_regex(trim(text), '\s+') AS toks
+      FROM documents),
+    per_doc AS (
+      SELECT doc_id, n_chars, len(toks) AS n_tokens,
+             1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+               AS dup_token_frac
+      FROM t),
+    grams AS (
+      SELECT doc_id, n_chars, 2 AS n,
+             toks[r] || ' ' || toks[r + 1] AS gram
+      FROM (SELECT doc_id, n_chars, toks,
+                   unnest(range(1, len(toks))) AS r FROM t)
+      UNION ALL
+      SELECT doc_id, n_chars, 3,
+             toks[r] || ' ' || toks[r + 1] || ' ' || toks[r + 2]
+      FROM (SELECT doc_id, n_chars, toks,
+                   unnest(range(1, len(toks) - 1)) AS r FROM t)),
+    counts AS (
+      SELECT doc_id, n_chars, n, gram, count(*) AS cnt
+      FROM grams GROUP BY ALL),
+    cov AS (
+      SELECT doc_id, n_chars,
+             COALESCE(MAX(CASE WHEN n = 2 AND cnt >= 2
+                          THEN cnt * length(gram) END), 0) AS big_cov,
+             COALESCE(SUM(CASE WHEN n = 3 AND cnt >= 2
+                          THEN cnt * length(gram) END), 0) AS tri_cov
+      FROM counts GROUP BY doc_id, n_chars)
+    SELECT p.doc_id, p.n_tokens, p.dup_token_frac,
+           CAST(COALESCE(c.big_cov, 0) AS DOUBLE) / p.n_chars AS top_bigram_cov,
+           CAST(COALESCE(c.tri_cov, 0) AS DOUBLE) / p.n_chars AS dup_trigram_cov
+    FROM per_doc p LEFT JOIN cov c USING (doc_id)
+    """,
+    tags=("datapipe", "text", "quality"),
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1 — the
+    standard LLM-corpus repetition filters): duplicate-token fraction,
+    best-repeated-bigram character coverage, duplicated-trigram character
+    coverage, per document. Pure Catalyst: token stats fuse into the
+    scan; the n-gram counts are one tagged explode + one (doc, n, gram)
+    shuffle — line-rate at 100 TB, no corpus-wide state. The oracle
+    recomputes all four signals in DuckDB list/window SQL."""
+    from proteus_engine_spark.datapipe.textstats import repetition_stats
+    from proteus_engine_spark.sources import load_table
+
+    return repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "pii_redaction",
+    oracle=r"""
+    WITH profile AS (
+      SELECT c_custkey,
+             c_name || ' ph '
+               || printf('%02d-%03d-%03d-%04d', 10 + c_nationkey % 90,
+                         c_custkey % 1000, (c_custkey // 7) % 1000,
+                         (c_custkey * 13) % 10000)
+               || ' seg ' || c_mktsegment
+               || ' ip 10.' || CAST(c_custkey % 256 AS VARCHAR) || '.0.'
+               || CAST(c_nationkey AS VARCHAR)
+               || ' mail c' || CAST(c_custkey AS VARCHAR) || '@example.com'
+               AS text
+      FROM customer)
+    SELECT c_custkey,
+           CAST(len(regexp_extract_all(text,
+             '\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b')) AS INT)
+             AS n_email,
+           CAST(len(regexp_extract_all(text,
+             '\b\d{2}-\d{3}-\d{3}-\d{4}\b')) AS INT) AS n_phone,
+           CAST(len(regexp_extract_all(text,
+             '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS INT) AS n_ipv4,
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b', '[EMAIL]', 'g'),
+             '\b\d{2}-\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g'),
+             '\b(?:\d{1,3}\.){3}\d{1,3}\b', '[IP]', 'g') AS text_scrubbed
+    FROM profile
+    """,
+    tags=("datapipe", "text", "pii"),
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub gate (the rule-based redaction tier every LLM-corpus
+    pipeline runs before training): customer rows are rendered into a
+    profile string carrying a synthesized phone in the TPC-H
+    dd-ddd-ddd-dddd shape, a synthesized private IP and an email, then the
+    email/phone/IPv4 patterns are counted and redacted — all Catalyst
+    regexp expressions that fuse into the scan (no Python, no shuffle at
+    100 TB). The oracle applies the identical RE2-compatible patterns in
+    DuckDB, so a pattern drift, a first-match-only replace, or a count
+    mismatch all fail."""
+    from proteus_engine_spark.datapipe.pii import scrub_documents
+    from proteus_engine_spark.sources import load_table
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.concat(
+            F.col("c_name"), F.lit(" ph "),
+            F.format_string(
+                "%02d-%03d-%03d-%04d",
+                F.lit(10) + F.col("c_nationkey") % 90,
+                F.col("c_custkey") % 1000,
+                (F.col("c_custkey") / 7).cast("long") % 1000,
+                (F.col("c_custkey") * 13) % 10000,
+            ),
+            F.lit(" seg "), F.col("c_mktsegment"),
+            F.lit(" ip 10."), (F.col("c_custkey") % 256).cast("string"),
+            F.lit(".0."), F.col("c_nationkey").cast("string"),
+            F.lit(" mail c"), F.col("c_custkey").cast("string"),
+            F.lit("@example.com"),
+        ).alias("text"),
+    )
+    return scrub_documents(cust).select(
+        "c_custkey", "n_email", "n_phone", "n_ipv4", "text_scrubbed"
+    )

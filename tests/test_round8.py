@@ -313,3 +313,96 @@ def test_read_file_of_primitives(spark, tmp_path):
         for r in read_file_of_primitives(spark, str(q), "double", delimiter=",").collect()
     )
     assert got == [1.5, 2.5, 3.5, 4.5]
+
+
+# ---------------- repetition + PII ----------------
+
+
+def test_repetition_stats_edges(spark):
+    from proteus_engine_spark.datapipe.textstats import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),        # bigram 'a b' x3 (+ 'b a' x2), trigrams repeat
+            (2, "x"),                  # single token: no grams at all
+            (3, "p q r s"),            # all distinct
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert rows[1]["n_tokens"] == 6 and round(rows[1]["dup_token_frac"], 6) == round(1 - 2 / 6, 6)
+    # 'a b' occurs 3x, len 3 -> coverage 9/11
+    assert round(rows[1]["top_bigram_cov"], 6) == round(9 / 11, 6)
+    # trigrams 'a b a' x2 and 'b a b' x2, len 5 -> (10+10)/11
+    assert round(rows[1]["dup_trigram_cov"], 6) == round(20 / 11, 6)
+    assert rows[2]["n_tokens"] == 1 and rows[2]["top_bigram_cov"] == 0.0
+    assert rows[3]["dup_token_frac"] == 0.0 and rows[3]["dup_trigram_cov"] == 0.0
+
+
+def test_pii_scrub(spark):
+    from proteus_engine_spark.datapipe.pii import scrub_documents
+
+    df = spark.createDataFrame(
+        [(1, "mail bob.smith+x@corp.example.org call 12-345-678-9012 host 192.168.0.1 done")],
+        "id long, text string",
+    )
+    r = scrub_documents(df).collect()[0]
+    assert (r["n_email"], r["n_phone"], r["n_ipv4"]) == (1, 1, 1)
+    assert r["text_scrubbed"] == "mail [EMAIL] call [PHONE] host [IP] done"
+
+
+def test_group_loop_agrees_with_bounded_enumeration():
+    """Adversarial cross-check: on random event tapes, the state-counted
+    unbounded loop must produce EXACTLY the union of the bounded
+    enumeration's matches at every repeat depth (cap chosen above the
+    deepest achievable run)."""
+    import random
+
+    from proteus_engine_spark.streaming.cep import (
+        GroupPattern,
+        Pattern,
+        _GroupItem,
+        _run_nfa,
+    )
+
+    rng = random.Random(81)
+    for trial in range(25):
+        n = rng.randint(2, 14)
+        ets = [rng.choice("abc") for _ in range(n)]
+        df = pd.DataFrame({
+            "ts": pd.to_datetime(
+                [f"2024-01-01 00:{m:02d}" for m in range(n)]
+            ),
+            "event_id": list(range(1, n + 1)),
+            "et": ets,
+        })
+        consec = rng.random() < 0.5
+
+        def build(max_repeats=None):
+            g = GroupPattern.begin(
+                Pattern.begin("a", lambda r: r["et"] == "a")
+                .next("b", lambda r: r["et"] == "b")
+            )
+            g.one_or_more(max_repeats)
+            if consec:
+                g.consecutive()
+            return g
+
+        def all_matches(g):
+            out = []
+            for pat, choice in g.variants():
+                ms, _p, _t = _run_nfa(df, pat, "ts", "event_id")
+                for m in ms:
+                    r = choice.get(0)
+                    if r == -1:
+                        cnt = m["__gcnt__0"]
+                        out.append((m["a"][0], m["b"][0], cnt))
+                    else:
+                        last = f"a__g0r{r - 1}", f"b__g0r{r - 1}"
+                        out.append((m[last[0]][0], m[last[1]][0], r))
+            return sorted(out)
+
+        unb = all_matches(build(None))
+        cap = n // 2 + 1
+        bnd = all_matches(build(cap))
+        assert unb == bnd, (trial, ets, consec, unb, bnd)
