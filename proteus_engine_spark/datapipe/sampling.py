@@ -1,0 +1,67 @@
+"""Deterministic corpus sampling and mixture weighting.
+
+Training-data pipelines re-weight corpus strata (language, source
+domain, quality band) into a target mixture. At 100 TB the sampling
+decision must be a pure per-row function — no global shuffle, no RNG
+state, reproducible across reruns and engines — so the sampler here is
+an md5-threshold rule: a row survives iff
+``md5(salt || key) < threshold_hex_prefix``. md5 is identical
+everywhere (Spark, DuckDB, Python), the comparison is plain string
+ordering on the fixed-width hex digest, and the acceptance probability
+is exactly ``int(prefix, 16) / 16**len(prefix)``.
+
+Scale shape: the filter fuses into the parquet scan (whole-stage
+codegen) and partition pruning still applies above it — sampling 1% of
+100 TB reads the column data once and shuffles nothing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def rate_to_threshold(rate: float, digits: int = 8) -> str:
+    """Largest ``digits``-hex-char prefix whose acceptance probability
+    does not exceed ``rate`` (exact: floor(rate * 16^digits))."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    n = int(rate * (16 ** digits))
+    if n >= 16 ** digits:
+        # rate == 1.0: every hex digest prefix sorts below 'g' — keep all
+        # (a same-width 'ffffffff' threshold would wrongly drop the
+        # 1-in-16^digits digests equal to it, and the 9-char '100000000'
+        # breaks lexicographic comparison against 8-char prefixes)
+        return "g"
+    return format(n, f"0{digits}x")
+
+
+def deterministic_sample(
+    df: DataFrame, key_col: str, rate: float, salt: str = ""
+) -> DataFrame:
+    """Keep each row iff md5(salt || key) sorts below the rate threshold —
+    reproducible, engine-portable Bernoulli(rate) keyed on ``key_col``."""
+    thr = rate_to_threshold(rate)
+    digest = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    return df.filter(F.substring(digest, 1, len(thr)) < F.lit(thr))
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the corpus-mixture primitive
+    (e.g. keep 100% of en, 25% of de, 10% of everything else). The
+    per-row threshold is a CASE over the stratum column; strata not in
+    ``rates`` get ``default_rate``."""
+    thr_col: Column = F.lit(rate_to_threshold(default_rate))
+    for stratum, rate in sorted(rates.items()):
+        thr_col = F.when(
+            F.col(stratum_col) == stratum, F.lit(rate_to_threshold(rate))
+        ).otherwise(thr_col)
+    digest = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    return df.filter(F.substring(digest, 1, 8) < thr_col)

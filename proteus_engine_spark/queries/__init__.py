@@ -67,6 +67,8 @@ _GATE_PRIORITY = [
     "udf_vectorized_default",
     "text_repetition_stats",
     "pii_redaction",
+    "corpus_stratified_sample",
+    "embedding_preprocess",
     # next-stalest rotation: latest driver green is round 5, registry
     # order (fills to 50)
     "dedup_simhash",
@@ -90,8 +92,6 @@ _GATE_PRIORITY = [
     "iter_delta_sssp",
     "sort_partition_leaders",
     "from_rows_dim_join",
-    "csv_roundtrip_agg",
-    "insert_into_append",
 ]
 
 

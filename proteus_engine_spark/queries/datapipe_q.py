@@ -538,3 +538,94 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scrub_documents(cust).select(
         "c_custkey", "n_email", "n_phone", "n_ipv4", "text_scrubbed"
     )
+
+
+@register(
+    "corpus_stratified_sample",
+    oracle="""
+    WITH sampled AS (
+      SELECT doc_id, lang, n_chars,
+             CASE lang WHEN 'en' THEN 'g'
+                       WHEN 'de' THEN '40000000'
+                       WHEN 'fr' THEN '20000000'
+                       ELSE '0ccccccc' END AS thr
+      FROM documents
+      WHERE substr(md5('mix1:' || CAST(doc_id AS VARCHAR)), 1, 8)
+            < CASE lang WHEN 'en' THEN 'g'
+                        WHEN 'de' THEN '40000000'
+                        WHEN 'fr' THEN '20000000'
+                        ELSE '0ccccccc' END)
+    SELECT lang, COUNT(*) AS n_kept,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_kept
+    FROM sampled GROUP BY lang
+    """,
+    tags=("datapipe", "sampling"),
+)
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus-mixture sampling gate: per-language keep
+    rates (en ~100%, de 25%, fr 12.5%, rest 5%) decided by an
+    md5-threshold rule — a pure per-row function identical in Spark,
+    DuckDB and Python, so the EXACT kept set (not just its size) is
+    reproducible across engines and reruns; the salt gives independent
+    resamples. The filter fuses into the scan: sampling 1% of 100 TB
+    shuffles nothing. The oracle applies the same rule verbatim and
+    compares kept counts + a char checksum per stratum."""
+    from proteus_engine_spark.datapipe.sampling import stratified_sample
+    from proteus_engine_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = stratified_sample(
+        docs, "doc_id", "lang",
+        {"en": 1.0, "de": 0.25, "fr": 0.125},
+        default_rate=0.05,
+        salt="mix1:",
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").cast("bigint").alias("chars_kept"),
+    )
+
+
+@register(
+    "embedding_preprocess",
+    oracle="""
+    WITH idx AS (
+      SELECT unnest(range(1, (SELECT len(embedding) + 1
+                              FROM embeddings LIMIT 1))) AS pos),
+    comp AS (
+      SELECT e.vec_id, idx.pos, CAST(e.embedding[idx.pos] AS DOUBLE) AS val
+      FROM embeddings e, idx),
+    m AS (
+      SELECT pos,
+             CAST(SUM(CAST(floor(val * 1e6) AS BIGINT)) AS DOUBLE)
+               / 1e6 / COUNT(*) AS mu
+      FROM comp GROUP BY pos),
+    c AS (
+      SELECT vec_id, pos, val - mu AS cv
+      FROM comp JOIN m USING (pos)),
+    agg AS (
+      SELECT vec_id, sqrt(SUM(cv * cv)) AS norm,
+             list(cv ORDER BY pos) AS cvec
+      FROM c GROUP BY vec_id)
+    SELECT vec_id,
+           CASE WHEN norm > 0
+                THEN list_transform(cvec, x -> x / norm) END AS vec,
+           norm
+    FROM agg
+    """,
+    tags=("datapipe", "embedding"),
+)
+def embedding_preprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding preprocessing gate (mean-centering + unit L2 norm — the
+    standard step in front of cosine ANN): the corpus mean is an EXACT
+    integer aggregation (floor-micros; floating sums over an arbitrary
+    partitioning are order-dependent in the last ulp, and floor avoids
+    round()'s half-tie ambiguity across engines), broadcast back in-plan
+    as a 1-row array; centering, norms and scaling are per-row Catalyst
+    array expressions. The oracle recomputes all 64 components of every
+    vector, so a mean drift, a centering slip, or a zero-norm mishandling
+    all fail."""
+    from proteus_engine_spark.datapipe.embeddings import preprocess_embeddings
+    from proteus_engine_spark.sources import load_table
+
+    return preprocess_embeddings(load_table(spark, sf_dir, "embeddings"))

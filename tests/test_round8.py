@@ -406,3 +406,55 @@ def test_group_loop_agrees_with_bounded_enumeration():
         cap = n // 2 + 1
         bnd = all_matches(build(cap))
         assert unb == bnd, (trial, ets, consec, unb, bnd)
+
+
+def test_deterministic_sampling(spark):
+    from proteus_engine_spark.datapipe.sampling import (
+        deterministic_sample,
+        rate_to_threshold,
+        stratified_sample,
+    )
+
+    assert rate_to_threshold(0.5) == "80000000"
+    assert rate_to_threshold(1.0) == "g"
+    assert rate_to_threshold(0.0) == "00000000"
+    with pytest.raises(ValueError):
+        rate_to_threshold(1.5)
+
+    df = spark.range(0, 4000).select(F.col("id").alias("k"))
+    kept = deterministic_sample(df, "k", 0.25, salt="s1")
+    n = kept.count()
+    assert abs(n / 4000 - 0.25) < 0.05  # md5 is uniform
+    # reproducible: same salt -> identical set; different salt -> different
+    again = {r["k"] for r in deterministic_sample(df, "k", 0.25, salt="s1").collect()}
+    assert again == {r["k"] for r in kept.collect()}
+    other = {r["k"] for r in deterministic_sample(df, "k", 0.25, salt="s2").collect()}
+    assert other != again
+    # rate 1.0 keeps everything; 0.0 keeps nothing
+    assert deterministic_sample(df, "k", 1.0).count() == 4000
+    assert deterministic_sample(df, "k", 0.0).count() == 0
+
+    strat = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(2000)], "k long, s string"
+    )
+    got = stratified_sample(strat, "k", "s", {"a": 1.0}, default_rate=0.0)
+    assert got.filter(F.col("s") == "a").count() == 1000
+    assert got.filter(F.col("s") == "b").count() == 0
+
+
+def test_embedding_preprocess_zero_and_unit(spark):
+    from proteus_engine_spark.datapipe.embeddings import preprocess_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [3.0, 4.0]), (3, [2.0, 2.0])],
+        "vec_id long, embedding array<float>",
+    )
+    # no centering: plain unit-normalization
+    rows = {r["vec_id"]: r for r in
+            preprocess_embeddings(df, center=False).collect()}
+    assert rows[2]["norm"] == 5.0
+    assert [round(x, 6) for x in rows[2]["vec"]] == [0.6, 0.8]
+    # centered: mean = (2, 2); vec 3 becomes the zero vector -> NULL unit
+    crows = {r["vec_id"]: r for r in preprocess_embeddings(df).collect()}
+    assert crows[3]["norm"] == 0.0 and crows[3]["vec"] is None
+    assert round(crows[2]["norm"], 6) == round((1 + 4) ** 0.5, 6)
