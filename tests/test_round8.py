@@ -458,3 +458,36 @@ def test_embedding_preprocess_zero_and_unit(spark):
     crows = {r["vec_id"]: r for r in preprocess_embeddings(df).collect()}
     assert crows[3]["norm"] == 0.0 and crows[3]["vec"] is None
     assert round(crows[2]["norm"], 6) == round((1 + 4) ** 0.5, 6)
+
+
+# ---------------- staging crash recovery ----------------
+
+
+def test_ooo_staging_recovers_from_crashed_stage(spark):
+    """A previous staging run that crashed after creating the target dir
+    but before completing (no _SUCCESS) must be cleared and re-staged —
+    not treated as 'concurrent run won' (which would stream from a
+    permanently incomplete directory)."""
+    import os
+    import shutil
+
+    from proteus_engine_spark.streaming.sources import events_stream_late
+
+    sf_dir = os.environ.get("PROTEUS_TEST_SF_DIR", "/root/testdata/sf0.001")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    parent = os.path.join(repo, ".scratch")
+    sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    target = os.path.join(parent, f"late_events_{sf_tag}_55")
+    # simulate the crashed stage: partial dir, no _SUCCESS
+    shutil.rmtree(target, ignore_errors=True)
+    os.makedirs(target)
+    open(os.path.join(target, "f00.parquet"), "w").write("garbage")
+    ev = events_stream_late(spark, sf_dir)  # must re-stage, not raise
+    assert os.path.exists(os.path.join(target, "_SUCCESS"))
+    # the restaged data actually streams
+    q = (ev.writeStream.outputMode("append").format("memory")
+         .queryName("ooo_recover_test").start())
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    assert spark.table("ooo_recover_test").count() > 0
