@@ -69,6 +69,7 @@ _GATE_PRIORITY = [
     "pii_redaction",
     "corpus_stratified_sample",
     "embedding_preprocess",
+    "cep_group_stream_unbounded",
     # next-stalest rotation: latest driver green is round 5, registry
     # order (fills to 50)
     "dedup_simhash",
@@ -91,7 +92,6 @@ _GATE_PRIORITY = [
     "q22_sales_opportunity",
     "iter_delta_sssp",
     "sort_partition_leaders",
-    "from_rows_dim_join",
 ]
 
 

@@ -1884,3 +1884,59 @@ def cep_group_unbounded_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).next("view", lambda r: r["event_type"] == "view")
     g = GroupPattern.begin(sub).one_or_more().consecutive()
     return match_group_pattern(ev, g, "user_id")
+
+
+@register(
+    "cep_group_stream_unbounded",
+    oracle="""
+    WITH RECURSIVE seq AS (
+      SELECT user_id, event_id, ts, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events),
+    pairs AS (
+      SELECT c.user_id, c.rn AS start_rn, v.rn AS end_rn,
+             c.event_id AS last_click_id, c.ts AS last_click_ts,
+             v.event_id AS last_view_id, v.ts AS last_view_ts, 1 AS r
+      FROM seq c JOIN seq v ON v.user_id = c.user_id AND v.rn = c.rn + 1
+      WHERE c.event_type = 'click' AND v.event_type = 'view'),
+    rec AS (
+      SELECT * FROM pairs
+      UNION ALL
+      SELECT rec.user_id, rec.start_rn, p.end_rn,
+             p.last_click_id, p.last_click_ts,
+             p.last_view_id, p.last_view_ts, rec.r + 1
+      FROM rec JOIN pairs p
+        ON p.user_id = rec.user_id AND p.start_rn = rec.end_rn + 1)
+    SELECT user_id,
+           last_click_id AS click_id, epoch_ms(last_click_ts) AS click_ts,
+           CAST(r AS BIGINT) AS click_cnt,
+           last_view_id AS view_id, epoch_ms(last_view_ts) AS view_ts,
+           CAST(r AS BIGINT) AS view_cnt
+    FROM rec
+    WHERE epoch_ms(last_view_ts) < (SELECT max(epoch_ms(ts)) FROM events) - 600000
+    """,
+    tags=("streaming", "cep", "group"),
+)
+def cep_group_stream_unbounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING unbounded group repetition (the reference compiles group
+    patterns into the same keyed CEP operator it runs on streams —
+    NFACompiler + AbstractKeyedCEPPatternOperator — so groups are not
+    batch-only): (click NEXT view) one-or-more with strict chaining, the
+    state-counted loop riding the watermark-buffered row-time NFA. A
+    match emits when the watermark releases its final view event, so the
+    oracle is the batch recursive-CTE match set minus the 10-minute
+    watermark tail on the completing event."""
+    from proteus_engine_spark.streaming.cep import (
+        GroupPattern,
+        match_group_pattern_stream,
+    )
+
+    ev = events_stream(spark, sf_dir)
+    sub = Pattern.begin(
+        "click", lambda r: r["event_type"] == "click"
+    ).next("view", lambda r: r["event_type"] == "view")
+    g = GroupPattern.begin(sub).one_or_more().consecutive()
+    out = match_group_pattern_stream(
+        ev, g, "user_id", watermark_delay="10 minutes"
+    )
+    return run_to_completion(out, "cep_group_stream_sink", "append")

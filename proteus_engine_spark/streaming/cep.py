@@ -1220,3 +1220,52 @@ def match_group_pattern(
     for f in frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+def match_group_pattern_stream(
+    stream: DataFrame,
+    gpattern: GroupPattern,
+    key_col: str,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    watermark_delay: str | None = None,
+) -> DataFrame:
+    """STREAMING group-pattern matching (the reference compiles group
+    patterns into the same NFA the keyed CEP operator runs on streams —
+    NFACompiler + AbstractKeyedCEPPatternOperator, so groups are not a
+    batch-only feature there, and aren't here either).
+
+    Requires the group to flatten to a SINGLE pattern — which every
+    state-counted ``one_or_more()`` group does (the loop rides in NFA
+    state, not in a variant set). Multi-variant groups (times/optional)
+    would need a union of stateful operators per micro-batch, which
+    Structured Streaming restricts; run those through the batch path or
+    restructure with an unbounded loop. The flattened pattern reuses
+    match_pattern_stream unchanged: watermark-buffered (ts, id)-ordered
+    NFA feeding, keyed partial-match state, exactly-once emission."""
+    variants = gpattern.variants()
+    if len(variants) != 1:
+        raise ValueError(
+            f"streaming group patterns need exactly one flattened variant "
+            f"(got {len(variants)}); times/optional groups enumerate — use "
+            "the batch path or an unbounded one_or_more loop"
+        )
+    pat, choice = variants[0]
+    out = match_pattern_stream(
+        stream, pat, key_col, ts_col=ts_col, id_col=id_col,
+        watermark_delay=watermark_delay,
+    )
+    # Rename enumerated-variant columns (g{i}r{j} suffixes on non-looped
+    # single-repeat items) back to base names; looped items already use
+    # base names. The repeat-count column only exists for looped items.
+    renames: dict[str, str] = {}
+    for i, it in enumerate(gpattern.items):
+        if choice[i] == -1:
+            continue
+        for st in it.sub.steps:
+            for suffix in ("id", "ts"):
+                renames[f"{st.name}__g{i}r0_{suffix}"] = f"{st.name}_{suffix}"
+    for old, new in renames.items():
+        if old in out.columns:
+            out = out.withColumnRenamed(old, new)
+    return out

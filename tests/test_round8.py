@@ -491,3 +491,61 @@ def test_ooo_staging_recovers_from_crashed_stage(spark):
     q.stop()
     q.awaitTermination()
     assert spark.table("ooo_recover_test").count() > 0
+
+
+def test_group_stream_matches_batch(spark):
+    """Streaming unbounded group loop == batch group loop on the same
+    data (watermark covers everything: delay 0, matches complete before
+    the final watermark only when their completing event is strictly
+    below it — assert the overlap explicitly)."""
+    from proteus_engine_spark.streaming.cep import (
+        GroupPattern,
+        Pattern,
+        match_group_pattern,
+        match_group_pattern_stream,
+    )
+
+    rows = [
+        _ev(1, 1, 1, "a", 1.0), _ev(2, 2, 1, "b", 1.0),
+        _ev(3, 3, 1, "a", 1.0), _ev(4, 4, 1, "b", 1.0),
+        _ev(5, 5, 1, "c", 1.0), _ev(6, 20, 1, "c", 1.0),
+    ]
+    a, b = rows[:3], rows[3:]
+
+    def g():
+        sub = Pattern.begin(
+            "x", lambda r: r["event_type"] == "a"
+        ).next("y", lambda r: r["event_type"] == "b")
+        return GroupPattern.begin(sub).one_or_more().consecutive()
+
+    batch = match_group_pattern(
+        spark.createDataFrame(rows, EV_SCHEMA), g(), "user_id"
+    )
+    stream_out = match_group_pattern_stream(
+        _two_batch_stream(spark, a, b, EV_SCHEMA), g(), "user_id",
+        watermark_delay="0 seconds",
+    )
+    got = sorted(
+        (r["x_id"], r["y_id"], r["x_cnt"])
+        for r in _run(stream_out, "group_stream_test").collect()
+    )
+    exp = sorted((r["x_id"], r["y_id"], r["x_cnt"]) for r in batch.collect())
+    # every batch match completes at a y event strictly below the final
+    # watermark (max ts = minute 20), so the sets are equal
+    assert got == exp and len(got) == 3  # (1,2,r1), (3,4,r1), (3,4 from 1: r2)
+
+
+def test_group_stream_rejects_multi_variant(spark):
+    from proteus_engine_spark.streaming.cep import (
+        GroupPattern,
+        Pattern,
+        match_group_pattern_stream,
+    )
+
+    sub = Pattern.begin("x", lambda r: True)
+    g = GroupPattern.begin(sub).times(2)
+    g.items[-1].reps = (1, 2)
+    with pytest.raises(ValueError, match="exactly one flattened variant"):
+        match_group_pattern_stream(
+            spark.createDataFrame([], EV_SCHEMA), g, "user_id"
+        )
