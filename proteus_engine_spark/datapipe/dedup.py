@@ -535,3 +535,45 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def dedup_cluster_keep(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    pair_a: str = "doc_a",
+    pair_b: str = "doc_b",
+) -> DataFrame:
+    """The dedup END POINT every corpus pipeline runs after pair
+    generation: near-dup pairs become duplicate CLUSTERS (connected
+    components — A~B and B~C must collapse into one cluster even when
+    A~C itself never passed the pair threshold), each cluster keeps its
+    lowest doc id as the representative, and every document gets a keep
+    verdict. Returns (id_col, cluster_rep, is_kept).
+
+    Scale shape: the pair set is candidate-bounded (that is the point of
+    the LSH tiers upstream), so the component iteration runs on a graph
+    ORDERS OF MAGNITUDE smaller than the corpus; singleton documents
+    never enter it — they join against the cluster labels (broadcast-
+    sized in any sane dedup run) and keep themselves.
+    """
+    from proteus_engine_spark.operators.iterations import connected_components
+
+    comp = connected_components(
+        pairs.select(F.col(pair_a).alias("src"), F.col(pair_b).alias("dst"))
+    )
+    return (
+        docs.select(id_col)
+        .join(
+            F.broadcast(comp.withColumnRenamed("vertex", id_col)),
+            id_col,
+            "left",
+        )
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("cluster_rep"),
+            (
+                F.coalesce("component", F.col(id_col)) == F.col(id_col)
+            ).alias("is_kept"),
+        )
+    )

@@ -70,6 +70,7 @@ _GATE_PRIORITY = [
     "corpus_stratified_sample",
     "embedding_preprocess",
     "cep_group_stream_unbounded",
+    "dedup_cluster_keep",
     # next-stalest rotation: latest driver green is round 5, registry
     # order (fills to 50)
     "dedup_simhash",
@@ -91,7 +92,6 @@ _GATE_PRIORITY = [
     "q19_discounted_revenue",
     "q22_sales_opportunity",
     "iter_delta_sssp",
-    "sort_partition_leaders",
 ]
 
 

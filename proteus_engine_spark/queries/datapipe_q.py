@@ -629,3 +629,52 @@ def embedding_preprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
     from proteus_engine_spark.sources import load_table
 
     return preprocess_embeddings(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "dedup_cluster_keep",
+    oracle=r"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ')
+                     FOR i IN range(1, greatest(len(t)-2, 1)+1)]) AS s
+      FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+            FROM documents)),
+    edges AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.s, b.s))) >= 0.5),
+    sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+    reach(src, dst) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.src, s.b FROM reach r JOIN sym s ON s.a = r.dst),
+    lab AS (
+      SELECT src AS node, least(src, min(dst)) AS comp
+      FROM reach GROUP BY src)
+    SELECT d.doc_id,
+           COALESCE(l.comp, d.doc_id) AS cluster_rep,
+           COALESCE(l.comp, d.doc_id) = d.doc_id AS is_kept
+    FROM documents d LEFT JOIN lab l ON l.node = d.doc_id
+    """,
+    tags=("datapipe", "dedup", "cluster"),
+)
+def dedup_cluster_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution gate — the dedup END POINT (pairs
+    alone don't dedup a corpus: A~B and B~C must collapse into ONE
+    cluster even when A~C never passed the pair threshold). MinHash-LSH
+    exact-verified pairs at J >= 0.5 feed connected components (the
+    delta-iteration client); each cluster keeps its lowest doc id, and
+    every document gets a keep verdict. The oracle rebuilds the same
+    clusters with a recursive transitive-closure CTE over the exact
+    Jaccard pair set, so a lost edge, an unmerged component, or a wrong
+    representative all fail."""
+    from proteus_engine_spark.datapipe.dedup import (
+        dedup_cluster_keep as _cluster,
+        minhash_lsh_pairs,
+    )
+    from proteus_engine_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, jaccard_threshold=0.5, verify="exact")
+    return _cluster(docs, pairs.select("doc_a", "doc_b"))

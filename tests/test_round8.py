@@ -549,3 +549,19 @@ def test_group_stream_rejects_multi_variant(spark):
         match_group_pattern_stream(
             spark.createDataFrame([], EV_SCHEMA), g, "user_id"
         )
+
+
+def test_dedup_cluster_keep_transitivity(spark):
+    """A~B and B~C collapse into one cluster even without an A~C pair;
+    singletons keep themselves."""
+    from proteus_engine_spark.datapipe.dedup import dedup_cluster_keep
+
+    docs = spark.createDataFrame([(i,) for i in range(1, 7)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "doc_a long, doc_b long"
+    )
+    rows = {r["doc_id"]: r for r in dedup_cluster_keep(docs, pairs).collect()}
+    assert [rows[i]["cluster_rep"] for i in range(1, 7)] == [1, 1, 1, 4, 5, 5]
+    assert [rows[i]["is_kept"] for i in range(1, 7)] == [
+        True, False, False, True, True, False,
+    ]
