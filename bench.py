@@ -53,6 +53,13 @@ HEADLINE = [
     # span-batched shared-neighbor pipeline
     "graph_pagerank",
     "graph_jaccard",
+    # added round 8 (exclude from cross-round like-for-like totals):
+    # the new training-data pipeline family — n-gram repetition signals
+    # (tagged explode + doc-keyed aggs), regex PII redaction (pure
+    # codegen), and md5-threshold stratified sampling (scan-fused filter)
+    "text_repetition_stats",
+    "pii_redaction",
+    "corpus_stratified_sample",
 ]
 
 
