@@ -121,7 +121,14 @@ def repetition_stats(
     partitioned by document — no corpus-wide state, no join.
     """
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    base = docs.select(
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    # Explicit repartition before the gram explode: a small single-file
+    # input otherwise runs the whole tokenize+explode on ONE task, and
+    # AQE never widens a compute-heavy, byte-light stage (same rationale
+    # as the minhash signature pass).
+    base = docs.select(F.col(id_col), F.col(text_col)).repartition(
+        n_parts, id_col
+    ).select(
         F.col(id_col),
         F.length(text_col).alias("n_chars"),
         toks.alias("toks"),
