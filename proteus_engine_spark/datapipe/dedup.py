@@ -543,6 +543,7 @@ def dedup_cluster_keep(
     id_col: str = "doc_id",
     pair_a: str = "doc_a",
     pair_b: str = "doc_b",
+    max_iterations: int = 20,
 ) -> DataFrame:
     """The dedup END POINT every corpus pipeline runs after pair
     generation: near-dup pairs become duplicate CLUSTERS (connected
@@ -553,19 +554,25 @@ def dedup_cluster_keep(
 
     Scale shape: the pair set is candidate-bounded (that is the point of
     the LSH tiers upstream), so the component iteration runs on a graph
-    ORDERS OF MAGNITUDE smaller than the corpus; singleton documents
-    never enter it — they join against the cluster labels (broadcast-
-    sized in any sane dedup run) and keep themselves.
+    ORDERS OF MAGNITUDE smaller than the corpus. The label join back is
+    left to AQE: at web-crawl dup rates (30–50% of docs in clusters) the
+    label set is billions of rows — NOT broadcast-sized — so no
+    broadcast hint is forced; AQE broadcasts when the labels genuinely
+    fit and shuffles when they don't. `connected_components` raises if
+    label propagation has not converged within `max_iterations` (a
+    duplicate chain longer than the cap would otherwise silently yield
+    split clusters and wrong keep verdicts).
     """
     from proteus_engine_spark.operators.iterations import connected_components
 
     comp = connected_components(
-        pairs.select(F.col(pair_a).alias("src"), F.col(pair_b).alias("dst"))
+        pairs.select(F.col(pair_a).alias("src"), F.col(pair_b).alias("dst")),
+        max_iterations=max_iterations,
     )
     return (
         docs.select(id_col)
         .join(
-            F.broadcast(comp.withColumnRenamed("vertex", id_col)),
+            comp.withColumnRenamed("vertex", id_col),
             id_col,
             "left",
         )

@@ -27,15 +27,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def preprocess_embeddings(
-    df: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    center: bool = True,
+def _centered(
+    df: DataFrame, id_col: str, vec_col: str, center: bool
 ) -> DataFrame:
-    """Returns (id_col, vec: array<double>, norm: double) where vec is
-    the (optionally corpus-mean-centered) input scaled to unit L2 norm.
-    Zero vectors keep norm 0 and a NULL unit vector."""
+    """(id_col, v: array<double>, norm: double) with v optionally
+    corpus-mean-centered and norm its L2 length (pre-normalization)."""
     vec_d = F.transform(F.col(vec_col), lambda v: v.cast("double"))
     base = df.select(F.col(id_col), vec_d.alias("v"))
     if center:
@@ -54,13 +50,51 @@ def preprocess_embeddings(
             id_col,
             F.zip_with("v", "mean_vec", lambda a, b: a - b).alias("v"),
         )
-    norm = F.sqrt(
-        F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x)
-    )
+    norm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
+    return base.select(id_col, "v", norm.alias("norm"))
+
+
+def preprocess_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    center: bool = True,
+) -> DataFrame:
+    """Returns (id_col, vec: array<double>, norm: double) where vec is
+    the (optionally corpus-mean-centered) input scaled to unit L2 norm.
+    Zero vectors keep norm 0 and a NULL unit vector."""
+    base = _centered(df, id_col, vec_col, center)
+    norm = F.col("norm")
     return base.select(
         id_col,
         F.when(
             norm > 0, F.transform("v", lambda x: x / norm)
         ).alias("vec"),
-        norm.alias("norm"),
+        "norm",
+    )
+
+
+def preprocess_embeddings_long(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    center: bool = True,
+) -> DataFrame:
+    """Long/exploded variant of :func:`preprocess_embeddings` — one row
+    per (id, position) with the unit-normalized component as a SCALAR
+    column: (id_col, pos, component, norm). Zero vectors emit a row per
+    position with NULL component (norm 0), so every input position is
+    represented. Same plan shape as the array variant (the posexplode
+    fuses into the projection); the long form is what joins, per-dim
+    stats, and cross-engine comparison want."""
+    base = _centered(df, id_col, vec_col, center)
+    return base.select(
+        id_col, F.posexplode("v").alias("pos", "cv"), "norm"
+    ).select(
+        id_col,
+        "pos",
+        F.when(F.col("norm") > 0, F.col("cv") / F.col("norm")).alias(
+            "component"
+        ),
+        "norm",
     )

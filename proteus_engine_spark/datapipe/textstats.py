@@ -120,7 +120,15 @@ def repetition_stats(
     doc-keyed aggregations. Everything is line-rate and perfectly
     partitioned by document — no corpus-wide state, no join.
     """
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    # split(trim('')) yields [''] — one empty token — so empty or
+    # whitespace-only docs must map to an EMPTY token array (n_tokens 0),
+    # and the ratio columns need explicit zero-denominator guards
+    # (divide-by-zero is NULL in Spark but the doc legitimately has zero
+    # repetition — the signal is 0.0, not unknown).
+    toks = F.when(
+        F.length(F.trim(F.col(text_col))) > 0,
+        F.split(F.trim(F.col(text_col)), r"\s+"),
+    ).otherwise(F.array().cast("array<string>"))
     n_parts = docs.sparkSession.sparkContext.defaultParallelism
     # Explicit repartition before the gram explode: a small single-file
     # input otherwise runs the whole tokenize+explode on ONE task, and
@@ -136,10 +144,11 @@ def repetition_stats(
         id_col,
         "n_chars",
         F.size("toks").alias("n_tokens"),
-        (
+        F.when(
+            F.size("toks") > 0,
             1.0
-            - F.size(F.array_distinct("toks")).cast("double") / F.size("toks")
-        ).alias("dup_token_frac"),
+            - F.size(F.array_distinct("toks")).cast("double") / F.size("toks"),
+        ).otherwise(F.lit(0.0)).alias("dup_token_frac"),
         F.explode_outer(
             F.flatten(
                 F.array(
@@ -185,6 +194,12 @@ def repetition_stats(
         id_col,
         "n_tokens",
         "dup_token_frac",
-        (F.col("big_cov").cast("double") / F.col("n_chars")).alias("top_bigram_cov"),
-        (F.col("tri_cov").cast("double") / F.col("n_chars")).alias("dup_trigram_cov"),
+        F.when(
+            F.col("n_chars") > 0,
+            F.col("big_cov").cast("double") / F.col("n_chars"),
+        ).otherwise(F.lit(0.0)).alias("top_bigram_cov"),
+        F.when(
+            F.col("n_chars") > 0,
+            F.col("tri_cov").cast("double") / F.col("n_chars"),
+        ).otherwise(F.lit(0.0)).alias("dup_trigram_cov"),
     )

@@ -46,12 +46,58 @@ class ScalarFunction:
     def eval(self, *args):  # pragma: no cover - contract
         raise NotImplementedError
 
+    def _probe_vectorized(self) -> None:
+        """vectorized=True means eval receives pandas Series — a scalar
+        eval ported from the reference (``str(x).upper()``, ``x + 1`` on
+        assumed scalars) would silently broadcast or return a non-Series
+        and produce WRONG values, not an error. Probe eval with empty
+        Series at to_udf() time: a non-Series return is a hard error
+        pointing at the fix. A probe that itself raises is inconclusive
+        (the eval may need real dtypes) — the runtime wrapper still
+        enforces the Series contract with the same message."""
+        import inspect
+
+        try:
+            sig = inspect.signature(self.eval)
+            n_args = len(
+                [
+                    p
+                    for p in sig.parameters.values()
+                    if p.kind
+                    in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
+                ]
+            )
+        except (TypeError, ValueError):
+            return
+        try:
+            out = self.eval(*(pd.Series([], dtype=object) for _ in range(n_args)))
+        except Exception:
+            return  # inconclusive — runtime wrapper still checks
+        if not isinstance(out, (pd.Series, pd.DataFrame)):
+            raise TypeError(
+                f"{type(self).__name__}.eval returned "
+                f"{type(out).__name__}, not a pandas Series: vectorized "
+                "defaults to True (eval receives/returns Series on the "
+                "Arrow path). Rewrite eval over Series, or set "
+                "vectorized = False for row-at-a-time semantics"
+            )
+
     def to_udf(self):
         if self.vectorized:
+            self._probe_vectorized()
             eval_fn = self.eval
+            cls_name = type(self).__name__
 
             def vector_eval(*series: pd.Series) -> pd.Series:
-                return eval_fn(*series)
+                out = eval_fn(*series)
+                if not isinstance(out, (pd.Series, pd.DataFrame)):
+                    raise TypeError(
+                        f"{cls_name}.eval returned {type(out).__name__}, "
+                        "not a pandas Series — vectorized=True evals "
+                        "receive/return Series; set vectorized = False "
+                        "for row-at-a-time semantics"
+                    )
+                return out
 
             return F.pandas_udf(vector_eval, returnType=self.return_type)
         import warnings

@@ -33,15 +33,34 @@ def iterate(
     max_iterations: int,
     converged: Callable[[DataFrame, DataFrame], bool] | None = None,
     eager: bool = True,
+    strict: bool = False,
 ) -> DataFrame:
     """DataSet.iterate parity: apply `step` up to max_iterations times,
-    truncating lineage each step; stop early when `converged(prev, cur)`."""
+    truncating lineage each step; stop early when `converged(prev, cur)`.
+
+    If a convergence predicate is supplied and is STILL false when the
+    cap is hit, the result is a non-fixpoint — warn by default, raise
+    with strict=True (clients whose answer is silently WRONG when
+    unconverged, e.g. connected components splitting a long chain into
+    two clusters, should pass strict=True)."""
+    import warnings
+
     cur = initial.localCheckpoint(eager=eager) if eager else initial
     for i in range(max_iterations):
         nxt = step(cur, i).localCheckpoint(eager=eager)
         if converged is not None and converged(cur, nxt):
             return nxt
         cur = nxt
+    if converged is not None and max_iterations > 0:
+        # The loop exhausted with the last convergence check false: the
+        # final step still changed the state, so this is not a fixpoint.
+        msg = (
+            f"iterate() hit max_iterations={max_iterations} without "
+            "converging; the result is not a fixpoint"
+        )
+        if strict:
+            raise RuntimeError(msg + " — raise max_iterations")
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return cur
 
 
@@ -71,7 +90,10 @@ def connected_components(
     """Label-propagation connected components — the reference ships this as
     the canonical iterate example (Gelly library/ConnectedComponents and the
     flink-examples ConnectedComponents); here as an `iterate` client.
-    Returns (vertex, component) with component = min vertex id reachable."""
+    Returns (vertex, component) with component = min vertex id reachable.
+    Raises if label propagation has not converged within max_iterations
+    (strict: an unconverged run silently splits long chains into multiple
+    components — wrong answers, not slow ones)."""
     from pyspark.sql import functions as F
 
     sym = edges.select(src, dst).union(edges.select(F.col(dst).alias(src), F.col(src).alias(dst)))
@@ -106,4 +128,4 @@ def connected_components(
         )
         return changed.isEmpty()
 
-    return iterate(labels, step, max_iterations, converged)
+    return iterate(labels, step, max_iterations, converged, strict=True)

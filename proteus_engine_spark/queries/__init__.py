@@ -23,75 +23,75 @@ from proteus_engine_spark.queries import (  # noqa: F401
     windows_q,
 )
 
-# Round-8 priority window (the driver checks the first ~50 registry
-# entries): stream_window_cogroup first (the only registry query that
-# has never seen a driver window), then the four round-7 reds re-gated
-# after the HUGEINT oracle fix (the driver's pandas fetch coerces
-# DuckDB HUGEINT sums to float64; the oracles now CAST to BIGINT —
-# engine output was always correct), then the sixteen rows whose latest
-# driver green is round 4, then new round-8 gates, then the stalest
-# round-5 rows to fill to 50. ml_outlier_sos is deliberately OUT of the
-# window: it is registered with oracle=None (per-point perplexity
-# bisection is not SQL-expressible) and a rows-only query must not burn
-# a window slot as `err: no_oracle` — its value correctness is
-# pytest-proven against an independent scalar implementation.
+# Round-9 priority window (the driver checks the first ~50 registry
+# entries): the r8 red first (embedding_preprocess, re-gated after the
+# LIST-column -> exploded-scalar reshape — the driver's pandas
+# canonicalizer cannot sort list cells), then the one never-checked r9
+# gate (stream_late_side_output, the true sideOutputLateData row
+# recovery), then ALL 25 rows whose latest driver green is round 5
+# (retiring that cohort entirely), then the 23 stalest round-6 rows in
+# registry order. After r9 every registry query's latest driver green
+# is r6+ and only 25 r6 rows remain for the r10 rotation.
+# ml_outlier_sos stays OUT of the window: it is registered with
+# oracle=None (per-point perplexity bisection is not SQL-expressible)
+# and a rows-only query must not burn a window slot as
+# `err: no_oracle` — its value correctness is pytest-proven against an
+# independent scalar implementation.
 _GATE_PRIORITY = [
-    # never driver-checked (1)
-    "stream_window_cogroup",
-    # round-7 reds, re-gated after the HUGEINT->BIGINT oracle casts (4)
-    "text_roundtrip_initials",
-    "graph_vertex_metrics",
-    "socket_text_source_agg",
-    "stream_from_elements_agg",
-    # stalest rotation: latest driver green is round 4 (16)
-    "join_inner_dims",
-    "join_semi",
-    "agg_basic",
-    "sort_topk_per_group",
-    "over_running_agg",
-    "over_bounded_rows",
-    "subquery_exists_correlated",
-    "explode_unnest",
-    "window_tumble",
-    "window_session",
-    "fn_string_suite",
-    "fn_temporal_suite",
-    "q5_local_supplier_volume",
-    "q10_returned_items",
-    "q14_promo_effect",
-    "q12_ship_priority_class",
-    # round-8 additions (new gates, never driver-checked)
-    "cep_group_unbounded_repeat",
-    "stream_late_rows_observed",
-    "jdbc_roundtrip_agg",
-    "udf_vectorized_default",
-    "text_repetition_stats",
-    "pii_redaction",
-    "corpus_stratified_sample",
+    # the round-8 red, re-gated after the long-form reshape (1)
     "embedding_preprocess",
-    "cep_group_stream_unbounded",
-    "dedup_cluster_keep",
-    # next-stalest rotation: latest driver green is round 5, registry
-    # order (fills to 50)
-    "dedup_simhash",
-    "sim_ann_lsh",
-    "setop_union_all",
-    "setop_union_distinct",
-    "setop_intersect",
-    "setop_intersect_all",
-    "setop_except",
-    "setop_except_all",
-    "over_rank_functions",
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_supplier_part_count",
-    "q17_small_quantity_revenue",
-    "q19_discounted_revenue",
-    "q22_sales_opportunity",
-    "iter_delta_sssp",
+    # new round-9 gate, never driver-checked (1)
+    "stream_late_side_output",
+    # full round-5 cohort, registry order (25)
+    "sort_partition_leaders",
+    "from_rows_dim_join",
+    "csv_roundtrip_agg",
+    "insert_into_append",
+    "stream_tumble_agg",
+    "stream_csv_tumble_agg",
+    "stream_unbounded_agg",
+    "stream_hop_agg",
+    "stream_session_agg",
+    "stream_side_input_forwarded",
+    "stream_interval_join",
+    "stream_dedup",
+    "stream_count_window",
+    "cep_signup_purchase",
+    "cep_strict_next",
+    "stream_tumble_append",
+    "stream_idle_timeout",
+    "async_enrich_lookup",
+    "cep_times_consecutive",
+    "cep_one_or_more",
+    "cep_timeout_signups",
+    "cep_not_followed_by",
+    "cep_followed_by_any",
+    "cep_absence_alert",
+    "window_hop",
+    # stalest round-6 rows, registry order (23)
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "dedup_embedding_cosine_lsh",
+    "text_quality_stats",
+    "text_language_id",
+    "text_fingerprint",
+    "sim_topk_bruteforce",
+    "fn_math_suite",
+    "fn_conditional_suite",
+    "fn_json_suite",
+    "fn_array_suite",
+    "fn_cast_suite",
+    "graph_degrees",
+    "graph_triangles",
+    "graph_pagerank",
+    "join_left_outer",
+    "join_right_outer",
+    "join_full_outer",
+    "join_anti",
+    "join_cross",
+    "join_single_row",
+    "join_theta",
 ]
 
 

@@ -425,12 +425,16 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH t AS (
       SELECT doc_id, length(text) AS n_chars,
-             string_split_regex(trim(text), '\s+') AS toks
+             CASE WHEN length(trim(text)) > 0
+                  THEN string_split_regex(trim(text), '\s+')
+                  ELSE CAST([] AS VARCHAR[]) END AS toks
       FROM documents),
     per_doc AS (
       SELECT doc_id, n_chars, len(toks) AS n_tokens,
-             1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
-               AS dup_token_frac
+             CASE WHEN len(toks) > 0
+                  THEN 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+                         / len(toks)
+                  ELSE 0.0 END AS dup_token_frac
       FROM t),
     grams AS (
       SELECT doc_id, n_chars, 2 AS n,
@@ -453,8 +457,12 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                           THEN cnt * length(gram) END), 0) AS tri_cov
       FROM counts GROUP BY doc_id, n_chars)
     SELECT p.doc_id, p.n_tokens, p.dup_token_frac,
-           CAST(COALESCE(c.big_cov, 0) AS DOUBLE) / p.n_chars AS top_bigram_cov,
-           CAST(COALESCE(c.tri_cov, 0) AS DOUBLE) / p.n_chars AS dup_trigram_cov
+           CASE WHEN p.n_chars > 0
+                THEN CAST(COALESCE(c.big_cov, 0) AS DOUBLE) / p.n_chars
+                ELSE 0.0 END AS top_bigram_cov,
+           CASE WHEN p.n_chars > 0
+                THEN CAST(COALESCE(c.tri_cov, 0) AS DOUBLE) / p.n_chars
+                ELSE 0.0 END AS dup_trigram_cov
     FROM per_doc p LEFT JOIN cov c USING (doc_id)
     """,
     tags=("datapipe", "text", "quality"),
@@ -604,14 +612,13 @@ def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id, pos, val - mu AS cv
       FROM comp JOIN m USING (pos)),
     agg AS (
-      SELECT vec_id, sqrt(SUM(cv * cv)) AS norm,
-             list(cv ORDER BY pos) AS cvec
+      SELECT vec_id, sqrt(SUM(cv * cv)) AS norm
       FROM c GROUP BY vec_id)
-    SELECT vec_id,
-           CASE WHEN norm > 0
-                THEN list_transform(cvec, x -> x / norm) END AS vec,
-           norm
-    FROM agg
+    SELECT c.vec_id,
+           CAST(c.pos - 1 AS INTEGER) AS pos,
+           CASE WHEN a.norm > 0 THEN c.cv / a.norm END AS component,
+           a.norm
+    FROM c JOIN agg a USING (vec_id)
     """,
     tags=("datapipe", "embedding"),
 )
@@ -622,13 +629,18 @@ def embedding_preprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning are order-dependent in the last ulp, and floor avoids
     round()'s half-tie ambiguity across engines), broadcast back in-plan
     as a 1-row array; centering, norms and scaling are per-row Catalyst
-    array expressions. The oracle recomputes all 64 components of every
-    vector, so a mean drift, a centering slip, or a zero-norm mishandling
-    all fail."""
-    from proteus_engine_spark.datapipe.embeddings import preprocess_embeddings
+    array expressions. The gate emits the LONG form — one scalar row per
+    (vec_id, pos) — because the driver's pandas canonicalizer cannot
+    sort LIST-typed cells (r8 red: TypeError before any comparison ran);
+    every one of the 64 components of every vector is still verified, so
+    a mean drift, a centering slip, or a zero-norm mishandling all
+    fail."""
+    from proteus_engine_spark.datapipe.embeddings import (
+        preprocess_embeddings_long,
+    )
     from proteus_engine_spark.sources import load_table
 
-    return preprocess_embeddings(load_table(spark, sf_dir, "embeddings"))
+    return preprocess_embeddings_long(load_table(spark, sf_dir, "embeddings"))
 
 
 @register(

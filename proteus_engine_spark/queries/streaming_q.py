@@ -1836,6 +1836,53 @@ def stream_late_rows_observed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_late_side_output",
+    oracle="""
+    WITH b AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms
+               FROM events),
+         bounds AS (SELECT min(ts_ms) AS lo, max(ts_ms) AS hi FROM b),
+         cutv AS (SELECT lo + (hi - lo) * 55 // 100 AS cut FROM bounds)
+    SELECT event_id, user_id, event_type, ts_ms
+    FROM b, cutv WHERE ts_ms < cut
+    """,
+    tags=("streaming", "late", "side-output"),
+)
+def stream_late_side_output(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE sideOutputLateData (WindowedStream.java:171): the reference
+    re-routes the late ROWS to a side output; r8's gate only proved the
+    COUNT. Here the self-watermarking splitter (streaming/late.py) runs
+    ahead of the watermark declaration, tags each arrival against the
+    frontier prior micro-batches established, and the late branch is
+    returned row-by-row. The staged replay delivers every pre-cut row
+    two batches after the watermark jumped past it; with delay = hi -
+    cut the splitter frontier lands exactly on the cut, so the recovered
+    side output must hash-match the batch-SQL late set — every event
+    below the 55% cut, with full payload, not a count."""
+    import pyarrow.parquet as pq
+
+    from proteus_engine_spark.streaming.late import side_output_late_data
+    from proteus_engine_spark.streaming.sources import events_stream_late
+
+    # The delay that puts the frontier exactly on the staged cut: both
+    # bounds come from one footer-level scan of the batch table (driver-
+    # side, two scalars — the same bounded work the staging itself does).
+    tbl = pq.read_table(f"{sf_dir}/events.parquet", columns=["ts"])
+    ts_ms = tbl.column("ts").to_numpy().astype("datetime64[ms]").astype("int64")
+    lo, hi = int(ts_ms.min()), int(ts_ms.max())
+    cut = lo + (hi - lo) * 55 // 100
+
+    ev = events_stream_late(spark, sf_dir)
+    _on_time, late = side_output_late_data(ev, "ts", delay_ms=hi - cut)
+    out = late.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+    )
+    return run_to_completion(out, "stream_late_side_sink", "append")
+
+
+@register(
     "cep_group_unbounded_repeat",
     oracle="""
     WITH RECURSIVE seq AS (

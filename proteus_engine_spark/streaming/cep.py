@@ -1255,17 +1255,35 @@ def match_group_pattern_stream(
         stream, pat, key_col, ts_col=ts_col, id_col=id_col,
         watermark_delay=watermark_delay,
     )
-    # Rename enumerated-variant columns (g{i}r{j} suffixes on non-looped
-    # single-repeat items) back to base names; looped items already use
-    # base names. The repeat-count column only exists for looped items.
-    renames: dict[str, str] = {}
+    # Project onto the SAME repeat-stable schema the batch path emits
+    # (key + {name}_id/{name}_ts/{name}_cnt per step): looped items
+    # (r == -1) already carry base names + the state-counted _cnt;
+    # enumerated items with fixed repeats r >= 1 (e.g. times(n) — one
+    # variant, so it passes the single-variant check) expose their LAST
+    # repeat's __g{i}r{r-1} columns as base names and a literal _cnt,
+    # exactly as the batch select does.
+    cols = [F.col(key_col)]
     for i, it in enumerate(gpattern.items):
-        if choice[i] == -1:
-            continue
+        r = choice[i]
         for st in it.sub.steps:
-            for suffix in ("id", "ts"):
-                renames[f"{st.name}__g{i}r0_{suffix}"] = f"{st.name}_{suffix}"
-    for old, new in renames.items():
-        if old in out.columns:
-            out = out.withColumnRenamed(old, new)
-    return out
+            if r == -1:
+                cols += [
+                    F.col(f"{st.name}_id"),
+                    F.col(f"{st.name}_ts"),
+                    F.col(f"{st.name}_cnt"),
+                ]
+            elif r >= 1:
+                last = f"{st.name}__g{i}r{r - 1}"
+                cols += [
+                    F.col(f"{last}_id").alias(f"{st.name}_id"),
+                    F.col(f"{last}_ts").alias(f"{st.name}_ts"),
+                    F.lit(r).cast("long").alias(f"{st.name}_cnt"),
+                ]
+            else:  # r == 0: a zero-repeat single variant (times(0)) has
+                # no event columns to carry — match the batch NULL fill
+                cols += [
+                    F.lit(None).cast("long").alias(f"{st.name}_id"),
+                    F.lit(None).cast("long").alias(f"{st.name}_ts"),
+                    F.lit(0).cast("long").alias(f"{st.name}_cnt"),
+                ]
+    return out.select(*cols)

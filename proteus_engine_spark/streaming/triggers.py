@@ -169,6 +169,22 @@ class DeltaEvictor(Evictor):
 # The evicting window operator
 
 
+def _window_on_time_mask(ts_ms, frontier: int, window_ms: int | None):
+    """Late-event admission rule, judged by WINDOW END: WindowOperator
+    (and Spark-native aggregation) admit a late row while its window is
+    still open — only rows whose window already closed at the key's last
+    release frontier are lost. Filtering on raw ts would drop
+    late-but-admitted contributions (stricter than either engine).
+    GlobalWindows (window_ms None) never close, so nothing is ever too
+    late there."""
+    import numpy as np
+
+    if window_ms is None:
+        return np.ones(len(ts_ms), dtype=bool)
+    win_end = ts_ms - (ts_ms % window_ms) + window_ms
+    return win_end > frontier
+
+
 def triggered_window_agg(
     stream: DataFrame,
     key_col: str,
@@ -229,11 +245,7 @@ def triggered_window_agg(
             if batches:
                 pdf = pd.concat(batches)
                 ts_ms = pdf[ts_col].values.astype("datetime64[ms]").astype("int64")
-                # Late-event drop: Spark's own late filter lags one
-                # micro-batch, so a row below this key's last release
-                # frontier can still arrive — it can no longer be
-                # sequenced into its window pass.
-                on_time = ts_ms >= frontier
+                on_time = _window_on_time_mask(ts_ms, frontier, window_ms)
                 if not on_time.all():
                     pdf = pdf[on_time]
                     ts_ms = ts_ms[on_time]

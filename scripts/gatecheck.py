@@ -117,6 +117,34 @@ def main() -> None:
                     "pandas fetch coerces these to float64 and the hash compare "
                     "fails — CAST the column(s) AS BIGINT in the oracle SQL"
                 )
+            # The driver's pandas canonicalizer sort_values()-es every
+            # column; LIST/STRUCT/MAP cells are unhashable/unorderable and
+            # it dies with TypeError BEFORE any comparison (r8 red:
+            # embedding_preprocess with vec DOUBLE[]). Fail loudly on BOTH
+            # sides here — gate outputs must be scalar columns (explode
+            # nested values to long form).
+            nested_ocols = [
+                c
+                for c, t in zip(dcols, rel.types)
+                if any(k in str(t).upper() for k in ("[]", "STRUCT", "MAP", "LIST"))
+            ]
+            if nested_ocols:
+                raise ValueError(
+                    f"oracle emits LIST/STRUCT/MAP column(s) {nested_ocols}; the "
+                    "driver's pandas canonicalizer cannot sort nested cells and "
+                    "fails before comparing — explode to scalar columns"
+                )
+            nested_scols = [
+                f.name
+                for f in sdf.schema.fields
+                if f.dataType.typeName() in ("array", "struct", "map")
+            ]
+            if nested_scols:
+                raise ValueError(
+                    f"Spark gate output has nested column(s) {nested_scols}; the "
+                    "driver's pandas canonicalizer cannot sort nested cells — "
+                    "explode to scalar columns"
+                )
             ocols = sorted(dcols)
             idx = [dcols.index(c) for c in ocols]
             orows = sorted(
