@@ -205,15 +205,16 @@ def minhash_lsh_pairs(
         .filter(F.col("doc_a") < F.col("doc_b"))
     )
     # Melt candidates to one row per DOC with the set of its candidate
-    # pairs (collect_set also dedups pairs that collided in several bands),
-    # and BROADCAST that into the payload-attach join. The big relation
-    # (docs or sig) is filtered map-side by the broadcast hash join: no
-    # full-corpus shuffle, no full-corpus tokenization in the exact tier,
-    # and the candidate subplan — banding + the signature pass feeding it —
-    # is referenced by exactly ONE exchange, so it runs once per query.
-    # Candidates are by construction a tiny fraction of the corpus (that is
-    # the point of LSH); if a pathological hot bucket ever makes them too
-    # big to broadcast, split the bucket upstream.
+    # pairs (collect_set also dedups pairs that collided in several bands).
+    # NO broadcast hint on the payload-attach join: per_doc is one row per
+    # document appearing in ANY candidate pair, and at web-crawl dup rates
+    # (30-50% of docs) that is a corpus-sized fraction, not a
+    # broadcast-sized one — a forced hint would OOM executors at 100 TB.
+    # AQE picks a broadcast join at small candidate volumes and a shuffle
+    # join otherwise. The single-signature-pass guarantee does not depend
+    # on the join strategy: the estimate tier persists mh, and the exact
+    # tier re-reads the docs side, so the candidate subplan still runs
+    # once per query either way.
     per_doc = (
         cand_pairs.select(
             F.struct("doc_a", "doc_b").alias("pair"),
@@ -229,7 +230,7 @@ def minhash_lsh_pairs(
         # (Catalyst never pushes projections below joins).
         attached = (
             docs.select(F.col(id_col).alias("doc"), F.col(text_col))
-            .join(F.broadcast(per_doc), "doc")
+            .join(per_doc, "doc")
             .select("doc", shingle_array(text_col, k=shingle_k).alias("payload"), "pairs")
         )
     else:
@@ -238,7 +239,7 @@ def minhash_lsh_pairs(
         # reference reads the cache — the hash pass still runs ONCE.
         sig = F.array(*[F.col(f"mh_{p}") for p in range(num_perm)])
         attached = (
-            mh.join(F.broadcast(per_doc), F.col(id_col) == F.col("doc"))
+            mh.join(per_doc, F.col(id_col) == F.col("doc"))
             .select("doc", sig.alias("payload"), "pairs")
         )
     # The groupBy shuffles only candidate-pair payloads (candidate-bounded,

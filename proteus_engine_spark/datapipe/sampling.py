@@ -65,3 +65,49 @@ def stratified_sample(
         ).otherwise(thr_col)
     digest = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
     return df.filter(F.substring(digest, 1, 8) < thr_col)
+
+
+def mixture_weights(
+    df: DataFrame,
+    stratum_cols: list[str],
+    size_col: "Column | str | None" = None,
+) -> DataFrame:
+    """Per-stratum mixture statistics and uniform-target resampling
+    weights — the planning step that feeds ``stratified_sample``'s rate
+    map. For each stratum: row count, total size (``size_col`` — e.g. a
+    token count — or 1 per row), the stratum's share of the corpus, and
+    ``weight`` = (1/n_strata) / share: multiplying each stratum's
+    sampling rate by its weight yields a uniform-over-strata mixture
+    (upsample rare strata, downsample dominant ones).
+
+    Scale shape: ONE stratum-keyed corpus aggregation (map-side partial
+    combine), then the grand totals via an unpartitioned window over the
+    per-stratum frame — that frame is strata-sized (hundreds of rows at
+    any corpus scale), so the single-partition window is free, and the
+    corpus-sized input is scanned exactly once (a crossJoin against a
+    1-row aggregate of the same subplan would reference — and re-run —
+    the corpus aggregation twice).
+
+    Returns stratum_cols + (n_docs long, total_size long, share double,
+    weight double)."""
+    from pyspark.sql.window import Window
+
+    if size_col is None:
+        size_expr = F.lit(1).cast("long")
+    else:
+        size_expr = (
+            F.col(size_col) if isinstance(size_col, str) else size_col
+        ).cast("long")
+    per = df.groupBy(*stratum_cols).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(size_expr).alias("total_size"),
+    )
+    w = Window.partitionBy()  # strata-sized frame: single partition is fine
+    share = F.col("total_size").cast("double") / F.sum("total_size").over(w)
+    return per.select(
+        *stratum_cols,
+        "n_docs",
+        "total_size",
+        share.alias("share"),
+        (F.lit(1.0) / F.count("*").over(w) / share).alias("weight"),
+    )

@@ -203,3 +203,45 @@ def repetition_stats(
             F.col("tri_cov").cast("double") / F.col("n_chars"),
         ).otherwise(F.lit(0.0)).alias("dup_trigram_cov"),
     )
+
+
+def percentile_summary(
+    df: DataFrame,
+    value_col: "str | Column",
+    group_cols: list[str],
+    pcts: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+    mode: str = "exact",
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Per-group distribution summary (e.g. token-length percentiles per
+    language — the profiling step before setting corpus length filters).
+    Long-form output: group_cols + (pct double, value double), one row
+    per requested percentile — scalar columns only, gate-safe.
+
+    Two tiers, like the dedup operators:
+    - ``mode="exact"``: Spark's `percentile` — linear interpolation at
+      rank p*(n-1), identical to DuckDB's quantile_cont, so it is
+      oracle-checkable. The aggregation buffers every value of a group
+      in executor memory — correct for tests/small strata, NOT the
+      100 TB path.
+    - ``mode="approx"``: `approx_percentile` — a mergeable sketch with
+      bounded memory (map-side partial combine, no value buffering);
+      the production tier at corpus scale, within 1/accuracy relative
+      rank error.
+    """
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    pct_arr = F.array(*[F.lit(float(p)) for p in pcts])
+    if mode == "exact":
+        vals = F.percentile(v, pct_arr)
+    elif mode == "approx":
+        vals = F.approx_percentile(v.cast("double"), pct_arr, F.lit(accuracy))
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+    agg = df.groupBy(*group_cols).agg(vals.cast("array<double>").alias("__vals__"))
+    return agg.select(
+        *group_cols, F.posexplode("__vals__").alias("__i__", "value")
+    ).select(
+        *group_cols,
+        F.element_at(pct_arr, F.col("__i__") + 1).alias("pct"),
+        "value",
+    )

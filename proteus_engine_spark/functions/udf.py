@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
@@ -46,15 +47,32 @@ class ScalarFunction:
     def eval(self, *args):  # pragma: no cover - contract
         raise NotImplementedError
 
+    @staticmethod
+    def _is_batch_return(out) -> bool:
+        """True for any sized sequence the Arrow worker itself accepts —
+        the worker only requires __len__ (it length-checks the batch), so
+        pd.Series, pd.DataFrame, np.ndarray, list and tuple all serialize.
+        str/bytes are excluded even though they have __len__: a scalar
+        string return is exactly the silent-broadcast bug the contract
+        exists to catch."""
+        if isinstance(out, (pd.Series, pd.DataFrame, np.ndarray, list, tuple)):
+            return True
+        return False
+
     def _probe_vectorized(self) -> None:
         """vectorized=True means eval receives pandas Series — a scalar
         eval ported from the reference (``str(x).upper()``, ``x + 1`` on
-        assumed scalars) would silently broadcast or return a non-Series
-        and produce WRONG values, not an error. Probe eval with empty
-        Series at to_udf() time: a non-Series return is a hard error
-        pointing at the fix. A probe that itself raises is inconclusive
-        (the eval may need real dtypes) — the runtime wrapper still
-        enforces the Series contract with the same message."""
+        assumed scalars) would silently broadcast or return a non-batch
+        value and produce WRONG values, not an error. Probe eval with
+        empty Series at to_udf() time: a scalar return is a hard error
+        pointing at the fix. Any sized sequence the worker serializes
+        (Series/DataFrame/ndarray/list/tuple) is accepted. A probe that
+        itself raises is inconclusive (the eval may need real dtypes) —
+        the runtime wrapper still enforces the contract with the same
+        message. NOTE: the probe runs eval once with empty input at
+        plan-construction time — evals should tolerate an empty batch
+        (they can see one at runtime anyway) and keep side effects out
+        of eval."""
         import inspect
 
         try:
@@ -73,13 +91,14 @@ class ScalarFunction:
             out = self.eval(*(pd.Series([], dtype=object) for _ in range(n_args)))
         except Exception:
             return  # inconclusive — runtime wrapper still checks
-        if not isinstance(out, (pd.Series, pd.DataFrame)):
+        if not self._is_batch_return(out):
             raise TypeError(
                 f"{type(self).__name__}.eval returned "
-                f"{type(out).__name__}, not a pandas Series: vectorized "
-                "defaults to True (eval receives/returns Series on the "
-                "Arrow path). Rewrite eval over Series, or set "
-                "vectorized = False for row-at-a-time semantics"
+                f"{type(out).__name__}, not a batch (pandas Series/"
+                "DataFrame, ndarray, list): vectorized defaults to True "
+                "(eval receives Series and must return one value per "
+                "input row on the Arrow path). Rewrite eval over Series, "
+                "or set vectorized = False for row-at-a-time semantics"
             )
 
     def to_udf(self):
@@ -88,16 +107,21 @@ class ScalarFunction:
             eval_fn = self.eval
             cls_name = type(self).__name__
 
+            is_batch = self._is_batch_return
+
             def vector_eval(*series: pd.Series) -> pd.Series:
                 out = eval_fn(*series)
-                if not isinstance(out, (pd.Series, pd.DataFrame)):
+                if not is_batch(out):
                     raise TypeError(
                         f"{cls_name}.eval returned {type(out).__name__}, "
-                        "not a pandas Series — vectorized=True evals "
-                        "receive/return Series; set vectorized = False "
-                        "for row-at-a-time semantics"
+                        "not a batch (Series/DataFrame/ndarray/list) — "
+                        "vectorized=True evals receive Series and must "
+                        "return one value per input row; set "
+                        "vectorized = False for row-at-a-time semantics"
                     )
-                return out
+                if isinstance(out, (pd.Series, pd.DataFrame)):
+                    return out
+                return pd.Series(out)
 
             return F.pandas_udf(vector_eval, returnType=self.return_type)
         import warnings

@@ -23,75 +23,81 @@ from proteus_engine_spark.queries import (  # noqa: F401
     windows_q,
 )
 
-# Round-9 priority window (the driver checks the first ~50 registry
-# entries): the r8 red first (embedding_preprocess, re-gated after the
-# LIST-column -> exploded-scalar reshape — the driver's pandas
-# canonicalizer cannot sort list cells), then the one never-checked r9
-# gate (stream_late_side_output, the true sideOutputLateData row
-# recovery), then ALL 25 rows whose latest driver green is round 5
-# (retiring that cohort entirely), then the 23 stalest round-6 rows in
-# registry order. After r9 every registry query's latest driver green
-# is r6+ and only 25 r6 rows remain for the r10 rotation.
+# Round-10 priority window (the driver checks the first ~50 registry
+# entries): the never-checked r10 gate first
+# (stream_late_side_output_partitioned — the per-partition-frontier
+# production mode of the late splitter), then the three already-green
+# queries whose CODE changed this round (dedup_cluster_keep and
+# iter_connected_components ride the reworked connected_components
+# convergence probe; stream_late_side_output and
+# stream_late_rows_observed ride the single-sourced LATE_CUT_PCT
+# staging — equivalent by construction, re-gated as insurance), then
+# the ENTIRE remaining round-6 cohort (25 rows — retiring r6
+# staleness), then the 21 stalest round-7 rows in registry order, with
+# dedup_minhash_lsh (forced-broadcast removal this round) and
+# iter_connected_components among them. After r10 every registry
+# query's latest driver green is r7+ — the registry is on a
+# steady-state <=4-round staleness cycle with 25 r7 rows left for r11.
 # ml_outlier_sos stays OUT of the window: it is registered with
 # oracle=None (per-point perplexity bisection is not SQL-expressible)
 # and a rows-only query must not burn a window slot as
 # `err: no_oracle` — its value correctness is pytest-proven against an
 # independent scalar implementation.
 _GATE_PRIORITY = [
-    # the round-8 red, re-gated after the long-form reshape (1)
-    "embedding_preprocess",
-    # new round-9 gate, never driver-checked (1)
+    # new round-10 gate, never driver-checked (1)
+    "stream_late_side_output_partitioned",
+    # green earlier but code-changed this round (3)
+    "dedup_cluster_keep",
     "stream_late_side_output",
-    # full round-5 cohort, registry order (25)
-    "sort_partition_leaders",
-    "from_rows_dim_join",
-    "csv_roundtrip_agg",
-    "insert_into_append",
-    "stream_tumble_agg",
-    "stream_csv_tumble_agg",
-    "stream_unbounded_agg",
-    "stream_hop_agg",
-    "stream_session_agg",
-    "stream_side_input_forwarded",
-    "stream_interval_join",
-    "stream_dedup",
-    "stream_count_window",
-    "cep_signup_purchase",
-    "cep_strict_next",
-    "stream_tumble_append",
-    "stream_idle_timeout",
-    "async_enrich_lookup",
-    "cep_times_consecutive",
-    "cep_one_or_more",
-    "cep_timeout_signups",
-    "cep_not_followed_by",
-    "cep_followed_by_any",
-    "cep_absence_alert",
-    "window_hop",
-    # stalest round-6 rows, registry order (23)
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "dedup_embedding_cosine_lsh",
-    "text_quality_stats",
-    "text_language_id",
-    "text_fingerprint",
-    "sim_topk_bruteforce",
-    "fn_math_suite",
-    "fn_conditional_suite",
-    "fn_json_suite",
-    "fn_array_suite",
-    "fn_cast_suite",
-    "graph_degrees",
-    "graph_triangles",
-    "graph_pagerank",
-    "join_left_outer",
-    "join_right_outer",
-    "join_full_outer",
-    "join_anti",
-    "join_cross",
-    "join_single_row",
-    "join_theta",
+    "stream_late_rows_observed",
+    # full round-6 cohort, registry order (25)
+    "agg_collect",
+    "agg_cube",
+    "agg_distinct",
+    "agg_grouping_sets",
+    "agg_having",
+    "agg_minby_maxby",
+    "agg_reduce_group_sorted",
+    "agg_rollup",
+    "agg_stats_exact",
+    "cep_allow_combinations",
+    "cep_greedy_click_run",
+    "cogroup_counts",
+    "distinct_rows",
+    "sort_limit_offset",
+    "stream_count_evictor_fires",
+    "stream_side_input_broadcast",
+    "stream_side_input_keyed",
+    "stream_split_select",
+    "stream_tumble_time_evictor",
+    "subquery_in",
+    "udf_scalar_weighted",
+    "window_count_tumbling",
+    "window_tumble_sql",
+    "zip_with_index_bulk",
+    "zip_with_index_ranked",
+    # stalest round-7 rows, registry order, changed-code ones included (21)
+    "dedup_minhash_lsh",
+    "iter_connected_components",
+    "sim_ann_ivf",
+    "multimodal_decode",
+    "graph_label_propagation",
+    "graph_jaccard",
+    "graph_hits",
+    "graph_clustering_coeff",
+    "graph_summarize",
+    "graph_adamic_adar",
+    "graph_community_detection",
+    "graph_triadic_census",
+    "graph_global_clustering",
+    "graph_sssp_scatter_gather",
+    "ml_linreg_price_vs_qty",
+    "ml_feature_scaling",
+    "ml_distance_metrics",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
+    "q18_large_volume_customer",
 ]
 
 

@@ -690,3 +690,97 @@ def dedup_cluster_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs, jaccard_threshold=0.5, verify="exact")
     return _cluster(docs, pairs.select("doc_a", "doc_b"))
+
+
+@register(
+    "text_decontaminate",
+    oracle=r"""
+    WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+               FROM documents),
+    g AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ')
+          FOR i IN range(1, greatest(len(t)-2, 1)+1)]) AS grams FROM t),
+    eg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0),
+    cg AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 97 <> 0)
+    SELECT cg.doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams
+    FROM cg JOIN eg USING (gram) GROUP BY cg.doc_id
+    """,
+    tags=("datapipe", "decontam"),
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix C / Gopher 13-gram
+    style): per training document, the count of distinct n-grams shared
+    with the eval split (doc_id % 97 — a stand-in benchmark set; n=3
+    here so the synthetic small-vocabulary corpus yields a substantive
+    overlap set — real deployments use 8-13). Corpus
+    grams are hashed to 8 bytes in the scan projection and joined on the
+    hash (shuffle carries (doc_id, hash), never gram strings); the eval
+    side is a distinct hash set sized by the benchmark, join strategy
+    left to AQE. The oracle recomputes the overlap with string grams in
+    SQL, so a hash-collision miscount would also fail the gate."""
+    from proteus_engine_spark.datapipe.decontam import ngram_overlap_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    eval_set = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return ngram_overlap_counts(corpus, eval_set, n=3)
+
+
+@register(
+    "corpus_mixture_weights",
+    oracle=r"""
+    WITH per AS (
+      SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT)
+               AS total_size
+      FROM documents GROUP BY source, lang)
+    SELECT source, lang, n_docs, total_size,
+           total_size / CAST(sum(total_size) OVER () AS DOUBLE) AS share,
+           1.0 / count(*) OVER ()
+             / (total_size / CAST(sum(total_size) OVER () AS DOUBLE)) AS weight
+    FROM per
+    """,
+    tags=("datapipe", "sampling"),
+)
+def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-weight planning over (source, lang) strata: token-share of
+    each stratum and the uniform-target resampling weight that feeds
+    stratified_sample's rate map. One corpus aggregation; totals via a
+    window over the strata-sized frame (sampling.mixture_weights)."""
+    from proteus_engine_spark.datapipe.sampling import mixture_weights
+    from proteus_engine_spark.datapipe.textstats import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixture_weights(
+        docs, ["source", "lang"], size_col=token_count("text")
+    )
+
+
+@register(
+    "text_length_percentiles",
+    oracle=r"""
+    WITH v AS (SELECT lang, len(string_split_regex(text, '\s+')) AS n_tokens
+               FROM documents),
+    q AS (SELECT lang,
+                 quantile_cont(n_tokens, [0.25, 0.5, 0.75, 0.9, 0.99]) AS vals
+          FROM v GROUP BY lang)
+    SELECT lang, unnest(CAST([0.25, 0.5, 0.75, 0.9, 0.99] AS DOUBLE[])) AS pct,
+           unnest(vals) AS value
+    FROM q
+    """,
+    tags=("datapipe", "text", "profiling"),
+)
+def text_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length distribution per language — the profiling step before
+    corpus length filters. Exact tier (Spark `percentile` == DuckDB
+    quantile_cont, linear interpolation at rank p*(n-1)) for the gate;
+    textstats.percentile_summary(mode="approx") is the bounded-memory
+    sketch tier for 100 TB."""
+    from proteus_engine_spark.datapipe.textstats import (
+        percentile_summary,
+        token_count,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", token_count("text").alias("n_tokens")
+    )
+    return percentile_summary(docs, "n_tokens", ["lang"])

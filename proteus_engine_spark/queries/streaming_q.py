@@ -24,7 +24,12 @@ from proteus_engine_spark.streaming.side_inputs import (
     keyed_side_input,
 )
 from proteus_engine_spark.streaming.async_io import async_enrich
-from proteus_engine_spark.streaming.sources import events_stream, run_to_completion
+from proteus_engine_spark.streaming.sources import (
+    LATE_CUT_PCT,
+    events_stream,
+    late_cut_ms,
+    run_to_completion,
+)
 from proteus_engine_spark.streaming.stateful import (
     bounded_over_agg,
     count_window_agg,
@@ -1789,10 +1794,10 @@ def stream_window_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_late_rows_observed",
-    oracle="""
+    oracle=f"""
     WITH b AS (SELECT epoch_ms(ts) AS ms FROM events),
          bounds AS (SELECT min(ms) AS lo, max(ms) AS hi FROM b),
-         cutv AS (SELECT lo + (hi - lo) * 55 // 100 AS cut, hi FROM bounds)
+         cutv AS (SELECT lo + (hi - lo) * {LATE_CUT_PCT} // 100 AS cut, hi FROM bounds)
     SELECT (SELECT CAST(count(*) AS BIGINT) FROM b, cutv WHERE ms < cut)
              AS n_dropped,
            (SELECT CAST(count(*) AS BIGINT) FROM b, cutv
@@ -1810,8 +1815,9 @@ def stream_late_rows_observed(spark: SparkSession, sf_dir: str) -> DataFrame:
     back from StreamingQueryProgress.stateOperators[]
     .numRowsDroppedByWatermark via the dropped_late_rows helper — the
     reference re-routes the same rows to a side output; Spark counts
-    them. The oracle recomputes the drop count (every row below the 55%
-    cut) and the released on-time row count (strictly below the final
+    them. The oracle recomputes the drop count (every row below the
+    LATE_CUT_PCT cut — the oracle literal is interpolated from that one
+    constant) and the released on-time row count (strictly below the final
     watermark) from the batch table, so a replay that leaks late rows
     into the sort, or a metric that under/over-counts, both fail."""
     from proteus_engine_spark.sources.tables import from_rows
@@ -1837,11 +1843,11 @@ def stream_late_rows_observed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_late_side_output",
-    oracle="""
+    oracle=f"""
     WITH b AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms
                FROM events),
          bounds AS (SELECT min(ts_ms) AS lo, max(ts_ms) AS hi FROM b),
-         cutv AS (SELECT lo + (hi - lo) * 55 // 100 AS cut FROM bounds)
+         cutv AS (SELECT lo + (hi - lo) * {LATE_CUT_PCT} // 100 AS cut FROM bounds)
     SELECT event_id, user_id, event_type, ts_ms
     FROM b, cutv WHERE ts_ms < cut
     """,
@@ -1857,19 +1863,16 @@ def stream_late_side_output(spark: SparkSession, sf_dir: str) -> DataFrame:
     two batches after the watermark jumped past it; with delay = hi -
     cut the splitter frontier lands exactly on the cut, so the recovered
     side output must hash-match the batch-SQL late set — every event
-    below the 55% cut, with full payload, not a count."""
-    import pyarrow.parquet as pq
-
+    below the LATE_CUT_PCT cut, with full payload, not a count. Cut,
+    oracle literal and staged split all derive from the one
+    streaming.sources.LATE_CUT_PCT constant via late_cut_ms."""
     from proteus_engine_spark.streaming.late import side_output_late_data
     from proteus_engine_spark.streaming.sources import events_stream_late
 
-    # The delay that puts the frontier exactly on the staged cut: both
-    # bounds come from one footer-level scan of the batch table (driver-
-    # side, two scalars — the same bounded work the staging itself does).
-    tbl = pq.read_table(f"{sf_dir}/events.parquet", columns=["ts"])
-    ts_ms = tbl.column("ts").to_numpy().astype("datetime64[ms]").astype("int64")
-    lo, hi = int(ts_ms.min()), int(ts_ms.max())
-    cut = lo + (hi - lo) * 55 // 100
+    # The delay that puts the frontier exactly on the staged cut — the
+    # same shared formula the staging used (late_cut_ms; driver-side,
+    # two scalars off one column read).
+    _lo, hi, cut = late_cut_ms(sf_dir)
 
     ev = events_stream_late(spark, sf_dir)
     _on_time, late = side_output_late_data(ev, "ts", delay_ms=hi - cut)
@@ -1880,6 +1883,59 @@ def stream_late_side_output(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
     )
     return run_to_completion(out, "stream_late_side_sink", "append")
+
+
+@register(
+    "stream_late_side_output_partitioned",
+    oracle=f"""
+    WITH b AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms,
+                      user_id % 8 AS pk
+               FROM events),
+         bounds AS (SELECT min(ts_ms) AS lo, max(ts_ms) AS hi FROM b),
+         cutv AS (SELECT lo + (hi - lo) * {LATE_CUT_PCT} // 100 AS cut, hi
+                  FROM bounds),
+         pmax AS (SELECT pk, max(ts_ms) AS pmax_ts
+                  FROM b, cutv WHERE ts_ms >= cut GROUP BY pk)
+    SELECT b.event_id, b.user_id, b.event_type, b.ts_ms
+    FROM b JOIN pmax ON b.pk = pmax.pk CROSS JOIN cutv
+    WHERE b.ts_ms < cut AND b.ts_ms < pmax.pmax_ts - (hi - cut)
+    """,
+    tags=("streaming", "late", "side-output", "partitioned"),
+)
+def stream_late_side_output_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sideOutputLateData in its PRODUCTION shape: the splitter keyed by
+    a source-partition column (`user_id % 8` stands in for a Kafka
+    partition id), one watermark frontier PER partition — exactly the
+    reference's per-partition watermark before operator merge
+    (BoundedOutOfOrdernessTimestampExtractor assigned per source
+    partition; WindowedStream.java:171 for the side output itself).
+    Unlike the global-key gate above, the frontier each late row is
+    judged against is its own partition's running max minus the delay,
+    so a partition whose on-time maximum is far below the global max
+    recovers FEWER late rows — the oracle recomputes that per-partition
+    verdict in SQL (pmax = per-pk on-time max; late iff
+    ts < pmax - (hi - cut)), proving the parallel-frontier path, not
+    just the single-task audit path. At cluster scale this is the mode
+    to run: state is one timestamp per partition and the splitter
+    parallelizes across partitions instead of serializing through one
+    task."""
+    from proteus_engine_spark.streaming.late import side_output_late_data
+    from proteus_engine_spark.streaming.sources import events_stream_late
+
+    _lo, hi, cut = late_cut_ms(sf_dir)
+    ev = events_stream_late(spark, sf_dir).withColumn(
+        "part_id", (F.col("user_id") % 8).cast("long")
+    )
+    _on_time, late = side_output_late_data(
+        ev, "ts", delay_ms=hi - cut, partition_col="part_id"
+    )
+    out = late.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+    )
+    return run_to_completion(out, "stream_late_side_part_sink", "append")
 
 
 @register(

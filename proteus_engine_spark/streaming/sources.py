@@ -178,10 +178,30 @@ def events_stream_ooo(
     return raw
 
 
+# THE single source for the late-replay split point. The staging below,
+# the gate bodies' delay computation (via late_cut_ms) and the gates'
+# oracle SQL literals (f-string interpolation in queries/streaming_q.py)
+# all derive from this one constant — changing the cut in one place keeps
+# the splitter delay and the staged late set in sync.
+LATE_CUT_PCT = 55
+
+
+def late_cut_ms(sf_dir: str, cut_pct: int = LATE_CUT_PCT) -> tuple[int, int, int]:
+    """(lo, hi, cut) epoch-ms bounds of the staged late split — the same
+    formula the staging applies, off one footer-level column read (two
+    scalars of driver-side work, same as the staging itself does)."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(os.path.join(sf_dir, "events.parquet"), columns=["ts"])
+    ts_ms = tbl.column("ts").to_numpy().astype("datetime64[ms]").astype("int64")
+    lo, hi = int(ts_ms.min()), int(ts_ms.max())
+    return lo, hi, lo + (hi - lo) * cut_pct // 100
+
+
 def events_stream_late(
     spark: SparkSession,
     sf_dir: str,
-    cut_pct: int = 55,
+    cut_pct: int = LATE_CUT_PCT,
 ) -> DataFrame:
     """The events table replayed so that a known subset arrives LATE —
     beyond the watermark — the harness for sideOutputLateData-style
@@ -225,8 +245,7 @@ def events_stream_late(
             // 1000
         )
         ids = tbl.column("event_id").to_numpy().astype("int64")
-        lo, hi = int(ts_ms.min()), int(ts_ms.max())
-        cut = lo + (hi - lo) * cut_pct // 100
+        _, _, cut = late_cut_ms(sf_dir, cut_pct)  # the one shared formula
         on_time = ts_ms >= cut
         # earliest on-time row by (ts_ms, event_id) — the spacer
         ot_idx = np.flatnonzero(on_time)

@@ -35,6 +35,7 @@ WindowOperator.clearAllState does at window.maxTimestamp.
 
 from __future__ import annotations
 
+import bisect
 import pickle
 from dataclasses import dataclass
 
@@ -212,9 +213,16 @@ def triggered_window_agg(
     eviction fronts are positions in that order, not in arrival order, so
     results are reproducible across replays and micro-batch splits (the
     reference gets the same from watermark-ordered processing in
-    WindowOperator). Rows later than the watermark are dropped by Spark
-    upstream; the open tail past the final watermark never fires — append
-    semantics, like the native-path stream_tumble_append."""
+    WindowOperator). Late-but-admitted rows (window still open at the
+    key's frontier) are insorted at their (ts, id) position in the
+    not-yet-fired buffer, so fire CONTENTS and evictor fronts stay
+    order-stable; the count-trigger fire POINT for such a row is still
+    arrival-relative (it increments the since-last-fire counter when it
+    arrives) — exactly CountTrigger's arrival-count semantics, and the
+    one residual split-dependence for late data. Rows later than the
+    watermark are dropped by Spark upstream; the open tail past the
+    final watermark never fires — append semantics, like the native-path
+    stream_tumble_append."""
     import numpy as np
 
     if window_ms is None and trigger.fires_on_event_time():
@@ -268,7 +276,12 @@ def triggered_window_agg(
             win = st["wins"].setdefault(ws, {"elems": [], "since": 0, "fires": 0})
             if interval is not None and "nf" not in win:
                 win["nf"] = t - (t % interval) + interval  # :64-65 arming
-            win["elems"].append((t, i, c))
+            # insort, not append: a late-but-admitted row (window still
+            # open at the frontier) lands at its (ts, id) position within
+            # the not-yet-fired buffer, so evictor fronts and the CONTENTS
+            # of subsequent fires stay (ts, id)-ordered regardless of
+            # which micro-batch delivered the late row.
+            bisect.insort(win["elems"], (t, i, c))
             win["since"] += 1
             if trigger.fires_on_element(win["since"]):
                 win["since"] = 0

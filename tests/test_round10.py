@@ -1,0 +1,317 @@
+"""Round-10 tests: relaxed batch-return UDF contract, benchmark
+decontamination, mixture weights, percentile summaries, the cheapened
+strict connected-components convergence, the insort ordering of
+late-admitted rows in triggered windows, and the per-partition late
+splitter frontier."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tests.test_round9 import _ev_m, _n_batch_stream, _run
+from tests.test_streaming import EV_SCHEMA
+
+
+# ---------------- vectorized UDF batch-return contract ----------------
+
+
+def test_udf_ndarray_return_accepted(spark):
+    """The Arrow worker only needs __len__ — an np.ndarray return is a
+    valid batch and must not be rejected (r9 ADVICE)."""
+    from proteus_engine_spark.functions.udf import ScalarFunction
+
+    class PlusOne(ScalarFunction):
+        return_type = "long"
+
+        def eval(self, x):
+            return x.to_numpy() + 1  # ndarray, not Series
+
+    df = spark.createDataFrame([(1,), (2,)], "v long")
+    rows = df.select(PlusOne().to_udf()(F.col("v")).alias("o")).collect()
+    assert sorted(r["o"] for r in rows) == [2, 3]
+
+
+def test_udf_list_return_accepted(spark):
+    from proteus_engine_spark.functions.udf import ScalarFunction
+
+    class Doubler(ScalarFunction):
+        return_type = "long"
+
+        def eval(self, x):
+            return [v * 2 for v in x]  # plain list
+
+    df = spark.createDataFrame([(3,), (4,)], "v long")
+    rows = df.select(Doubler().to_udf()(F.col("v")).alias("o")).collect()
+    assert sorted(r["o"] for r in rows) == [6, 8]
+
+
+def test_udf_scalar_string_still_rejected():
+    """str has __len__ but is the classic silent-broadcast bug — still a
+    hard probe error."""
+    from proteus_engine_spark.functions.udf import ScalarFunction
+
+    class Bad(ScalarFunction):
+        return_type = "string"
+
+        def eval(self, x):
+            return "constant"
+
+    with pytest.raises(TypeError, match="not a batch"):
+        Bad().to_udf()
+
+
+# ---------------- benchmark decontamination ----------------
+
+
+def _docs(spark):
+    rows = [
+        (0, "alpha beta gamma delta"),          # eval doc
+        (1, "alpha beta gamma epsilon zeta"),   # shares 3-gram "alpha beta gamma"
+        (2, "zeta eta theta iota"),             # no shared 3-gram
+        (3, "x alpha beta gamma delta y"),      # shares 2 distinct 3-grams
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_ngram_overlap_counts(spark):
+    from proteus_engine_spark.datapipe.decontam import ngram_overlap_counts
+
+    docs = _docs(spark)
+    out = ngram_overlap_counts(
+        docs.filter("doc_id > 0"), docs.filter("doc_id = 0"), n=3
+    ).collect()
+    got = {r["doc_id"]: r["n_shared_grams"] for r in out}
+    # doc1 shares {"alpha beta gamma"}; doc3 shares {"alpha beta gamma",
+    # "beta gamma delta"}; doc2 is absent (clean)
+    assert got == {1: 1, 3: 2}
+
+
+def test_decontaminate_removes_flagged(spark):
+    from proteus_engine_spark.datapipe.decontam import decontaminate
+
+    docs = _docs(spark)
+    kept = decontaminate(
+        docs.filter("doc_id > 0"), docs.filter("doc_id = 0"), n=3
+    )
+    assert [r["doc_id"] for r in kept.collect()] == [2]
+    # higher bar: doc1 (1 shared gram) survives min_shared_grams=2
+    kept2 = decontaminate(
+        docs.filter("doc_id > 0"), docs.filter("doc_id = 0"), n=3,
+        min_shared_grams=2,
+    )
+    assert sorted(r["doc_id"] for r in kept2.collect()) == [1, 2]
+
+
+# ---------------- mixture weights ----------------
+
+
+def test_mixture_weights_properties(spark):
+    from proteus_engine_spark.datapipe.sampling import mixture_weights
+
+    rows = [("a", 10), ("a", 30), ("b", 20), ("c", 40)]
+    df = spark.createDataFrame(rows, "src string, n long")
+    out = mixture_weights(df, ["src"], size_col="n").collect()
+    by = {r["src"]: r for r in out}
+    assert by["a"]["n_docs"] == 2 and by["a"]["total_size"] == 40
+    assert sum(r["share"] for r in out) == pytest.approx(1.0)
+    # weight * share == 1/n_strata for every stratum (uniform target)
+    for r in out:
+        assert r["weight"] * r["share"] == pytest.approx(1 / 3)
+    # rows-as-size default
+    out2 = {r["src"]: r for r in mixture_weights(df, ["src"]).collect()}
+    assert out2["a"]["total_size"] == 2 and out2["a"]["share"] == pytest.approx(0.5)
+
+
+# ---------------- percentile summary ----------------
+
+
+def test_percentile_summary_exact_matches_numpy(spark):
+    from proteus_engine_spark.datapipe.textstats import percentile_summary
+
+    vals = [3, 1, 4, 1, 5, 9, 2, 6]
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v long")
+    out = percentile_summary(df, "v", ["g"], pcts=(0.25, 0.5, 0.9))
+    got = {r["pct"]: r["value"] for r in out.collect()}
+    for p in (0.25, 0.5, 0.9):
+        # Spark `percentile` == numpy linear == DuckDB quantile_cont
+        assert got[p] == pytest.approx(float(np.percentile(vals, p * 100)))
+
+
+def test_percentile_summary_approx_close(spark):
+    from proteus_engine_spark.datapipe.textstats import percentile_summary
+
+    df = spark.range(0, 1000).select(
+        F.lit("g").alias("g"), F.col("id").alias("v")
+    )
+    out = percentile_summary(df, "v", ["g"], pcts=(0.5,), mode="approx")
+    [row] = out.collect()
+    assert row["value"] == pytest.approx(499.5, abs=2.0)
+
+
+def test_percentile_summary_rejects_unknown_mode(spark):
+    from proteus_engine_spark.datapipe.textstats import percentile_summary
+
+    df = spark.createDataFrame([("g", 1)], "g string, v long")
+    with pytest.raises(ValueError, match="unknown mode"):
+        percentile_summary(df, "v", ["g"], mode="bogus")
+
+
+# ---------------- connected components ----------------
+
+
+def test_connected_components_chain_and_schema(spark):
+    from proteus_engine_spark.operators.iterations import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "src long, dst long"
+    )
+    out = connected_components(edges, max_iterations=10)
+    assert out.columns == ["vertex", "component"]  # changed flag dropped
+    comp = {r["vertex"]: r["component"] for r in out.collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_still_strict(spark):
+    """The cheapened probe must keep the r9 guarantee: an unconverged
+    run raises, it does not silently split clusters."""
+    from proteus_engine_spark.operators.iterations import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="max_iterations"):
+        connected_components(chain, max_iterations=2).collect()
+
+
+# ---------------- insort of late-admitted rows ----------------
+
+
+class _FakeGroupState:
+    """Minimal GroupState stand-in for driving a captured transition."""
+
+    hasTimedOut = False
+
+    def __init__(self):
+        self._val = None
+        self.wm = 0
+
+    @property
+    def exists(self):
+        return self._val is not None
+
+    @property
+    def get(self):
+        return self._val
+
+    def getCurrentWatermarkMs(self):
+        return self.wm
+
+    def update(self, v):
+        self._val = v
+
+    def setTimeoutTimestamp(self, ts):
+        pass
+
+    def remove(self):
+        self._val = None
+
+
+def test_late_admitted_row_insorts_into_window_buffer(spark, monkeypatch):
+    """A late-but-admitted row (window still open at the frontier) must
+    land at its (ts, id) position in the window buffer so later fires'
+    contents and evictor fronts are event-time-ordered, not
+    arrival-ordered (r9 ADVICE). The end-to-end engine cannot reach this
+    state (Spark's upstream late filter lags the release threshold by
+    exactly one batch, so admitted rows always sort after released
+    ones); the insort is defense-in-depth against that lag changing —
+    so this drives the captured transition directly with an
+    out-of-order admission."""
+    import pandas as pd
+
+    from pyspark.sql.group import GroupedData
+    from proteus_engine_spark.streaming.triggers import (
+        CountEvictor,
+        CountTrigger,
+        triggered_window_agg,
+    )
+
+    captured = {}
+
+    def capture(self, func, *a, **k):
+        captured["fn"] = func
+        return None
+
+    monkeypatch.setattr(GroupedData, "applyInPandasWithState", capture)
+    static = spark.createDataFrame([_ev_m(0, 0, 1, "x", 0.0)], EV_SCHEMA)
+    triggered_window_agg(
+        static, "user_id", "ts", "value",
+        trigger=CountTrigger(3),
+        evictor=CountEvictor(4),
+        window_ms=3_600_000,
+        watermark_delay="0 seconds",
+    )
+    fn = captured["fn"]
+
+    state = _FakeGroupState()
+    M = 60_000
+
+    def run_batch(rows, wm_ms):
+        state.wm = wm_ms
+        pdf = pd.DataFrame(
+            {
+                "event_id": [i for i, _m, _v in rows],
+                "ts": pd.to_datetime([m * M for _i, m, _v in rows], unit="ms"),
+                "user_id": [1] * len(rows),
+                "event_type": ["x"] * len(rows),
+                "value": [v for _i, _m, v in rows],
+            }
+        )
+        fires = []
+        for out in fn((1,), [pdf], state):
+            fires += list(out.itertuples(index=False))
+        return fires
+
+    # batch1: three on-time rows buffered (wm 0 releases nothing)
+    assert run_batch([(1, 10, 1.0), (2, 20, 2.0), (3, 25, 4.0)], 0) == []
+    # batch2: wm 30m releases all three -> CountTrigger(3) fire #1
+    f1 = run_batch([], 30 * M)
+    assert len(f1) == 1 and f1[0].n == 3 and f1[0].total_value == 7.0
+    # batch3: 15m is BELOW the 30m frontier but its window [0, 60m) is
+    # still open -> admitted AND released this batch, after rows of
+    # larger ts already sit in the window buffer; 40m/50m stay buffered
+    assert run_batch([(4, 15, 8.0), (5, 40, 16.0), (6, 50, 32.0)], 30 * M) == []
+    # batch4: wm 70m releases 40m, 50m -> fire #2. With insort the
+    # buffer is [10,15,20,25,40,50] and CountEvictor(4) keeps
+    # {20,25,40,50} = 54.0; an append buffer [10,20,25,15,40,50] would
+    # keep {25,15,40,50} = 60.0.
+    f2 = run_batch([], 70 * M)
+    assert len(f2) == 1 and f2[0].n == 4
+    assert f2[0].total_value == pytest.approx(54.0)
+
+
+# ---------------- per-partition late splitter frontier ----------------
+
+
+def test_late_data_split_partitioned_frontiers(spark):
+    """With partition_col, each partition key owns an independent
+    frontier: the same ts can be late in one partition and on time in
+    another (the reference's per-partition watermark)."""
+    from proteus_engine_spark.streaming.late import late_data_split
+
+    batches = [
+        [_ev_m(1, 100, 0, "x"), _ev_m(2, 10, 1, "x")],
+        [
+            _ev_m(3, 50, 0, "x"),   # late for p0 (frontier 100m)
+            _ev_m(4, 5, 1, "x"),    # late for p1 (frontier 10m)
+            _ev_m(5, 50, 1, "x"),   # ON TIME for p1 — same ts as event 3
+        ],
+    ]
+    tagged = late_data_split(
+        _n_batch_stream(spark, batches, EV_SCHEMA),
+        "ts", delay_ms=0, partition_col="user_id",
+    )
+    rows = _run(tagged, "late_split_part_test").collect()
+    late = {r["event_id"]: r["is_late"] for r in rows}
+    assert late == {1: False, 2: False, 3: True, 4: True, 5: False}

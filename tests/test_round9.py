@@ -161,7 +161,7 @@ def test_scalar_udf_probe_rejects_scalar_eval():
         def eval(self, x):
             return str(x).upper()  # scalar logic: returns str, not Series
 
-    with pytest.raises(TypeError, match="not a pandas Series"):
+    with pytest.raises(TypeError, match="not a batch"):
         Upper().to_udf()
 
 
