@@ -60,6 +60,12 @@ HEADLINE = [
     "text_repetition_stats",
     "pii_redaction",
     "corpus_stratified_sample",
+    # added round 10 (exclude from cross-round like-for-like totals):
+    # benchmark decontamination (hashed n-gram overlap join) and
+    # concat-then-chunk sequence packing (two-phase parallel prefix sum)
+    "text_decontaminate",
+    "corpus_pack_sequences",
+    "text_tfidf_top_terms",
 ]
 
 

@@ -47,10 +47,21 @@ def ngram_overlap_counts(
         .select(F.xxhash64("gram").alias("gh"))
         .distinct()
     )
-    corpus_grams = corpus.select(
-        F.col(id_col),
-        F.explode(shingle_array(text_col, k=n)).alias("gram"),
-    ).select(id_col, F.xxhash64("gram").alias("gh"))
+    # Explicit repartition before the gram explode: a single small input
+    # file otherwise puts ALL corpus-side shingling on one task (AQE
+    # never widens an un-shuffled scan); on a many-file 100 TB input the
+    # scan is already parallel and this is one cheap narrow shuffle of
+    # (id, text).
+    n_parts = corpus.sparkSession.sparkContext.defaultParallelism
+    corpus_grams = (
+        corpus.select(id_col, text_col)
+        .repartition(n_parts)
+        .select(
+            F.col(id_col),
+            F.explode(shingle_array(text_col, k=n)).alias("gram"),
+        )
+        .select(id_col, F.xxhash64("gram").alias("gh"))
+    )
     # corpus grams are distinct per doc (shingle_array array_distincts),
     # eval grams distinct overall -> count(*) counts distinct shared grams
     return (

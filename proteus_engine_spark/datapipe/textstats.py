@@ -245,3 +245,43 @@ def percentile_summary(
         F.element_at(pct_arr, F.col("__i__") + 1).alias("pct"),
         "value",
     )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    num_docs: int | None = None,
+) -> DataFrame:
+    """Per-document top-k terms by smoothed TF-IDF (sklearn-style
+    idf = ln((1+N)/(1+df)) + 1) — keyword extraction for corpus
+    exploration / topic tagging. Deterministic: ties broken by term.
+    Returns (id_col, term, score double, rk long).
+
+    Scale shape: tokenize-explode feeds a (doc, term) count [shuffle 1,
+    map-side combine], document frequencies are a term-keyed aggregate
+    of that frame [shuffle 2, vocabulary-sized], the idf join is
+    term-keyed (vocabulary-sized build side — AQE broadcasts real-world
+    vocabularies), and top-k is one doc-keyed window [shuffle 3]. N is a
+    single scalar: pass ``num_docs`` when known, else it is read with
+    one count() — metadata-only on parquet sources."""
+    from pyspark.sql.window import Window
+
+    if num_docs is None:
+        num_docs = docs.count()
+    toks = docs.select(
+        F.col(id_col), F.explode(_tokens(text_col)).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log((1.0 + num_docs) / (1.0 + F.col("df"))) + 1.0
+    scored = tf.join(dfreq, "term").select(
+        id_col, "term", (F.col("tf") * idf).alias("score")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select(id_col, "term", "score", "rk")
+    )

@@ -784,3 +784,74 @@ def text_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", token_count("text").alias("n_tokens")
     )
     return percentile_summary(docs, "n_tokens", ["lang"])
+
+
+@register(
+    "corpus_pack_sequences",
+    oracle=r"""
+    WITH v AS (SELECT doc_id,
+                      CAST(len(string_split_regex(text, '\s+')) AS BIGINT)
+                        AS n_tokens
+               FROM documents)
+    SELECT doc_id, n_tokens,
+           CAST(COALESCE(sum(n_tokens) OVER
+             (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+              AND 1 PRECEDING), 0) AS BIGINT) AS start_offset,
+           CAST(COALESCE(sum(n_tokens) OVER
+             (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+              AND 1 PRECEDING), 0) // 2048 AS BIGINT) AS seq_bin
+    FROM v
+    """,
+    tags=("datapipe", "packing"),
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing: every document's global start
+    offset on the doc_id-ordered token stream and the 2048-token
+    training sequence it starts in. The global prefix sum runs as the
+    two-phase range-partitioned scheme (datapipe.packing) — parallel,
+    no single-task global window; the oracle recomputes it with a plain
+    SQL window, so a lost partition offset or a mis-ordered range fails
+    the hash."""
+    from proteus_engine_spark.datapipe.packing import pack_sequences
+    from proteus_engine_spark.datapipe.textstats import token_count
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").alias("n_tokens")
+    )
+    return pack_sequences(docs, "n_tokens", "doc_id", ctx_len=2048).select(
+        "doc_id", "n_tokens", "start_offset", "seq_bin"
+    )
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle=r"""
+    WITH tok AS (SELECT doc_id,
+                        unnest(string_split_regex(lower(text), '\s+')) AS term
+                 FROM documents),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM tok GROUP BY doc_id, term),
+    dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+              FROM tf GROUP BY term),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             tf.tf * (ln((1.0 + n_docs) / (1.0 + df)) + 1.0) AS score
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+    ranked AS (SELECT *, row_number() OVER
+                 (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+               FROM scored)
+    SELECT doc_id, term, score, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 5
+    """,
+    tags=("datapipe", "text", "tfidf"),
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 TF-IDF terms (smoothed idf, term-asc
+    tie-break) — tokenize explode, (doc, term) count, vocabulary-sized
+    df aggregate + term-keyed idf join, one doc-keyed top-k window
+    (datapipe.textstats.tfidf_top_terms)."""
+    from proteus_engine_spark.datapipe.textstats import tfidf_top_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, k=5)

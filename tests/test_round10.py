@@ -315,3 +315,66 @@ def test_late_data_split_partitioned_frontiers(spark):
     rows = _run(tagged, "late_split_part_test").collect()
     late = {r["event_id"]: r["is_late"] for r in rows}
     assert late == {1: False, 2: False, 3: True, 4: True, 5: False}
+
+
+# ---------------- sequence packing ----------------
+
+
+def test_pack_sequences_small(spark):
+    from proteus_engine_spark.datapipe.packing import pack_sequences
+
+    rows = [(1, 5), (2, 3), (3, 4), (4, 10), (5, 2)]
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    out = pack_sequences(df, "n", "doc_id", ctx_len=8, n_partitions=3)
+    got = {r["doc_id"]: (r["start_offset"], r["seq_bin"]) for r in out.collect()}
+    # stream: d1 [0,5) d2 [5,8) d3 [8,12) d4 [12,22) d5 [22,24)
+    assert got == {1: (0, 0), 2: (5, 0), 3: (8, 1), 4: (12, 1), 5: (22, 2)}
+
+
+def test_pack_sequences_partition_invariance(spark):
+    """Values must not depend on how the range split lands."""
+    from proteus_engine_spark.datapipe.packing import pack_sequences
+
+    rows = [(i, (i * 7) % 13 + 1) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    a = pack_sequences(df, "n", "doc_id", ctx_len=16, n_partitions=1)
+    b = pack_sequences(df, "n", "doc_id", ctx_len=16, n_partitions=7)
+    ra = sorted((r["doc_id"], r["start_offset"], r["seq_bin"]) for r in a.collect())
+    rb = sorted((r["doc_id"], r["start_offset"], r["seq_bin"]) for r in b.collect())
+    assert ra == rb
+    # last doc's start offset == total tokens before it
+    assert ra[-1][1] == sum(n for _i, n in rows[:-1])
+
+
+def test_pack_sequences_rejects_bad_ctx(spark):
+    from proteus_engine_spark.datapipe.packing import pack_sequences
+
+    df = spark.createDataFrame([(1, 1)], "doc_id long, n long")
+    with pytest.raises(ValueError, match="ctx_len"):
+        pack_sequences(df, "n", "doc_id", ctx_len=0)
+
+
+# ---------------- TF-IDF top terms ----------------
+
+
+def test_tfidf_top_terms_hand_computed(spark):
+    import math
+
+    from proteus_engine_spark.datapipe.textstats import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c")], "doc_id long, text string"
+    )
+    out = tfidf_top_terms(docs, k=2).collect()
+    got = {(r["doc_id"], r["term"]): (r["score"], r["rk"]) for r in out}
+
+    def idf(df):
+        return math.log((1 + 2) / (1 + df)) + 1.0
+
+    # doc1: a tf=2 df=2 -> 2*idf(2); b tf=1 df=1 -> idf(1)
+    assert got[(1, "a")][0] == pytest.approx(2 * idf(2))
+    assert got[(1, "b")][0] == pytest.approx(idf(1))
+    # b (higher idf) outranks a in doc1: 2*(ln(1)+1)=2.0 vs ln(1.5)+1=1.405
+    assert got[(1, "a")][1] == 1 and got[(1, "b")][1] == 2
+    # doc2: c rk1 (idf(1)=1.405) beats a (idf(2)=1.0)
+    assert got[(2, "c")][1] == 1 and got[(2, "a")][1] == 2
