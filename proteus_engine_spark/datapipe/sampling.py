@@ -67,6 +67,31 @@ def stratified_sample(
     return df.filter(F.substring(digest, 1, 8) < thr_col)
 
 
+def rate_threshold_col(rate_col: Column) -> Column:
+    """Column form of ``rate_to_threshold`` (8 hex digits): the md5
+    acceptance threshold for a PER-ROW rate — enables sampling at rates
+    computed in-plan (e.g. from ``mixture_weights``). Engine-portable:
+    floor/multiply on doubles and hex formatting are identical in Spark
+    and DuckDB, so oracles can mirror the exact kept set. rate >= 1 maps
+    to 'g' (keeps every digest, see rate_to_threshold)."""
+    n = F.floor(rate_col * F.lit(float(16 ** 8))).cast("long")
+    return F.when(rate_col >= 1.0, F.lit("g")).otherwise(
+        F.lpad(F.lower(F.hex(n)), 8, "0")
+    )
+
+
+def sample_by_rate_col(
+    df: DataFrame, key_col: str, rate_col: Column, salt: str = ""
+) -> DataFrame:
+    """Deterministic Bernoulli sampling at a PER-ROW rate (a column,
+    typically joined in from a mixture-weight plan): keep each row iff
+    md5(salt || key) sorts below that row's threshold. Same md5-prefix
+    rule as deterministic_sample — pure per-row function, fuses into the
+    scan, reproducible across engines and reruns."""
+    digest = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    return df.filter(F.substring(digest, 1, 8) < rate_threshold_col(rate_col))
+
+
 def mixture_weights(
     df: DataFrame,
     stratum_cols: list[str],

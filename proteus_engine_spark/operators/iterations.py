@@ -69,18 +69,32 @@ def iterate_delta(
     workset: DataFrame,
     step: Callable[[DataFrame, DataFrame, int], tuple[DataFrame, DataFrame]],
     max_iterations: int,
+    strict: bool = False,
 ) -> DataFrame:
     """DataSet.iterateDelta parity: loop with (solution, workset) pairs;
     terminates when the workset empties (the reference's implicit
-    criterion)."""
+    criterion). A workset still non-empty at the cap means unfinished
+    propagation (e.g. a BFS frontier that never drained — unreached
+    vertices keep wrong distances): warn by default, raise with
+    strict=True — the same signalling contract as `iterate`."""
+    import warnings
+
     sol = solution.localCheckpoint(eager=True)
     work = workset.localCheckpoint(eager=True)
     for i in range(max_iterations):
         if work.isEmpty():
-            break
+            return sol
         sol_next, work_next = step(sol, work, i)
         sol = sol_next.localCheckpoint(eager=True)
         work = work_next.localCheckpoint(eager=True)
+    if max_iterations > 0 and not work.isEmpty():
+        msg = (
+            f"iterate_delta() hit max_iterations={max_iterations} with a "
+            "non-empty workset; the solution set is not a fixpoint"
+        )
+        if strict:
+            raise RuntimeError(msg + " — raise max_iterations")
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return sol
 
 

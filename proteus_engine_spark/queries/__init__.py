@@ -24,28 +24,35 @@ from proteus_engine_spark.queries import (  # noqa: F401
 )
 
 # Round-10 priority window (the driver checks the first ~50 registry
-# entries): the never-checked r10 gate first
+# entries): the seven never-driver-checked r10 queries first
 # (stream_late_side_output_partitioned — the per-partition-frontier
-# production mode of the late splitter), then the three already-green
-# queries whose CODE changed this round (dedup_cluster_keep and
-# iter_connected_components ride the reworked connected_components
-# convergence probe; stream_late_side_output and
+# production mode of the late splitter — plus the six new datapipe
+# operators, all tri-scale-validated locally in scripts/triscale/),
+# then the three already-green queries whose CODE changed this round
+# (dedup_cluster_keep and iter_connected_components ride the reworked
+# connected_components convergence probe; stream_late_side_output and
 # stream_late_rows_observed ride the single-sourced LATE_CUT_PCT
 # staging — equivalent by construction, re-gated as insurance), then
 # the ENTIRE remaining round-6 cohort (25 rows — retiring r6
-# staleness), then the 21 stalest round-7 rows in registry order, with
+# staleness), then the 15 stalest round-7 rows in registry order, with
 # dedup_minhash_lsh (forced-broadcast removal this round) and
 # iter_connected_components among them. After r10 every registry
 # query's latest driver green is r7+ — the registry is on a
-# steady-state <=4-round staleness cycle with 25 r7 rows left for r11.
+# steady-state <=4-round staleness cycle with 31 r7 rows left for r11.
 # ml_outlier_sos stays OUT of the window: it is registered with
 # oracle=None (per-point perplexity bisection is not SQL-expressible)
 # and a rows-only query must not burn a window slot as
 # `err: no_oracle` — its value correctness is pytest-proven against an
 # independent scalar implementation.
 _GATE_PRIORITY = [
-    # new round-10 gate, never driver-checked (1)
+    # new round-10 queries, never driver-checked (7)
     "stream_late_side_output_partitioned",
+    "text_decontaminate",
+    "corpus_mixture_weights",
+    "text_length_percentiles",
+    "corpus_pack_sequences",
+    "text_tfidf_top_terms",
+    "corpus_rebalance_sample",
     # green earlier but code-changed this round (3)
     "dedup_cluster_keep",
     "stream_late_side_output",
@@ -76,7 +83,7 @@ _GATE_PRIORITY = [
     "window_tumble_sql",
     "zip_with_index_bulk",
     "zip_with_index_ranked",
-    # stalest round-7 rows, registry order, changed-code ones included (21)
+    # stalest round-7 rows, registry order, changed-code ones included (15)
     "dedup_minhash_lsh",
     "iter_connected_components",
     "sim_ann_ivf",
@@ -92,12 +99,6 @@ _GATE_PRIORITY = [
     "graph_global_clustering",
     "graph_sssp_scatter_gather",
     "ml_linreg_price_vs_qty",
-    "ml_feature_scaling",
-    "ml_distance_metrics",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q6_forecast_revenue",
-    "q18_large_volume_customer",
 ]
 
 

@@ -855,3 +855,56 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return tfidf_top_terms(docs, k=5)
+
+
+@register(
+    "corpus_rebalance_sample",
+    oracle=r"""
+    WITH per AS (
+      SELECT lang,
+             CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT)
+               AS total_size
+      FROM documents GROUP BY lang),
+    w AS (SELECT lang,
+                 1.0 / count(*) OVER ()
+                   / (total_size / CAST(sum(total_size) OVER () AS DOUBLE))
+                   AS weight
+          FROM per),
+    thr AS (SELECT lang,
+                   CASE WHEN least(1.0, 0.5 * weight) >= 1.0 THEN 'g'
+                        ELSE lpad(lower(to_hex(CAST(floor(
+                               least(1.0, 0.5 * weight) * 4294967296.0)
+                               AS BIGINT))), 8, '0') END AS t
+            FROM w)
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN thr USING (lang)
+    WHERE substr(md5('rebal' || CAST(d.doc_id AS VARCHAR)), 1, 8) < thr.t
+    """,
+    tags=("datapipe", "sampling", "composition"),
+)
+def corpus_rebalance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END mixture rebalancing: the weight PLAN
+    (mixture_weights over (lang) token shares) feeds the sampling
+    EXECUTION (per-row md5-threshold rule at rate = min(1, 0.5*weight))
+    in one composed query — upsampled rare languages keep more of their
+    docs, dominant ones are cut. Every step is engine-portable
+    (identical double arithmetic, identical md5 rule), so the oracle
+    reproduces the EXACT kept set, proving the two tiers compose without
+    drift. Scale shape: the weight subplan is one aggregation emitting a
+    strata-sized frame (AQE broadcasts it into the join); the filter is
+    per-row and fuses into the scan side of the join."""
+    from proteus_engine_spark.datapipe.sampling import (
+        mixture_weights,
+        sample_by_rate_col,
+    )
+    from proteus_engine_spark.datapipe.textstats import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = mixture_weights(docs, ["lang"], size_col=token_count("text")).select(
+        "lang", "weight"
+    )
+    joined = docs.join(w, "lang")
+    rate = F.least(F.lit(1.0), F.lit(0.5) * F.col("weight"))
+    return sample_by_rate_col(joined, "doc_id", rate, salt="rebal").select(
+        "doc_id", "lang"
+    )

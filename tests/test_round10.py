@@ -378,3 +378,166 @@ def test_tfidf_top_terms_hand_computed(spark):
     assert got[(1, "a")][1] == 1 and got[(1, "b")][1] == 2
     # doc2: c rk1 (idf(1)=1.405) beats a (idf(2)=1.0)
     assert got[(2, "c")][1] == 1 and got[(2, "a")][1] == 2
+
+
+# ---------------- per-row-rate sampling ----------------
+
+
+def test_rate_threshold_col_matches_scalar(spark):
+    """The column form must agree with rate_to_threshold exactly."""
+    from proteus_engine_spark.datapipe.sampling import (
+        rate_threshold_col,
+        rate_to_threshold,
+    )
+
+    rates = [0.0, 0.05, 0.125, 0.25, 0.5, 0.999, 1.0]
+    df = spark.createDataFrame([(r,) for r in rates], "rate double")
+    out = df.select("rate", rate_threshold_col(F.col("rate")).alias("t")).collect()
+    for r in out:
+        assert r["t"] == rate_to_threshold(r["rate"]), r["rate"]
+
+
+def test_sample_by_rate_col_matches_fixed_rate(spark):
+    """A constant rate column reproduces deterministic_sample exactly."""
+    from proteus_engine_spark.datapipe.sampling import (
+        deterministic_sample,
+        sample_by_rate_col,
+    )
+
+    df = spark.range(0, 500).withColumnRenamed("id", "k")
+    a = sorted(r["k"] for r in deterministic_sample(df, "k", 0.25, "s").collect())
+    b = sorted(
+        r["k"] for r in sample_by_rate_col(df, "k", F.lit(0.25), "s").collect()
+    )
+    assert a == b and 0 < len(a) < 500
+
+
+# ---------------- iterate_delta signalling ----------------
+
+
+def test_iterate_delta_strict_raises_on_nonempty_workset(spark):
+    from proteus_engine_spark.operators.iterations import iterate_delta
+
+    sol = spark.createDataFrame([(0,)], "v long")
+
+    def step(s, w, i):
+        return s, w  # workset never drains
+
+    with pytest.raises(RuntimeError, match="non-empty workset"):
+        iterate_delta(sol, sol, step, max_iterations=2, strict=True)
+    # default: warns, returns the last solution
+    import warnings
+
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        out = iterate_delta(sol, sol, step, max_iterations=2)
+        assert out.count() == 1
+    assert any("non-empty workset" in str(w.message) for w in rec)
+
+
+# ---------------- packing property test ----------------
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st_
+
+    HAS_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    HAS_HYPOTHESIS = False
+
+
+@pytest.mark.skipif(not HAS_HYPOTHESIS, reason="hypothesis not installed")
+@settings(deadline=None, max_examples=12)
+@given(
+    sizes=st_.lists(st_.integers(min_value=0, max_value=40), min_size=1, max_size=40),
+    n_parts=st_.integers(min_value=1, max_value=8),
+    ctx=st_.integers(min_value=1, max_value=64),
+)
+def test_pack_sequences_properties(spark, sizes, n_parts, ctx):
+    """Randomized packing invariants at any range split: offsets are the
+    exclusive prefix sums in key order, bins are offset DIV ctx, and the
+    layout is gapless (each next offset = previous offset + size)."""
+    from proteus_engine_spark.datapipe.packing import pack_sequences
+
+    rows = [(i, s) for i, s in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    out = sorted(
+        (r["doc_id"], r["start_offset"], r["seq_bin"])
+        for r in pack_sequences(df, "n", "doc_id", ctx_len=ctx, n_partitions=n_parts).collect()
+    )
+    expect_off = 0
+    for (i, s), (doc, off, b) in zip(rows, out):
+        assert doc == i and off == expect_off and b == off // ctx
+        expect_off += s
+
+
+# ---------------- late splitter property test ----------------
+
+
+def _capture_split_fn(spark, delay):
+    """Build late_data_split's transition closure for a given delay by
+    intercepting applyInPandasWithState (restored immediately)."""
+    from pyspark.sql.group import GroupedData
+    from proteus_engine_spark.streaming.late import late_data_split
+
+    captured = {}
+    orig = GroupedData.applyInPandasWithState
+    GroupedData.applyInPandasWithState = (
+        lambda self, func, *a, **k: captured.setdefault("fn", func) and None
+    )
+    try:
+        static = spark.createDataFrame([_ev_m(0, 0, 1, "x", 0.0)], EV_SCHEMA)
+        late_data_split(static, "ts", delay_ms=delay)
+    finally:
+        GroupedData.applyInPandasWithState = orig
+    return captured["fn"]
+
+
+@pytest.mark.skipif(not HAS_HYPOTHESIS, reason="hypothesis not installed")
+def test_late_data_split_frontier_invariant(spark):
+    """Randomized replay: a row is tagged late iff its ts is strictly
+    below (max event time of PRIOR batches - delay) — batch-granularity
+    watermark semantics, independent of intra-batch order. The delay is
+    baked into the captured closure, so two fixed delays each get a
+    randomized batch sweep."""
+    import pandas as pd
+
+    for delay in (0, 60):
+        fn = _capture_split_fn(spark, delay)
+
+        @settings(deadline=None, max_examples=20)
+        @given(
+            batches=st_.lists(
+                st_.lists(st_.integers(min_value=0, max_value=400), max_size=6),
+                min_size=1, max_size=5,
+            )
+        )
+        def replay(batches):
+            state = _FakeGroupState()
+            seen_max = None
+            for rows in batches:
+                pdf = pd.DataFrame(
+                    {
+                        "event_id": list(range(len(rows))),
+                        "ts": pd.to_datetime(rows, unit="ms"),
+                        "user_id": [1] * len(rows),
+                        "event_type": ["x"] * len(rows),
+                        "value": [0.0] * len(rows),
+                    }
+                )
+                outs = list(fn((0,), [pdf], state))
+                if rows:
+                    out = pd.concat(outs)
+                    frontier = None if seen_max is None else seen_max - delay
+                    expect = [
+                        False if frontier is None else t < frontier for t in rows
+                    ]
+                    got = list(out.sort_values("event_id")["is_late"])
+                    assert got == expect, (rows, frontier, got, expect)
+                    seen_max = (
+                        max(rows) if seen_max is None
+                        else max(seen_max, max(rows))
+                    )
+
+        replay()
