@@ -40,7 +40,9 @@ def pack_sequences(
 
     Correct under ANY range split: partition offsets are accumulated in
     range order, so boundary placement affects parallelism, never
-    values."""
+    values. ``order_col`` must be a UNIQUE key (doc ids are): with
+    duplicate keys the within-key order — and therefore each tied row's
+    offset — is not defined, in this engine or any other."""
     from pyspark.sql.window import Window
 
     if ctx_len <= 0:

@@ -73,8 +73,10 @@ def rate_threshold_col(rate_col: Column) -> Column:
     computed in-plan (e.g. from ``mixture_weights``). Engine-portable:
     floor/multiply on doubles and hex formatting are identical in Spark
     and DuckDB, so oracles can mirror the exact kept set. rate >= 1 maps
-    to 'g' (keeps every digest, see rate_to_threshold)."""
-    n = F.floor(rate_col * F.lit(float(16 ** 8))).cast("long")
+    to 'g' (keeps every digest, see rate_to_threshold); rate <= 0 keeps
+    nothing (clamped — a negative rate would otherwise hex-format a
+    negative long into a nonsense threshold)."""
+    n = F.floor(F.greatest(rate_col, F.lit(0.0)) * F.lit(float(16 ** 8))).cast("long")
     return F.when(rate_col >= 1.0, F.lit("g")).otherwise(
         F.lpad(F.lower(F.hex(n)), 8, "0")
     )

@@ -24,28 +24,29 @@ from proteus_engine_spark.queries import (  # noqa: F401
 )
 
 # Round-10 priority window (the driver checks the first ~50 registry
-# entries): the seven never-driver-checked r10 queries first
+# entries): the ten never-driver-checked r10 queries first
 # (stream_late_side_output_partitioned — the per-partition-frontier
 # production mode of the late splitter — plus the six new datapipe
-# operators, all tri-scale-validated locally in scripts/triscale/),
+# operators and the three newly-gated multimodal plumbing paths, all
+# tri-scale-validated locally in scripts/triscale/),
 # then the three already-green queries whose CODE changed this round
 # (dedup_cluster_keep and iter_connected_components ride the reworked
 # connected_components convergence probe; stream_late_side_output and
 # stream_late_rows_observed ride the single-sourced LATE_CUT_PCT
 # staging — equivalent by construction, re-gated as insurance), then
 # the ENTIRE remaining round-6 cohort (25 rows — retiring r6
-# staleness), then the 15 stalest round-7 rows in registry order, with
+# staleness), then the 12 stalest round-7 rows in registry order, with
 # dedup_minhash_lsh (forced-broadcast removal this round) and
 # iter_connected_components among them. After r10 every registry
 # query's latest driver green is r7+ — the registry is on a
-# steady-state <=4-round staleness cycle with 31 r7 rows left for r11.
+# steady-state <=4-round staleness cycle with 33 r7 rows left for r11.
 # ml_outlier_sos stays OUT of the window: it is registered with
 # oracle=None (per-point perplexity bisection is not SQL-expressible)
 # and a rows-only query must not burn a window slot as
 # `err: no_oracle` — its value correctness is pytest-proven against an
 # independent scalar implementation.
 _GATE_PRIORITY = [
-    # new round-10 queries, never driver-checked (7)
+    # new round-10 queries, never driver-checked (10)
     "stream_late_side_output_partitioned",
     "text_decontaminate",
     "corpus_mixture_weights",
@@ -53,6 +54,9 @@ _GATE_PRIORITY = [
     "corpus_pack_sequences",
     "text_tfidf_top_terms",
     "corpus_rebalance_sample",
+    "multimodal_frame_sample",
+    "multimodal_audio_features",
+    "multimodal_resize",
     # green earlier but code-changed this round (3)
     "dedup_cluster_keep",
     "stream_late_side_output",
@@ -83,7 +87,9 @@ _GATE_PRIORITY = [
     "window_tumble_sql",
     "zip_with_index_bulk",
     "zip_with_index_ranked",
-    # stalest round-7 rows, registry order, changed-code ones included (15)
+    # stalest round-7 rows, registry order, changed-code ones included (12)
+    # (graph_global_clustering, graph_sssp_scatter_gather and the ml_*
+    # r7 rows wait for r11)
     "dedup_minhash_lsh",
     "iter_connected_components",
     "sim_ann_ivf",
@@ -96,9 +102,6 @@ _GATE_PRIORITY = [
     "graph_adamic_adar",
     "graph_community_detection",
     "graph_triadic_census",
-    "graph_global_clustering",
-    "graph_sssp_scatter_gather",
-    "ml_linreg_price_vs_qty",
 ]
 
 

@@ -908,3 +908,98 @@ def corpus_rebalance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_by_rate_col(joined, "doc_id", rate, salt="rebal").select(
         "doc_id", "lang"
     )
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH m AS (SELECT doc_id AS media_id, text,
+                      greatest(1, length(text) // 256) AS n_frames
+               FROM documents),
+    idx AS (SELECT media_id, text,
+                   unnest(range(0, n_frames, 2)) AS frame_idx
+            FROM m)
+    SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST(length(substring(text, frame_idx * 256 + 1, 256)) AS BIGINT)
+             AS frame_len,
+           md5(substring(text, frame_idx * 256 + 1, 256)) AS frame_md5
+    FROM idx
+    """,
+    tags=("datapipe", "multimodal"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: the 1-row -> n-frame fan-out
+    through Arrow-batched mapInPandas with an every-2nd-frame stride.
+    The stub slices the payload into 256-byte pseudo-frames, so the
+    oracle reproduces each emitted frame's length and md5 from the same
+    bytes — verifying the fan-out shape, stride arithmetic, and binary
+    frame payloads end-to-end."""
+    from proteus_engine_spark.datapipe.multimodal import sample_frames
+
+    media = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    frames = sample_frames(media, every_n=2)
+    return frames.select(
+        "media_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.length("frame").cast("long").alias("frame_len"),
+        F.md5("frame").alias("frame_md5"),
+    )
+
+
+@register(
+    "multimodal_audio_features",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           sqrt(CAST(list_aggregate(
+                  [unicode(substring(text, i, 1)) * unicode(substring(text, i, 1))
+                   FOR i IN range(1, least(length(text), 1024) + 1)],
+                  'sum') AS DOUBLE)
+                / greatest(least(length(text), 1024), 1)) AS rms_energy
+    FROM documents
+    """,
+    tags=("datapipe", "multimodal"),
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature plumbing: the deterministic fake RMS (byte-squared
+    mean over the first 1 KiB) crosses the Arrow batch boundary and the
+    oracle recomputes it from the same bytes in SQL (ASCII corpus: code
+    point == UTF-8 byte) — the schema contract and batch shape are what
+    a real decoder build inherits unchanged."""
+    from proteus_engine_spark.datapipe.multimodal import extract_audio_features
+
+    media = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    return extract_audio_features(media)
+
+
+@register(
+    "multimodal_resize",
+    oracle="""
+    SELECT doc_id AS media_id, 8 AS width, 8 AS height,
+           md5(substring(repeat(text, 192 // greatest(length(text), 1) + 1),
+                         1, 192)) AS resized_md5
+    FROM documents
+    """,
+    tags=("datapipe", "multimodal"),
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize plumbing at a fixed 8x8x3 target: the stub cycles
+    the payload to the target byte budget (192), so output partition
+    sizes are bounded by the TARGET, never the source — the property
+    that makes batch image preprocessing plannable at 100 TB. The
+    oracle rebuilds every resized payload's md5 from the same bytes."""
+    from proteus_engine_spark.datapipe.multimodal import resize_images
+
+    media = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    return resize_images(media, 8, 8).select(
+        "media_id", "width", "height", F.md5("resized").alias("resized_md5")
+    )

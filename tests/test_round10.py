@@ -541,3 +541,36 @@ def test_late_data_split_frontier_invariant(spark):
                     )
 
         replay()
+
+
+# ---------------- multimodal stub edges ----------------
+
+
+def test_resize_empty_payload_fills_budget(spark):
+    """Empty payloads resize to a zero-filled target-budget buffer; the
+    output size is always the target, never the source."""
+    from proteus_engine_spark.datapipe.multimodal import resize_images
+
+    df = spark.createDataFrame(
+        [(1, b""), (2, b"abc")], "media_id long, payload binary"
+    )
+    rows = {r["media_id"]: r for r in resize_images(df, 4, 2).collect()}
+    assert bytes(rows[1]["resized"]) == b"\0" * 24
+    assert len(bytes(rows[2]["resized"])) == 24
+    assert bytes(rows[2]["resized"]).startswith(b"abcabc")
+
+
+def test_sample_frames_stride_and_short_payload(spark):
+    from proteus_engine_spark.datapipe.multimodal import sample_frames
+
+    df = spark.createDataFrame(
+        [(1, b"x" * 1300), (2, b"y" * 10)], "media_id long, payload binary"
+    )
+    rows = sample_frames(df, every_n=2).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["media_id"], []).append(r["frame_idx"])
+    # 1300 bytes -> 5 pseudo-frames -> stride 2 keeps frames 0, 2, 4
+    assert sorted(by[1]) == [0, 2, 4]
+    # short payload still yields its single (partial) frame
+    assert by[2] == [0]
