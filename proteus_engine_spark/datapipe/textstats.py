@@ -285,3 +285,27 @@ def tfidf_top_terms(
         .filter(F.col("rk") <= k)
         .select(id_col, "term", "score", "rk")
     )
+
+
+def vocab_stats(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Corpus vocabulary profile: vocabulary size, total token count,
+    hapax count (terms occurring exactly once), the most frequent term's
+    corpus share, and the type-token ratio — the quick corpus-health
+    readout before tokenizer/filter decisions. One row.
+
+    All fields derive from exact integer counts (shares are single
+    divisions of exact longs), so the output is engine-portable bit-for-
+    bit. Scale shape: one explode feeding a term-keyed count with
+    map-side combine (the vocabulary-sized shuffle), then a 1-row
+    aggregate over the term-count frame."""
+    toks = docs.select(F.explode(_tokens(text_col)).alias("term"))
+    counts = toks.groupBy("term").agg(F.count("*").alias("cnt"))
+    return counts.agg(
+        F.count("*").alias("vocab_size"),
+        F.sum("cnt").alias("n_tokens_total"),
+        F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0)).alias("hapax_count"),
+        (F.max("cnt").cast("double") / F.sum("cnt")).alias("top1_share"),
+        (F.count("*").cast("double") / F.sum("cnt")).alias("type_token_ratio"),
+    )

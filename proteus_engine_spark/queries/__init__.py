@@ -24,7 +24,7 @@ from proteus_engine_spark.queries import (  # noqa: F401
 )
 
 # Round-10 priority window (the driver checks the first ~50 registry
-# entries): the ten never-driver-checked r10 queries first
+# entries): the eleven never-driver-checked r10 queries first
 # (stream_late_side_output_partitioned — the per-partition-frontier
 # production mode of the late splitter — plus the six new datapipe
 # operators and the three newly-gated multimodal plumbing paths, all
@@ -35,18 +35,18 @@ from proteus_engine_spark.queries import (  # noqa: F401
 # stream_late_rows_observed ride the single-sourced LATE_CUT_PCT
 # staging — equivalent by construction, re-gated as insurance), then
 # the ENTIRE remaining round-6 cohort (25 rows — retiring r6
-# staleness), then the 12 stalest round-7 rows in registry order, with
+# staleness), then the 11 stalest round-7 rows in registry order, with
 # dedup_minhash_lsh (forced-broadcast removal this round) and
 # iter_connected_components among them. After r10 every registry
 # query's latest driver green is r7+ — the registry is on a
-# steady-state <=4-round staleness cycle with 33 r7 rows left for r11.
+# steady-state <=4-round staleness cycle with 34 r7 rows left for r11.
 # ml_outlier_sos stays OUT of the window: it is registered with
 # oracle=None (per-point perplexity bisection is not SQL-expressible)
 # and a rows-only query must not burn a window slot as
 # `err: no_oracle` — its value correctness is pytest-proven against an
 # independent scalar implementation.
 _GATE_PRIORITY = [
-    # new round-10 queries, never driver-checked (10)
+    # new round-10 queries, never driver-checked (11)
     "stream_late_side_output_partitioned",
     "text_decontaminate",
     "corpus_mixture_weights",
@@ -57,6 +57,7 @@ _GATE_PRIORITY = [
     "multimodal_frame_sample",
     "multimodal_audio_features",
     "multimodal_resize",
+    "corpus_vocab_stats",
     # green earlier but code-changed this round (3)
     "dedup_cluster_keep",
     "stream_late_side_output",
@@ -87,7 +88,7 @@ _GATE_PRIORITY = [
     "window_tumble_sql",
     "zip_with_index_bulk",
     "zip_with_index_ranked",
-    # stalest round-7 rows, registry order, changed-code ones included (12)
+    # stalest round-7 rows, registry order, changed-code ones included (11)
     # (graph_global_clustering, graph_sssp_scatter_gather and the ml_*
     # r7 rows wait for r11)
     "dedup_minhash_lsh",
@@ -101,7 +102,6 @@ _GATE_PRIORITY = [
     "graph_summarize",
     "graph_adamic_adar",
     "graph_community_detection",
-    "graph_triadic_census",
 ]
 
 

@@ -1003,3 +1003,30 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_images(media, 8, 8).select(
         "media_id", "width", "height", F.md5("resized").alias("resized_md5")
     )
+
+
+@register(
+    "corpus_vocab_stats",
+    oracle=r"""
+    WITH counts AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS term
+            FROM documents)
+      GROUP BY term)
+    SELECT CAST(count(*) AS BIGINT) AS vocab_size,
+           CAST(sum(cnt) AS BIGINT) AS n_tokens_total,
+           CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS hapax_count,
+           max(cnt) / CAST(sum(cnt) AS DOUBLE) AS top1_share,
+           count(*) / CAST(sum(cnt) AS DOUBLE) AS type_token_ratio
+    FROM counts
+    """,
+    tags=("datapipe", "text", "profiling"),
+)
+def corpus_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus vocabulary profile (vocab size, token total, hapax
+    count, top-term share, type-token ratio) — exact integer counts, one
+    vocabulary-sized shuffle (datapipe.textstats.vocab_stats)."""
+    from proteus_engine_spark.datapipe.textstats import vocab_stats
+
+    return vocab_stats(load_table(spark, sf_dir, "documents"))

@@ -574,3 +574,71 @@ def test_sample_frames_stride_and_short_payload(spark):
     assert sorted(by[1]) == [0, 2, 4]
     # short payload still yields its single (partial) frame
     assert by[2] == [0]
+
+
+# ---------------- plan-shape regressions for the new operators ----------------
+
+
+def _plan10(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pack_sequences_plan_parallel_prefix_sum(spark):
+    """The heavy window must partition by __pid__ (parallel), never run
+    as one global-sort window; offsets arrive by broadcast; no Python
+    node anywhere."""
+    from proteus_engine_spark.datapipe.packing import pack_sequences
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7 + 1).alias("n")
+    )
+    plan = _plan10(pack_sequences(df, "n", "doc_id", n_partitions=8))
+    assert "windowspecdefinition(__pid__" in plan
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_decontam_plan_stays_jvm_and_hash_keyed(spark):
+    """Corpus grams must join on the 8-byte xxhash64, not gram strings,
+    with no Python evaluation node."""
+    from proteus_engine_spark.datapipe.decontam import ngram_overlap_counts
+
+    docs = spark.createDataFrame(
+        [(i, "a b c d e f g") for i in range(50)], "doc_id long, text string"
+    )
+    plan = _plan10(
+        ngram_overlap_counts(docs.filter("doc_id > 5"), docs.filter("doc_id <= 5"))
+    )
+    assert "xxhash64" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_tfidf_plan_partial_aggregates(spark):
+    """Term counting must map-side combine (partial_count) and stay
+    JVM-side."""
+    from proteus_engine_spark.datapipe.textstats import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [(i, "w x y z") for i in range(50)], "doc_id long, text string"
+    )
+    plan = _plan10(tfidf_top_terms(docs, num_docs=50))
+    assert "partial_count" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_minhash_no_forced_candidate_broadcast(spark):
+    """r10 regression: the per-doc candidate map must NOT carry a forced
+    broadcast hint (corpus-fraction-sized at web dup rates) — the
+    logical plan may not contain a user ResolvedHint on that join.
+    AQE may still CHOOSE a broadcast at this tiny scale; what we assert
+    is the absence of the hint in the analyzed plan."""
+    from proteus_engine_spark.datapipe.dedup import minhash_lsh_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} tok{i+1} tok{i+2} common words here") for i in range(30)],
+        "doc_id long, text string",
+    )
+    for verify in ("exact", "estimate"):
+        out = minhash_lsh_pairs(docs, verify=verify)
+        logical = out._jdf.queryExecution().analyzed().toString()
+        assert "ResolvedHint" not in logical, verify
