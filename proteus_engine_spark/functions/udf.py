@@ -51,11 +51,16 @@ class ScalarFunction:
     def _is_batch_return(out) -> bool:
         """True for any sized sequence the Arrow worker itself accepts —
         the worker only requires __len__ (it length-checks the batch), so
-        pd.Series, pd.DataFrame, np.ndarray, list and tuple all serialize.
-        str/bytes are excluded even though they have __len__: a scalar
-        string return is exactly the silent-broadcast bug the contract
-        exists to catch."""
-        if isinstance(out, (pd.Series, pd.DataFrame, np.ndarray, list, tuple)):
+        pd.Series, pd.DataFrame, 1-d np.ndarray, list and tuple all
+        serialize. str/bytes are excluded even though they have __len__
+        (a scalar string return is exactly the silent-broadcast bug the
+        contract exists to catch), and so are 0-d/2-d ndarrays (a 0-d
+        array is a disguised scalar — np.asarray(x.sum()) — and len()
+        on it raises; better the contract error here than a bare
+        'Data must be 1-dimensional' deep in the worker)."""
+        if isinstance(out, np.ndarray):
+            return out.ndim == 1
+        if isinstance(out, (pd.Series, pd.DataFrame, list, tuple)):
             return True
         return False
 

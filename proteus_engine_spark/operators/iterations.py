@@ -87,7 +87,9 @@ def iterate_delta(
         sol_next, work_next = step(sol, work, i)
         sol = sol_next.localCheckpoint(eager=True)
         work = work_next.localCheckpoint(eager=True)
-    if max_iterations > 0 and not work.isEmpty():
+    # Judged on the workset alone, not the cap: max_iterations=0 with a
+    # non-empty initial workset is just as unfinished as an exhausted loop
+    if not work.isEmpty():
         msg = (
             f"iterate_delta() hit max_iterations={max_iterations} with a "
             "non-empty workset; the solution set is not a fixpoint"

@@ -954,10 +954,10 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id AS media_id,
            CAST(length(text) AS BIGINT) AS n_bytes,
-           sqrt(CAST(list_aggregate(
+           sqrt(CAST(COALESCE(list_aggregate(
                   [unicode(substring(text, i, 1)) * unicode(substring(text, i, 1))
                    FOR i IN range(1, least(length(text), 1024) + 1)],
-                  'sum') AS DOUBLE)
+                  'sum'), 0) AS DOUBLE)
                 / greatest(least(length(text), 1024), 1)) AS rms_energy
     FROM documents
     """,
@@ -982,8 +982,13 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_resize",
     oracle="""
     SELECT doc_id AS media_id, 8 AS width, 8 AS height,
-           md5(substring(repeat(text, 192 // greatest(length(text), 1) + 1),
-                         1, 192)) AS resized_md5
+           CASE WHEN length(text) = 0
+                -- the stub zero-fills an empty payload to the budget:
+                -- md5 of 192 NUL bytes (NULs don't survive VARCHAR
+                -- repeat portably, so the constant is inlined)
+                THEN 'b7dd5e0194ee0ac08a4b802cb73d867f'
+                ELSE md5(substring(repeat(text, 192 // length(text) + 1),
+                                   1, 192)) END AS resized_md5
     FROM documents
     """,
     tags=("datapipe", "multimodal"),

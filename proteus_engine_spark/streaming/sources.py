@@ -186,16 +186,24 @@ def events_stream_ooo(
 LATE_CUT_PCT = 55
 
 
+def _late_cut_formula(lo: int, hi: int, cut_pct: int) -> int:
+    """THE shared split-point formula (staging + gates + oracle all use
+    its result for the same cut_pct over the same bounds)."""
+    return lo + (hi - lo) * cut_pct // 100
+
+
 def late_cut_ms(sf_dir: str, cut_pct: int = LATE_CUT_PCT) -> tuple[int, int, int]:
     """(lo, hi, cut) epoch-ms bounds of the staged late split — the same
-    formula the staging applies, off one footer-level column read (two
-    scalars of driver-side work, same as the staging itself does)."""
+    formula the staging applies. Cost: one driver-side read of the ts
+    column (decoded to take min/max — NOT a footer-statistics-only
+    probe); the staging path avoids this read entirely by applying the
+    formula to the ts array it already holds."""
     import pyarrow.parquet as pq
 
     tbl = pq.read_table(os.path.join(sf_dir, "events.parquet"), columns=["ts"])
     ts_ms = tbl.column("ts").to_numpy().astype("datetime64[ms]").astype("int64")
     lo, hi = int(ts_ms.min()), int(ts_ms.max())
-    return lo, hi, lo + (hi - lo) * cut_pct // 100
+    return lo, hi, _late_cut_formula(lo, hi, cut_pct)
 
 
 def events_stream_late(
@@ -245,7 +253,9 @@ def events_stream_late(
             // 1000
         )
         ids = tbl.column("event_id").to_numpy().astype("int64")
-        _, _, cut = late_cut_ms(sf_dir, cut_pct)  # the one shared formula
+        # the one shared formula, over the ts array already in memory
+        # (no second read of the file)
+        cut = _late_cut_formula(int(ts_ms.min()), int(ts_ms.max()), cut_pct)
         on_time = ts_ms >= cut
         # earliest on-time row by (ts_ms, event_id) — the spacer
         ot_idx = np.flatnonzero(on_time)

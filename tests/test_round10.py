@@ -642,3 +642,84 @@ def test_minhash_no_forced_candidate_broadcast(spark):
         out = minhash_lsh_pairs(docs, verify=verify)
         logical = out._jdf.queryExecution().analyzed().toString()
         assert "ResolvedHint" not in logical, verify
+
+
+# ---------------- review fixes ----------------
+
+
+def test_udf_0d_and_2d_ndarray_rejected():
+    """A 0-d ndarray is a disguised scalar (np.asarray(x.sum())) and a
+    2-d array is not a column — both must fail the batch contract with
+    the guidance message, not a downstream 'Data must be 1-dimensional'."""
+    from proteus_engine_spark.functions.udf import ScalarFunction
+
+    class Zero(ScalarFunction):
+        return_type = "double"
+
+        def eval(self, x):
+            return np.asarray(x.to_numpy().sum())  # 0-d
+
+    class Two(ScalarFunction):
+        return_type = "double"
+
+        def eval(self, x):
+            return np.zeros((2, 2))
+
+    for cls in (Zero, Two):
+        with pytest.raises(TypeError, match="not a batch"):
+            cls().to_udf()
+
+
+def test_iterate_delta_strict_zero_cap_still_raises(spark):
+    """max_iterations=0 with a non-empty initial workset is unfinished
+    propagation — strict must raise, not silently return."""
+    from proteus_engine_spark.operators.iterations import iterate_delta
+
+    sol = spark.createDataFrame([(0,)], "v long")
+    with pytest.raises(RuntimeError, match="non-empty workset"):
+        iterate_delta(sol, sol, lambda s, w, i: (s, w), max_iterations=0, strict=True)
+
+
+def test_multimodal_oracles_handle_empty_doc(spark):
+    """The audio / resize oracles must agree with the stubs on an EMPTY
+    document (latent gate red if a corpus ever stages one): DuckDB's
+    list_aggregate([], 'sum') is NULL and repeat('') is '', both now
+    guarded in the oracle SQL."""
+    import duckdb
+
+    from proteus_engine_spark.queries import REGISTRY
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES (1, 'ab'), (2, ''))"
+        " AS t(doc_id, text)"
+    )
+    media = spark.createDataFrame(
+        [(1, b"ab"), (2, b"")], "media_id long, payload binary"
+    )
+    from proteus_engine_spark.datapipe.multimodal import (
+        extract_audio_features,
+        resize_images,
+    )
+    from pyspark.sql import functions as SF
+
+    audio = {
+        r["media_id"]: (r["n_bytes"], round(r["rms_energy"], 6))
+        for r in extract_audio_features(media).collect()
+    }
+    audio_oracle = {
+        r[0]: (r[1], round(r[2], 6))
+        for r in con.sql(REGISTRY["multimodal_audio_features"].oracle).fetchall()
+    }
+    assert audio == audio_oracle
+    resized = {
+        r["media_id"]: r["m"]
+        for r in resize_images(media, 8, 8)
+        .select("media_id", SF.md5("resized").alias("m"))
+        .collect()
+    }
+    resize_oracle = {
+        r[0]: r[3]
+        for r in con.sql(REGISTRY["multimodal_resize"].oracle).fetchall()
+    }
+    assert resized == resize_oracle
