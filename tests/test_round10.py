@@ -723,3 +723,37 @@ def test_multimodal_oracles_handle_empty_doc(spark):
         for r in con.sql(REGISTRY["multimodal_resize"].oracle).fetchall()
     }
     assert resized == resize_oracle
+
+
+# ---------------- bucketed co-located join ----------------
+
+
+def test_bucketed_tables_join_without_exchange(spark):
+    """The 100 TB payoff of write_parquet(bucket_by=...): two tables
+    bucketed on the same key and count sort-merge-join with NO shuffle
+    exchange on either side — the co-located join the docstring
+    promises, proven on the physical plan."""
+    from proteus_engine_spark.sources.sinks import write_parquet
+
+    a = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("va")
+    )
+    b = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("vb")
+    )
+    spark.sql("DROP TABLE IF EXISTS bkt_a")
+    spark.sql("DROP TABLE IF EXISTS bkt_b")
+    write_parquet(a, "", bucket_by=(8, ["k"]), table_name="bkt_a")
+    write_parquet(b, "", bucket_by=(8, ["k"]), table_name="bkt_b")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
