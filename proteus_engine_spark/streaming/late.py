@@ -90,13 +90,25 @@ def side_output_late_data(
     ts_col: str = "ts",
     delay_ms: int = 0,
     partition_col: str | None = None,
+    allowed_lateness_ms: int = 0,
 ) -> tuple[DataFrame, DataFrame]:
     """sideOutputLateData + getSideOutput parity: returns
     (on_time, late) — two branches of one `late_data_split`. The on-time
     branch is what the watermarked main pipeline consumes; the late
     branch carries the EXACT rows the watermark passed (the reference's
-    side output content, not merely the drop count)."""
-    tagged = late_data_split(stream, ts_col, delay_ms, partition_col)
+    side output content, not merely the drop count).
+
+    ``allowed_lateness_ms`` is WindowedStream.allowedLateness
+    (WindowedStream.java:143) made explicit: a row is routed to the side
+    output only once it is later than watermark delay PLUS the allowed
+    lateness — in frontier terms the two simply add
+    (WindowOperator.isElementLate compares against
+    window.maxTimestamp + allowedLateness). Callers that already folded
+    lateness into ``delay_ms`` keep working; the parameter exists so the
+    two knobs can be stated separately, as the reference API does."""
+    tagged = late_data_split(
+        stream, ts_col, delay_ms + allowed_lateness_ms, partition_col
+    )
     on_time = tagged.filter(~F.col("is_late")).drop("is_late")
     late = tagged.filter(F.col("is_late")).drop("is_late")
     return on_time, late

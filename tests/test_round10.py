@@ -1,8 +1,14 @@
-"""Round-10 tests: relaxed batch-return UDF contract, benchmark
-decontamination, mixture weights, percentile summaries, the cheapened
-strict connected-components convergence, the insort ordering of
-late-admitted rows in triggered windows, and the per-partition late
-splitter frontier."""
+"""Round-10 tests: relaxed batch-return UDF contract (1-d batches only),
+benchmark decontamination, mixture weights and per-row-rate sampling,
+percentile summaries, TF-IDF top terms, sequence packing (incl. a
+randomized layout-invariance sweep), the cheapened strict
+connected-components convergence, delta-iteration signalling, the
+insort ordering of late-admitted rows in triggered windows, the
+per-partition late splitter frontier (incl. a randomized prior-batch
+frontier sweep and explicit allowed-lateness composition), multimodal
+stub edges with cross-engine empty-document oracle agreement,
+plan-shape regressions for the new operators, and the exchange-free
+bucketed co-located join proof."""
 
 from __future__ import annotations
 
@@ -757,3 +763,22 @@ def test_bucketed_tables_join_without_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_allowed_lateness_adds_to_frontier_delay(spark):
+    """allowed_lateness_ms composes additively with the watermark delay
+    (WindowOperator.isElementLate semantics): a row late by the delay
+    alone but inside the lateness allowance stays on time."""
+    from proteus_engine_spark.streaming.late import side_output_late_data
+
+    batches = [
+        [_ev_m(1, 100, 1, "x")],
+        [_ev_m(2, 95, 1, "x"),   # 5m late: inside 10m allowance
+         _ev_m(3, 80, 1, "x")],  # 20m late: beyond delay 0 + allowance 10m
+    ]
+    _on, late = side_output_late_data(
+        _n_batch_stream(spark, batches, EV_SCHEMA),
+        "ts", delay_ms=0, allowed_lateness_ms=10 * 60_000,
+    )
+    ids = sorted(r["event_id"] for r in _run(late, "allowed_late_test").collect())
+    assert ids == [3]
