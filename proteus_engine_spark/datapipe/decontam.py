@@ -41,9 +41,24 @@ def ngram_overlap_counts(
     """Per corpus document, the number of distinct word ``n``-grams it
     shares with ANY document of ``eval_set``. Documents with zero overlap
     are absent (this feeds a contamination filter; absent = clean).
-    Returns (id_col, n_shared_grams long)."""
+    Returns (id_col, n_shared_grams long).
+
+    Documents SHORTER than ``n`` tokens contribute NO grams on either
+    side (the GPT-3/Gopher convention): shingle_array would otherwise
+    emit one partial whole-text pseudo-gram — right for dedup, wrong
+    here, where a 2-token eval doc must not flag every corpus doc equal
+    to those 2 tokens (and an empty doc must not match every other
+    empty doc on the "" gram)."""
+
+    def _full_grams(col: str) -> F.Column:
+        from proteus_engine_spark.datapipe.textstats import _tokens
+
+        return F.when(
+            F.size(_tokens(col)) >= n, shingle_array(col, k=n)
+        ).otherwise(F.array().cast("array<string>"))
+
     eval_grams = (
-        eval_set.select(F.explode(shingle_array(text_col, k=n)).alias("gram"))
+        eval_set.select(F.explode(_full_grams(text_col)).alias("gram"))
         .select(F.xxhash64("gram").alias("gh"))
         .distinct()
     )
@@ -58,7 +73,7 @@ def ngram_overlap_counts(
         .repartition(n_parts)
         .select(
             F.col(id_col),
-            F.explode(shingle_array(text_col, k=n)).alias("gram"),
+            F.explode(_full_grams(text_col)).alias("gram"),
         )
         .select(id_col, F.xxhash64("gram").alias("gh"))
     )

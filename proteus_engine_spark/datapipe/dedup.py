@@ -27,13 +27,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-TOKEN_PATTERN = r"\s+"
-
-
-def _tokens(text_col: str) -> "F.Column":
-    """Lowercased whitespace tokenization (the portable baseline; swap in a
-    regex/BPE tokenizer via token_count for finer granularity)."""
-    return F.split(F.lower(F.col(text_col)), TOKEN_PATTERN)
+# Shared lowercase+whitespace tokenizer — ONE definition (textstats owns
+# it); a local copy here once diverged silently from the text-analysis
+# side and every shingle-semantics fix had to be applied twice.
+from proteus_engine_spark.datapipe.textstats import _tokens  # noqa: E402
 
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -52,22 +49,21 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 def shingles(df: DataFrame, text_col: str = "text", k: int = 3, out: str = "shingle") -> DataFrame:
     """Explode each document into its k-word shingles (distinct per doc).
 
-    Built-in expressions only: transform over a token-index sequence builds
-    the shingle array JVM-side; explode produces the (doc, shingle) relation.
+    Built-in expressions only (shingle_array builds the array JVM-side);
+    explode produces the (doc, shingle) relation.
     """
-    toks = _tokens(text_col)
-    shingle_arr = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
-        )
-    )
-    return df.withColumn(out, F.explode(shingle_arr))
+    return df.withColumn(out, F.explode(shingle_array(text_col, k=k)))
 
 
 def shingle_array(text_col: str, k: int = 3) -> "F.Column":
     """Distinct k-word shingle array, built JVM-side (transform over a
-    token-index sequence)."""
+    token-index sequence).
+
+    Documents SHORTER than k tokens yield one partial (<k-word) shingle
+    — their whole text (an empty doc yields the "" shingle). That is
+    DELIBERATE for dedup (short docs stay dedupe-able against each
+    other); consumers with strict n-gram semantics must gate on token
+    count themselves (decontam.ngram_overlap_counts does)."""
     toks = _tokens(text_col)
     return F.array_distinct(
         F.transform(
@@ -166,6 +162,13 @@ def minhash_lsh_pairs(
     """
     if verify not in ("estimate", "exact"):
         raise ValueError(f"unknown verify {verify!r}: expected 'estimate' or 'exact'")
+    if bands <= 0 or num_perm % bands:
+        raise ValueError(
+            f"bands={bands} must positively divide num_perm={num_perm}: "
+            "a remainder silently computes-and-drops permutations (the "
+            "banding would not be the bands x rows construction asked "
+            "for), and bands > num_perm degenerates to empty band keys"
+        )
     rows_per_band = num_perm // bands
     # Exact tier: no persist — the signature table stays lazy. The plan
     # is shaped so the signature pass is referenced ONCE on the candidate
@@ -311,7 +314,13 @@ def embedding_cosine_pairs(
       exchange instead of two (a self-join shuffles both sides).
     - ``"fold"``: pure-DataFrame self-join on the block key with a
       JVM-side sequential-fold dot product — no Python in the plan; the
-      exact expression mirror of the DuckDB oracle.
+      exact expression mirror of the DuckDB oracle. `base` (norms +
+      hyperplane buckets) is persisted for this path: the self-join
+      references it on BOTH sides and no ReusedExchange fires across the
+      alias boundary (verified on the executed plan), so without the
+      persist the expensive projection would run once per side. Blocks
+      are released with the frame (GC), same lifetime discipline as the
+      zip_with_index checkpoint.
     Both round to 1e-6 before the threshold cut; on the driver corpus the
     rounded scores are bit-identical (verified pair-for-pair at sf0.01 and
     sf0.1 — BLAS pairwise summation and the sequential fold agree to
@@ -346,6 +355,7 @@ def embedding_cosine_pairs(
     if scorer == "gemm":
         scored = _gemm_block_pairs(base, emb.schema[id_col].dataType, threshold)
     else:
+        base = base.persist()  # self-join: evaluate the projection ONCE
         left = base.select(
             F.col(id_col).alias("id_a"), F.col("__vec__").alias("vec_a"),
             F.col("__n__").alias("n_a"), "__block__",

@@ -27,9 +27,19 @@ MEDIA_SCHEMA = (
     "duration_ms long, codec string"
 )
 
+# Default output shapes (for the default media_id:long id column); the
+# operators below derive the id field's NAME and TYPE from their input,
+# so a string uuid id works and is carried through under its own name.
 DECODED_IMAGE_SCHEMA = "media_id long, width int, height int, n_channels int, mean_intensity double"
 FRAME_SAMPLE_SCHEMA = "media_id long, frame_idx int, frame binary"
 RESIZED_IMAGE_SCHEMA = "media_id long, width int, height int, resized binary"
+
+
+def _id_ddl(df: DataFrame, id_col: str) -> str:
+    """DDL fragment for the id column, taken from the INPUT schema — the
+    output id keeps the caller's column name and type instead of a
+    hard-coded media_id:long (which silently mangled string ids)."""
+    return f"{id_col} {df.schema[id_col].dataType.simpleString()}"
 
 
 def _try_import_pil():
@@ -89,9 +99,13 @@ def decode_images(df: DataFrame, id_col: str = "media_id", payload_col: str = "p
                 h = max(1, (n // 7) % 480)
                 mean = (sum(payload[:64]) / max(1, len(payload[:64]))) if n else 0.0
                 out.append((row[id_col], w, h, 3, float(mean)))
-            yield pd.DataFrame(out, columns=["media_id", "width", "height", "n_channels", "mean_intensity"])
+            yield pd.DataFrame(out, columns=[id_col, "width", "height", "n_channels", "mean_intensity"])
 
-    return df.mapInPandas(decode, schema=DECODED_IMAGE_SCHEMA)
+    return df.mapInPandas(
+        decode,
+        schema=f"{_id_ddl(df, id_col)}, width int, height int, "
+               "n_channels int, mean_intensity double",
+    )
 
 
 def resize_images(
@@ -132,9 +146,12 @@ def resize_images(
                 body = bytes(payload)
                 fake = (body * (budget // max(1, len(body)) + 1))[:budget] if body else b"\0" * budget
                 out.append((row[id_col], target_w, target_h, fake))
-            yield pd.DataFrame(out, columns=["media_id", "width", "height", "resized"])
+            yield pd.DataFrame(out, columns=[id_col, "width", "height", "resized"])
 
-    return df.mapInPandas(resize, schema=RESIZED_IMAGE_SCHEMA)
+    return df.mapInPandas(
+        resize,
+        schema=f"{_id_ddl(df, id_col)}, width int, height int, resized binary",
+    )
 
 
 def sample_frames(
@@ -153,9 +170,11 @@ def sample_frames(
                 n_frames = max(1, len(payload) // frame_size)
                 for i in range(0, n_frames, every_n):
                     out.append((row[id_col], i, bytes(payload[i * frame_size : (i + 1) * frame_size])))
-            yield pd.DataFrame(out, columns=["media_id", "frame_idx", "frame"])
+            yield pd.DataFrame(out, columns=[id_col, "frame_idx", "frame"])
 
-    return df.mapInPandas(sample, schema=FRAME_SAMPLE_SCHEMA)
+    return df.mapInPandas(
+        sample, schema=f"{_id_ddl(df, id_col)}, frame_idx int, frame binary"
+    )
 
 
 def extract_audio_features(df: DataFrame, id_col: str = "media_id", payload_col: str = "payload") -> DataFrame:
@@ -175,6 +194,8 @@ def extract_audio_features(df: DataFrame, id_col: str = "media_id", payload_col:
                 window = payload[:1024]
                 rms = (sum(b * b for b in window) / max(1, len(window))) ** 0.5
                 out.append((row[id_col], len(payload), float(rms)))
-            yield pd.DataFrame(out, columns=["media_id", "n_bytes", "rms_energy"])
+            yield pd.DataFrame(out, columns=[id_col, "n_bytes", "rms_energy"])
 
-    return df.mapInPandas(feats, schema="media_id long, n_bytes long, rms_energy double")
+    return df.mapInPandas(
+        feats, schema=f"{_id_ddl(df, id_col)}, n_bytes long, rms_energy double"
+    )

@@ -16,7 +16,11 @@ count; the only data movement is the range shuffle.
 The range-partitioned frame is materialized once (localCheckpoint): the
 totals pass and the assign pass must see the IDENTICAL partitioning
 (under AQE a recomputed subplan may coalesce differently between
-evaluations — the same requirement zip_with_index documents).
+evaluations — the same requirement zip_with_index documents). COST: the
+checkpoint holds a full copy of the (narrow: id + size) input projection
+in executor storage until the returned frame is garbage-collected — pass
+only the columns you need, and drop the reference when done (the same
+lifetime discipline as zip_with_index's checkpoint).
 """
 
 from __future__ import annotations

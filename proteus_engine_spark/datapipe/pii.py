@@ -21,7 +21,18 @@ from pyspark.sql import functions as F
 # otherwise nibble), then phones, then IPs.
 PII_PATTERNS: dict[str, tuple[str, str]] = {
     "email": (r"\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b", "[EMAIL]"),
-    "phone": (r"\b\d{2}-\d{3}-\d{3}-\d{4}\b", "[PHONE]"),
+    # Three RE2/Java-identical alternatives: +CC international groups,
+    # (NNN) NNN-NNNN, and dash/space-grouped domestic numbers ending in a
+    # ddd[- ]dddd tail (which is what keeps ISO dates 2024-01-15 from
+    # matching). Separators are dash/space only — dots would collide with
+    # the IPv4 pattern below. Leading \b is omitted where the first char
+    # is non-word (+ or parenthesis), where \b can never match.
+    "phone": (
+        r"\+\d{1,3}[ -]?\(?\d{2,4}\)?(?:[ -]\d{2,4}){1,3}\b"
+        r"|\(\d{3}\)[ -]?\d{3}[ -]\d{4}\b"
+        r"|\b\d{2,4}[ -](?:\d{2,4}[ -])?\d{3}[ -]\d{4}\b",
+        "[PHONE]",
+    ),
     "ipv4": (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "[IP]"),
 }
 

@@ -156,6 +156,12 @@ def kmeans_centroids(
         r["v"]
         for r in corpus.orderBy(c_id).limit(n_centroids).select(F.col(vec).alias("v")).collect()
     ]
+    if not seeds:
+        raise ValueError("kmeans_centroids: corpus has no vectors to seed from")
+    # a corpus smaller than n_centroids seeds fewer clusters (standard
+    # k-means degradation) — without this clamp the Lloyd loop would
+    # index past the seed list and crash
+    n_centroids = min(n_centroids, len(seeds))
     centroids = [list(map(float, s)) for s in seeds]
     for _ in range(n_iter):
         assigned = _assign_clusters(corpus, centroids, vec)

@@ -29,10 +29,16 @@ def _tokens(text: str | Column) -> Column:
 
 def token_count(text: str | Column, mode: str = "whitespace") -> Column:
     """Token count: whitespace tier or BPE-ish regex tier (letters runs /
-    digit runs / single punctuation — a proxy for subword token counts)."""
+    digit runs / single punctuation — a proxy for subword token counts).
+
+    Empty / whitespace-only text counts 0 tokens (split('') yields ['']
+    — one phantom token — in Spark AND DuckDB; the guard is mirrored in
+    every oracle, the same discipline repetition_stats established)."""
     c = F.col(text) if isinstance(text, str) else text
     if mode == "whitespace":
-        return F.size(F.split(c, r"\s+"))
+        return F.when(
+            F.length(F.trim(c)) > 0, F.size(F.split(c, r"\s+"))
+        ).otherwise(F.lit(0))
     if mode == "bpe":
         return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0))
     raise ValueError(f"unknown mode {mode!r}")
@@ -70,9 +76,8 @@ def quality_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     digit ratios, uppercase ratio, mean word length — the standard
     pre-training quality-filter feature set."""
     c = F.col(text_col)
-    toks = F.split(c, r"\s+")
     n_chars = F.length(c)
-    n_tokens = F.size(toks)
+    n_tokens = token_count(c)  # empty/whitespace-only -> 0, oracle-mirrored
     n_punct = F.length(F.regexp_replace(c, r"[^.,;:!?'\"]", ""))
     n_digit = F.length(F.regexp_replace(c, r"[^0-9]", ""))
     n_upper = F.length(F.regexp_replace(c, r"[^A-Z]", ""))
@@ -110,8 +115,18 @@ def repetition_stats(
                           count * len(gram)) / len(text); 0 if none repeat
     - ``dup_trigram_cov`` chars covered by ALL repeated word-trigrams
                           (sum over trigrams with count >= 2 of
-                          count * len(gram)) / len(text); overlapping
-                          occurrences double-count, as in the paper
+                          count * len(gram)) / len(text). NOTE this
+                          DEVIATES from Rae et al., who count each
+                          character at most once (their fraction is
+                          <= 1): overlapping occurrences double-count
+                          here, so heavy overlap-repetition can push the
+                          value past 1.0 — recalibrate any thresholds
+                          taken from the paper (the behavior is pinned
+                          by tests and mirrored in the oracle, so it is
+                          a deliberate, stable definition — not the
+                          paper's). ``top_bigram_cov`` likewise takes
+                          max(count*len) over repeated bigrams, not the
+                          most-frequent bigram's coverage
 
     Scale shape: token stats are per-row Catalyst expressions computed in
     the scan projection; both gram sizes ride ONE tagged explode

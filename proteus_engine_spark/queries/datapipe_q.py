@@ -203,9 +203,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id,
            length(text) AS n_chars_calc,
-           len(string_split_regex(text, '\\s+')) AS n_tokens,
-           CAST(length(text) - len(string_split_regex(text, '\\s+')) + 1 AS DOUBLE)
-             / greatest(len(string_split_regex(text, '\\s+')), 1) AS mean_word_len,
+           CASE WHEN length(trim(text)) > 0
+                THEN len(string_split_regex(text, '\\s+')) ELSE 0 END AS n_tokens,
+           CAST(length(text) - (CASE WHEN length(trim(text)) > 0
+                THEN len(string_split_regex(text, '\\s+')) ELSE 0 END) + 1 AS DOUBLE)
+             / greatest(CASE WHEN length(trim(text)) > 0
+                THEN len(string_split_regex(text, '\\s+')) ELSE 0 END, 1) AS mean_word_len,
            CAST(length(regexp_replace(text, '[^.,;:!?''"]', '', 'g')) AS DOUBLE)
              / greatest(length(text), 1) AS punct_ratio,
            CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
@@ -501,12 +504,12 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
              '\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b')) AS INT)
              AS n_email,
            CAST(len(regexp_extract_all(text,
-             '\b\d{2}-\d{3}-\d{3}-\d{4}\b')) AS INT) AS n_phone,
+             '\+\d{1,3}[ -]?\(?\d{2,4}\)?(?:[ -]\d{2,4}){1,3}\b|\(\d{3}\)[ -]?\d{3}[ -]\d{4}\b|\b\d{2,4}[ -](?:\d{2,4}[ -])?\d{3}[ -]\d{4}\b')) AS INT) AS n_phone,
            CAST(len(regexp_extract_all(text,
              '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS INT) AS n_ipv4,
            regexp_replace(regexp_replace(regexp_replace(text,
              '\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b', '[EMAIL]', 'g'),
-             '\b\d{2}-\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g'),
+             '\+\d{1,3}[ -]?\(?\d{2,4}\)?(?:[ -]\d{2,4}){1,3}\b|\(\d{3}\)[ -]?\d{3}[ -]\d{4}\b|\b\d{2,4}[ -](?:\d{2,4}[ -])?\d{3}[ -]\d{4}\b', '[PHONE]', 'g'),
              '\b(?:\d{1,3}\.){3}\d{1,3}\b', '[IP]', 'g') AS text_scrubbed
     FROM profile
     """,
@@ -698,7 +701,8 @@ def dedup_cluster_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
                FROM documents),
     g AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ')
-          FOR i IN range(1, greatest(len(t)-2, 1)+1)]) AS grams FROM t),
+          FOR i IN range(1, greatest(len(t)-2, 1)+1)]) AS grams
+          FROM t WHERE len(t) >= 3),
     eg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0),
     cg AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 97 <> 0)
     SELECT cg.doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams
@@ -730,8 +734,9 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH per AS (
       SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
-             CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT)
-               AS total_size
+             CAST(sum(CASE WHEN length(trim(text)) > 0
+                  THEN len(string_split_regex(text, '\s+')) ELSE 0 END)
+               AS BIGINT) AS total_size
       FROM documents GROUP BY source, lang)
     SELECT source, lang, n_docs, total_size,
            total_size / CAST(sum(total_size) OVER () AS DOUBLE) AS share,
@@ -758,7 +763,9 @@ def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "text_length_percentiles",
     oracle=r"""
-    WITH v AS (SELECT lang, len(string_split_regex(text, '\s+')) AS n_tokens
+    WITH v AS (SELECT lang, CASE WHEN length(trim(text)) > 0
+                      THEN len(string_split_regex(text, '\s+')) ELSE 0 END
+                        AS n_tokens
                FROM documents),
     q AS (SELECT lang,
                  quantile_cont(n_tokens, [0.25, 0.5, 0.75, 0.9, 0.99]) AS vals
@@ -790,8 +797,9 @@ def text_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus_pack_sequences",
     oracle=r"""
     WITH v AS (SELECT doc_id,
-                      CAST(len(string_split_regex(text, '\s+')) AS BIGINT)
-                        AS n_tokens
+                      CAST(CASE WHEN length(trim(text)) > 0
+                           THEN len(string_split_regex(text, '\s+'))
+                           ELSE 0 END AS BIGINT) AS n_tokens
                FROM documents)
     SELECT doc_id, n_tokens,
            CAST(COALESCE(sum(n_tokens) OVER
@@ -862,8 +870,9 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH per AS (
       SELECT lang,
-             CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT)
-               AS total_size
+             CAST(sum(CASE WHEN length(trim(text)) > 0
+                  THEN len(string_split_regex(text, '\s+')) ELSE 0 END)
+               AS BIGINT) AS total_size
       FROM documents GROUP BY lang),
     w AS (SELECT lang,
                  1.0 / count(*) OVER ()

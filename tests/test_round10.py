@@ -782,3 +782,114 @@ def test_allowed_lateness_adds_to_frontier_delay(spark):
     )
     ids = sorted(r["event_id"] for r in _run(late, "allowed_late_test").collect())
     assert ids == [3]
+
+
+# ---------------- datapipe review fixes (library-level) ----------------
+
+
+def test_phone_pattern_real_world_formats(spark):
+    """The phone tier must catch real formats, skip ISO dates and IPs,
+    and agree between Spark (Java regex) and DuckDB (RE2) on every case
+    — the oracle mirrors the literal pattern."""
+    import duckdb
+
+    from proteus_engine_spark.datapipe.pii import PII_PATTERNS, scrub_documents
+
+    cases = [
+        (1, "Call 415-555-2671 now"),            # NANP dashed
+        (2, "or (415) 555-2671 works"),          # parenthesized
+        (3, "intl +44 20 7946 0958 line"),       # +CC spaced
+        (4, "plus +1 415-555-2671 too"),         # +CC + NANP
+        (5, "legacy 12-345-678-9012 shape"),     # synthetic TPC-H form
+        (6, "date 2024-01-15 is not a phone"),   # negative: ISO date
+        (7, "ip 10.255.0.24 is not a phone"),    # negative: IPv4
+        (8, "no digits at all"),
+    ]
+    df = spark.createDataFrame(cases, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_phone"], r["text_scrubbed"])
+        for r in scrub_documents(df).collect()
+    }
+    for i in (1, 2, 3, 4, 5):
+        assert got[i][0] == 1 and "[PHONE]" in got[i][1], (i, got[i])
+    for i in (6, 7, 8):
+        assert got[i][0] == 0 and "[PHONE]" not in got[i][1], (i, got[i])
+    # cross-engine: RE2 must produce the identical count per case
+    pat = PII_PATTERNS["phone"][0]
+    con = duckdb.connect()
+    for doc_id, text in cases:
+        [(n,)] = con.execute(
+            "SELECT len(regexp_extract_all(?, ?))", [text, pat]
+        ).fetchall()
+        assert n == got[doc_id][0], (doc_id, n, got[doc_id][0])
+
+
+def test_token_count_empty_and_whitespace(spark):
+    from proteus_engine_spark.datapipe.textstats import quality_stats, token_count
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "a b"), (4, " a b ")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["n"]
+        for r in df.select("doc_id", token_count("text").alias("n")).collect()
+    }
+    # padded text keeps the phantom-token behavior both engines share
+    # (split(' a b ') has leading AND trailing empty tokens — Spark's
+    # limit=-1 matches DuckDB); only fully-empty text is guarded to 0
+    assert got == {1: 0, 2: 0, 3: 2, 4: 4}
+    q = {r["doc_id"]: r["n_tokens"] for r in quality_stats(df).collect()}
+    assert q[1] == 0 and q[2] == 0
+
+
+def test_decontam_skips_docs_shorter_than_n(spark):
+    """GPT-3/Gopher convention: sub-n-token docs contribute no grams —
+    a 2-token eval doc must not flag 2-token corpus docs, and empty
+    docs must not match each other on the '' pseudo-gram."""
+    from proteus_engine_spark.datapipe.decontam import ngram_overlap_counts
+
+    rows = [(0, "foo bar"), (1, "foo bar"), (2, ""), (3, "foo bar baz qux")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = ngram_overlap_counts(
+        docs.filter("doc_id > 0"), docs.filter("doc_id = 0"), n=3
+    ).collect()
+    assert out == []  # eval doc too short to emit any 3-gram
+
+
+def test_kmeans_fewer_rows_than_centroids(spark):
+    from proteus_engine_spark.datapipe.similarity import kmeans_centroids
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(5)],
+        "c_id long, vec array<double>",
+    )
+    cents = kmeans_centroids(df, dim=2, n_centroids=16, n_iter=2)
+    assert 1 <= len(cents) <= 5
+    empty = spark.createDataFrame([], "c_id long, vec array<double>")
+    with pytest.raises(ValueError, match="no vectors"):
+        kmeans_centroids(empty, dim=2, n_centroids=4)
+
+
+def test_minhash_rejects_nondivisible_bands(spark):
+    from proteus_engine_spark.datapipe.dedup import minhash_lsh_pairs
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    for bands in (12, 128, 0):
+        with pytest.raises(ValueError, match="divide num_perm"):
+            minhash_lsh_pairs(docs, num_perm=64, bands=bands)
+
+
+def test_multimodal_id_column_name_and_type_carry_through(spark):
+    """A string uuid id must survive decode under its own name/type
+    (previously the output hard-coded media_id:long and a string id
+    failed Arrow conversion)."""
+    from proteus_engine_spark.datapipe.multimodal import decode_images
+
+    df = spark.createDataFrame(
+        [("u-1", b"abcdef")], "uuid string, payload binary"
+    )
+    out = decode_images(df, id_col="uuid")
+    assert out.schema["uuid"].dataType.simpleString() == "string"
+    [r] = out.collect()
+    assert r["uuid"] == "u-1" and r["width"] == 6
