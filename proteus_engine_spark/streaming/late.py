@@ -105,10 +105,25 @@ def side_output_late_data(
     (WindowOperator.isElementLate compares against
     window.maxTimestamp + allowedLateness). Callers that already folded
     lateness into ``delay_ms`` keep working; the parameter exists so the
-    two knobs can be stated separately, as the reference API does."""
-    tagged = late_data_split(
-        stream, ts_col, delay_ms + allowed_lateness_ms, partition_col
+    two knobs can be stated separately, as the reference API does.
+
+    The on-time branch comes back ALREADY watermarked at
+    ``delay_ms + allowed_lateness_ms`` — never re-watermark it with a
+    tighter delay. Spark has no per-window lateness retention, so the
+    allowed-lateness band (rows between `delay` and `delay + lateness`
+    behind the frontier) can only survive by widening the engine
+    watermark; a downstream ``withWatermark(ts, delay)`` would silently
+    drop exactly that band inside the engine (counted only in
+    numRowsDroppedByWatermark), leaving those rows in NEITHER branch.
+    With the widened watermark they surface as ordinary in-watermark
+    updates — Spark's equivalent of the reference's late window
+    re-firing."""
+    total_ms = delay_ms + allowed_lateness_ms
+    tagged = late_data_split(stream, ts_col, total_ms, partition_col)
+    on_time = (
+        tagged.filter(~F.col("is_late"))
+        .drop("is_late")
+        .withWatermark(ts_col, f"{total_ms} milliseconds")
     )
-    on_time = tagged.filter(~F.col("is_late")).drop("is_late")
     late = tagged.filter(F.col("is_late")).drop("is_late")
     return on_time, late

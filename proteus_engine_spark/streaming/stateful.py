@@ -122,11 +122,12 @@ def count_window_agg(
     window fills (mid-batch included), matching CountTrigger.of(size) FIRE
     semantics; the open remainder window stays in state awaiting more rows.
     """
+    id_type = stream.schema[id_col].dataType.simpleString()
     out_schema = (
-        f"{key_col} long, win_id long, n long, total_value double, "
-        "first_id long, last_id long"
+        f"{field_ddl(stream, key_col)}, win_id long, n long, "
+        f"total_value double, first_id {id_type}, last_id {id_type}"
     )
-    state_schema = "win_id long, buf_n long, buf_sum double, buf_first long"
+    state_schema = f"win_id long, buf_n long, buf_sum double, buf_first {id_type}"
 
     def transition(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -138,9 +139,17 @@ def count_window_agg(
         else:
             win_id, buf_n, buf_sum, buf_first = 0, 0, 0.0, None
         frames: list[pd.DataFrame] = []
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
+        # A key whose micro-batch spans several Arrow chunks must be sorted
+        # GLOBALLY before window assignment — per-chunk sorts with state
+        # carried across chunks would order rows by chunk arrival, not
+        # (order_cols), and chunking is a serialization detail
+        # (arrow.maxRecordsPerBatch), not a semantic boundary.
+        chunks = [c for c in pdfs if len(c)]
+        whole = (
+            pd.concat(chunks, ignore_index=True) if len(chunks) > 1
+            else chunks[0] if chunks else None
+        )
+        for pdf in ([whole] if whole is not None else []):
             pdf = pdf.sort_values(order_cols, kind="mergesort")
             ids = pdf[id_col].to_numpy()
             vals = pdf[value_col].to_numpy(dtype="float64")
@@ -178,7 +187,11 @@ def count_window_agg(
                 win_id, buf_n, buf_sum, buf_first = int(wins[-1]) + 1, 0, 0.0, None
             else:
                 win_id, buf_n = int(wins[-1]), int(counts[-1])
-                buf_sum, buf_first = float(sums[-1]), int(firsts[-1])
+                # .item() keeps the id's own type (long OR string — the
+                # schema no longer hard-codes long)
+                buf_sum = float(sums[-1])
+                buf_first = firsts[-1].item() if hasattr(
+                    firsts[-1], "item") else firsts[-1]
         state.update((win_id, buf_n, buf_sum, buf_first))
         yield from frames
 
@@ -489,9 +502,16 @@ def _proc_time_over(
         # across keys (a future emit() that mutates in place would
         # otherwise leak state between keys in the same worker)
         st = pickle.loads(state.get[0]) if state.exists else copy.deepcopy(init_state)
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
+        # Concatenate the key's Arrow chunks before the (ts, id) refinement
+        # sort — per-chunk sorts would leave the micro-batch in chunk order
+        # whenever one key spans multiple chunks (arrow.maxRecordsPerBatch),
+        # breaking the documented deterministic-replay ordering.
+        chunks = [c for c in pdfs if len(c)]
+        whole = (
+            pd.concat(chunks, ignore_index=True) if len(chunks) > 1
+            else chunks[0] if chunks else None
+        )
+        for pdf in ([whole] if whole is not None else []):
             pdf = pdf.sort_values([ts_col, id_col], kind="mergesort")
             ts_us = pdf[ts_col].values.astype("datetime64[us]").astype("int64")
             ids = pdf[id_col].to_numpy()
@@ -685,7 +705,14 @@ def process_keyed(
             max_ts_ms = int(
                 batch[event_time_col].to_numpy().astype("datetime64[ms]").astype("int64").max()
             )
-            state.setTimeoutTimestamp(max_ts_ms + timeout_duration_ms)
+            # Clamp above the CURRENT watermark: Spark admits rows against
+            # the PREVIOUS batch's watermark (one-batch lag, see the module
+            # header), so an all-laggard batch can put max_ts + duration at
+            # or below the frontier — setTimeoutTimestamp would then throw
+            # and kill the query. Clamped, the idle timer fires on the next
+            # watermark advance, which is when the key is provably idle.
+            wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(max_ts_ms + timeout_duration_ms, wm + 1))
         if emitted is not None and len(emitted):
             yield emitted
 
