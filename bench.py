@@ -82,20 +82,48 @@ def main() -> None:
         names = [n.strip() for n in extra.split(",") if n.strip() in REGISTRY]
 
     def timed(action) -> float:
+        """Median-of-3 warm runs; queries that come in under ~1s get 2
+        extra runs (median-of-5) — sub-second timings showed ±30-66%
+        run-to-run swings from sandbox I/O state (r10 adjudication), and
+        the wider median is the cheap half of the fix (the attributable
+        half is the I/O calibration probe below)."""
         action()  # warm-up run (JIT, codegen, file-listing caches)
         runs = []
         for _ in range(3):
             t0 = time.perf_counter()
             action()
             runs.append(time.perf_counter() - t0)
+        if statistics.median(runs) < 1.0:
+            for _ in range(2):
+                t0 = time.perf_counter()
+                action()
+                runs.append(time.perf_counter() - t0)
         return round(statistics.median(runs), 4)
 
-    # Fixed-shape calibration probe, independent of the data and of every
-    # engine change: sum over a 200M-row range (pure codegen, no I/O).
-    # Recorded so cross-round wall-clock drift (sandbox load, CPU
-    # throttling) is measurable — it is EXCLUDED from the headline total.
+    # Two fixed-shape calibration probes, independent of every engine
+    # change, recorded so cross-round wall-clock drift is ATTRIBUTABLE
+    # (both are EXCLUDED from the headline total):
+    # - calibration_sec: sum over a 200M-row range — pure whole-stage
+    #   codegen, no I/O; moves with CPU throttling/load only.
+    # - calibration_io_sec: full warm parquet scan+agg of lineitem
+    #   including the wide string column — moves with page-cache and
+    #   filesystem contention, which the CPU probe is blind to (the r10
+    #   "1.23x regression" was exactly this, on unchanged code).
+    # Judge drift on the probe that matches the query class: scan-heavy
+    # queries against io, compute-heavy against cpu.
     calibration = timed(
         lambda: spark.range(200_000_000).selectExpr("sum(id)").collect()
+    )
+    calibration_io = timed(
+        lambda: spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .selectExpr(
+            "count(*)",
+            "sum(l_extendedprice)",
+            "sum(l_quantity)",
+            "max(l_returnflag)",
+            "sum(length(cast(l_shipdate as string) || l_linestatus))",
+        )
+        .collect()
     )
 
     timings: dict[str, float] = {}
@@ -112,6 +140,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "calibration_sec": calibration,
+                "calibration_io_sec": calibration_io,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -131,6 +131,8 @@ def minhash_lsh_pairs(
     jaccard_threshold: float = 0.7,
     verify: str = "estimate",
     persist_signatures: bool = False,
+    max_bucket_size: int | None = None,
+    oversize: str = "split",
 ) -> DataFrame:
     """Near-duplicate pairs via banded MinHash-LSH.
 
@@ -138,6 +140,35 @@ def minhash_lsh_pairs(
     generation is a self-equi-join on (band_id, band_sig): at 100 TB the
     join key is 16 bytes and Catalyst plans a plain shuffle-hash join;
     hot buckets (boilerplate docs) are AQE-skew-split.
+
+    ``max_bucket_size`` bounds the O(|bucket|²) candidate-pair explosion
+    of pathological band buckets (boilerplate-heavy web corpora put
+    10⁵–10⁶ near-identical template docs in ONE bucket → 10¹⁰+ pairs from
+    a single key — the skew scale-killer at 100 TB). With a cap set, every
+    band bucket larger than the cap is handled per ``oversize``:
+
+    - ``"split"`` (default): the bucket's ids are sorted (deterministic
+      chunk membership — collect_list order is not) and sliced into
+      ⌈size/cap⌉ chunks of at most ``cap`` ids; pairs are emitted within
+      chunks only. A pair split across chunks in one band can still
+      collide in another band, but an identical-content mega-bucket
+      chunks identically in EVERY band, so its cross-chunk pairs are
+      intentionally sacrificed — those buckets are exactly the boilerplate
+      the cap exists to bound, and identical content is cheaper to remove
+      with exact (hash) dedup upstream anyway.
+    - ``"drop"``: oversized buckets are removed whole.
+
+    No silent caps: the plan carries a Spark ``Observation`` over the
+    bucket frame — ``oversized_buckets`` (count of buckets above the cap),
+    ``oversized_bucket_docs`` (their total membership) and
+    ``max_bucket_docs`` — exposed as ``.lsh_bucket_observation`` on the
+    returned DataFrame; ``Observation.get`` yields the metrics after the
+    first action (the estimate tier's internal eager checkpoint already
+    completes them before this function returns). The metrics are
+    collected in-plan by the pass that builds the buckets — no extra job,
+    no extra scan. The reference bounds the same skew with hash-partition
+    spilling (flink-runtime/.../hash/MutableHashTable.java); here the
+    bound must be on pair *generation*, which spilling cannot fix.
 
     ``verify`` selects the verification tier applied to candidates:
     - "estimate": signature agreement ratio (≈J, zero extra scans) →
@@ -162,6 +193,13 @@ def minhash_lsh_pairs(
     """
     if verify not in ("estimate", "exact"):
         raise ValueError(f"unknown verify {verify!r}: expected 'estimate' or 'exact'")
+    if oversize not in ("split", "drop"):
+        raise ValueError(f"unknown oversize {oversize!r}: expected 'split' or 'drop'")
+    if max_bucket_size is not None and max_bucket_size < 2:
+        raise ValueError(
+            f"max_bucket_size={max_bucket_size} must be >= 2: a 1-doc chunk "
+            "can emit no pair, so every candidate would be silently dropped"
+        )
     if bands <= 0 or num_perm % bands:
         raise ValueError(
             f"bands={bands} must positively divide num_perm={num_perm}: "
@@ -192,7 +230,7 @@ def minhash_lsh_pairs(
     # (rows stream; no per-bucket pair array is materialized). The 512-byte
     # signatures never ride this shuffle. Hot buckets (boilerplate near-
     # identical docs) cost O(bucket²) pairs exactly like a bucket self-join
-    # would; at 100 TB cap/pre-split pathological buckets upstream.
+    # would; ``max_bucket_size`` bounds that explosion (split/drop below).
     banded = mh.select(
         F.col(id_col),
         F.posexplode(F.array(*band_cols)).alias("band_id", "band_sig"),
@@ -202,6 +240,41 @@ def minhash_lsh_pairs(
         .agg(F.collect_list(id_col).alias("ids"))
         .filter(F.size("ids") > 1)
     )
+    obs = None
+    if max_bucket_size is not None:
+        from pyspark.sql import Observation
+
+        cap = max_bucket_size
+        # Observed on the bucket frame itself — the metrics ride the pass
+        # that builds the buckets (no extra job) and surface what the cap
+        # did, so an oversized-bucket cut is never silent.
+        obs = Observation("lsh_bucket_cap")
+        buckets = buckets.observe(
+            obs,
+            F.sum(F.when(F.size("ids") > cap, 1).otherwise(0)).alias("oversized_buckets"),
+            F.sum(F.when(F.size("ids") > cap, F.size("ids")).otherwise(0)).alias(
+                "oversized_bucket_docs"
+            ),
+            F.max(F.size("ids")).alias("max_bucket_docs"),
+        )
+        if oversize == "drop":
+            buckets = buckets.filter(F.size("ids") <= cap)
+        else:  # split: sort for deterministic chunk membership, slice to <= cap
+            n_chunks = F.ceil(F.size("ids") / F.lit(cap)).cast("int")
+            buckets = (
+                buckets.select("band_id", "band_sig", F.array_sort("ids").alias("ids"))
+                .select(
+                    "band_id",
+                    "band_sig",
+                    F.explode(
+                        F.transform(
+                            F.sequence(F.lit(0), n_chunks - F.lit(1)),
+                            lambda i: F.slice(F.col("ids"), i * F.lit(cap) + F.lit(1), F.lit(cap)),
+                        )
+                    ).alias("ids"),
+                )
+                .filter(F.size("ids") > 1)
+            )
     cand_pairs = (
         buckets.select(F.col("ids"), F.explode("ids").alias("doc_a"))
         .select("doc_a", F.explode("ids").alias("doc_b"))
@@ -277,6 +350,10 @@ def minhash_lsh_pairs(
             out = out.localCheckpoint(eager=True)
         finally:
             mh.unpersist()
+    # Cap observability handle (None when max_bucket_size is None). On the
+    # estimate tier the eager checkpoint above has already completed the
+    # metrics; on the exact tier they complete with the caller's action.
+    out.lsh_bucket_observation = obs
     return out
 
 
@@ -318,9 +395,12 @@ def embedding_cosine_pairs(
       hyperplane buckets) is persisted for this path: the self-join
       references it on BOTH sides and no ReusedExchange fires across the
       alias boundary (verified on the executed plan), so without the
-      persist the expensive projection would run once per side. Blocks
-      are released with the frame (GC), same lifetime discipline as the
-      zip_with_index checkpoint.
+      persist the expensive projection would run once per side. The call
+      OWNS the persist lifecycle: the (threshold-bounded, tiny) pair
+      result is eagerly localCheckpoint-ed while the persist is alive and
+      `base` is unpersisted in a finally — repeated fold calls in a long
+      session accumulate no storage (same discipline as the minhash
+      estimate tier).
     Both round to 1e-6 before the threshold cut; on the driver corpus the
     rounded scores are bit-identical (verified pair-for-pair at sf0.01 and
     sf0.1 — BLAS pairwise summation and the sequential fold agree to
@@ -381,6 +461,13 @@ def embedding_cosine_pairs(
     if block_col is None:
         # A pair can share buckets in several tables — emit it once.
         scored = scored.dropDuplicates(["id_a", "id_b"])
+    if scorer == "fold":
+        # Finalize the (threshold-bounded) pairs while the persist is
+        # alive, then release it: nothing outlives the call.
+        try:
+            scored = scored.localCheckpoint(eager=True)
+        finally:
+            base.unpersist()
     return scored
 
 

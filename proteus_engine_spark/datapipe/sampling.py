@@ -75,7 +75,12 @@ def rate_threshold_col(rate_col: Column) -> Column:
     and DuckDB, so oracles can mirror the exact kept set. rate >= 1 maps
     to 'g' (keeps every digest, see rate_to_threshold); rate <= 0 keeps
     nothing (clamped — a negative rate would otherwise hex-format a
-    negative long into a nonsense threshold)."""
+    negative long into a nonsense threshold). A NULL rate also keeps
+    nothing: the `rate >= 1.0` branch is false for NULL and
+    greatest(NULL, 0.0) is 0.0 (Spark's greatest skips NULLs), so the
+    threshold collapses to '00000000' — the documented convention for
+    zero-size strata from ``mixture_weights`` (NULL weight → stratum
+    dropped, never silently kept whole)."""
     n = F.floor(F.greatest(rate_col, F.lit(0.0)) * F.lit(float(16 ** 8))).cast("long")
     return F.when(rate_col >= 1.0, F.lit("g")).otherwise(
         F.lpad(F.lower(F.hex(n)), 8, "0")
@@ -98,14 +103,22 @@ def mixture_weights(
     df: DataFrame,
     stratum_cols: list[str],
     size_col: "Column | str | None" = None,
+    temperature: float | None = None,
 ) -> DataFrame:
-    """Per-stratum mixture statistics and uniform-target resampling
-    weights — the planning step that feeds ``stratified_sample``'s rate
-    map. For each stratum: row count, total size (``size_col`` — e.g. a
-    token count — or 1 per row), the stratum's share of the corpus, and
-    ``weight`` = (1/n_strata) / share: multiplying each stratum's
-    sampling rate by its weight yields a uniform-over-strata mixture
-    (upsample rare strata, downsample dominant ones).
+    """Per-stratum mixture statistics and resampling weights — the
+    planning step that feeds ``stratified_sample``'s rate map. For each
+    stratum: row count, total size (``size_col`` — e.g. a token count —
+    or 1 per row), the stratum's share of the corpus, and ``weight`` =
+    target_share / share: multiplying each stratum's sampling rate by
+    its weight yields the target mixture.
+
+    ``temperature`` selects the target mixture:
+    - ``None`` (default): uniform over strata — target 1/n_strata
+      (upsample rare strata, downsample dominant ones; the T→∞ limit).
+    - ``T > 0``: temperature-scaled — target ∝ share^(1/T), the
+      multilingual sampling scheme of mC4/mBERT/PaLM (T≈3 flattens the
+      head languages without drowning the corpus in tail noise; T=1 is
+      the natural mixture, all weights 1).
 
     Scale shape: ONE stratum-keyed corpus aggregation (map-side partial
     combine), then the grand totals via an unpartitioned window over the
@@ -116,7 +129,23 @@ def mixture_weights(
     the corpus aggregation twice).
 
     Returns stratum_cols + (n_docs long, total_size long, share double,
-    weight double)."""
+    weight double).
+
+    Zero-size convention (explicit, engine-portable): a stratum whose
+    ``total_size`` is 0 (e.g. all docs empty with a token-count size_col)
+    gets ``weight = NULL`` — it contributes nothing to the mixture, so no
+    finite rate multiplier can upsample it, and ``sample_by_rate_col``'s
+    rate filter then drops it (NULL rate keeps no rows). CAUTION when
+    deriving the rate from the weight: ``least``/``greatest`` SKIP NULLs
+    in both Spark and DuckDB, so a ``least(1.0, c * weight)`` rate cap
+    silently turns a NULL weight into rate 1.0 (stratum kept WHOLE) —
+    guard with ``when(weight.isNotNull(), least(...))`` as
+    corpus_rebalance_sample does. Without the explicit CASE here the two
+    engines diverge on the raw division itself: Spark (non-ANSI) yields
+    NULL, DuckDB IEEE float division yields +inf. ``share`` is likewise NULL
+    when the whole corpus has size 0 (0/0). Callers that must not lose
+    zero-size strata should filter them out (or assign them a floor size)
+    BEFORE planning."""
     from pyspark.sql.window import Window
 
     if size_col is None:
@@ -129,12 +158,74 @@ def mixture_weights(
         F.count("*").alias("n_docs"),
         F.sum(size_expr).alias("total_size"),
     )
+    if temperature is not None and temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
     w = Window.partitionBy()  # strata-sized frame: single partition is fine
-    share = F.col("total_size").cast("double") / F.sum("total_size").over(w)
+    grand = F.sum("total_size").over(w)
+    raw_share = F.col("total_size").cast("double") / grand
+    share = F.when(grand > 0, raw_share)
+    if temperature is None:
+        target = F.lit(1.0) / F.count("*").over(w)
+    else:
+        # share^(1/T) renormalized over the strata frame; zero-size strata
+        # contribute pow(0)=0 to the normalizer and keep a NULL weight via
+        # the guard below (the window sum skips nothing here — pow of the
+        # guarded-NULL share would, so pow runs on the raw ratio).
+        powed = F.pow(raw_share, F.lit(1.0 / temperature))
+        target = powed / F.sum(powed).over(w)
+    # weight guarded on the STRATUM size too: 1/share of a zero-size
+    # stratum is an engine-divergent division (NULL vs inf) — see the
+    # zero-size convention in the docstring.
+    weight = F.when((F.col("total_size") > 0) & (grand > 0), target / raw_share)
     return per.select(
         *stratum_cols,
         "n_docs",
         "total_size",
         share.alias("share"),
-        (F.lit(1.0) / F.count("*").over(w) / share).alias("weight"),
+        weight.alias("weight"),
     )
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    fractions: dict[str, float],
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test partitioning: each row is assigned to
+    a named split by the same md5-prefix rule as the samplers — pure
+    per-row function, reproducible across engines/reruns, and STABLE
+    under corpus growth (a doc keeps its split when new docs arrive,
+    unlike rank- or random()-based splitting, so eval sets never leak
+    into train between pipeline runs). ``fractions`` maps split name →
+    fraction; they must be non-negative and sum to 1 (the LAST split
+    absorbs the floor rounding of the hex thresholds, ≤ 1/16⁸ per
+    boundary). Assignment: the 8-hex-char md5 prefix is compared against
+    the cumulative-fraction thresholds in dict order — first band wins.
+
+    Scale shape: one whole-stage-codegen CASE fused into the scan; no
+    shuffle, no RNG state, no driver participation."""
+    if not fractions:
+        raise ValueError("fractions must name at least one split")
+    if any(v < 0 for v in fractions.values()):
+        raise ValueError(f"fractions must be non-negative: {fractions}")
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(
+            f"fractions must sum to 1 (got {total}): an uncovered tail would "
+            "silently drop rows from every split"
+        )
+    names = list(fractions)
+    digest = F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 8
+    )
+    expr = None
+    cum = 0.0
+    for name in names[:-1]:
+        cum += fractions[name]
+        thr = rate_to_threshold(cum)
+        cond = digest < F.lit(thr)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    assigned = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    return df.withColumn(split_col, assigned)

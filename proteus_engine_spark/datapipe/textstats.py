@@ -279,18 +279,28 @@ def tfidf_top_terms(
     of that frame [shuffle 2, vocabulary-sized], the idf join is
     term-keyed (vocabulary-sized build side — AQE broadcasts real-world
     vocabularies), and top-k is one doc-keyed window [shuffle 3]. N is a
-    single scalar: pass ``num_docs`` when known, else it is read with
-    one count() — metadata-only on parquet sources."""
+    single scalar: pass ``num_docs`` when known (ONE corpus scan total).
+    With ``num_docs=None`` it is derived lazily in-plan as a 1-row
+    count(*) aggregate crossJoined onto the vocabulary-sized df frame
+    (Spark broadcasts the single row) — that aggregate re-reads the
+    ``docs`` subplan, so the corpus is scanned a SECOND time (a
+    DataFrame count is a real scan job on parquet, not metadata); at
+    production scale pass ``num_docs``. Note N must count ALL docs
+    including token-less ones (the smoothed idf denominator), which is
+    why it cannot be derived from the tf frame."""
     from pyspark.sql.window import Window
 
-    if num_docs is None:
-        num_docs = docs.count()
     toks = docs.select(
         F.col(id_col), F.explode(_tokens(text_col)).alias("term")
     )
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    idf = F.log((1.0 + num_docs) / (1.0 + F.col("df"))) + 1.0
+    if num_docs is None:
+        dfreq = dfreq.crossJoin(docs.agg(F.count("*").alias("__n__")))
+        n_expr = F.col("__n__").cast("double")
+    else:
+        n_expr = F.lit(float(num_docs))
+    idf = F.log((1.0 + n_expr) / (1.0 + F.col("df"))) + 1.0
     scored = tf.join(dfreq, "term").select(
         id_col, "term", (F.col("tf") * idf).alias("score")
     )

@@ -23,85 +23,79 @@ from proteus_engine_spark.queries import (  # noqa: F401
     windows_q,
 )
 
-# Round-10 priority window (the driver checks the first ~50 registry
-# entries): the eleven never-driver-checked r10 queries first
-# (stream_late_side_output_partitioned — the per-partition-frontier
-# production mode of the late splitter — plus the six new datapipe
-# operators and the three newly-gated multimodal plumbing paths, all
-# tri-scale-validated locally in scripts/triscale/),
-# then the three already-green queries whose CODE changed this round
-# (dedup_cluster_keep and iter_connected_components ride the reworked
-# connected_components convergence probe; stream_late_side_output and
-# stream_late_rows_observed ride the single-sourced LATE_CUT_PCT
-# staging — equivalent by construction, re-gated as insurance), then
-# the ENTIRE remaining round-6 cohort (25 rows — retiring r6
-# staleness), then the 11 stalest round-7 rows in registry order, with
-# dedup_minhash_lsh (forced-broadcast removal this round) and
-# iter_connected_components among them. After r10 every registry
-# query's latest driver green is r7+ — the registry is on a
-# steady-state <=4-round staleness cycle with 34 r7 rows left for r11.
-# ml_outlier_sos stays OUT of the window: it is registered with
-# oracle=None (per-point perplexity bisection is not SQL-expressible)
-# and a rows-only query must not burn a window slot as
-# `err: no_oracle` — its value correctness is pytest-proven against an
-# independent scalar implementation.
+# Round-11 priority window (the driver checks the first ~50 registry
+# entries): the four never-driver-checked r11 gates first
+# (primitives_roundtrip_agg closes the last "implemented but driver-
+# untested" §2 row; text_length_percentiles_approx driver-proves the
+# sketch tier of percentile_summary; corpus_mixture_temperature and
+# corpus_hash_split gate the two new sampling operators —
+# temperature-scaled mixture targets and deterministic md5
+# train/val/test splitting), then the already-green queries
+# whose CODE changed this round (dedup_minhash_lsh gained the
+# max_bucket_size cap; corpus_mixture_weights/corpus_rebalance_sample
+# carry the explicit zero-size-stratum CASE on both engine and oracle;
+# text_tfidf_top_terms derives N lazily in-plan; the two
+# dedup_embedding_cosine* gates ride the embedding_cosine_pairs tail
+# restructure for the fold-scorer unpersist; the two stream_late_*
+# side-output gates ride the watermark opt-out parameter — defaults
+# unchanged, re-gated as insurance), then the ENTIRE remaining
+# round-7 cohort (34 rows, registry order) — after r11 every registry
+# query's latest driver green is r8+, completing the <=4-round
+# staleness cycle. ml_outlier_sos stays OUT of the window: it is
+# registered with oracle=None (per-point perplexity bisection is not
+# SQL-expressible) and a rows-only query must not burn a window slot
+# as `err: no_oracle` — its value correctness is pytest-proven against
+# an independent scalar implementation.
 _GATE_PRIORITY = [
-    # new round-10 queries, never driver-checked (11)
-    "stream_late_side_output_partitioned",
-    "text_decontaminate",
-    "corpus_mixture_weights",
-    "text_length_percentiles",
-    "corpus_pack_sequences",
-    "text_tfidf_top_terms",
-    "corpus_rebalance_sample",
-    "multimodal_frame_sample",
-    "multimodal_audio_features",
-    "multimodal_resize",
-    "corpus_vocab_stats",
-    # green earlier but code-changed this round (3)
-    "dedup_cluster_keep",
-    "stream_late_side_output",
-    "stream_late_rows_observed",
-    # full round-6 cohort, registry order (25)
-    "agg_collect",
-    "agg_cube",
-    "agg_distinct",
-    "agg_grouping_sets",
-    "agg_having",
-    "agg_minby_maxby",
-    "agg_reduce_group_sorted",
-    "agg_rollup",
-    "agg_stats_exact",
-    "cep_allow_combinations",
-    "cep_greedy_click_run",
-    "cogroup_counts",
-    "distinct_rows",
-    "sort_limit_offset",
-    "stream_count_evictor_fires",
-    "stream_side_input_broadcast",
-    "stream_side_input_keyed",
-    "stream_split_select",
-    "stream_tumble_time_evictor",
-    "subquery_in",
-    "udf_scalar_weighted",
-    "window_count_tumbling",
-    "window_tumble_sql",
-    "zip_with_index_bulk",
-    "zip_with_index_ranked",
-    # stalest round-7 rows, registry order, changed-code ones included (11)
-    # (graph_global_clustering, graph_sssp_scatter_gather and the ml_*
-    # r7 rows wait for r11)
+    # new round-11 gates, never driver-checked (4)
+    "primitives_roundtrip_agg",
+    "text_length_percentiles_approx",
+    "corpus_mixture_temperature",
+    "corpus_hash_split",
+    # green earlier but code-changed this round (8)
     "dedup_minhash_lsh",
-    "iter_connected_components",
-    "sim_ann_ivf",
-    "multimodal_decode",
-    "graph_label_propagation",
-    "graph_jaccard",
-    "graph_hits",
-    "graph_clustering_coeff",
-    "graph_summarize",
-    "graph_adamic_adar",
-    "graph_community_detection",
+    "corpus_mixture_weights",
+    "corpus_rebalance_sample",
+    "text_tfidf_top_terms",
+    "dedup_embedding_cosine",
+    "dedup_embedding_cosine_lsh",
+    "stream_late_side_output",
+    "stream_late_side_output_partitioned",
+    # full remaining round-7 cohort, registry order (34)
+    "asof_join_events",
+    "cep_group_optional",
+    "cep_group_times",
+    "cep_skip_past_last_event",
+    "cep_stream_ooo",
+    "cep_stream_timeouts",
+    "graph_global_clustering",
+    "graph_sssp_scatter_gather",
+    "graph_triadic_census",
+    "join_salted_skew",
+    "ml_distance_metrics",
+    "ml_feature_scaling",
+    "ml_linreg_price_vs_qty",
+    "q18_large_volume_customer",
+    "q1_pricing_summary",
+    "q21_waiting_supplier",
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
+    "q9_product_type_profit",
+    "queryable_state_lookup",
+    "range_join_events",
+    "rich_udf_broadcast_join",
+    "savepoint_fork_resume",
+    "stream_event_time_sort",
+    "stream_event_time_sort_ooo",
+    "stream_iterate_halving",
+    "stream_over_bounded_range",
+    "stream_over_bounded_rows",
+    "stream_over_bounded_rows_ooo",
+    "stream_over_running_agg",
+    "stream_over_running_ooo",
+    "stream_over_running_range_peers",
+    "stream_over_sql_dispatch",
+    "stream_window_all",
 ]
 
 

@@ -107,9 +107,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus has J ≥ 0.9, whose band-collision probability is
     1-(1-0.9^4)^16 ≈ 1-4e-8 — the oracle is the full exact-Jaccard pair
     set, and the LSH candidate stage provably (and empirically, at both
-    test SFs) misses none of it."""
+    test SFs) misses none of it. The gate runs the PRODUCTION
+    configuration: max_bucket_size caps hot-bucket pair explosion (the
+    split plan + in-plan cap Observation are in the executed plan); at
+    the driver SFs no bucket exceeds the cap, so the output stays the
+    full exact pair set and the oracle match also proves the capped
+    plan is a pure pass-through below the cap."""
     return minhash_lsh_pairs(
-        load_table(spark, sf_dir, "documents"), jaccard_threshold=0.5, verify="exact"
+        load_table(spark, sf_dir, "documents"),
+        jaccard_threshold=0.5,
+        verify="exact",
+        max_bucket_size=10_000,
     )
 
 
@@ -739,9 +747,13 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS BIGINT) AS total_size
       FROM documents GROUP BY source, lang)
     SELECT source, lang, n_docs, total_size,
-           total_size / CAST(sum(total_size) OVER () AS DOUBLE) AS share,
-           1.0 / count(*) OVER ()
-             / (total_size / CAST(sum(total_size) OVER () AS DOUBLE)) AS weight
+           CASE WHEN sum(total_size) OVER () > 0
+                THEN total_size / CAST(sum(total_size) OVER () AS DOUBLE)
+           END AS share,
+           CASE WHEN total_size > 0 AND sum(total_size) OVER () > 0
+                THEN 1.0 / count(*) OVER ()
+                     / (total_size / CAST(sum(total_size) OVER () AS DOUBLE))
+           END AS weight
     FROM per
     """,
     tags=("datapipe", "sampling"),
@@ -866,6 +878,136 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_mixture_temperature",
+    oracle=r"""
+    WITH per AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN length(trim(text)) > 0
+                  THEN len(string_split_regex(text, '\s+')) ELSE 0 END)
+               AS BIGINT) AS total_size
+      FROM documents GROUP BY lang)
+    SELECT lang, n_docs, total_size,
+           CASE WHEN g > 0 THEN rs END AS share,
+           CASE WHEN total_size > 0 AND g > 0
+                THEN (pw / sum(pw) OVER ()) / rs END AS weight
+    FROM (SELECT lang, n_docs, total_size, g, rs, power(rs, 1.0/3.0) AS pw
+          FROM (SELECT lang, n_docs, total_size,
+                       sum(total_size) OVER () AS g,
+                       total_size / CAST(sum(total_size) OVER () AS DOUBLE) AS rs
+                FROM per))
+    """,
+    tags=("datapipe", "sampling"),
+)
+def corpus_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture planning (T=3): target share ∝
+    share^(1/T) — the multilingual sampling scheme of mC4/mBERT/PaLM
+    (flatten dominant languages without letting tail strata dominate,
+    unlike the uniform target). Same single corpus aggregation + strata-
+    sized window as the uniform planner; only the target formula changes
+    (sampling.mixture_weights(temperature=3))."""
+    from proteus_engine_spark.datapipe.sampling import mixture_weights
+    from proteus_engine_spark.datapipe.textstats import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixture_weights(
+        docs, ["lang"], size_col=token_count("text"), temperature=3.0
+    )
+
+
+@register(
+    "corpus_hash_split",
+    oracle="""
+    WITH d AS (SELECT doc_id,
+                      substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8) AS h
+               FROM documents),
+    s AS (SELECT doc_id,
+                 CASE WHEN h < 'cccccccc' THEN 'train'
+                      WHEN h < 'e6666666' THEN 'val'
+                      ELSE 'test' END AS split
+          FROM d)
+    SELECT split, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+           CAST(MIN(doc_id) AS BIGINT) AS id_min,
+           CAST(MAX(doc_id) AS BIGINT) AS id_max
+    FROM s GROUP BY split
+    """,
+    tags=("datapipe", "sampling"),
+)
+def corpus_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by md5 bucket
+    (sampling.hash_split) — stable under corpus growth (a doc keeps its
+    split when new docs arrive; rank- or rand()-based splits leak eval
+    docs into train between runs). The oracle reproduces the EXACT
+    assignment via the same md5 thresholds (0.8 → 'cccccccc',
+    0.9 → 'e6666666'); counts plus id-sum/min/max checksum each split's
+    membership. One codegen CASE fused into the scan — no shuffle below
+    the 3-group aggregate."""
+    from proteus_engine_spark.datapipe.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = hash_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, salt="split"
+    )
+    return s.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("doc_id").alias("id_sum"),
+        F.min("doc_id").alias("id_min"),
+        F.max("doc_id").alias("id_max"),
+    )
+
+
+@register(
+    "text_length_percentiles_approx",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_groups,
+           CAST(COUNT(DISTINCT lang) * 5 AS BIGINT) AS n_checked,
+           CAST(0 AS BIGINT) AS n_violations
+    FROM documents
+    """,
+    tags=("datapipe", "text", "profiling"),
+)
+def text_length_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver gate for percentile_summary's PRODUCTION tier
+    (mode="approx" — the mergeable bounded-memory approx_percentile
+    sketch, the 100 TB path the exact gate cannot exercise). DuckDB
+    cannot reproduce the sketch, so the query verifies the sketch
+    ENGINE-SIDE against the raw distribution and emits a 1-row verdict
+    the oracle can hash: for every (lang, pct) the returned value's rank
+    span [cnt_lt+1, cnt_le] must intersect the requested rank pct*n
+    within the sketch's guaranteed rank error (n/accuracy, floored at 1,
+    +1 slack for the span endpoints). The oracle independently asserts
+    the group/check counts and ZERO violations — a sketch value outside
+    its rank bound fails the gate. Scale shape: the sketch itself is one
+    map-side-combinable aggregation; the verification join replicates
+    each doc row once per requested pct against the strata-sized sketch
+    frame (AQE broadcasts it)."""
+    from proteus_engine_spark.datapipe.textstats import (
+        percentile_summary,
+        token_count,
+    )
+
+    accuracy = 10_000
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", token_count("text").alias("n_tokens")
+    )
+    ap = percentile_summary(docs, "n_tokens", ["lang"], mode="approx", accuracy=accuracy)
+    raw = docs.select("lang", F.col("n_tokens").cast("double").alias("v"))
+    chk = raw.join(ap, "lang").groupBy("lang", "pct", "value").agg(
+        F.sum((F.col("v") < F.col("value")).cast("long")).alias("cnt_lt"),
+        F.sum((F.col("v") <= F.col("value")).cast("long")).alias("cnt_le"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    err = F.greatest(F.lit(1.0), F.ceil(F.col("n") / accuracy).cast("double")) + F.lit(1.0)
+    target = F.col("pct") * F.col("n")
+    viol = (F.col("cnt_le") < target - err) | ((F.col("cnt_lt") + 1) > target + err)
+    return chk.agg(
+        F.countDistinct("lang").alias("n_groups"),
+        F.count(F.lit(1)).alias("n_checked"),
+        F.sum(viol.cast("long")).alias("n_violations"),
+    )
+
+
+@register(
     "corpus_rebalance_sample",
     oracle=r"""
     WITH per AS (
@@ -875,12 +1017,14 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS BIGINT) AS total_size
       FROM documents GROUP BY lang),
     w AS (SELECT lang,
-                 1.0 / count(*) OVER ()
-                   / (total_size / CAST(sum(total_size) OVER () AS DOUBLE))
-                   AS weight
+                 CASE WHEN total_size > 0 AND sum(total_size) OVER () > 0
+                      THEN 1.0 / count(*) OVER ()
+                           / (total_size / CAST(sum(total_size) OVER () AS DOUBLE))
+                 END AS weight
           FROM per),
     thr AS (SELECT lang,
-                   CASE WHEN least(1.0, 0.5 * weight) >= 1.0 THEN 'g'
+                   CASE WHEN weight IS NULL THEN NULL
+                        WHEN least(1.0, 0.5 * weight) >= 1.0 THEN 'g'
                         ELSE lpad(lower(to_hex(CAST(floor(
                                least(1.0, 0.5 * weight) * 4294967296.0)
                                AS BIGINT))), 8, '0') END AS t
@@ -913,7 +1057,13 @@ def corpus_rebalance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", "weight"
     )
     joined = docs.join(w, "lang")
-    rate = F.least(F.lit(1.0), F.lit(0.5) * F.col("weight"))
+    # NULL-weight guard BEFORE the rate cap: least() skips NULLs in both
+    # engines, so least(1.0, NULL) would silently become rate 1.0 and keep
+    # a zero-size stratum whole — the convention is NULL weight → NULL
+    # rate → stratum dropped (mixture_weights docstring).
+    rate = F.when(
+        F.col("weight").isNotNull(), F.least(F.lit(1.0), F.lit(0.5) * F.col("weight"))
+    )
     return sample_by_rate_col(joined, "doc_id", rate, salt="rebal").select(
         "doc_id", "lang"
     )

@@ -481,6 +481,52 @@ def text_roundtrip_initials(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "primitives_roundtrip_agg",
+    oracle="""
+    WITH v AS (SELECT CASE WHEN l_linenumber = 7 THEN NULL ELSE l_orderkey END AS value
+               FROM lineitem)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(COUNT(value) AS BIGINT) AS n_parsed,
+           CAST(SUM(value) AS BIGINT) AS total,
+           CAST(MIN(value) AS BIGINT) AS lo,
+           CAST(MAX(value) AS BIGINT) AS hi
+    FROM v
+    """,
+    tags=("source", "surface"),
+)
+def primitives_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readFileOfPrimitives gate (ExecutionEnvironment.readFileOfPrimitives,
+    ExecutionEnvironment.java:466): lineitem order keys go out through the
+    text sink as one primitive token per line — with every 7th line number
+    deliberately mangled into a non-numeric token — and come back through
+    read_file_of_primitives("long"). The permissive try_cast maps mangled
+    tokens to NULL (the reference's primitive parsers tolerate malformed
+    records the same way), which the aggregate proves by counting lines vs
+    parsed values; sum/min/max checksum the parsed payload."""
+    from proteus_engine_spark.sources.sinks import write_text
+    from proteus_engine_spark.sources.tables import read_file_of_primitives
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.when(
+            F.col("l_linenumber") == 7,
+            F.concat(F.lit("x"), F.col("l_orderkey").cast("string")),
+        )
+        .otherwise(F.col("l_orderkey").cast("string"))
+        .alias("value")
+    )
+    path = _scratch("prim_lineitem", sf_dir)
+    write_text(li, path, mode="overwrite")
+    back = read_file_of_primitives(spark, path, "long")
+    return back.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.count("value").alias("n_parsed"),
+        F.sum("value").alias("total"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+    )
+
+
+@register(
     "rich_udf_broadcast_join",
     oracle="""
     SELECT n.n_name AS nation, COUNT(*) AS n,

@@ -119,20 +119,28 @@ def stream_to_socket(
 
     At-least-once like the reference's socket sink (a retried batch
     re-sends its lines; TCP gives no transactional sink to anchor
-    exactly-once). Test/bridge harness scale: rows cross the driver —
-    for high volume use the kafka/file sinks."""
+    exactly-once). Rows cross the driver (the sink is inherently a single
+    serialization point), but via ``toLocalIterator`` — driver memory is
+    bounded by ONE PARTITION at a time, not the whole micro-batch; lines
+    are flushed to the socket in ~64 KiB chunks as partitions stream in.
+    For high volume use the kafka/file sinks."""
     state: dict = {}
 
     def send(batch_df, _epoch):
         import socket as socketlib
 
-        rows = batch_df.select(value_col).collect()
-        if not rows:
-            return
-        if "conn" not in state:
-            state["conn"] = socketlib.create_connection((host, port))
-        payload = "".join(str(r[value_col]) + "\n" for r in rows)
-        state["conn"].sendall(payload.encode())
+        buf: list[str] = []
+        buf_len = 0
+        for row in batch_df.select(value_col).toLocalIterator():
+            if "conn" not in state:
+                state["conn"] = socketlib.create_connection((host, port))
+            buf.append(str(row[value_col]) + "\n")
+            buf_len += len(buf[-1])
+            if buf_len >= 65536:
+                state["conn"].sendall("".join(buf).encode())
+                buf, buf_len = [], 0
+        if buf:
+            state["conn"].sendall("".join(buf).encode())
 
     w = df.writeStream.foreachBatch(send).outputMode("append")
     if checkpoint is not None:

@@ -91,6 +91,7 @@ def side_output_late_data(
     delay_ms: int = 0,
     partition_col: str | None = None,
     allowed_lateness_ms: int = 0,
+    watermark: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """sideOutputLateData + getSideOutput parity: returns
     (on_time, late) — two branches of one `late_data_split`. The on-time
@@ -117,13 +118,20 @@ def side_output_late_data(
     numRowsDroppedByWatermark), leaving those rows in NEITHER branch.
     With the widened watermark they surface as ordinary in-watermark
     updates — Spark's equivalent of the reference's late window
-    re-firing."""
+    re-firing.
+
+    ``watermark=False`` opts out of the applied watermark and returns the
+    on-time branch RAW — for callers that owned watermarking before this
+    function applied one (pre-r10 behavior), or that attach the frame to
+    a pipeline with its own watermark policy. The override hazard above
+    is then entirely the caller's: Spark cannot enforce that a downstream
+    ``withWatermark`` keeps the delay+lateness band, and a tighter one
+    silently drops exactly that band inside the engine (visible only in
+    numRowsDroppedByWatermark)."""
     total_ms = delay_ms + allowed_lateness_ms
     tagged = late_data_split(stream, ts_col, total_ms, partition_col)
-    on_time = (
-        tagged.filter(~F.col("is_late"))
-        .drop("is_late")
-        .withWatermark(ts_col, f"{total_ms} milliseconds")
-    )
+    on_time = tagged.filter(~F.col("is_late")).drop("is_late")
+    if watermark:
+        on_time = on_time.withWatermark(ts_col, f"{total_ms} milliseconds")
     late = tagged.filter(F.col("is_late")).drop("is_late")
     return on_time, late

@@ -56,6 +56,95 @@ def _norm(v):
     return v
 
 
+# ---------------------------------------------------------------------------
+# Large-SF oracle-cost overrides (VERDICT r10 item 4): at sf0.1 the two
+# dedup queries' exact-Jaccard DuckDB oracles are O(n²) self-joins with
+# per-pair list intersections (12.5M candidate pairs at 5,000 docs) —
+# intractable in the harness budget. Instead of downgrading to
+# engine-rows-only, each gets a bounded REAL oracle:
+#
+# - dedup_minhash_lsh → deterministic 1/17 sample: the engine result is
+#   filtered to pairs with doc_a % 17 == 0 and hash-compared against the
+#   SAME exact-Jaccard oracle restricted to a.doc_id % 17 == 0 (the
+#   restriction pushes into the join's left side: n/17 × n pairs). The
+#   sampled oracle enumerates EVERY qualifying pair in the slice, so it
+#   checks recall (an engine miss in the slice fails) AND precision (an
+#   engine extra in the slice fails) — including the non-pair set, which
+#   simply produces no oracle row.
+# - dedup_cluster_keep → composed oracle: the engine's verified pair set
+#   (already hash-validated by the sampled minhash gate; candidate-
+#   bounded, ~hundreds of rows) is materialized to parquet and DuckDB
+#   runs the recursive transitive closure + verdict over THOSE pairs —
+#   a FULL-output hash compare of all 5,000 verdicts at trivial oracle
+#   cost; a lost edge upstream is the minhash gate's job.
+#
+# Applied only when the SF parsed from the data dir is >= the threshold;
+# below it the registry's exact full oracles stay in force.
+_SAMPLED_SF_THRESHOLD = 0.05
+
+_MINHASH_SAMPLED_ORACLE = r"""
+WITH sh AS (
+  SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ')
+                 FOR i IN range(1, greatest(len(t)-2, 1)+1)]) AS s
+  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+FROM (SELECT * FROM sh WHERE doc_id % 17 = 0) a
+JOIN sh b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+"""
+
+_CLUSTER_COMPOSED_ORACLE = """
+WITH RECURSIVE edges AS (SELECT doc_a AS a, doc_b AS b FROM engine_pairs),
+sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+reach(src, dst) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.src, s.b FROM reach r JOIN sym s ON s.a = r.dst),
+lab AS (SELECT src AS node, least(src, min(dst)) AS comp FROM reach GROUP BY src)
+SELECT d.doc_id,
+       COALESCE(l.comp, d.doc_id) AS cluster_rep,
+       COALESCE(l.comp, d.doc_id) = d.doc_id AS is_kept
+FROM documents d LEFT JOIN lab l ON l.node = d.doc_id
+"""
+
+
+def _stage_engine_pairs(spark, con, sf_dir: str) -> None:
+    """Materialize the engine's exact-verified LSH pair set for the
+    composed cluster oracle (same pair construction as the gate)."""
+    import tempfile
+
+    from proteus_engine_spark.datapipe.dedup import minhash_lsh_pairs
+    from proteus_engine_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, jaccard_threshold=0.5, verify="exact")
+    path = tempfile.mkdtemp(prefix="gate_engine_pairs_") + "/pairs"
+    pairs.select("doc_a", "doc_b").write.mode("overwrite").parquet(path)
+    con.execute(
+        f"CREATE OR REPLACE VIEW engine_pairs AS SELECT * FROM read_parquet('{path}/*.parquet')"
+    )
+
+
+_SAMPLED_OVERRIDES = {
+    "dedup_minhash_lsh": {
+        "engine_filter": "doc_a % 17 = 0",
+        "oracle": _MINHASH_SAMPLED_ORACLE,
+        "mode": "oracle_sampled_doc_a_mod17",
+        "prep": None,
+    },
+    "dedup_cluster_keep": {
+        "engine_filter": None,
+        "oracle": _CLUSTER_COMPOSED_ORACLE,
+        "mode": "oracle_on_engine_pairs",
+        "prep": _stage_engine_pairs,
+    },
+}
+
+
 def main() -> None:
     from proteus_engine_spark.queries import REGISTRY
     from proteus_engine_spark.session import get_session
@@ -83,14 +172,31 @@ def main() -> None:
             continue
         t0 = time.perf_counter()
         try:
+            sf_str = SF_DIR.rstrip("/").split("sf")[-1]
+            try:
+                sf_val = float(sf_str)
+            except ValueError:
+                sf_val = 0.0
+            override = (
+                _SAMPLED_OVERRIDES.get(name) if sf_val >= _SAMPLED_SF_THRESHOLD else None
+            )
+            entry_oracle = entry.oracle
+            mode = None
+            if override is not None:
+                entry_oracle = override["oracle"]
+                mode = override["mode"]
+                if override["prep"] is not None:
+                    override["prep"](spark, con, SF_DIR)
             sdf = entry.fn(spark, SF_DIR)
+            if override is not None and override["engine_filter"] is not None:
+                sdf = sdf.filter(override["engine_filter"])
             scols = sorted(sdf.columns)
             # key=repr: row tuples can mix None with tagged tuples/strings,
             # which are not mutually orderable — repr is.
             srows = sorted(
                 (tuple(_norm(r[c]) for c in scols) for r in sdf.collect()), key=repr
             )
-            if entry.oracle is None:
+            if entry_oracle is None:
                 results[name] = {
                     "rows": len(srows),
                     "mode": "rows_only",
@@ -99,7 +205,7 @@ def main() -> None:
                 }
                 print(f"  {name}: rows_only {len(srows)} rows", flush=True)
                 continue
-            rel = con.sql(entry.oracle)
+            rel = con.sql(entry_oracle)
             dcols = rel.columns
             # The driver fetches oracle results via pandas, which coerces
             # DuckDB HUGEINT/UHUGEINT to float64 (2426 -> 2426.0) and then
@@ -163,6 +269,8 @@ def main() -> None:
                 "ok": ok,
                 "sec": round(time.perf_counter() - t0, 2),
             }
+            if mode is not None:
+                results[name]["mode"] = mode
             if not ok:
                 n_bad += 1
                 diff = ""
