@@ -334,3 +334,55 @@ def vocab_stats(
         (F.max("cnt").cast("double") / F.sum("cnt")).alias("top1_share"),
         (F.count("*").cast("double") / F.sum("cnt")).alias("type_token_ratio"),
     )
+
+
+def bigram_logprob(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Per-document corpus-LM quality score: the mean log-probability of
+    the document's bigrams under an add-α-smoothed bigram model trained
+    on the corpus itself — the CCNet/Gopher-style "LM perplexity" filter
+    tier (fluent text scores high, keyboard mash / boilerplate tables /
+    wrong-language fragments score low), with the n-gram model standing
+    in for the trained KenLM. Every statistic derives from the corpus's
+    own bigram frame: P(w2|w1) = (c(w1,w2) + α) / (c(w1) + α·V) with
+    V = |distinct w2|, so the whole computation is engine-portable SQL.
+    Documents with fewer than 2 tokens are excluded (no bigram to score).
+    Returns (id_col, n_bigrams long, logprob double rounded to 1e-6 —
+    the double-sum quantum discipline used by the cosine scorers).
+
+    Scale shape: ONE tokenize pass builds the bigram stream via an
+    in-array transform (no token array rides the explode); bigram counts
+    and left-context counts are map-side-combinable aggregates [2
+    shuffles, distinct-bigram / vocabulary sized]; scoring joins the
+    bigram stream against the count tables on their keys (the bigram-
+    keyed join is the big one — at 100 TB prune the model with a minimum
+    count and broadcast it, exactly like shipping a trained LM); the
+    per-doc mean is one doc-keyed aggregate. V is a 1-row in-plan
+    aggregate (crossJoin broadcast)."""
+    toks = docs.select(F.col(id_col), _tokens(text_col).alias("t"))
+    big = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.expr("transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2))")
+            ).alias("b"),
+        )
+        .select(id_col, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
+    c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    v2 = big.agg(F.countDistinct("w2").alias("v2"))
+    p = (F.col("c12") + F.lit(alpha)) / (F.col("c1") + F.lit(alpha) * F.col("v2"))
+    return (
+        big.join(c12, ["w1", "w2"]).join(c1, "w1").crossJoin(v2)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(F.log(p)), 6).alias("logprob"),
+        )
+    )

@@ -24,13 +24,15 @@ from proteus_engine_spark.queries import (  # noqa: F401
 )
 
 # Round-11 priority window (the driver checks the first ~50 registry
-# entries): the four never-driver-checked r11 gates first
+# entries): the six never-driver-checked r11 gates first
 # (primitives_roundtrip_agg closes the last "implemented but driver-
 # untested" §2 row; text_length_percentiles_approx driver-proves the
 # sketch tier of percentile_summary; corpus_mixture_temperature and
 # corpus_hash_split gate the two new sampling operators —
 # temperature-scaled mixture targets and deterministic md5
-# train/val/test splitting), then the already-green queries
+# train/val/test splitting; text_bigram_logprob gates the corpus-LM
+# quality scorer; stream_dedup_within_watermark adds the
+# bounded-state streaming dedup variant), then the already-green queries
 # whose CODE changed this round (dedup_minhash_lsh gained the
 # max_bucket_size cap; corpus_mixture_weights/corpus_rebalance_sample
 # carry the explicit zero-size-stratum CASE on both engine and oracle;
@@ -47,11 +49,13 @@ from proteus_engine_spark.queries import (  # noqa: F401
 # as `err: no_oracle` — its value correctness is pytest-proven against
 # an independent scalar implementation.
 _GATE_PRIORITY = [
-    # new round-11 gates, never driver-checked (4)
+    # new round-11 gates, never driver-checked (6)
     "primitives_roundtrip_agg",
     "text_length_percentiles_approx",
     "corpus_mixture_temperature",
     "corpus_hash_split",
+    "text_bigram_logprob",
+    "stream_dedup_within_watermark",
     # green earlier but code-changed this round (8)
     "dedup_minhash_lsh",
     "corpus_mixture_weights",

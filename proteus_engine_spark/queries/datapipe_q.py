@@ -878,6 +878,37 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_bigram_logprob",
+    oracle=r"""
+    WITH toks AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+                  FROM documents),
+    big AS (SELECT doc_id, unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+            FROM toks WHERE len(t) >= 2),
+    c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM big GROUP BY w1, w2),
+    c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM big GROUP BY w1),
+    v AS (SELECT CAST(count(DISTINCT w2) AS BIGINT) AS v2 FROM big)
+    SELECT big.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(ln((c12.c12 + 0.4) / (c1.c1 + 0.4 * v.v2))), 6) AS logprob
+    FROM big JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+    GROUP BY big.doc_id
+    """,
+    tags=("datapipe", "text", "quality"),
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM quality scoring (textstats.bigram_logprob): per document,
+    the mean log-probability of its bigrams under an add-0.4-smoothed
+    bigram model trained on the corpus itself — the CCNet/Gopher "LM
+    perplexity" quality-filter tier with the n-gram model standing in for
+    the trained KenLM. The oracle reproduces the identical model and
+    scores (both engines round the double mean to 1e-6), so a drifted
+    count, a wrong smoothing denominator, or a lost short-doc exclusion
+    all fail the hash."""
+    from proteus_engine_spark.datapipe.textstats import bigram_logprob
+
+    return bigram_logprob(load_table(spark, sf_dir, "documents"))
+
+
+@register(
     "corpus_mixture_temperature",
     oracle=r"""
     WITH per AS (

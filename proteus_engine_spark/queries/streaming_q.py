@@ -444,6 +444,42 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_dedup_within_watermark",
+    oracle="SELECT event_id, user_id, event_type FROM events",
+    tags=("streaming", "dedup"),
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOUNDED-STATE streaming deduplication — dropDuplicatesWithinWatermark,
+    the production variant of stream_dedup (whose seen-set grows forever;
+    the reference bounds the same keyed ValueState with StateTtlConfig,
+    flink-runtime state TTL). Per input event the stream carries TWO
+    copies (an in-row explode, so both copies share a micro-batch and an
+    event time — the dedup decision is deterministic under any batching);
+    exactly one survives, and state for an id is evicted once the
+    watermark passes its event time + delay, so state is bounded by the
+    10-minute watermark window instead of the full key space. The oracle
+    is every original event exactly once: a duplicate leaking through or
+    a distinct id swallowed both fail the row hash."""
+    ev = (
+        events_stream(spark, sf_dir)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "ts",
+            F.explode(F.array(F.lit(1), F.lit(2))).alias("copy"),
+        )
+        .drop("copy")
+    )
+    dedup = (
+        ev.withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type")
+    )
+    return run_to_completion(dedup, "stream_dedup_ww_sink", "append")
+
+
+@register(
     "stream_count_window",
     oracle="""
     WITH numbered AS (

@@ -216,3 +216,84 @@ def test_hash_split_partitions_and_is_stable(spark):
         hash_split(df, "doc_id", {"train": 0.8, "val": 0.1})
     with pytest.raises(ValueError, match="non-negative"):
         hash_split(df, "doc_id", {"train": 1.5, "val": -0.5})
+
+
+# ----------------------------------------------------- bigram LM quality
+def test_bigram_logprob_hand_case(spark):
+    """3-doc hand case: model stats derive from the corpus's own bigram
+    frame; docs with < 2 tokens are excluded."""
+    import math
+
+    from proteus_engine_spark.datapipe.textstats import bigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "a"), (3, "")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in bigram_logprob(docs).collect()}
+    assert set(rows) == {1}  # d2: one token, d3: [''] phantom token — no bigram
+    # bigrams (a,b),(b,a): c12=1 each, c1(a)=c1(b)=1, V=|{a,b}|=2
+    expected = round(math.log(1.4 / 1.8), 6)
+    assert rows[1].n_bigrams == 2
+    assert rows[1].logprob == pytest.approx(expected, abs=1e-6)
+
+
+def test_bigram_logprob_fluency_ordering(spark):
+    """A doc made of the corpus's common bigrams outscores a doc of
+    never-repeated bigrams — the filter's reason to exist."""
+    from proteus_engine_spark.datapipe.textstats import bigram_logprob
+
+    common = [(i, "the cat sat on the mat") for i in range(10)]
+    docs = spark.createDataFrame(
+        common + [(100, "the cat sat on the mat"), (101, "mat the on sat cat the")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r.logprob for r in bigram_logprob(docs).collect()}
+    assert rows[100] > rows[101]
+
+
+# ------------------------------------------------- plan-shape regressions
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_hash_split_plan_has_no_shuffle(spark):
+    """The split assignment is one codegen CASE fused above the scan —
+    any Exchange here would mean the splitter stopped being a per-row
+    function."""
+    from proteus_engine_spark.datapipe.sampling import hash_split
+
+    df = spark.range(0, 100).withColumnRenamed("id", "doc_id")
+    out = hash_split(df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    assert "Exchange" not in _plan(out)
+
+
+def test_tfidf_lazy_n_schedules_no_job_at_construction(spark):
+    """num_docs=None derives N in-plan: building the DataFrame must not
+    launch a count() job (the r10 version ran an eager corpus scan at
+    plan-construction time)."""
+    from proteus_engine_spark.datapipe.textstats import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma")], "doc_id long, text string"
+    )
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup() or [])
+    out = tfidf_top_terms(docs, k=2)  # construction only
+    after = len(tracker.getJobIdsForGroup() or [])
+    assert after == before
+    # and the lazy plan still scores with the full-corpus N
+    rows = out.collect()
+    assert {r.term for r in rows} == {"alpha", "beta", "gamma"}
+
+
+def test_lsh_cap_split_adds_no_exchange(spark):
+    """The split policy is a post-aggregation select/explode — the capped
+    plan must shuffle exactly as often as the uncapped plan."""
+    from proteus_engine_spark.datapipe.dedup import minhash_lsh_pairs
+
+    docs = _boilerplate_docs(spark, n_dup=5)
+    base = minhash_lsh_pairs(docs, jaccard_threshold=0.5, verify="exact")
+    capped = minhash_lsh_pairs(
+        docs, jaccard_threshold=0.5, verify="exact", max_bucket_size=100
+    )
+    assert _plan(base).count("Exchange") == _plan(capped).count("Exchange")
