@@ -224,7 +224,10 @@ def hash_split(
     cum = 0.0
     for name in names[:-1]:
         cum += fractions[name]
-        thr = rate_to_threshold(cum)
+        # float accumulation can land a hair past 1.0 inside the sum-to-1
+        # tolerance (e.g. {'a': 1.0 + 5e-10, 'b': 0.0}); clamp so
+        # rate_to_threshold never raises on a valid fractions dict
+        thr = rate_to_threshold(min(cum, 1.0))
         cond = digest < F.lit(thr)
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     assigned = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))

@@ -354,14 +354,19 @@ def bigram_logprob(
     Returns (id_col, n_bigrams long, logprob double rounded to 1e-6 —
     the double-sum quantum discipline used by the cosine scorers).
 
-    Scale shape: ONE tokenize pass builds the bigram stream via an
-    in-array transform (no token array rides the explode); bigram counts
-    and left-context counts are map-side-combinable aggregates [2
-    shuffles, distinct-bigram / vocabulary sized]; scoring joins the
-    bigram stream against the count tables on their keys (the bigram-
-    keyed join is the big one — at 100 TB prune the model with a minimum
-    count and broadcast it, exactly like shipping a trained LM); the
-    per-doc mean is one doc-keyed aggregate. V is a 1-row in-plan
+    Scale shape: the tokenize+explode pass runs ONCE — it feeds a single
+    (doc, w1, w2)-keyed pre-aggregation [shuffle 1, map-side combine],
+    and EVERYTHING else derives from that aggregated frame: bigram
+    counts are a (w1, w2) re-aggregation of it [shuffle 2,
+    distinct-bigram sized], left-context counts and V derive from the
+    bigram counts (never from the raw stream), and scoring joins the
+    pre-aggregated doc-bigram frame against the model tables on their
+    keys (at 100 TB prune the model with a minimum count and broadcast
+    it, exactly like shipping a trained LM). The two references to the
+    doc-bigram frame share one identical exchange, so Catalyst reuses it
+    (ReusedExchange — plan-tested) instead of re-running the corpus
+    scan; the per-doc mean is the instance-weighted sum over the
+    aggregated rows, one doc-keyed aggregate. V is a 1-row in-plan
     aggregate (crossJoin broadcast)."""
     toks = docs.select(F.col(id_col), _tokens(text_col).alias("t"))
     big = (
@@ -374,15 +379,16 @@ def bigram_logprob(
         )
         .select(id_col, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
     )
-    c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    v2 = big.agg(F.countDistinct("w2").alias("v2"))
+    dbg = big.groupBy(id_col, "w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    c12 = dbg.groupBy("w1", "w2").agg(F.sum("n").alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    v2 = c12.agg(F.countDistinct("w2").alias("v2"))
     p = (F.col("c12") + F.lit(alpha)) / (F.col("c1") + F.lit(alpha) * F.col("v2"))
     return (
-        big.join(c12, ["w1", "w2"]).join(c1, "w1").crossJoin(v2)
+        dbg.join(c12, ["w1", "w2"]).join(c1, "w1").crossJoin(v2)
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(F.avg(F.log(p)), 6).alias("logprob"),
+            F.sum("n").alias("n_bigrams"),
+            F.round(F.sum(F.col("n") * F.log(p)) / F.sum("n"), 6).alias("logprob"),
         )
     )

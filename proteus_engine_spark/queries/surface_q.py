@@ -54,7 +54,7 @@ def _scratch(tag: str, sf_dir: str) -> str:
     gc_prefixes = (
         "csv_supplier_", "insert_into_orders_", "text_part_",
         "from_elements_", "savepoint_gate_", "ooo_stage_", "csv_events_stage_",
-        "jdbc_db_", "late_stage_",
+        "jdbc_db_", "late_stage_", "prim_lineitem_",
     )
     for entry in os.listdir(parent):
         full = os.path.join(parent, entry)

@@ -114,7 +114,12 @@ FROM documents d LEFT JOIN lab l ON l.node = d.doc_id
 
 def _stage_engine_pairs(spark, con, sf_dir: str) -> None:
     """Materialize the engine's exact-verified LSH pair set for the
-    composed cluster oracle (same pair construction as the gate)."""
+    composed cluster oracle (same pair construction as the gate). Staged
+    to a FIXED overwrite path keyed by SF — no per-run tempdir leak; the
+    harness is single-process so overwrite hermeticity is sufficient.
+    The pair recompute (also run inside the two dedup gates) is kept for
+    self-containment: prep must not depend on which other queries the
+    invocation happens to include."""
     import tempfile
 
     from proteus_engine_spark.datapipe.dedup import minhash_lsh_pairs
@@ -122,7 +127,8 @@ def _stage_engine_pairs(spark, con, sf_dir: str) -> None:
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs, jaccard_threshold=0.5, verify="exact")
-    path = tempfile.mkdtemp(prefix="gate_engine_pairs_") + "/pairs"
+    sf_tag = sf_dir.rstrip("/").split("sf")[-1].replace(".", "_")
+    path = os.path.join(tempfile.gettempdir(), f"gate_engine_pairs_sf{sf_tag}")
     pairs.select("doc_a", "doc_b").write.mode("overwrite").parquet(path)
     con.execute(
         f"CREATE OR REPLACE VIEW engine_pairs AS SELECT * FROM read_parquet('{path}/*.parquet')"

@@ -297,3 +297,29 @@ def test_lsh_cap_split_adds_no_exchange(spark):
         docs, jaccard_threshold=0.5, verify="exact", max_bucket_size=100
     )
     assert _plan(base).count("Exchange") == _plan(capped).count("Exchange")
+
+
+def test_bigram_logprob_reuses_tokenize_exchange(spark):
+    """The doc-bigram pre-aggregation is referenced twice (model
+    derivation + scoring probe); both references must share ONE exchange
+    so the corpus tokenize pass runs once."""
+    from proteus_engine_spark.datapipe.textstats import bigram_logprob
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 3} w{(i + 1) % 3} w{i % 5}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    out = bigram_logprob(docs)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan or "ReusedQueryStage" in plan or "StageReuse" in plan
+
+
+def test_hash_split_float_cum_clamp(spark):
+    """Cumulative float error inside the sum-to-1 tolerance must not crash
+    rate_to_threshold (cum can land a hair past 1.0)."""
+    from proteus_engine_spark.datapipe.sampling import hash_split
+
+    df = spark.range(0, 10).withColumnRenamed("id", "doc_id")
+    out = hash_split(df, "doc_id", {"a": 1.0 + 5e-10, "b": 0.0})
+    assert out.filter("split = 'a'").count() == 10
