@@ -66,6 +66,9 @@ HEADLINE = [
     "text_decontaminate",
     "corpus_pack_sequences",
     "text_tfidf_top_terms",
+    # added round 11 (exclude from cross-round like-for-like totals):
+    # corpus-LM bigram quality scoring (single-pass doc-bigram model)
+    "text_bigram_logprob",
 ]
 
 

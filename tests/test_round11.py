@@ -323,3 +323,45 @@ def test_hash_split_float_cum_clamp(spark):
     df = spark.range(0, 10).withColumnRenamed("id", "doc_id")
     out = hash_split(df, "doc_id", {"a": 1.0 + 5e-10, "b": 0.0})
     assert out.filter("split = 'a'").count() == 10
+
+
+def test_hash_split_matches_python_mirror_many_configs(spark):
+    """Cross-engine property check at one-job cost: 15 seeded random
+    fraction configs ride ONE DataFrame pass as parallel split columns;
+    every assignment must equal the pure-Python md5 mirror of the rule
+    (the same portability contract the DuckDB oracles rely on)."""
+    import hashlib
+    import random
+
+    from proteus_engine_spark.datapipe.sampling import hash_split, rate_to_threshold
+
+    rng = random.Random(11)
+    configs = []
+    for _ in range(15):
+        k = rng.randint(1, 5)
+        raw = [rng.random() + 0.01 for _ in range(k)]
+        total = sum(raw)
+        fracs = {f"s{j}": v / total for j, v in enumerate(raw)}
+        # re-normalize the tail so the dict sums to exactly 1.0
+        fracs[f"s{k - 1}"] = 1.0 - sum(v for n, v in fracs.items() if n != f"s{k - 1}")
+        configs.append(fracs)
+
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    out = df
+    for i, fracs in enumerate(configs):
+        out = hash_split(out, "doc_id", fracs, salt=f"cfg{i}", split_col=f"sp{i}")
+    rows = out.collect()
+
+    def mirror(key, fracs, salt):
+        h = hashlib.md5((salt + str(key)).encode()).hexdigest()[:8]
+        names = list(fracs)
+        cum = 0.0
+        for name in names[:-1]:
+            cum += fracs[name]
+            if h < rate_to_threshold(min(cum, 1.0)):
+                return name
+        return names[-1]
+
+    for r in rows:
+        for i, fracs in enumerate(configs):
+            assert r[f"sp{i}"] == mirror(r.doc_id, fracs, f"cfg{i}")
