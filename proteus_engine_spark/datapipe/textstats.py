@@ -294,7 +294,19 @@ def tfidf_top_terms(
         F.col(id_col), F.explode(_tokens(text_col)).alias("term")
     )
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    # df must REFERENCE the tf column (count of tf>=1 == count(*) — tf is
+    # never 0): with a bare count(*) Catalyst prunes tf's count on this
+    # branch, the two tf subplans canonicalize differently, and
+    # ReusedExchange never fires — the tokenize+count pass would run twice
+    # per action (plan-tested in tests/test_round11.py). Reuse still
+    # depends on the terminal action keeping the score columns: a bare
+    # count() on the result prunes them, diverges the branches again, and
+    # pays a second tokenize pass — a degenerate access pattern (the
+    # count is k×num_docs by construction); real consumers
+    # (collect/write/filter) keep the reuse.
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.when(F.col("tf") >= 1, 1)).alias("df")
+    )
     if num_docs is None:
         dfreq = dfreq.crossJoin(docs.agg(F.count("*").alias("__n__")))
         n_expr = F.col("__n__").cast("double")
@@ -354,20 +366,27 @@ def bigram_logprob(
     Returns (id_col, n_bigrams long, logprob double rounded to 1e-6 —
     the double-sum quantum discipline used by the cosine scorers).
 
-    Scale shape: the tokenize+explode pass runs ONCE — it feeds a single
-    (doc, w1, w2)-keyed pre-aggregation [shuffle 1, map-side combine],
-    and EVERYTHING else derives from that aggregated frame: bigram
-    counts are a (w1, w2) re-aggregation of it [shuffle 2,
-    distinct-bigram sized], left-context counts and V derive from the
-    bigram counts (never from the raw stream), and scoring joins the
-    pre-aggregated doc-bigram frame against the model tables on their
-    keys (at 100 TB prune the model with a minimum count and broadcast
-    it, exactly like shipping a trained LM). The two references to the
-    doc-bigram frame share one identical exchange, so Catalyst reuses it
-    (ReusedExchange — plan-tested) instead of re-running the corpus
-    scan; the per-doc mean is the instance-weighted sum over the
-    aggregated rows, one doc-keyed aggregate. V is a 1-row in-plan
-    aggregate (crossJoin broadcast)."""
+    Scale shape: the tokenize+explode pass runs ONCE, guaranteed
+    structurally — it feeds a single (doc, w1, w2)-keyed pre-aggregation
+    [shuffle 1, map-side combine] that is EAGERLY localCheckpoint-ed
+    (training the model IS a materialization step; the checkpoint
+    footprint ≈ the shuffle files the aggregation already wrote).
+    Everything derives from the checkpoint: bigram counts are a (w1, w2)
+    re-aggregation [shuffle 2, distinct-bigram sized], left-context
+    counts and V derive from the bigram counts (never from the raw
+    stream), and scoring joins the checkpointed doc-bigram frame against
+    the model tables on their keys (at 100 TB prune the model with a
+    minimum count and broadcast it, exactly like shipping a trained LM).
+    The checkpoint is deliberate, not an optimization fallback: exchange
+    reuse CANNOT protect this plan — Catalyst prunes the model tables'
+    columns differently per branch (c1 drops w2, V drops w1, a count()
+    terminal drops the scores), each branch then canonicalizes apart,
+    and the corpus scan re-runs once per divergent branch (observed: 4
+    scans per action). The call therefore runs one Spark job at
+    construction time; blocks are released with the frame (GC), the
+    zip_with_index checkpoint discipline. The per-doc mean is the
+    instance-weighted sum over the aggregated rows, one doc-keyed
+    aggregate; V is a 1-row in-plan aggregate (crossJoin broadcast)."""
     toks = docs.select(F.col(id_col), _tokens(text_col).alias("t"))
     big = (
         toks.filter(F.size("t") >= 2)
@@ -379,7 +398,11 @@ def bigram_logprob(
         )
         .select(id_col, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
     )
-    dbg = big.groupBy(id_col, "w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    dbg = (
+        big.groupBy(id_col, "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)  # ONE corpus pass, see docstring
+    )
     c12 = dbg.groupBy("w1", "w2").agg(F.sum("n").alias("c12"))
     c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
     v2 = c12.agg(F.countDistinct("w2").alias("v2"))

@@ -299,20 +299,30 @@ def test_lsh_cap_split_adds_no_exchange(spark):
     assert _plan(base).count("Exchange") == _plan(capped).count("Exchange")
 
 
-def test_bigram_logprob_reuses_tokenize_exchange(spark):
-    """The doc-bigram pre-aggregation is referenced twice (model
-    derivation + scoring probe); both references must share ONE exchange
-    so the corpus tokenize pass runs once."""
+def test_bigram_logprob_single_corpus_pass(spark):
+    """The doc-bigram frame is eagerly checkpointed, so the scoring
+    action's plan contains ZERO source scans — the corpus pass ran once
+    at construction and cannot re-run under ANY terminal (exchange reuse
+    would not survive the per-branch column pruning; see the docstring)."""
     from proteus_engine_spark.datapipe.textstats import bigram_logprob
 
     docs = spark.createDataFrame(
         [(i, f"w{i % 3} w{(i + 1) % 3} w{i % 5}") for i in range(50)],
         "doc_id long, text string",
     )
-    out = bigram_logprob(docs)
-    out.collect()
-    plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "ReusedExchange" in plan or "ReusedQueryStage" in plan or "StageReuse" in plan
+    import os
+
+    sf_dir = os.environ.get("PROTEUS_TEST_SF_DIR", "/root/testdata/sf0.001")
+    pq_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = bigram_logprob(pq_docs)
+    for action in ("collect", "count"):
+        getattr(out, action)()
+        final = (
+            out._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+        )
+        assert "FileScan parquet" not in final  # scan ran once, in the checkpoint
+    # values unaffected by the materialization
+    assert bigram_logprob(docs).count() > 0
 
 
 def test_hash_split_float_cum_clamp(spark):
@@ -365,3 +375,19 @@ def test_hash_split_matches_python_mirror_many_configs(spark):
     for r in rows:
         for i, fracs in enumerate(configs):
             assert r[f"sp{i}"] == mirror(r.doc_id, fracs, f"cfg{i}")
+
+
+def test_tfidf_reuses_tf_exchange(spark):
+    """dfreq derives from the tf frame; both references must share one
+    exchange (Catalyst column pruning on a bare count(*) used to
+    canonicalize the branches apart — the tokenize pass then ran twice)."""
+    from proteus_engine_spark.datapipe.textstats import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 3} w{(i + 1) % 4}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(docs, k=2, num_docs=40)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan or "ReusedQueryStage" in plan
