@@ -235,21 +235,27 @@ def minhash_lsh_pairs(
         F.col(id_col),
         F.posexplode(F.array(*band_cols)).alias("band_id", "band_sig"),
     )
-    buckets = (
-        banded.groupBy("band_id", "band_sig")
-        .agg(F.collect_list(id_col).alias("ids"))
-        .filter(F.size("ids") > 1)
+    all_buckets = banded.groupBy("band_id", "band_sig").agg(
+        F.collect_list(id_col).alias("ids")
     )
     obs = None
     if max_bucket_size is not None:
         from pyspark.sql import Observation
 
         cap = max_bucket_size
-        # Observed on the bucket frame itself — the metrics ride the pass
-        # that builds the buckets (no extra job) and surface what the cap
-        # did, so an oversized-bucket cut is never silent.
+        # Observed on the bucket frame UPSTREAM of the collision filter
+        # (singleton buckets can never exceed a cap >= 2, so the counts are
+        # identical); the metrics ride the pass that builds the buckets —
+        # no extra job. On a COLLISION-FREE corpus AQE's empty-relation
+        # propagation still eliminates the whole subtree once the filter
+        # comes up empty (live-reproduced: the raw Observation.get then
+        # raises a JVM assertion instead of answering), which is why the
+        # returned handle is the _BucketCapMetrics wrapper: it reports
+        # zeros for the eliminated-plan case — semantically correct, since
+        # a cap cannot have dropped or split anything when no bucket ever
+        # held two documents.
         obs = Observation("lsh_bucket_cap")
-        buckets = buckets.observe(
+        all_buckets = all_buckets.observe(
             obs,
             F.sum(F.when(F.size("ids") > cap, 1).otherwise(0)).alias("oversized_buckets"),
             F.sum(F.when(F.size("ids") > cap, F.size("ids")).otherwise(0)).alias(
@@ -257,24 +263,31 @@ def minhash_lsh_pairs(
             ),
             F.max(F.size("ids")).alias("max_bucket_docs"),
         )
+    buckets = all_buckets.filter(F.size("ids") > 1)
+    if max_bucket_size is not None:
+        cap = max_bucket_size
         if oversize == "drop":
             buckets = buckets.filter(F.size("ids") <= cap)
-        else:  # split: sort for deterministic chunk membership, slice to <= cap
+        else:
+            # split: ONLY oversized buckets pay the sort/chunk expression
+            # chain (sorted for deterministic chunk membership, sliced to
+            # <= cap); the overwhelmingly common under-cap bucket passes
+            # through as a single untouched chunk — at 100 TB the cap must
+            # not tax the billions of small buckets it exists to protect.
             n_chunks = F.ceil(F.size("ids") / F.lit(cap)).cast("int")
-            buckets = (
-                buckets.select("band_id", "band_sig", F.array_sort("ids").alias("ids"))
-                .select(
-                    "band_id",
-                    "band_sig",
-                    F.explode(
-                        F.transform(
-                            F.sequence(F.lit(0), n_chunks - F.lit(1)),
-                            lambda i: F.slice(F.col("ids"), i * F.lit(cap) + F.lit(1), F.lit(cap)),
-                        )
-                    ).alias("ids"),
-                )
-                .filter(F.size("ids") > 1)
+            chunked = F.transform(
+                F.sequence(F.lit(0), n_chunks - F.lit(1)),
+                lambda i: F.slice(
+                    F.array_sort(F.col("ids")), i * F.lit(cap) + F.lit(1), F.lit(cap)
+                ),
             )
+            buckets = buckets.select(
+                "band_id",
+                "band_sig",
+                F.explode(
+                    F.when(F.size("ids") <= cap, F.array(F.col("ids"))).otherwise(chunked)
+                ).alias("ids"),
+            ).filter(F.size("ids") > 1)
     cand_pairs = (
         buckets.select(F.col("ids"), F.explode("ids").alias("doc_a"))
         .select("doc_a", F.explode("ids").alias("doc_b"))
@@ -353,8 +366,33 @@ def minhash_lsh_pairs(
     # Cap observability handle (None when max_bucket_size is None). On the
     # estimate tier the eager checkpoint above has already completed the
     # metrics; on the exact tier they complete with the caller's action.
-    out.lsh_bucket_observation = obs
+    out.lsh_bucket_observation = None if obs is None else _BucketCapMetrics(obs)
     return out
+
+
+class _BucketCapMetrics:
+    """Safe accessor over the cap's Spark ``Observation``: ``.get`` returns
+    the metrics dict, or all-zeros when the plan produced no metrics row —
+    which happens exactly when there was nothing to observe: an empty
+    corpus, or a collision-free corpus whose empty bucket filter lets AQE
+    eliminate the observed subtree (the raw ``Observation.get`` raises a
+    JVM assertion in both cases instead of answering). Zeros are the
+    semantically correct report there: with no bucket ever holding two
+    documents, the cap cannot have dropped or split anything
+    (``max_bucket_docs`` reads 0 rather than 1 in the collision-free
+    case — the eliminated plan never measured the singletons)."""
+
+    _ZEROS = {"oversized_buckets": 0, "oversized_bucket_docs": 0, "max_bucket_docs": 0}
+
+    def __init__(self, obs):
+        self._obs = obs
+
+    @property
+    def get(self) -> dict:
+        try:
+            return self._obs.get
+        except Exception:  # noqa: BLE001 — empty-input plan: metrics node eliminated
+            return dict(self._ZEROS)
 
 
 def embedding_cosine_pairs(

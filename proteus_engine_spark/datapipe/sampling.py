@@ -204,6 +204,13 @@ def hash_split(
     boundary). Assignment: the 8-hex-char md5 prefix is compared against
     the cumulative-fraction thresholds in dict order — first band wins.
 
+    NULL keys get a NULL split (explicit convention): md5 of a NULL key
+    is NULL, so no band can match, and falling through to the fallback
+    band would silently concentrate every unkeyed row in the LAST split
+    — typically the eval split, an eval-contamination vector. A NULL
+    split value stays visible to any downstream groupBy/filter; the
+    caller decides whether to drop, repair, or fail on such rows.
+
     Scale shape: one whole-stage-codegen CASE fused into the scan; no
     shuffle, no RNG state, no driver participation."""
     if not fractions:
@@ -231,4 +238,7 @@ def hash_split(
         cond = digest < F.lit(thr)
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     assigned = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    # NULL-key guard BEFORE the fallback band — see the NULL convention
+    # in the docstring (otherwise() would swallow the NULL digest).
+    assigned = F.when(F.col(key_col).isNotNull(), assigned)
     return df.withColumn(split_col, assigned)

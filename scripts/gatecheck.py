@@ -82,21 +82,6 @@ def _norm(v):
 # below it the registry's exact full oracles stay in force.
 _SAMPLED_SF_THRESHOLD = 0.05
 
-_MINHASH_SAMPLED_ORACLE = r"""
-WITH sh AS (
-  SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ')
-                 FOR i IN range(1, greatest(len(t)-2, 1)+1)]) AS s
-  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents)
-)
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-         / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
-FROM (SELECT * FROM sh WHERE doc_id % 17 = 0) a
-JOIN sh b ON a.doc_id < b.doc_id
-WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-         / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
-"""
-
 _CLUSTER_COMPOSED_ORACLE = """
 WITH RECURSIVE edges AS (SELECT doc_a AS a, doc_b AS b FROM engine_pairs),
 sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
@@ -138,7 +123,12 @@ def _stage_engine_pairs(spark, con, sf_dir: str) -> None:
 _SAMPLED_OVERRIDES = {
     "dedup_minhash_lsh": {
         "engine_filter": "doc_a % 17 = 0",
-        "oracle": _MINHASH_SAMPLED_ORACLE,
+        # Derived from the REGISTRY's own oracle at use time — a verbatim
+        # copy here would silently diverge if the registry oracle's model
+        # (shingle k, tokenization, threshold) ever changes. DuckDB pushes
+        # the mod-17 predicate into the self-join's left side, so the cost
+        # bound (n/17 x n pairs) is the same as a hand-specialized query.
+        "oracle_wrap": "SELECT * FROM ({oracle}) WHERE doc_a % 17 = 0",
         "mode": "oracle_sampled_doc_a_mod17",
         "prep": None,
     },
@@ -189,7 +179,10 @@ def main() -> None:
             entry_oracle = entry.oracle
             mode = None
             if override is not None:
-                entry_oracle = override["oracle"]
+                if "oracle_wrap" in override:
+                    entry_oracle = override["oracle_wrap"].format(oracle=entry.oracle)
+                else:
+                    entry_oracle = override["oracle"]
                 mode = override["mode"]
                 if override["prep"] is not None:
                     override["prep"](spark, con, SF_DIR)

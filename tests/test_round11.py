@@ -391,3 +391,39 @@ def test_tfidf_reuses_tf_exchange(spark):
     out.collect()
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in plan or "ReusedQueryStage" in plan
+
+
+def test_lsh_cap_observation_survives_no_collisions(spark):
+    """A clean corpus (no near-dups → zero collision buckets) must still
+    answer the cap metrics with zeros — AQE's empty-relation propagation
+    used to eliminate the metrics node and .get raised a JVM assertion."""
+    from proteus_engine_spark.datapipe.dedup import minhash_lsh_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"totally unique document {i} number {i * 31} word {i * 7}") for i in range(12)],
+        "doc_id long, text string",
+    )
+    out = minhash_lsh_pairs(docs, jaccard_threshold=0.5, verify="estimate", max_bucket_size=100)
+    assert out.count() == 0
+    m = out.lsh_bucket_observation.get
+    assert m["oversized_buckets"] == 0 and m["oversized_bucket_docs"] == 0
+    # AQE eliminates the observed subtree once the collision filter is
+    # empty, so the wrapper's zeros fallback answers (max 0, not 1)
+    assert m["max_bucket_docs"] == 0
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    out2 = minhash_lsh_pairs(empty, jaccard_threshold=0.5, verify="estimate", max_bucket_size=100)
+    assert out2.count() == 0
+    assert out2.lsh_bucket_observation.get["oversized_buckets"] == 0  # zeros, not a crash
+
+
+def test_hash_split_null_key_gets_null_split(spark):
+    """NULL keys must not silently pile into the last (eval) split."""
+    from proteus_engine_spark.datapipe.sampling import hash_split
+
+    df = spark.createDataFrame([(1,), (2,), (None,)], "doc_id long")
+    rows = {r.doc_id: r.split for r in hash_split(
+        df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).collect()}
+    assert rows[None] is None
+    assert rows[1] is not None and rows[2] is not None
