@@ -239,6 +239,8 @@ def minhash_lsh_pairs(
         F.collect_list(id_col).alias("ids")
     )
     obs = None
+    stats_df = None
+    buckets = all_buckets.filter(F.size("ids") > 1)
     if max_bucket_size is not None:
         from pyspark.sql import Observation
 
@@ -246,48 +248,59 @@ def minhash_lsh_pairs(
         # Observed on the bucket frame UPSTREAM of the collision filter
         # (singleton buckets can never exceed a cap >= 2, so the counts are
         # identical); the metrics ride the pass that builds the buckets —
-        # no extra job. On a COLLISION-FREE corpus AQE's empty-relation
-        # propagation still eliminates the whole subtree once the filter
-        # comes up empty (live-reproduced: the raw Observation.get then
-        # raises a JVM assertion instead of answering), which is why the
-        # returned handle is the _BucketCapMetrics wrapper: it reports
-        # zeros for the eliminated-plan case — semantically correct, since
-        # a cap cannot have dropped or split anything when no bucket ever
-        # held two documents.
-        obs = Observation("lsh_bucket_cap")
-        all_buckets = all_buckets.observe(
-            obs,
-            F.sum(F.when(F.size("ids") > cap, 1).otherwise(0)).alias("oversized_buckets"),
-            F.sum(F.when(F.size("ids") > cap, F.size("ids")).otherwise(0)).alias(
-                "oversized_bucket_docs"
-            ),
-            F.max(F.size("ids")).alias("max_bucket_docs"),
+        # no extra job on the primary path. When the query's OUTPUT is
+        # empty (no collisions, or the cap dropped every bucket), AQE's
+        # empty-relation propagation eliminates the observed subtree and
+        # the raw Observation.get raises a JVM assertion instead of
+        # answering (live-reproduced) — the returned _BucketCapMetrics
+        # wrapper then falls back to `stats_df`, an explicit aggregation
+        # over the same bucket subplan, so the report is ALWAYS the real
+        # measurement (a drop-everything cap must never read as "cap did
+        # nothing"); that fallback re-runs the signature pass, a cost paid
+        # only when the pair output was empty.
+        m_over = F.sum(F.when(F.size("ids") > cap, 1).otherwise(0)).alias(
+            "oversized_buckets"
         )
-    buckets = all_buckets.filter(F.size("ids") > 1)
-    if max_bucket_size is not None:
-        cap = max_bucket_size
+        m_docs = F.sum(F.when(F.size("ids") > cap, F.size("ids")).otherwise(0)).alias(
+            "oversized_bucket_docs"
+        )
+        m_max = F.max(F.size("ids")).alias("max_bucket_docs")
+        obs = Observation("lsh_bucket_cap")
+        all_buckets = all_buckets.observe(obs, m_over, m_docs, m_max)
+        stats_df = all_buckets.agg(m_over, m_docs, m_max)
+        buckets = all_buckets.filter(F.size("ids") > 1)
         if oversize == "drop":
             buckets = buckets.filter(F.size("ids") <= cap)
         else:
-            # split: ONLY oversized buckets pay the sort/chunk expression
-            # chain (sorted for deterministic chunk membership, sliced to
-            # <= cap); the overwhelmingly common under-cap bucket passes
-            # through as a single untouched chunk — at 100 TB the cap must
-            # not tax the billions of small buckets it exists to protect.
+            # split: ONLY oversized buckets pay the sort+chunk expression
+            # chain — at 100 TB the cap must not tax the billions of small
+            # buckets it exists to protect. The sort runs ONCE per
+            # oversized bucket in this pre-projection (higher-order lambdas
+            # are interpreted and lambda-invariant subexpressions are NOT
+            # hoisted, so sorting inside the slice lambda would re-sort
+            # the full array once per chunk); under-cap buckets pass
+            # through unsorted as a single untouched chunk.
+            sorted_ids = F.when(F.size("ids") > cap, F.array_sort("ids")).otherwise(
+                F.col("ids")
+            )
             n_chunks = F.ceil(F.size("ids") / F.lit(cap)).cast("int")
             chunked = F.transform(
                 F.sequence(F.lit(0), n_chunks - F.lit(1)),
-                lambda i: F.slice(
-                    F.array_sort(F.col("ids")), i * F.lit(cap) + F.lit(1), F.lit(cap)
-                ),
+                lambda i: F.slice(F.col("ids"), i * F.lit(cap) + F.lit(1), F.lit(cap)),
             )
-            buckets = buckets.select(
-                "band_id",
-                "band_sig",
-                F.explode(
-                    F.when(F.size("ids") <= cap, F.array(F.col("ids"))).otherwise(chunked)
-                ).alias("ids"),
-            ).filter(F.size("ids") > 1)
+            buckets = (
+                buckets.select("band_id", "band_sig", sorted_ids.alias("ids"))
+                .select(
+                    "band_id",
+                    "band_sig",
+                    F.explode(
+                        F.when(F.size("ids") <= cap, F.array(F.col("ids"))).otherwise(
+                            chunked
+                        )
+                    ).alias("ids"),
+                )
+                .filter(F.size("ids") > 1)
+            )
     cand_pairs = (
         buckets.select(F.col("ids"), F.explode("ids").alias("doc_a"))
         .select("doc_a", F.explode("ids").alias("doc_b"))
@@ -366,33 +379,38 @@ def minhash_lsh_pairs(
     # Cap observability handle (None when max_bucket_size is None). On the
     # estimate tier the eager checkpoint above has already completed the
     # metrics; on the exact tier they complete with the caller's action.
-    out.lsh_bucket_observation = None if obs is None else _BucketCapMetrics(obs)
+    out.lsh_bucket_observation = (
+        None if obs is None else _BucketCapMetrics(obs, stats_df)
+    )
     return out
 
 
 class _BucketCapMetrics:
-    """Safe accessor over the cap's Spark ``Observation``: ``.get`` returns
-    the metrics dict, or all-zeros when the plan produced no metrics row —
-    which happens exactly when there was nothing to observe: an empty
-    corpus, or a collision-free corpus whose empty bucket filter lets AQE
-    eliminate the observed subtree (the raw ``Observation.get`` raises a
-    JVM assertion in both cases instead of answering). Zeros are the
-    semantically correct report there: with no bucket ever holding two
-    documents, the cap cannot have dropped or split anything
-    (``max_bucket_docs`` reads 0 rather than 1 in the collision-free
-    case — the eliminated plan never measured the singletons)."""
+    """Accessor over the cap's Spark ``Observation``. ``.get`` returns the
+    in-plan metrics dict when the observed pass delivered it (the free,
+    primary path). When the query's OUTPUT was empty — no collisions, or
+    the cap dropped every bucket — AQE's empty-relation propagation
+    eliminates the observed subtree and the raw ``Observation.get`` raises
+    a JVM assertion; ``.get`` then runs the retained ``stats_df``
+    aggregation over the same bucket subplan and returns the REAL
+    measurement (never fabricated zeros — a drop-everything cap must not
+    read as "cap did nothing"). The fallback re-runs the signature pass;
+    it only fires when the pair output was empty. NULL aggregate values
+    (a truly empty corpus) normalize to 0."""
 
-    _ZEROS = {"oversized_buckets": 0, "oversized_bucket_docs": 0, "max_bucket_docs": 0}
+    _KEYS = ("oversized_buckets", "oversized_bucket_docs", "max_bucket_docs")
 
-    def __init__(self, obs):
+    def __init__(self, obs, stats_df):
         self._obs = obs
+        self._stats = stats_df
 
     @property
     def get(self) -> dict:
         try:
             return self._obs.get
-        except Exception:  # noqa: BLE001 — empty-input plan: metrics node eliminated
-            return dict(self._ZEROS)
+        except Exception:  # noqa: BLE001 — metrics node eliminated: measure explicitly
+            row = self._stats.collect()[0].asDict()
+            return {k: (row.get(k) if row.get(k) is not None else 0) for k in self._KEYS}
 
 
 def embedding_cosine_pairs(

@@ -952,7 +952,8 @@ def corpus_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
                       substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8) AS h
                FROM documents),
     s AS (SELECT doc_id,
-                 CASE WHEN h < 'cccccccc' THEN 'train'
+                 CASE WHEN doc_id IS NULL THEN NULL
+                      WHEN h < 'cccccccc' THEN 'train'
                       WHEN h < 'e6666666' THEN 'val'
                       ELSE 'test' END AS split
           FROM d)

@@ -408,8 +408,9 @@ def test_lsh_cap_observation_survives_no_collisions(spark):
     m = out.lsh_bucket_observation.get
     assert m["oversized_buckets"] == 0 and m["oversized_bucket_docs"] == 0
     # AQE eliminates the observed subtree once the collision filter is
-    # empty, so the wrapper's zeros fallback answers (max 0, not 1)
-    assert m["max_bucket_docs"] == 0
+    # empty; the wrapper's explicit fallback aggregation still reports the
+    # REAL measurement — every (band, sig) bucket here is a singleton
+    assert m["max_bucket_docs"] == 1
 
     empty = spark.createDataFrame([], "doc_id long, text string")
     out2 = minhash_lsh_pairs(empty, jaccard_threshold=0.5, verify="estimate", max_bucket_size=100)
@@ -427,3 +428,23 @@ def test_hash_split_null_key_gets_null_split(spark):
     ).collect()}
     assert rows[None] is None
     assert rows[1] is not None and rows[2] is not None
+
+
+def test_lsh_cap_drop_everything_still_reports(spark):
+    """The worst silent-cap hazard: the cap drops EVERY collision bucket,
+    the pair output is empty, AQE eliminates the in-plan metrics — the
+    report must still say what the cap did, via the explicit fallback."""
+    from proteus_engine_spark.datapipe.dedup import minhash_lsh_pairs
+
+    docs = spark.createDataFrame(
+        [(i, "the exact same template text everywhere") for i in range(60)],
+        "doc_id long, text string",
+    )
+    out = minhash_lsh_pairs(
+        docs, jaccard_threshold=0.5, verify="estimate", max_bucket_size=50, oversize="drop"
+    )
+    assert out.count() == 0  # every bucket oversized and dropped
+    m = out.lsh_bucket_observation.get
+    assert m["oversized_buckets"] == 16  # NOT zeros: the real measurement
+    assert m["oversized_bucket_docs"] == 16 * 60
+    assert m["max_bucket_docs"] == 60
