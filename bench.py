@@ -69,6 +69,10 @@ HEADLINE = [
     # added round 11 (exclude from cross-round like-for-like totals):
     # corpus-LM bigram quality scoring (single-pass doc-bigram model)
     "text_bigram_logprob",
+    # added round 12 (exclude from cross-round like-for-like totals):
+    # DeltaTrigger on GlobalWindows — the custom-stateful trigger path's
+    # per-element value walk (watermark-buffered applyInPandasWithState)
+    "stream_delta_trigger_fires",
 ]
 
 

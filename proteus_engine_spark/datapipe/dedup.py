@@ -151,11 +151,27 @@ def minhash_lsh_pairs(
       chunk membership — collect_list order is not) and sliced into
       ⌈size/cap⌉ chunks of at most ``cap`` ids; pairs are emitted within
       chunks only. A pair split across chunks in one band can still
-      collide in another band, but an identical-content mega-bucket
-      chunks identically in EVERY band, so its cross-chunk pairs are
-      intentionally sacrificed — those buckets are exactly the boilerplate
-      the cap exists to bound, and identical content is cheaper to remove
-      with exact (hash) dedup upstream anyway.
+      collide in another band, but a hot bucket whose members are near-
+      identical has near-identical membership (and thus near-identical
+      id-sorted chunk boundaries) in EVERY band, so most cross-chunk
+      pairs are sacrificed. MEASURED (120-doc J≈0.94 hot bucket, 64
+      perms × 16 bands, deterministic): recall vs the uncapped run is
+      0.168 / 0.309 / 0.513 at cap 10 / 20 / 40; an identical-content
+      200-doc bucket at cap 50 keeps exactly the 4·C(50,2) within-chunk
+      pairs (cross-chunk pairs fully sacrificed — identical content is
+      cheaper to remove with exact hash dedup upstream, which is why this
+      stays the default).
+    - ``"salted_split"``: same chunk count and cost, but chunk membership
+      follows a PER-BAND order (ids sort by xxhash64(id, band_id)), so a
+      pair split in one band co-chunks in another with probability
+      ~1/n_chunks per band — across 16 independent band orders recall
+      ≈ 1-(1-1/k)^bands. MEASURED (same corpus): 0.658 / 0.903 / 0.993
+      at cap 10 / 20 / 40, and the identical-content 200-doc bucket
+      recovers 19,682 of 19,900 pairs. Candidate GENERATION stays
+      bounded at ⌈n/cap⌉·C(cap,2) per band either way; salting raises
+      the distinct-pair OUTPUT for mega-clusters by up to ×bands, the
+      price of the recall. Use when hot buckets hold near-duplicates
+      rather than exact boilerplate.
     - ``"drop"``: oversized buckets are removed whole.
 
     No silent caps: the plan carries a Spark ``Observation`` over the
@@ -193,8 +209,10 @@ def minhash_lsh_pairs(
     """
     if verify not in ("estimate", "exact"):
         raise ValueError(f"unknown verify {verify!r}: expected 'estimate' or 'exact'")
-    if oversize not in ("split", "drop"):
-        raise ValueError(f"unknown oversize {oversize!r}: expected 'split' or 'drop'")
+    if oversize not in ("split", "salted_split", "drop"):
+        raise ValueError(
+            f"unknown oversize {oversize!r}: expected 'split', 'salted_split' or 'drop'"
+        )
     if max_bucket_size is not None and max_bucket_size < 2:
         raise ValueError(
             f"max_bucket_size={max_bucket_size} must be >= 2: a 1-doc chunk "
@@ -272,15 +290,31 @@ def minhash_lsh_pairs(
         if oversize == "drop":
             buckets = buckets.filter(F.size("ids") <= cap)
         else:
-            # split: ONLY oversized buckets pay the sort+chunk expression
-            # chain — at 100 TB the cap must not tax the billions of small
-            # buckets it exists to protect. The sort runs ONCE per
-            # oversized bucket in this pre-projection (higher-order lambdas
-            # are interpreted and lambda-invariant subexpressions are NOT
-            # hoisted, so sorting inside the slice lambda would re-sort
-            # the full array once per chunk); under-cap buckets pass
-            # through unsorted as a single untouched chunk.
-            sorted_ids = F.when(F.size("ids") > cap, F.array_sort("ids")).otherwise(
+            # split / salted_split: ONLY oversized buckets pay the
+            # sort+chunk expression chain — at 100 TB the cap must not tax
+            # the billions of small buckets it exists to protect. The sort
+            # runs ONCE per oversized bucket in this pre-projection
+            # (higher-order lambdas are interpreted and lambda-invariant
+            # subexpressions are NOT hoisted, so sorting inside the slice
+            # lambda would re-sort the full array once per chunk);
+            # under-cap buckets pass through unsorted as a single
+            # untouched chunk.
+            if oversize == "salted_split":
+                # chunk membership = slices of a PER-BAND order: ids sort
+                # by xxhash64(id, band_id), so a pair split across chunks
+                # in one band lands in the same chunk of another band with
+                # probability ~1/n_chunks per band — across `bands`
+                # independent orders the recall loss of the plain split
+                # mostly recovers (measured numbers in the docstring).
+                # struct(h, id) sort keeps the order total (and thus
+                # deterministic) even under hash collisions.
+                chunk_order = F.expr(
+                    "transform(array_sort(transform(ids, x -> "
+                    "struct(xxhash64(x, band_id) AS h, x AS id))), s -> s.id)"
+                )
+            else:
+                chunk_order = F.array_sort("ids")
+            sorted_ids = F.when(F.size("ids") > cap, chunk_order).otherwise(
                 F.col("ids")
             )
             n_chunks = F.ceil(F.size("ids") / F.lit(cap)).cast("int")
@@ -371,14 +405,25 @@ def minhash_lsh_pairs(
         out = pair.select("doc_a", "doc_b", est).filter(F.col("jaccard_est") >= jaccard_threshold)
         # finalize while the signature persist is alive, then release it:
         # the result is candidate-bounded (tiny), so the eager checkpoint
-        # costs one pass over pairs, and nothing outlives the call.
+        # costs one pass over pairs, and nothing outlives the call. The
+        # cap metrics are ALSO resolved inside this window — if the pair
+        # output was empty (observed subtree eliminated, see
+        # _BucketCapMetrics), the explicit stats_df fallback reads the
+        # still-persisted mh cache instead of re-running the signature
+        # pass, so the honest re-measurement is near-free.
         try:
             out = out.localCheckpoint(eager=True)
+            metrics = (
+                None if obs is None else _BucketCapMetrics(obs, stats_df).get
+            )
         finally:
             mh.unpersist()
-    # Cap observability handle (None when max_bucket_size is None). On the
-    # estimate tier the eager checkpoint above has already completed the
-    # metrics; on the exact tier they complete with the caller's action.
+        out.lsh_bucket_observation = (
+            None if obs is None else _BucketCapMetrics(obs, stats_df, resolved=metrics)
+        )
+        return out
+    # Exact tier stays fully lazy: the metrics complete with the caller's
+    # first action; .get before that runs the explicit aggregation.
     out.lsh_bucket_observation = (
         None if obs is None else _BucketCapMetrics(obs, stats_df)
     )
@@ -390,27 +435,62 @@ class _BucketCapMetrics:
     in-plan metrics dict when the observed pass delivered it (the free,
     primary path). When the query's OUTPUT was empty — no collisions, or
     the cap dropped every bucket — AQE's empty-relation propagation
-    eliminates the observed subtree and the raw ``Observation.get`` raises
-    a JVM assertion; ``.get`` then runs the retained ``stats_df``
-    aggregation over the same bucket subplan and returns the REAL
-    measurement (never fabricated zeros — a drop-everything cap must not
-    read as "cap did nothing"). The fallback re-runs the signature pass;
-    it only fires when the pair output was empty. NULL aggregate values
-    (a truly empty corpus) normalize to 0."""
+    eliminates the observed subtree and the observation never completes;
+    ``.get`` then runs the retained ``stats_df`` aggregation over the same
+    bucket subplan and returns the REAL measurement (never fabricated
+    zeros — a drop-everything cap must not read as "cap did nothing").
+
+    ``.get`` NEVER BLOCKS: completion is probed via the JVM observation's
+    non-blocking ``getOrEmpty`` (incomplete → empty/NPE, never a wait), so
+    calling ``.get`` before any action on the lazy exact tier runs the
+    explicit aggregation — one real Spark job — instead of parking forever
+    on ``Observation.get``'s internal latch. On the estimate tier the
+    metrics are pre-resolved inside ``minhash_lsh_pairs`` while the
+    signature persist is still alive (empty-output fallback reads the
+    cache, not a fresh signature pass) and ``.get`` just returns them.
+    Only the two KNOWN incomplete-observation signals are swallowed
+    (empty result / the schemaless-row NPE+assertion); any other failure
+    propagates. NULL aggregate values (a truly empty corpus) normalize
+    to 0."""
 
     _KEYS = ("oversized_buckets", "oversized_bucket_docs", "max_bucket_docs")
+    # The observation's row is schemaless until the observed plan delivers
+    # metrics; both JVM accessors then fail with exactly these markers
+    # (live-reproduced): getOrEmpty → NullPointerException on
+    # Row.schema(), pyspark's get → AssertionError in toPyRow.
+    _INCOMPLETE_MARKERS = ("java.lang.NullPointerException", "java.lang.AssertionError")
 
-    def __init__(self, obs, stats_df):
+    def __init__(self, obs, stats_df, resolved: dict | None = None):
         self._obs = obs
         self._stats = stats_df
+        self._resolved = resolved
+
+    def _completed(self) -> bool:
+        """Non-blocking completion probe (never waits on the latch)."""
+        try:
+            return not self._obs._jo.getOrEmpty().isEmpty()
+        except Exception as e:  # noqa: BLE001 — re-raise unknown failures below
+            if any(m in str(e) for m in self._INCOMPLETE_MARKERS):
+                return False
+            raise
 
     @property
     def get(self) -> dict:
-        try:
-            return self._obs.get
-        except Exception:  # noqa: BLE001 — metrics node eliminated: measure explicitly
-            row = self._stats.collect()[0].asDict()
-            return {k: (row.get(k) if row.get(k) is not None else 0) for k in self._KEYS}
+        if self._resolved is not None:
+            return self._resolved
+        if self._completed():
+            try:
+                return self._obs.get  # instant: metrics already delivered
+            except Exception as e:  # noqa: BLE001 — re-raise unknown failures below
+                if not any(m in str(e) for m in self._INCOMPLETE_MARKERS):
+                    raise
+        # incomplete (no action yet, or observed subtree eliminated by an
+        # empty output): measure explicitly over the same bucket subplan
+        row = self._stats.collect()[0].asDict()
+        self._resolved = {
+            k: (row.get(k) if row.get(k) is not None else 0) for k in self._KEYS
+        }
+        return self._resolved
 
 
 def embedding_cosine_pairs(

@@ -113,8 +113,12 @@ def mixture_weights(
     its weight yields the target mixture.
 
     ``temperature`` selects the target mixture:
-    - ``None`` (default): uniform over strata — target 1/n_strata
-      (upsample rare strata, downsample dominant ones; the T→∞ limit).
+    - ``None`` (default): uniform over the NONZERO strata — target
+      1/n_nonzero (upsample rare strata, downsample dominant ones; the
+      T→∞ limit). Zero-size strata are excluded from the denominator,
+      matching the temperature normalizer's pow(0)=0 — both targets
+      always form a normalized mixture over the strata that can receive
+      mass.
     - ``T > 0``: temperature-scaled — target ∝ share^(1/T), the
       multilingual sampling scheme of mC4/mBERT/PaLM (T≈3 flattens the
       head languages without drowning the corpus in tail noise; T=1 is
@@ -165,7 +169,16 @@ def mixture_weights(
     raw_share = F.col("total_size").cast("double") / grand
     share = F.when(grand > 0, raw_share)
     if temperature is None:
-        target = F.lit(1.0) / F.count("*").over(w)
+        # Uniform target = 1/n over the strata that CAN receive mass —
+        # zero-size strata are excluded from the denominator exactly as
+        # the temperature path excludes them from its normalizer
+        # (pow(0)=0 contributes nothing), so the nonzero strata's uniform
+        # weights form a normalized mixture and uniform really is the
+        # T→∞ limit even with zero-size strata present. F.count over a
+        # CASE counts only the non-NULL branch.
+        target = F.lit(1.0) / F.count(
+            F.when(F.col("total_size") > 0, F.lit(1))
+        ).over(w)
     else:
         # share^(1/T) renormalized over the strata frame; zero-size strata
         # contribute pow(0)=0 to the normalizer and keep a NULL weight via

@@ -353,6 +353,9 @@ def bigram_logprob(
     id_col: str = "doc_id",
     text_col: str = "text",
     alpha: float = 0.4,
+    min_count: int = 1,
+    broadcast_model: bool = False,
+    train_eagerly: bool = True,
 ) -> DataFrame:
     """Per-document corpus-LM quality score: the mean log-probability of
     the document's bigrams under an add-α-smoothed bigram model trained
@@ -366,6 +369,27 @@ def bigram_logprob(
     Returns (id_col, n_bigrams long, logprob double rounded to 1e-6 —
     the double-sum quantum discipline used by the cosine scorers).
 
+    Production tiers (the 100 TB knobs, all defaulting to the exact
+    gated behavior):
+    - ``min_count``: prune the bigram model to counts >= min_count —
+      shipping a pruned LM, exactly like a KenLM count floor. The
+      context counts c(w1) and V stay EXACT (aggregated from the
+      unpruned bigram counts — contexts are vocabulary-sized, the
+      bigram table is what explodes), so any bigram at or above the
+      floor scores IDENTICALLY to the unpruned model; a pruned-away
+      bigram scores as unseen, p = α / (c(w1) + α·V) — the documented
+      lossy tradeoff of model pruning. Default 1 = no pruning.
+    - ``broadcast_model``: hint the (pruned) model tables broadcast into
+      the scoring joins — with a count floor the model is
+      executor-memory-sized and the doc-bigram frame never shuffles on
+      the join keys. Default False: AQE picks the strategy from actual
+      sizes.
+    - ``train_eagerly``: opt out of the construction-time checkpoint job
+      when composing into a larger pipeline that will materialize once
+      itself (the single-pass guarantee then becomes the CALLER's
+      responsibility — without any materialization of the pre-agg the
+      corpus scan re-runs per divergent branch, see below).
+
     Scale shape: the tokenize+explode pass runs ONCE, guaranteed
     structurally — it feeds a single (doc, w1, w2)-keyed pre-aggregation
     [shuffle 1, map-side combine] that is EAGERLY localCheckpoint-ed
@@ -375,8 +399,7 @@ def bigram_logprob(
     re-aggregation [shuffle 2, distinct-bigram sized], left-context
     counts and V derive from the bigram counts (never from the raw
     stream), and scoring joins the checkpointed doc-bigram frame against
-    the model tables on their keys (at 100 TB prune the model with a
-    minimum count and broadcast it, exactly like shipping a trained LM).
+    the model tables on their keys.
     The checkpoint is deliberate, not an optimization fallback: exchange
     reuse CANNOT protect this plan — Catalyst prunes the model tables'
     columns differently per branch (c1 drops w2, V drops w1, a count()
@@ -398,17 +421,30 @@ def bigram_logprob(
         )
         .select(id_col, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
     )
-    dbg = (
-        big.groupBy(id_col, "w1", "w2")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(eager=True)  # ONE corpus pass, see docstring
-    )
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    dbg = big.groupBy(id_col, "w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    if train_eagerly:
+        dbg = dbg.localCheckpoint(eager=True)  # ONE corpus pass, see docstring
     c12 = dbg.groupBy("w1", "w2").agg(F.sum("n").alias("c12"))
+    # c1 and V derive from the UNPRUNED bigram counts: the context
+    # normalizer and vocabulary must stay exact or every probability in
+    # the model shifts, not just the pruned bigrams' (docstring tiers).
     c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
     v2 = c12.agg(F.countDistinct("w2").alias("v2"))
-    p = (F.col("c12") + F.lit(alpha)) / (F.col("c1") + F.lit(alpha) * F.col("v2"))
+    if min_count > 1:
+        c12 = c12.filter(F.col("c12") >= min_count)
+    if broadcast_model:
+        c12 = F.broadcast(c12)
+        c1 = F.broadcast(c1)
+    # Left join: a pruned-away bigram keeps NULL c12 → coalesce to 0, the
+    # add-α unseen probability. c1 always hits (every doc bigram's context
+    # exists in the corpus by construction), so the join stays inner.
+    p = (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(alpha)) / (
+        F.col("c1") + F.lit(alpha) * F.col("v2")
+    )
     return (
-        dbg.join(c12, ["w1", "w2"]).join(c1, "w1").crossJoin(v2)
+        dbg.join(c12, ["w1", "w2"], "left").join(c1, "w1").crossJoin(v2)
         .groupBy(id_col)
         .agg(
             F.sum("n").alias("n_bigrams"),

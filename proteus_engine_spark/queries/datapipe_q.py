@@ -751,7 +751,7 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 THEN total_size / CAST(sum(total_size) OVER () AS DOUBLE)
            END AS share,
            CASE WHEN total_size > 0 AND sum(total_size) OVER () > 0
-                THEN 1.0 / count(*) OVER ()
+                THEN 1.0 / count(*) FILTER (WHERE total_size > 0) OVER ()
                      / (total_size / CAST(sum(total_size) OVER () AS DOUBLE))
            END AS weight
     FROM per
@@ -1050,7 +1050,7 @@ def text_length_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFram
       FROM documents GROUP BY lang),
     w AS (SELECT lang,
                  CASE WHEN total_size > 0 AND sum(total_size) OVER () > 0
-                      THEN 1.0 / count(*) OVER ()
+                      THEN 1.0 / count(*) FILTER (WHERE total_size > 0) OVER ()
                            / (total_size / CAST(sum(total_size) OVER () AS DOUBLE))
                  END AS weight
           FROM per),

@@ -858,6 +858,96 @@ def cep_one_or_more(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cep_until_stop",
+    oracle="""
+    WITH s AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'signup'),
+         c AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+         st AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'error'),
+    q AS (
+      SELECT s.user_id, s.event_id AS signup_id, epoch_ms(s.ts) AS signup_ts,
+             c.event_id AS click_id, epoch_ms(c.ts) AS click_ts, c.ts AS cts
+      FROM s JOIN c ON s.user_id = c.user_id
+        AND (c.ts > s.ts OR (c.ts = s.ts AND c.event_id > s.event_id))
+        AND epoch_ms(c.ts) - epoch_ms(s.ts) <= 86400000
+      WHERE NOT EXISTS (
+        SELECT 1 FROM st WHERE st.user_id = s.user_id
+          AND (st.ts > s.ts OR (st.ts = s.ts AND st.event_id > s.event_id))
+          AND (st.ts < c.ts OR (st.ts = c.ts AND st.event_id < c.event_id)))
+    )
+    SELECT user_id, signup_id, signup_ts, click_id, click_ts,
+           row_number() OVER (PARTITION BY user_id, signup_id
+                              ORDER BY cts, click_id) AS click_cnt
+    FROM q
+    """,
+    tags=("streaming", "cep"),
+)
+def cep_until_stop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP loop stop condition (Pattern.until, Pattern.java:214): signup
+    followedBy click+ within 24 hours, where an 'error' event CLOSES the
+    loop — clicks after the first error no longer extend the run (and an
+    error before the first click means the loop never starts), but the
+    prefixes already emitted stand, and the stop event itself is NOT part
+    of any match (:216 "the condition event is not part of the pattern").
+    The oracle states exactly that: ranked signup→click join with a
+    NOT EXISTS error strictly between signup and click in (ts, id) order —
+    at sf0.01 the until condition prunes ~170 of ~900 candidate prefixes,
+    so the gate fails if the stop is ignored OR over-applied. The
+    prefilter keeps signup/click/error rows JVM-side (until's expr joins
+    the step union, cep.py prefilter_expr)."""
+    ev = load_table(spark, sf_dir, "events")
+    pat = (
+        Pattern.begin("signup", lambda r: r["event_type"] == "signup",
+                      expr="event_type = 'signup'")
+        .followed_by("click", lambda r: r["event_type"] == "click",
+                     expr="event_type = 'click'")
+        .one_or_more()
+        .until(lambda r: r["event_type"] == "error", expr="event_type = 'error'")
+        .within(86_400_000)
+    )
+    return match_pattern(ev, pat, key_col="user_id")
+
+
+@register(
+    "cep_times_or_more",
+    oracle="""
+    WITH s AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'signup'),
+         c AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+    q AS (
+      SELECT s.user_id, s.event_id AS signup_id, epoch_ms(s.ts) AS signup_ts,
+             c.event_id AS click_id, epoch_ms(c.ts) AS click_ts,
+             row_number() OVER (PARTITION BY s.user_id, s.event_id
+                                ORDER BY c.ts, c.event_id) AS click_cnt
+      FROM s JOIN c ON s.user_id = c.user_id
+        AND (c.ts > s.ts OR (c.ts = s.ts AND c.event_id > s.event_id))
+        AND epoch_ms(c.ts) - epoch_ms(s.ts) <= 259200000
+    )
+    SELECT user_id, signup_id, signup_ts, click_id, click_ts, click_cnt
+    FROM q WHERE click_cnt >= 3
+    """,
+    tags=("streaming", "cep"),
+)
+def cep_times_or_more(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP timesOrMore quantifier (Pattern.timesOrMore, Pattern.java:396):
+    signup followedBy click{3,} within 3 days — the accumulating loop only
+    starts emitting at the floor, then emits a match per further prefix
+    (the k-th click yields a match with click_cnt=k for every k >= 3), so
+    the oracle is the oneOrMore ranked join cut at rank >= 3. Contrast
+    cep_one_or_more (floor 1: every prefix) and cep_times_consecutive
+    (exact count with strict contiguity): this gate fails if the floor is
+    off by one in either direction or if sub-floor prefixes leak out."""
+    ev = load_table(spark, sf_dir, "events")
+    pat = (
+        Pattern.begin("signup", lambda r: r["event_type"] == "signup",
+                      expr="event_type = 'signup'")
+        .followed_by("click", lambda r: r["event_type"] == "click",
+                     expr="event_type = 'click'")
+        .times_or_more(3)
+        .within(259_200_000)
+    )
+    return match_pattern(ev, pat, key_col="user_id")
+
+
+@register(
     "cep_timeout_signups",
     oracle="""
     WITH f AS (SELECT user_id, event_id, ts, event_type FROM events
@@ -1315,6 +1405,68 @@ def stream_count_evictor_fires(spark: SparkSession, sf_dir: str) -> DataFrame:
         watermark_delay="10 minutes",
     )
     res = run_to_completion(out, "stream_count_evictor_sink", "append")
+    return res.select("user_id", "fire_seq", "n", "total_value")
+
+
+@register(
+    "stream_delta_trigger_fires",
+    oracle="""
+    WITH RECURSIVE e AS (
+      SELECT user_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY epoch_ms(ts), event_id) AS rn,
+             CAST(value AS DECIMAL(18,2)) AS v,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+               PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+               ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum
+      FROM events
+      WHERE ts <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)
+    ),
+    walk AS (
+      SELECT user_id, rn, v AS base, 0 AS fires, FALSE AS fired, cum
+      FROM e WHERE rn = 1
+      UNION ALL
+      SELECT e.user_id, e.rn,
+             CASE WHEN abs(e.v - w.base) > 50.005 THEN e.v ELSE w.base END,
+             CASE WHEN abs(e.v - w.base) > 50.005 THEN w.fires + 1 ELSE w.fires END,
+             abs(e.v - w.base) > 50.005,
+             e.cum
+      FROM walk w JOIN e ON e.user_id = w.user_id AND e.rn = w.rn + 1
+    )
+    SELECT user_id, CAST(fires AS BIGINT) AS fire_seq,
+           CAST(rn AS BIGINT) AS n, cum AS total_value
+    FROM walk WHERE fired
+    """,
+    tags=("streaming", "trigger"),
+)
+def stream_delta_trigger_fires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeltaTrigger gate (DeltaTrigger.java:44-89 on GlobalWindows.java:32
+    — the reference's TopSpeedWindowing shape): per user, the first event's
+    value becomes the baseline; each later event whose |value - baseline|
+    exceeds 50.005 fires the global window (emitting all elements buffered
+    so far — no purge, no evictor) and becomes the new baseline. The
+    threshold sits half a cent off any representable value delta, so the
+    float engine walk and the DECIMAL oracle walk take identical branches.
+    Fire points are positions in watermark-sequenced (ts, id) order, so
+    the oracle replays the same baseline walk as a sequential recursion:
+    a recursive CTE stepping rank-by-rank per user (group-sized depth —
+    the recursion is over the per-user event count, bounded by the
+    watermark cut), emitting (fire_seq, n = elements buffered, cumulative
+    sum) at every threshold crossing. Events above the final watermark
+    are never released (append semantics)."""
+    from proteus_engine_spark.streaming.triggers import (
+        DeltaTrigger,
+        triggered_window_agg,
+    )
+
+    ev = events_stream(spark, sf_dir)
+    out = triggered_window_agg(
+        ev, "user_id", "ts", "value",
+        trigger=DeltaTrigger(50.005),
+        window_ms=None,
+        watermark_delay="10 minutes",
+    )
+    res = run_to_completion(out, "stream_delta_trigger_sink", "append")
     return res.select("user_id", "fire_seq", "n", "total_value")
 
 

@@ -57,6 +57,13 @@ class Trigger:
     def fires_on_element(self, count_since_fire: int) -> bool:
         return False
 
+    def fires_on_delta(self, win: dict, value: float) -> bool:
+        """Value-dependent element fire (DeltaTrigger). Called with the
+        window's per-window state dict (the trigger may keep its own keys
+        there — it is pickled with the window) and the element's value in
+        the operator's value units."""
+        return False
+
     def fires_on_event_time(self) -> bool:
         return False
 
@@ -101,6 +108,37 @@ class CountTrigger(Trigger):
 
 
 @dataclass(frozen=True)
+class DeltaTrigger(Trigger):
+    """DeltaTrigger.java:44-89 — FIRE when
+    ``delta(lastFiredElement, element) > threshold``. The FIRST element of
+    a window becomes the baseline without firing (:61-64 — the state is
+    null, store and CONTINUE); each subsequent element whose delta from
+    the baseline exceeds the threshold fires and REPLACES the baseline
+    (:66-70). ``delta`` defaults to absolute difference in the operator's
+    value units (a DeltaFunction.java:37 instance in the reference — pass
+    a callable for a custom metric; the default must stay the abs-diff the
+    SQL oracles mirror). onEventTime is CONTINUE (:78): a delta-triggered
+    tumbling window is cleaned up at the watermark without a final fire,
+    same as CountTrigger; on GlobalWindows (the reference's
+    TopSpeedWindowing shape) the per-key baseline lives for the stream.
+    The baseline is per key AND window (ctx.getPartitionedState on the
+    window namespace), which the per-window state dict gives for free."""
+
+    threshold: float
+    delta: object = None  # Callable[[float, float], float]
+
+    def fires_on_delta(self, win: dict, value: float) -> bool:
+        fn = self.delta or (lambda a, b: abs(a - b))
+        if "delta_base" not in win:
+            win["delta_base"] = value  # first element: baseline, CONTINUE
+            return False
+        if fn(win["delta_base"], value) > self.threshold:
+            win["delta_base"] = value
+            return True
+        return False
+
+
+@dataclass(frozen=True)
 class PurgingTrigger(Trigger):
     """PurgingTrigger.java:33 — wraps another trigger and upgrades its FIRE
     to FIRE_AND_PURGE (window contents cleared after emission)."""
@@ -110,6 +148,9 @@ class PurgingTrigger(Trigger):
 
     def fires_on_element(self, count_since_fire: int) -> bool:
         return self.inner.fires_on_element(count_since_fire)
+
+    def fires_on_delta(self, win: dict, value: float) -> bool:
+        return self.inner.fires_on_delta(win, value)
 
     def fires_on_event_time(self) -> bool:
         return self.inner.fires_on_event_time()
@@ -283,7 +324,13 @@ def triggered_window_agg(
             # which micro-batch delivered the late row.
             bisect.insort(win["elems"], (t, i, c))
             win["since"] += 1
-            if trigger.fires_on_element(win["since"]):
+            # Both element hooks run unconditionally (no short-circuit):
+            # fires_on_delta mutates its baseline state on every element,
+            # so skipping it after a count fire would corrupt a composed
+            # trigger's delta walk.
+            delta_fire = trigger.fires_on_delta(win, c / 100.0)
+            count_fire = trigger.fires_on_element(win["since"])
+            if count_fire or delta_fire:
                 win["since"] = 0
                 win["fires"] += 1
                 n, total = _fire(win)

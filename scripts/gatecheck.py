@@ -128,7 +128,10 @@ _SAMPLED_OVERRIDES = {
         # (shingle k, tokenization, threshold) ever changes. DuckDB pushes
         # the mod-17 predicate into the self-join's left side, so the cost
         # bound (n/17 x n pairs) is the same as a hand-specialized query.
-        "oracle_wrap": "SELECT * FROM ({oracle}) WHERE doc_a % 17 = 0",
+        # Built by CONCATENATION, not str.format: a registry oracle
+        # containing literal braces (regex quantifiers like \s{2,}, DuckDB
+        # struct literals) would make .format raise for a non-engine reason.
+        "oracle_wrap": lambda oracle: "SELECT * FROM (" + oracle + ") WHERE doc_a % 17 = 0",
         "mode": "oracle_sampled_doc_a_mod17",
         "prep": None,
     },
@@ -180,7 +183,7 @@ def main() -> None:
             mode = None
             if override is not None:
                 if "oracle_wrap" in override:
-                    entry_oracle = override["oracle_wrap"].format(oracle=entry.oracle)
+                    entry_oracle = override["oracle_wrap"](entry.oracle)
                 else:
                     entry_oracle = override["oracle"]
                 mode = override["mode"]
@@ -293,9 +296,26 @@ def main() -> None:
             print(f"✗ {name}: EXCEPTION {type(e).__name__}: {e}", flush=True)
             traceback.print_exc(limit=4)
 
+    # MERGE into the existing record instead of overwriting: a 2-query
+    # invocation must not discard the committed full-suite results (a
+    # reader would misread the 2-entry file as the registry's latest
+    # status). Per-query entries are replaced by name; every entry is
+    # stamped with the SF dir it ran at so mixed-SF merges stay legible.
     out = REPO / "gatecheck_local.json"
-    out.write_text(json.dumps(results, indent=1, default=str))
-    print(f"\n{len(names) - n_bad}/{len(names)} ok -> {out}")
+    merged: dict[str, dict] = {}
+    if out.exists():
+        try:
+            merged = json.loads(out.read_text())
+        except (ValueError, OSError):
+            merged = {}
+    for name, res in results.items():
+        res["sf_dir"] = SF_DIR
+        merged[name] = res
+    out.write_text(json.dumps(merged, indent=1, default=str))
+    print(
+        f"\n{len(names) - n_bad}/{len(names)} ok -> {out} "
+        f"({len(merged)} entries total after merge)"
+    )
     sys.exit(1 if n_bad else 0)
 
 

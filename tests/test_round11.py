@@ -103,7 +103,9 @@ def test_mixture_weights_zero_size_stratum(spark):
     assert rows["b"].weight is None
     assert rows["b"].share == 0.0  # grand total > 0: share is well-defined
     assert rows["a"].share == 1.0
-    assert rows["a"].weight == pytest.approx(0.5)  # 1/2 strata / share 1.0
+    # uniform target counts only NONZERO strata (1 here), matching the
+    # temperature normalizer's pow(0)=0 — so a's weight is 1/1 / 1.0
+    assert rows["a"].weight == pytest.approx(1.0)
 
     joined = df.join(w.select("lang", "weight"), "lang")
     # the gate's guarded rate shape: least() skips NULLs in both engines,

@@ -1,0 +1,363 @@
+"""Round-12 features: DeltaTrigger (the last buildable trigger), the
+salted-split LSH cap policy with measured cross-band recall, bigram_logprob
+production tiers (min_count pruning / model broadcast / eager-train
+opt-out), the uniform mixture target's nonzero-strata denominator, the
+never-blocking cap-metrics accessor, and the gatecheck oracle_wrap
+brace-safety fix.
+
+Reference parity: DeltaTrigger.java:44-89 (flink-streaming-java windowing
+triggers), Pattern.java:214/396 (until / timesOrMore — driver-gated this
+round), MutableHashTable.java partition-spill discipline (bounded AND
+accounted skew handling, mirrored by the measured cap recall numbers).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.test_streaming import EV_SCHEMA, _ev, _two_batch_stream
+
+
+def _run(df, name):
+    q = df.writeStream.outputMode("append").format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    return df.sparkSession.table(name)
+
+
+# ------------------------------------------------------------ DeltaTrigger
+
+
+def test_delta_trigger_baseline_walk(spark):
+    """DeltaTrigger.java:61-70: first element = baseline (CONTINUE); each
+    element with |v - baseline| > threshold FIREs and replaces the
+    baseline. No purge → n and total grow with the buffer."""
+    from proteus_engine_spark.streaming.triggers import (
+        DeltaTrigger,
+        triggered_window_agg,
+    )
+
+    vals = [10.0, 15.0, 25.0, 12.0, 40.0, 41.0]
+    a = [_ev(i, i, 1, "x", v) for i, v in enumerate(vals)]
+    b = [_ev(99, 10, 1, "x", 0.0)]  # watermark pusher, itself unreleased
+    stream = _two_batch_stream(spark, a, b, EV_SCHEMA)
+    out = triggered_window_agg(
+        stream, "user_id", "ts", "value",
+        trigger=DeltaTrigger(10.005),
+        window_ms=None,
+        watermark_delay="1 minute",
+    )
+    rows = {r["fire_seq"]: r for r in _run(out, "trig_delta_walk").collect()}
+    # walk: base 10 | 15 (d=5, no) | 25 (d=15, FIRE, base=25)
+    #       | 12 (d=13, FIRE, base=12) | 40 (d=28, FIRE, base=40) | 41 (d=1, no)
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["n"] == 3 and rows[1]["total_value"] == pytest.approx(50.0)
+    assert rows[2]["n"] == 4 and rows[2]["total_value"] == pytest.approx(62.0)
+    assert rows[3]["n"] == 5 and rows[3]["total_value"] == pytest.approx(102.0)
+
+
+def test_delta_trigger_purging_composition(spark):
+    """PurgingTrigger(DeltaTrigger(...)): the fire clears the buffer, so
+    each emission aggregates only since the previous fire — and the
+    baseline walk itself is UNAFFECTED by the purge (trigger state lives
+    beside the window contents, DeltaTrigger.java keeps it in partitioned
+    state, not in the window buffer)."""
+    from proteus_engine_spark.streaming.triggers import (
+        DeltaTrigger,
+        PurgingTrigger,
+        triggered_window_agg,
+    )
+
+    vals = [10.0, 25.0, 12.0, 13.0, 40.0]
+    a = [_ev(i, i, 1, "x", v) for i, v in enumerate(vals)]
+    b = [_ev(99, 10, 1, "x", 0.0)]
+    stream = _two_batch_stream(spark, a, b, EV_SCHEMA)
+    out = triggered_window_agg(
+        stream, "user_id", "ts", "value",
+        trigger=PurgingTrigger(DeltaTrigger(10.005)),
+        window_ms=None,
+        watermark_delay="1 minute",
+    )
+    rows = {r["fire_seq"]: r for r in _run(out, "trig_delta_purge").collect()}
+    # fires at 25 (base 10→25: buffer 10,25), at 12 (25→12: buffer 12 only
+    # — purged), at 40 (12→40: buffer 13,40)
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["n"] == 2 and rows[1]["total_value"] == pytest.approx(35.0)
+    assert rows[2]["n"] == 1 and rows[2]["total_value"] == pytest.approx(12.0)
+    assert rows[3]["n"] == 2 and rows[3]["total_value"] == pytest.approx(53.0)
+
+
+def test_delta_trigger_tumbling_resets_baseline_per_window(spark):
+    """The baseline is per key AND window (ctx.getPartitionedState on the
+    window namespace): a new tumbling window starts a fresh baseline, and
+    a delta-triggered window is cleaned up at the watermark WITHOUT a
+    final fire (onEventTime CONTINUE, DeltaTrigger.java:78)."""
+    from proteus_engine_spark.streaming.triggers import (
+        DeltaTrigger,
+        triggered_window_agg,
+    )
+
+    # window [0, 10min): 10 → 50 fires once. window [10, 20min): baseline
+    # resets to 11 — the 50→11 jump across the boundary must NOT fire.
+    a = [_ev(0, 0, 1, "x", 10.0), _ev(1, 1, 1, "x", 50.0),
+         _ev(2, 11, 1, "x", 11.0), _ev(3, 12, 1, "x", 12.0)]
+    b = [_ev(99, 30, 1, "x", 0.0)]
+    stream = _two_batch_stream(spark, a, b, EV_SCHEMA)
+    out = triggered_window_agg(
+        stream, "user_id", "ts", "value",
+        trigger=DeltaTrigger(10.005),
+        window_ms=10 * 60_000,
+        watermark_delay="1 minute",
+    )
+    rows = _run(out, "trig_delta_tumble").collect()
+    assert len(rows) == 1  # one fire in window 0; window 2 never fires
+    assert rows[0]["fire_seq"] == 1 and rows[0]["n"] == 2
+    assert rows[0]["total_value"] == pytest.approx(60.0)
+
+
+def test_delta_trigger_custom_delta_walk_exact(spark):
+    """DeltaFunction.java:37 — a custom (signed) delta: only upward moves
+    fire, and the baseline is replaced ONLY on fire."""
+    from proteus_engine_spark.streaming.triggers import (
+        DeltaTrigger,
+        triggered_window_agg,
+    )
+
+    # signed delta new-old, threshold 15: base 10; 30 fires (Δ+20),
+    # base=30; 5 no (Δ-25); 6 no (Δ-24); 50 fires (Δ+20), base=50.
+    vals = [10.0, 30.0, 5.0, 6.0, 50.0]
+    a = [_ev(i, i, 1, "x", v) for i, v in enumerate(vals)]
+    b = [_ev(99, 10, 1, "x", 0.0)]
+    stream = _two_batch_stream(spark, a, b, EV_SCHEMA)
+    out = triggered_window_agg(
+        stream, "user_id", "ts", "value",
+        trigger=DeltaTrigger(15.0, delta=lambda old, new: new - old),
+        window_ms=None,
+        watermark_delay="1 minute",
+    )
+    rows = {r["fire_seq"]: r for r in _run(out, "trig_delta_exact").collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["n"] == 2 and rows[1]["total_value"] == pytest.approx(40.0)
+    assert rows[2]["n"] == 5 and rows[2]["total_value"] == pytest.approx(101.0)
+
+
+# ---------------------------------------------- LSH cap: cross-band recall
+
+
+def _near_identical_docs(spark, n=120):
+    """A hot-bucket corpus that is NOT exact-duplicate: every doc shares a
+    60-token base and carries 2 unique tokens → pairwise exact Jaccard
+    ≈ 60/64 ≈ 0.94, well above the 0.5 threshold, and every band bucket
+    is a ~n-doc mega-bucket."""
+    base = " ".join(f"tok{i}" for i in range(60))
+    rows = [(i, base + f" uniq{i} uniq{i}b") for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_lsh_split_recall_on_near_identical_hot_bucket(spark):
+    """The docstring's measured recall claim, kept empirical: on a
+    120-doc J≈0.94 hot bucket at cap 20, the plain split sacrifices most
+    cross-chunk pairs (membership — and thus id-sorted chunk boundaries —
+    is near-identical in every band), while salted_split recovers them
+    through per-band chunk orders. Deterministic: xxhash64 signatures and
+    the salt are seed-free, so the exact counts are stable."""
+    from proteus_engine_spark.datapipe.dedup import minhash_lsh_pairs
+
+    docs = _near_identical_docs(spark)
+    p0 = {(r.doc_a, r.doc_b) for r in
+          minhash_lsh_pairs(docs, jaccard_threshold=0.5, verify="exact").collect()}
+    assert len(p0) == 7140  # C(120,2): LSH at J≈0.94 recalls every pair
+
+    split = {(r.doc_a, r.doc_b) for r in
+             minhash_lsh_pairs(docs, jaccard_threshold=0.5, verify="exact",
+                               max_bucket_size=20, oversize="split").collect()}
+    salted = {(r.doc_a, r.doc_b) for r in
+              minhash_lsh_pairs(docs, jaccard_threshold=0.5, verify="exact",
+                                max_bucket_size=20, oversize="salted_split").collect()}
+    # both caps only ever DROP candidates — never invent pairs
+    assert split <= p0 and salted <= p0
+    split_recall = len(split) / len(p0)
+    salted_recall = len(salted) / len(p0)
+    # measured this round: 0.309 vs 0.903 (recorded in the docstring);
+    # assert with slack so a Spark hash-kernel change degrades gracefully
+    assert split_recall < 0.5
+    assert salted_recall > 0.85
+    assert salted_recall > split_recall
+
+
+def test_lsh_salted_split_identical_mega_bucket_bounded_and_recovering(spark):
+    """Identical-content 200-doc bucket at cap 50: plain split keeps
+    exactly the 4·C(50,2) within-chunk pairs (r11 test pins that);
+    salted_split recovers most cross-chunk pairs through the 16 per-band
+    orders while per-band generation stays ⌈n/cap⌉·C(cap,2)-bounded."""
+    from proteus_engine_spark.datapipe.dedup import minhash_lsh_pairs
+
+    rows = [(i, "the same boilerplate text " * 5) for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = minhash_lsh_pairs(docs, jaccard_threshold=0.5, verify="exact",
+                            max_bucket_size=50, oversize="salted_split")
+    n = out.count()
+    assert n == 19682  # deterministic; 19,900 = C(200,2) all-pairs
+    m = out.lsh_bucket_observation.get
+    assert m["oversized_buckets"] == 16 and m["max_bucket_docs"] == 200
+
+
+def test_lsh_cap_rejects_unknown_policy(spark):
+    from proteus_engine_spark.datapipe.dedup import minhash_lsh_pairs
+
+    docs = _near_identical_docs(spark, n=4)
+    with pytest.raises(ValueError, match="salted_split"):
+        minhash_lsh_pairs(docs, max_bucket_size=10, oversize="salt")
+
+
+# ------------------------------------- cap metrics: never block, one probe
+
+
+def test_bucket_cap_metrics_pre_action_get_never_blocks(spark):
+    """ADVICE r11: on the lazy exact tier, .get before ANY action must not
+    park forever on Observation.get's latch — the non-blocking completion
+    probe routes it to the explicit stats aggregation instead."""
+    from proteus_engine_spark.datapipe.dedup import minhash_lsh_pairs
+
+    docs = _near_identical_docs(spark, n=30)
+    out = minhash_lsh_pairs(docs, jaccard_threshold=0.5, verify="exact",
+                            max_bucket_size=10, oversize="split")
+    # NO action on `out` yet — this returns (running one explicit job)
+    # rather than blocking:
+    m = out.lsh_bucket_observation.get
+    assert m["oversized_buckets"] == 16 and m["max_bucket_docs"] == 30
+    # the result is memoized; a later action doesn't change it
+    assert out.count() > 0
+    assert out.lsh_bucket_observation.get == m
+
+
+def test_bucket_cap_metrics_estimate_tier_preresolved(spark):
+    """The estimate tier resolves metrics inside the call (while the
+    signature persist is alive) — .get is a dict lookup afterwards, even
+    when a drop-everything cap empties the output (the r11 fallback now
+    reads the cache instead of re-running the signature pass)."""
+    from proteus_engine_spark.datapipe.dedup import minhash_lsh_pairs
+
+    rows = [(i, "the same boilerplate text repeated verbatim") for i in range(50)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = minhash_lsh_pairs(docs, jaccard_threshold=0.5, verify="estimate",
+                            max_bucket_size=2, oversize="drop")
+    assert out.count() == 0  # the cap dropped every bucket
+    h = out.lsh_bucket_observation
+    assert h._resolved is not None  # resolved inside the call
+    m = h.get
+    assert m["oversized_buckets"] == 16
+    assert m["max_bucket_docs"] == 50  # real measurement, not fabricated zeros
+
+
+# ------------------------------------------- bigram_logprob production tiers
+
+
+def _bigram_corpus(spark):
+    # 'a b' appears in many docs (count >= 4); 'x y' / 'y z' once each
+    rows = [(i, "a b a b c") for i in range(4)] + [(100, "x y z")]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bigram_min_count_prunes_only_below_floor(spark):
+    """Docs whose bigrams all sit at/above the floor score IDENTICALLY
+    under the pruned model (c(w1) and V stay exact); docs carrying pruned
+    bigrams score them as unseen (α numerator) — strictly lower."""
+    from proteus_engine_spark.datapipe.textstats import bigram_logprob
+
+    docs = _bigram_corpus(spark)
+    full = {r.doc_id: r for r in bigram_logprob(docs).collect()}
+    pruned = {r.doc_id: r for r in bigram_logprob(docs, min_count=4).collect()}
+    assert set(full) == set(pruned)
+    # docs 0-3 ('a b a b c'): bigrams a-b (corpus count 8), b-a (4),
+    # b-c (4) — all at/above the floor → identical scores under min_count=4
+    for d in range(4):
+        assert pruned[d].logprob == full[d].logprob
+        assert pruned[d].n_bigrams == full[d].n_bigrams
+    # doc 100 'x y z': x-y and y-z have corpus count 1 → pruned to unseen
+    assert pruned[100].logprob < full[100].logprob
+
+
+def test_bigram_broadcast_and_lazy_train_match_default(spark):
+    from proteus_engine_spark.datapipe.textstats import bigram_logprob
+
+    docs = _bigram_corpus(spark)
+    base = sorted(map(tuple, bigram_logprob(docs).collect()))
+    bcast = sorted(map(tuple, bigram_logprob(docs, broadcast_model=True).collect()))
+    lazy = sorted(map(tuple, bigram_logprob(docs, train_eagerly=False).collect()))
+    both = sorted(map(tuple, bigram_logprob(
+        docs, min_count=1, broadcast_model=True, train_eagerly=False).collect()))
+    assert base == bcast == lazy == both
+
+
+def test_bigram_lazy_train_runs_no_job_at_construction(spark):
+    """train_eagerly=False composes lazily: constructing the frame must
+    not run a Spark job (the eager localCheckpoint is the default's
+    deliberate materialization step)."""
+    from proteus_engine_spark.datapipe.textstats import bigram_logprob
+
+    docs = _bigram_corpus(spark)
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    df = bigram_logprob(docs, train_eagerly=False)
+    after = tracker.getJobIdsForGroup(None)
+    assert before == after
+    assert df.count() == 5  # still correct when finally executed
+
+
+def test_bigram_min_count_validation(spark):
+    from proteus_engine_spark.datapipe.textstats import bigram_logprob
+
+    with pytest.raises(ValueError, match="min_count"):
+        bigram_logprob(_bigram_corpus(spark), min_count=0)
+
+
+# --------------------------------- uniform mixture target: nonzero strata
+
+
+def test_uniform_target_is_temperature_limit_with_zero_strata(spark):
+    """ADVICE r11: with a zero-size stratum present, the uniform
+    denominator counts only strata that can receive mass — so uniform
+    weights form a normalized mixture and match the T→∞ temperature
+    limit (which always excluded zero strata via pow(0)=0)."""
+    from proteus_engine_spark.datapipe.sampling import mixture_weights
+
+    df = spark.createDataFrame(
+        [("a", 30), ("b", 10), ("c", 0)], "lang string, tok long"
+    )
+    uni = {r.lang: r for r in
+           mixture_weights(df, ["lang"], size_col="tok").collect()}
+    hot = {r.lang: r for r in
+           mixture_weights(df, ["lang"], size_col="tok",
+                           temperature=1e9).collect()}
+    assert uni["c"].weight is None and hot["c"].weight is None
+    # normalized over the NONZERO strata: weight*share sums to 1
+    assert sum(uni[s].weight * uni[s].share for s in ("a", "b")) == pytest.approx(1.0)
+    for s in ("a", "b"):
+        assert uni[s].weight == pytest.approx(hot[s].weight, rel=1e-6)
+        # uniform target = 1/2 (two nonzero strata), NOT 1/3
+        assert uni[s].weight * uni[s].share == pytest.approx(0.5)
+
+
+# ------------------------------------------------- gatecheck brace safety
+
+
+def test_gatecheck_oracle_wrap_is_brace_safe():
+    """ADVICE r11: the sampled-oracle wrapper must survive literal braces
+    in the registry oracle SQL (regex quantifiers, struct literals)."""
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "gatecheck", Path(__file__).resolve().parent.parent / "scripts" / "gatecheck.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    wrap = mod._SAMPLED_OVERRIDES["dedup_minhash_lsh"]["oracle_wrap"]
+    inner = r"SELECT doc_a FROM t WHERE s ~ '\s{2,}' AND m = {'k': 1}"
+    out = wrap(inner)
+    assert inner in out  # braces untouched
+    assert out.startswith("SELECT * FROM (") and out.endswith("WHERE doc_a % 17 = 0")
