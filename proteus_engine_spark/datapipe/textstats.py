@@ -432,19 +432,22 @@ def bigram_logprob(
     # the model shifts, not just the pruned bigrams' (docstring tiers).
     c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
     v2 = c12.agg(F.countDistinct("w2").alias("v2"))
-    if min_count > 1:
+    pruned = min_count > 1
+    if pruned:
         c12 = c12.filter(F.col("c12") >= min_count)
     if broadcast_model:
         c12 = F.broadcast(c12)
         c1 = F.broadcast(c1)
-    # Left join: a pruned-away bigram keeps NULL c12 → coalesce to 0, the
-    # add-α unseen probability. c1 always hits (every doc bigram's context
-    # exists in the corpus by construction), so the join stays inner.
-    p = (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(alpha)) / (
-        F.col("c1") + F.lit(alpha) * F.col("v2")
-    )
+    # Unpruned models join inner (every doc bigram is in the corpus model
+    # by construction — the gated default keeps the cheaper join type);
+    # a PRUNED model joins left: a pruned-away bigram keeps NULL c12 →
+    # coalesce to 0, the add-α unseen probability. c1 always hits (the
+    # context table stays unpruned), so that join stays inner either way.
+    num = (F.coalesce(F.col("c12"), F.lit(0)) if pruned else F.col("c12"))
+    p = (num + F.lit(alpha)) / (F.col("c1") + F.lit(alpha) * F.col("v2"))
     return (
-        dbg.join(c12, ["w1", "w2"], "left").join(c1, "w1").crossJoin(v2)
+        dbg.join(c12, ["w1", "w2"], "left" if pruned else "inner")
+        .join(c1, "w1").crossJoin(v2)
         .groupBy(id_col)
         .agg(
             F.sum("n").alias("n_bigrams"),

@@ -909,6 +909,43 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_bigram_logprob_pruned",
+    oracle=r"""
+    WITH toks AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+                  FROM documents),
+    big AS (SELECT doc_id, unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+            FROM toks WHERE len(t) >= 2),
+    c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM big GROUP BY w1, w2),
+    c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM big GROUP BY w1),
+    v AS (SELECT CAST(count(DISTINCT w2) AS BIGINT) AS v2 FROM big),
+    c12p AS (SELECT * FROM c12 WHERE c12 >= 3)
+    SELECT big.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(ln((COALESCE(c12p.c12, 0) + 0.4) / (c1.c1 + 0.4 * v.v2))), 6)
+             AS logprob
+    FROM big LEFT JOIN c12p USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+    GROUP BY big.doc_id
+    """,
+    tags=("datapipe", "text", "quality"),
+)
+def text_bigram_logprob_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LM scorer's PRODUCTION tier (textstats.bigram_logprob with
+    min_count=3 + broadcast_model=True): the bigram model is pruned to
+    counts >= 3 and broadcast into the scoring joins — the pruned-KenLM
+    shipping pattern the 100 TB docstring prescribes, driver-proven
+    rather than pytest-only. Context counts c(w1) and V stay exact, so
+    at-or-above-floor bigrams score exactly as in text_bigram_logprob
+    while pruned-away bigrams take the unseen α numerator via the left
+    join; the oracle mirrors the same pruning (c12 >= 3, COALESCE to 0),
+    so an off-by-one floor, a pruned context table, or a broadcast that
+    drops rows all fail the hash."""
+    from proteus_engine_spark.datapipe.textstats import bigram_logprob
+
+    return bigram_logprob(
+        load_table(spark, sf_dir, "documents"), min_count=3, broadcast_model=True
+    )
+
+
+@register(
     "corpus_mixture_temperature",
     oracle=r"""
     WITH per AS (

@@ -29,7 +29,14 @@ def main() -> None:
         sys.exit("usage: triscale_delta.py <record-name> <q1,q2,...>")
     record_name, qarg = sys.argv[1], sys.argv[2]
     names = [n.strip() for n in qarg.split(",") if n.strip()]
-    out: dict[str, dict] = {n: {} for n in names}
+    # merge into an existing record of the same name (same discipline as
+    # gatecheck_local.json: partial runs must not discard prior coverage)
+    dest = REPO / "scripts" / "triscale" / f"{record_name}.json"
+    out: dict[str, dict] = {}
+    if dest.exists():
+        out = json.loads(dest.read_text())
+    for n in names:
+        out[n] = {}
     ok = True
     for sf_dir in SFS:
         sf_key = "sf" + sf_dir.rstrip("/").split("sf")[-1]
@@ -48,10 +55,9 @@ def main() -> None:
             entry = snap.get(n, {"err": "missing from gatecheck output"})
             entry.pop("sf_dir", None)
             out[n][sf_key] = entry
-    dest = REPO / "scripts" / "triscale" / f"{record_name}.json"
     dest.write_text(json.dumps(out, indent=1))
     n_ok = sum(1 for n in names for s in out[n].values() if s.get("ok"))
-    print(f"{n_ok}/{len(names) * len(SFS)} ok -> {dest}")
+    print(f"{n_ok}/{len(names) * len(SFS)} ok -> {dest} ({len(out)} queries in record)")
     sys.exit(0 if ok else 1)
 
 
