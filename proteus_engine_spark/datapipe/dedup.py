@@ -466,13 +466,26 @@ class _BucketCapMetrics:
         self._resolved = resolved
 
     def _completed(self) -> bool:
-        """Non-blocking completion probe (never waits on the latch)."""
-        try:
-            return not self._obs._jo.getOrEmpty().isEmpty()
-        except Exception as e:  # noqa: BLE001 — re-raise unknown failures below
-            if any(m in str(e) for m in self._INCOMPLETE_MARKERS):
+        """Bounded completion probe (never parks on the latch). Metrics are
+        delivered by Spark's QueryExecutionListener ASYNCHRONOUSLY after the
+        action returns, so a single instant probe right after a successful
+        collect() could race the listener bus and route a free answer to
+        the expensive explicit fallback — retry for up to ~300 ms (far
+        beyond observed bus latency) before concluding the observation
+        will never complete (no action yet, or subtree eliminated)."""
+        import time
+
+        deadline = time.monotonic() + 0.3
+        while True:
+            try:
+                if not self._obs._jo.getOrEmpty().isEmpty():
+                    return True
+            except Exception as e:  # noqa: BLE001 — re-raise unknown failures below
+                if not any(m in str(e) for m in self._INCOMPLETE_MARKERS):
+                    raise
+            if time.monotonic() >= deadline:
                 return False
-            raise
+            time.sleep(0.02)
 
     @property
     def get(self) -> dict:

@@ -40,7 +40,12 @@ from proteus_engine_spark.queries import (  # noqa: F401
 # window beside the 47-row cohort — each is re-verified this round by the
 # local gate replica (scripts/gatecheck.py, sf0.01) and the tri-scale
 # delta record (scripts/triscale/r12_delta.json), and rotates back into
-# a driver window by r14 under the staleness cycle. ml_outlier_sos stays
+# a driver window by r14 under the staleness cycle. One MORE gate is
+# registered this round but cannot fit the full window:
+# text_bigram_logprob_pruned (the LM scorer's min_count+broadcast
+# production tier) — never driver-checked yet, locally green at all
+# three SFs (r12_delta.json); IT MUST LEAD THE R13 WINDOW as a
+# never-checked gate, ahead of any stale cohort. ml_outlier_sos stays
 # OUT (oracle=None by design, pytest-value-proven).
 _GATE_PRIORITY = [
     # new round-12 gates, never driver-checked (3)

@@ -1322,11 +1322,11 @@ def cep_allow_combinations(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, time_bucket(INTERVAL 1 HOUR, ts) AS win_start, ts, value
       FROM events
     ),
-    m AS (SELECT user_id, win_start, max(ts) AS mx FROM w GROUP BY 1, 2)
+    m AS (SELECT user_id, win_start, max(epoch_ms(ts)) AS mx_ms FROM w GROUP BY 1, 2)
     SELECT w.user_id, w.win_start, COUNT(*) AS n,
            CAST(SUM(CAST(w.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM w JOIN m ON w.user_id = m.user_id AND w.win_start = m.win_start
-    WHERE w.ts > m.mx - INTERVAL 15 MINUTE
+    WHERE epoch_ms(w.ts) > m.mx_ms - 900000
     GROUP BY 1, 2
     HAVING w.win_start + INTERVAL 1 HOUR
            <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)
@@ -1365,12 +1365,13 @@ def stream_tumble_time_evictor(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH f AS (
       SELECT user_id,
-             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY epoch_ms(ts), event_id) AS rn,
              CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id
+               PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS s3
       FROM events
-      WHERE ts <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)
+      WHERE epoch_ms(ts) < (SELECT epoch_ms(max(ts)) - 600000 FROM events)
     )
     SELECT user_id, CAST(rn // 5 AS BIGINT) AS fire_seq,
            CAST(3 AS BIGINT) AS n, s3 AS total_value
@@ -1420,7 +1421,7 @@ def stream_count_evictor_fires(spark: SparkSession, sf_dir: str) -> DataFrame:
                PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
                ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum
       FROM events
-      WHERE ts <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)
+      WHERE epoch_ms(ts) < (SELECT epoch_ms(max(ts)) - 600000 FROM events)
     ),
     walk AS (
       SELECT user_id, rn, v AS base, 0 AS fires, FALSE AS fired, cum

@@ -28,7 +28,17 @@ per-key event list; batch runs it inside applyInPandas (one shuffle on the
 key), streaming inside applyInPandasWithState with open partials carried in
 state. At 100 TB the per-key sort is the only superlinear cost — the same
 bound the reference's keyed NFA state has.
-"""
+
+Time model: event time is quantized to MILLISECONDS on entry (reference
+parity — Flink timestamps are epoch-ms longs throughout the DataStream
+API), so ordering ties within one millisecond break on event_id and every
+*_ts output column is epoch-ms. Two source events whose timestamps differ
+only in sub-ms digits are SIMULTANEOUS to the NFA, exactly as they would
+be to the reference. The registry oracles order by raw (µs) ts; on the
+driver corpora the two orders are identical (no same-key same-ms pairs at
+any SF — verified r12), and a future corpus with sub-ms ties should
+either quantize in the oracle (ORDER BY epoch_ms(ts), event_id) or in the
+source."""
 
 from __future__ import annotations
 

@@ -31,6 +31,12 @@ pending buffer + open-window buffers; count-evicted windows stay bounded
 (the evictor rewrite keeps at most `keep` elements live), and tumbling
 windows are dropped at watermark — the same cleanup
 WindowOperator.clearAllState does at window.maxTimestamp.
+
+Time model: event time is quantized to MILLISECONDS on entry (reference
+parity — Flink timestamps are epoch-ms longs), ties break on event_id, and
+the release cut against the watermark is strict at ms precision; the
+trigger-family registry oracles mirror this exactly (ORDER BY
+epoch_ms(ts), event_id; epoch_ms(ts) < epoch_ms(max(ts)) - delay_ms).
 """
 
 from __future__ import annotations
@@ -257,10 +263,16 @@ def triggered_window_agg(
     WindowOperator). Late-but-admitted rows (window still open at the
     key's frontier) are insorted at their (ts, id) position in the
     not-yet-fired buffer, so fire CONTENTS and evictor fronts stay
-    order-stable; the count-trigger fire POINT for such a row is still
-    arrival-relative (it increments the since-last-fire counter when it
-    arrives) — exactly CountTrigger's arrival-count semantics, and the
-    one residual split-dependence for late data. Rows later than the
+    order-stable; the ELEMENT-DRIVEN trigger decisions for such a row are
+    still arrival-relative — the count trigger's since-last-fire counter
+    increments when the row arrives (exactly CountTrigger's arrival-count
+    semantics), and a delta trigger's baseline walk likewise sees the row
+    at its release position, so its fire points AND subsequent baselines
+    are micro-batch-dependent under late admission. That is the one
+    residual split-dependence for late data (the reference's triggers are
+    arrival-driven too); pair DeltaTrigger with an in-order source — or a
+    watermark delay covering the disorder, as the gate does — when replay
+    determinism of the fire points matters. Rows later than the
     watermark are dropped by Spark upstream; the open tail past the
     final watermark never fires — append semantics, like the native-path
     stream_tumble_append."""
@@ -269,7 +281,9 @@ def triggered_window_agg(
     if window_ms is None and trigger.fires_on_event_time():
         raise ValueError(
             "GlobalWindows never end: an event-time trigger would never fire "
-            "(use a CountTrigger, as KeyedStream.countWindow does)"
+            "(use an element-fired trigger — CountTrigger, as "
+            "KeyedStream.countWindow does, or DeltaTrigger, as "
+            "TopSpeedWindowing does)"
         )
     evictor = evictor or Evictor()
     from proteus_engine_spark.streaming.stateful import field_ddl

@@ -53,7 +53,18 @@ def main() -> None:
         snap = json.loads((REPO / "gatecheck_local.json").read_text())
         for n in names:
             entry = snap.get(n, {"err": "missing from gatecheck output"})
-            entry.pop("sf_dir", None)
+            # gatecheck_local.json is a committed, merged file: if the
+            # subprocess died before its final write, snap still holds a
+            # PRIOR run's entry. Two provenance checks keep a stale green
+            # from being recorded as this SF's result: the entry's sf_dir
+            # stamp must match, AND this subprocess's own stdout must show
+            # it actually ran the query (guards same-SF staleness).
+            ran_now = f" {n} " in r.stdout or f" {n}:" in r.stdout
+            if ("err" not in entry
+                    and (entry.pop("sf_dir", None) != sf_dir or not ran_now)):
+                entry = {"err": f"no fresh gatecheck entry for {sf_key} "
+                                "(stale record from another SF/run)"}
+                ok = False
             out[n][sf_key] = entry
     dest.write_text(json.dumps(out, indent=1))
     n_ok = sum(1 for n in names for s in out[n].values() if s.get("ok"))

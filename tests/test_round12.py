@@ -205,6 +205,22 @@ def test_lsh_salted_split_identical_mega_bucket_bounded_and_recovering(spark):
     assert m["oversized_buckets"] == 16 and m["max_bucket_docs"] == 200
 
 
+def test_lsh_salted_split_noop_when_no_bucket_oversized(spark):
+    """Like the plain split, salted_split must be a pure pass-through when
+    no bucket exceeds the cap — the per-band salted sort sits behind the
+    same F.when(size > cap) guard, so the billions of small buckets at
+    100 TB never pay it (and never get reordered)."""
+    from proteus_engine_spark.datapipe.dedup import minhash_lsh_pairs
+
+    docs = _near_identical_docs(spark, n=30)
+    base = minhash_lsh_pairs(docs, jaccard_threshold=0.5, verify="exact")
+    capped = minhash_lsh_pairs(docs, jaccard_threshold=0.5, verify="exact",
+                               max_bucket_size=500, oversize="salted_split")
+    key = lambda r: (r.doc_a, r.doc_b, round(r.jaccard, 9))  # noqa: E731
+    assert sorted(map(key, base.collect())) == sorted(map(key, capped.collect()))
+    assert capped.lsh_bucket_observation.get["oversized_buckets"] == 0
+
+
 def test_lsh_cap_rejects_unknown_policy(spark):
     from proteus_engine_spark.datapipe.dedup import minhash_lsh_pairs
 
