@@ -520,10 +520,10 @@ def stream_count_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                   s.event_id AS signup_id, epoch_ms(s.ts) AS signup_ts,
                   p.event_id AS purchase_id, epoch_ms(p.ts) AS purchase_ts,
                   row_number() OVER (PARTITION BY s.user_id, s.event_id
-                                     ORDER BY p.ts, p.event_id) AS rn
+                                     ORDER BY epoch_ms(p.ts), p.event_id) AS rn
            FROM s JOIN p
              ON s.user_id = p.user_id
-            AND (p.ts > s.ts OR (p.ts = s.ts AND p.event_id > s.event_id))
+            AND (epoch_ms(p.ts) > epoch_ms(s.ts) OR (epoch_ms(p.ts) = epoch_ms(s.ts) AND p.event_id > s.event_id))
             AND epoch_ms(p.ts) - epoch_ms(s.ts) <= 600000
          )
     SELECT user_id, signup_id, signup_ts, purchase_id, purchase_ts
@@ -558,7 +558,7 @@ def cep_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
              lead(event_type) OVER w AS next_type,
              lead(ts)         OVER w AS next_ts
       FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
     ) s
     WHERE event_type = 'click' AND next_type = 'purchase'
       AND epoch_ms(next_ts) - epoch_ms(ts) <= 300000
@@ -798,7 +798,7 @@ def async_enrich_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
              lag(event_type, 2) OVER w AS t2,
              lag(ts, 2) OVER w AS ts2
       FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
     ) s
     WHERE event_type = 'click' AND t1 = 'click' AND t2 = 'click'
       AND epoch_ms(ts) - epoch_ms(ts2) <= 7200000
@@ -831,10 +831,10 @@ def cep_times_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
            s.event_id AS signup_id, epoch_ms(s.ts) AS signup_ts,
            p.event_id AS purchase_id, epoch_ms(p.ts) AS purchase_ts,
            row_number() OVER (PARTITION BY s.user_id, s.event_id
-                              ORDER BY p.ts, p.event_id) AS purchase_cnt
+                              ORDER BY epoch_ms(p.ts), p.event_id) AS purchase_cnt
     FROM s JOIN p
       ON s.user_id = p.user_id
-     AND (p.ts > s.ts OR (p.ts = s.ts AND p.event_id > s.event_id))
+     AND (epoch_ms(p.ts) > epoch_ms(s.ts) OR (epoch_ms(p.ts) = epoch_ms(s.ts) AND p.event_id > s.event_id))
      AND epoch_ms(p.ts) - epoch_ms(s.ts) <= 600000
     """,
     tags=("streaming", "cep"),
@@ -867,16 +867,16 @@ def cep_one_or_more(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT s.user_id, s.event_id AS signup_id, epoch_ms(s.ts) AS signup_ts,
              c.event_id AS click_id, epoch_ms(c.ts) AS click_ts, c.ts AS cts
       FROM s JOIN c ON s.user_id = c.user_id
-        AND (c.ts > s.ts OR (c.ts = s.ts AND c.event_id > s.event_id))
+        AND (epoch_ms(c.ts) > epoch_ms(s.ts) OR (epoch_ms(c.ts) = epoch_ms(s.ts) AND c.event_id > s.event_id))
         AND epoch_ms(c.ts) - epoch_ms(s.ts) <= 86400000
       WHERE NOT EXISTS (
         SELECT 1 FROM st WHERE st.user_id = s.user_id
-          AND (st.ts > s.ts OR (st.ts = s.ts AND st.event_id > s.event_id))
-          AND (st.ts < c.ts OR (st.ts = c.ts AND st.event_id < c.event_id)))
+          AND (epoch_ms(st.ts) > epoch_ms(s.ts) OR (epoch_ms(st.ts) = epoch_ms(s.ts) AND st.event_id > s.event_id))
+          AND (epoch_ms(st.ts) < epoch_ms(c.ts) OR (epoch_ms(st.ts) = epoch_ms(c.ts) AND st.event_id < c.event_id)))
     )
     SELECT user_id, signup_id, signup_ts, click_id, click_ts,
            row_number() OVER (PARTITION BY user_id, signup_id
-                              ORDER BY cts, click_id) AS click_cnt
+                              ORDER BY epoch_ms(cts), click_id) AS click_cnt
     FROM q
     """,
     tags=("streaming", "cep"),
@@ -916,9 +916,9 @@ def cep_until_stop(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT s.user_id, s.event_id AS signup_id, epoch_ms(s.ts) AS signup_ts,
              c.event_id AS click_id, epoch_ms(c.ts) AS click_ts,
              row_number() OVER (PARTITION BY s.user_id, s.event_id
-                                ORDER BY c.ts, c.event_id) AS click_cnt
+                                ORDER BY epoch_ms(c.ts), c.event_id) AS click_cnt
       FROM s JOIN c ON s.user_id = c.user_id
-        AND (c.ts > s.ts OR (c.ts = s.ts AND c.event_id > s.event_id))
+        AND (epoch_ms(c.ts) > epoch_ms(s.ts) OR (epoch_ms(c.ts) = epoch_ms(s.ts) AND c.event_id > s.event_id))
         AND epoch_ms(c.ts) - epoch_ms(s.ts) <= 259200000
     )
     SELECT user_id, signup_id, signup_ts, click_id, click_ts, click_cnt
@@ -961,7 +961,7 @@ def cep_times_or_more(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE NOT EXISTS (
       SELECT 1 FROM f p
       WHERE p.event_type = 'purchase' AND p.user_id = s.user_id
-        AND (p.ts > s.ts OR (p.ts = s.ts AND p.event_id > s.event_id))
+        AND (epoch_ms(p.ts) > epoch_ms(s.ts) OR (epoch_ms(p.ts) = epoch_ms(s.ts) AND p.event_id > s.event_id))
         AND epoch_ms(p.ts) - epoch_ms(s.ts) <= 600000)
     AND EXISTS (
       SELECT 1 FROM f e
@@ -1002,10 +1002,10 @@ def cep_timeout_signups(spark: SparkSession, sf_dir: str) -> DataFrame:
                   s.event_id AS signup_id, epoch_ms(s.ts) AS signup_ts,
                   c.event_id, c.ts, c.event_type,
                   row_number() OVER (PARTITION BY s.user_id, s.event_id
-                                     ORDER BY c.ts, c.event_id) AS rn
+                                     ORDER BY epoch_ms(c.ts), c.event_id) AS rn
            FROM s JOIN c
              ON s.user_id = c.user_id
-            AND (c.ts > s.ts OR (c.ts = s.ts AND c.event_id > s.event_id))
+            AND (epoch_ms(c.ts) > epoch_ms(s.ts) OR (epoch_ms(c.ts) = epoch_ms(s.ts) AND c.event_id > s.event_id))
          )
     SELECT user_id, signup_id, signup_ts,
            event_id AS purchase_id, epoch_ms(ts) AS purchase_ts
@@ -1048,7 +1048,7 @@ def cep_not_followed_by(spark: SparkSession, sf_dir: str) -> DataFrame:
            p.event_id AS purchase_id, epoch_ms(p.ts) AS purchase_ts
     FROM s JOIN p
       ON s.user_id = p.user_id
-     AND (p.ts > s.ts OR (p.ts = s.ts AND p.event_id > s.event_id))
+     AND (epoch_ms(p.ts) > epoch_ms(s.ts) OR (epoch_ms(p.ts) = epoch_ms(s.ts) AND p.event_id > s.event_id))
      AND epoch_ms(p.ts) - epoch_ms(s.ts) <= 600000
     """,
     tags=("streaming", "cep"),
@@ -1079,7 +1079,7 @@ def cep_followed_by_any(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE NOT EXISTS (
       SELECT 1 FROM events p
       WHERE p.event_type = 'purchase' AND p.user_id = s.user_id
-        AND (p.ts > s.ts OR (p.ts = s.ts AND p.event_id > s.event_id))
+        AND (epoch_ms(p.ts) > epoch_ms(s.ts) OR (epoch_ms(p.ts) = epoch_ms(s.ts) AND p.event_id > s.event_id))
         AND epoch_ms(p.ts) - epoch_ms(s.ts) <= 600000)
     AND EXISTS (
       SELECT 1 FROM events e
@@ -1113,7 +1113,7 @@ def cep_absence_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH seq AS (
       SELECT user_id, event_id, ts,  event_type,
-             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+             row_number() OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS rn
       FROM events),
     clicks AS (
       SELECT user_id, event_id, ts, rn,
@@ -1271,9 +1271,9 @@ def stream_over_bounded_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     o AS (SELECT s.user_id, s.event_id AS signup_id, epoch_ms(s.ts) AS signup_ts,
                  c.event_id AS act_id, epoch_ms(c.ts) AS act_ts,
                  row_number() OVER (PARTITION BY s.user_id, s.event_id
-                                    ORDER BY c.ts, c.event_id) AS ord
+                                    ORDER BY epoch_ms(c.ts), c.event_id) AS ord
           FROM s JOIN events c ON s.user_id = c.user_id
-            AND (c.ts > s.ts OR (c.ts = s.ts AND c.event_id > s.event_id))
+            AND (epoch_ms(c.ts) > epoch_ms(s.ts) OR (epoch_ms(c.ts) = epoch_ms(s.ts) AND c.event_id > s.event_id))
             AND epoch_ms(c.ts) - epoch_ms(s.ts) <= 14400000),
     x AS (SELECT o.*, 1 AS act_cnt FROM o WHERE ord = 1
           UNION ALL
@@ -1587,7 +1587,7 @@ def stream_iterate_halving(spark: SparkSession, sf_dir: str) -> DataFrame:
              lead(ts, 2) OVER w AS ts2,
              lead(ts, 3) OVER w AS ts3
       FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
     ) s
     WHERE event_type = 'click' AND t1 = 'view' AND t2 = 'click' AND t3 = 'view'
     """,
@@ -1624,7 +1624,7 @@ def cep_group_times(spark: SparkSession, sf_dir: str) -> DataFrame:
              lead(event_type, 3) OVER w AS t3, lead(event_id, 3) OVER w AS id3,
              lead(ts, 3) OVER w AS ts3
       FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
     )
     SELECT user_id,
            id1 AS click_id, epoch_ms(ts1) AS click_ts, CAST(1 AS BIGINT) AS click_cnt,
@@ -1784,12 +1784,12 @@ def stream_window_all(spark: SparkSession, sf_dir: str) -> DataFrame:
                WHERE event_type IN ('signup', 'purchase')),
     seq AS (
       SELECT *, COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS seg
       FROM f),
     s AS (SELECT user_id, seg, event_id AS signup_id, epoch_ms(ts) AS signup_ts,
                  row_number() OVER (PARTITION BY user_id, seg
-                                    ORDER BY ts, event_id) AS j
+                                    ORDER BY epoch_ms(ts), event_id) AS j
           FROM seq WHERE event_type = 'signup'),
     p AS (SELECT user_id, seg, event_id AS purchase_id, epoch_ms(ts) AS purchase_ts
           FROM seq WHERE event_type = 'purchase')
@@ -1832,10 +1832,10 @@ def cep_skip_past_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
                   s.event_id AS signup_id, epoch_ms(s.ts) AS signup_ts,
                   p.event_id AS purchase_id, epoch_ms(p.ts) AS purchase_ts,
                   row_number() OVER (PARTITION BY s.user_id, s.event_id
-                                     ORDER BY p.ts, p.event_id) AS rn
+                                     ORDER BY epoch_ms(p.ts), p.event_id) AS rn
            FROM s JOIN p
              ON s.user_id = p.user_id
-            AND (p.ts > s.ts OR (p.ts = s.ts AND p.event_id > s.event_id))
+            AND (epoch_ms(p.ts) > epoch_ms(s.ts) OR (epoch_ms(p.ts) = epoch_ms(s.ts) AND p.event_id > s.event_id))
             AND epoch_ms(p.ts) - epoch_ms(s.ts) <= 14400000
          )
     SELECT user_id, signup_id, signup_ts, purchase_id, purchase_ts
@@ -1887,7 +1887,7 @@ def cep_stream_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE NOT EXISTS (
             SELECT 1 FROM p
             WHERE p.user_id = s.user_id
-              AND (p.ts > s.ts OR (p.ts = s.ts AND p.event_id > s.event_id))
+              AND (epoch_ms(p.ts) > epoch_ms(s.ts) OR (epoch_ms(p.ts) = epoch_ms(s.ts) AND p.event_id > s.event_id))
               AND epoch_ms(p.ts) - epoch_ms(s.ts) <= 600000)
       AND epoch_ms(s.ts) + 600000
           < (SELECT max(epoch_ms(ts)) FROM events
@@ -2132,7 +2132,7 @@ def stream_late_side_output_partitioned(spark: SparkSession, sf_dir: str) -> Dat
     oracle="""
     WITH RECURSIVE seq AS (
       SELECT user_id, event_id, ts, event_type,
-             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+             row_number() OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS rn
       FROM events),
     pairs AS (
       SELECT c.user_id, c.rn AS start_rn, v.rn AS end_rn,
@@ -2183,7 +2183,7 @@ def cep_group_unbounded_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH RECURSIVE seq AS (
       SELECT user_id, event_id, ts, event_type,
-             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+             row_number() OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS rn
       FROM events),
     pairs AS (
       SELECT c.user_id, c.rn AS start_rn, v.rn AS end_rn,

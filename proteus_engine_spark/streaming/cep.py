@@ -34,11 +34,12 @@ parity — Flink timestamps are epoch-ms longs throughout the DataStream
 API), so ordering ties within one millisecond break on event_id and every
 *_ts output column is epoch-ms. Two source events whose timestamps differ
 only in sub-ms digits are SIMULTANEOUS to the NFA, exactly as they would
-be to the reference. The registry oracles order by raw (µs) ts; on the
-driver corpora the two orders are identical (no same-key same-ms pairs at
-any SF — verified r12), and a future corpus with sub-ms ties should
-either quantize in the oracle (ORDER BY epoch_ms(ts), event_id) or in the
-source."""
+be to the reference. The registry oracles mirror this EXACTLY — every
+ts comparison and ordering key is quantized through epoch_ms() before the
+event_id tiebreak (r12 sweep, all 19 CEP gates re-verified) — so a corpus
+with sub-ms ties hashes identically on both engines. The OVER/sort family
+(streaming/stateful.py) deliberately keeps µs precision instead: Spark's
+native windows are µs-exact and those oracles compare raw ts."""
 
 from __future__ import annotations
 
