@@ -37,6 +37,14 @@ parity — Flink timestamps are epoch-ms longs), ties break on event_id, and
 the release cut against the watermark is strict at ms precision; the
 trigger-family registry oracles mirror this exactly (ORDER BY
 epoch_ms(ts), event_id; epoch_ms(ts) < epoch_ms(max(ts)) - delay_ms).
+
+Value model: sums are exact integer CENTS (np.rint(value*100) — nearest
+cent, ties-to-even), mirrored by the oracles' CAST(value AS
+DECIMAL(18,2)) aggregation. The two quantizers agree whenever values
+carry <= 2 decimals (every driver corpus does — verified, zero sub-cent
+rows); a corpus with sub-cent precision would diverge at exact half-cent
+ties (DECIMAL rounds half away from zero) — quantize such inputs
+upstream, or widen the DECIMAL scale and the cents factor together.
 """
 
 from __future__ import annotations
