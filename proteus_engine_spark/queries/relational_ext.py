@@ -14,6 +14,10 @@ l_commitdate/l_receiptdate/l_shipmode, no c_phone/p_container):
 - Q12 groups by l_returnflag (no l_shipmode).
 - Q16 counts suppliers via lineitem (no partsupp).
 - Q22 country code = c_nationkey (no phone prefix).
+- Q2/Q11/Q20 (r12) run on a DERIVED stand-in partsupp (4 suppliers per
+  part by a rotation stride, integer-hash quantities/costs in exact
+  cents) built in-query from part × supplier on BOTH engines — the
+  text_decontaminate doc_id%97 convention; see derived_partsupp/_PS_CTE.
 Every query keeps the original's plan shape and carries a DuckDB oracle
 with the exact-decimal discipline from queries.exact.
 """
@@ -708,4 +712,253 @@ def agg_reduce_group_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         top3,
         "o_orderstatus string, top3_total double, top_order long",
         sort_within=["o_totalprice", "o_orderkey"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q2 / Q11 / Q20 — the three queries the driver schema previously
+# blocked (no partsupp table). Closed with an IN-QUERY stand-in: partsupp is
+# DERIVED deterministically from the driver's own part × supplier tables by
+# the same convention text_decontaminate uses for its eval split (doc_id %
+# 97 — a stand-in benchmark set). Each part gets 4 distinct suppliers by a
+# rotation stride (dbgen's PS_SUPPKEY construction, dbgen/build.c: suppkey =
+# (partkey + i·(S/4 + …)) mod S — simplified to a guaranteed-distinct
+# stride), and availqty/supplycost are integer hashes of the pair. Both
+# engines derive the SAME rows from the SAME parquet inputs, so the oracles
+# validate the full query logic over it. supplycost is carried as integer
+# CENTS end-to-end (sums and thresholds stay integer-exact; the /100.0
+# happens once per output row).
+
+_PS_CTE = """
+    sc AS (SELECT count(*) AS s_cnt FROM supplier),
+    ps0 AS (SELECT p_partkey AS ps_partkey,
+                   (p_partkey + i.i * greatest(s_cnt // 4, 1)) % s_cnt AS ps_suppkey
+            FROM part, sc, (SELECT unnest([0, 1, 2, 3]) AS i) i),
+    ps AS (SELECT ps_partkey, ps_suppkey,
+                  (ps_partkey * 7 + ps_suppkey * 11) % 9999 + 1 AS ps_availqty,
+                  (ps_partkey * 31 + ps_suppkey * 17) % 100000 + 100 AS ps_cost_cents
+           FROM ps0)
+"""
+
+
+def derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stand-in partsupp: (ps_partkey, ps_suppkey, ps_availqty,
+    ps_cost_cents), 4 distinct suppliers per part via a rotation stride of
+    max(S//4, 1) (strides 0/q/2q/3q with 3q < S, so the four keys never
+    collide), quantities/costs as integer hashes of the pair. One
+    broadcast of the 1-row supplier count; the frame is 4×|part| rows and
+    never shuffles on construction. Mirrors _PS_CTE exactly."""
+    part = _t(spark, sf_dir, "part").select("p_partkey")
+    s_cnt = _t(spark, sf_dir, "supplier").agg(F.count(F.lit(1)).alias("s_cnt"))
+    ps0 = (
+        part.crossJoin(F.broadcast(s_cnt))
+        .select(
+            "p_partkey",
+            "s_cnt",
+            F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("i"),
+        )
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            F.expr("(p_partkey + i * greatest(s_cnt div 4, 1)) % s_cnt").alias(
+                "ps_suppkey"
+            ),
+        )
+    )
+    return ps0.select(
+        "ps_partkey",
+        "ps_suppkey",
+        ((F.col("ps_partkey") * 7 + F.col("ps_suppkey") * 11) % 9999 + 1).alias(
+            "ps_availqty"
+        ),
+        ((F.col("ps_partkey") * 31 + F.col("ps_suppkey") * 17) % 100000 + 100).alias(
+            "ps_cost_cents"
+        ),
+    )
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle=f"""
+    WITH {_PS_CTE},
+    eu AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                    JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'),
+    j AS (
+      SELECT p.p_partkey, p.p_brand, p.p_type,
+             eu.s_suppkey, eu.s_name, eu.s_acctbal, eu.n_name,
+             ps.ps_cost_cents,
+             min(ps.ps_cost_cents) OVER (PARTITION BY p.p_partkey) AS mn
+      FROM part p JOIN ps ON p.p_partkey = ps.ps_partkey
+                  JOIN eu ON ps.ps_suppkey = eu.s_suppkey
+      WHERE p.p_type = 'STANDARD' AND p.p_size >= 25)
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+           s_suppkey, ps_cost_cents / 100.0 AS ps_supplycost
+    FROM j WHERE ps_cost_cents = mn
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, s_suppkey
+    LIMIT 100
+    """,
+    tags=("tpch", "join", "window", "partsupp"),
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): for STANDARD parts of size
+    >= 25, the EUROPE supplier(s) offering the per-part minimum supply
+    cost, top 100 by account balance. The correlated min-subquery becomes
+    a per-part window MIN over the region-filtered join — one shuffle on
+    p_partkey instead of a re-scan per part (the classic Spark rewrite;
+    Catalyst plans the original correlated form as this join anyway).
+    Adaptations: partsupp is the derived stand-in; p_type equality (the
+    driver's types are single words, dbgen's '%BRASS' suffix has no
+    analogue); s_suppkey added to the output for a fully deterministic
+    top-100 tie-break (no s_address/s_phone/s_comment in the schema)."""
+    from pyspark.sql.window import Window
+
+    ps = derived_partsupp(spark, sf_dir)
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") >= 25)
+    )
+    eu = (
+        _t(spark, sf_dir, "supplier")
+        .join(_t(spark, sf_dir, "nation"),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    j = (
+        part.join(ps, F.col("p_partkey") == F.col("ps_partkey"))
+        .join(eu, F.col("ps_suppkey") == F.col("s_suppkey"))
+        .withColumn(
+            "mn", F.min("ps_cost_cents").over(Window.partitionBy("p_partkey"))
+        )
+    )
+    return (
+        j.filter(F.col("ps_cost_cents") == F.col("mn"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
+            "s_suppkey",
+            (F.col("ps_cost_cents") / 100.0).alias("ps_supplycost"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey", "s_suppkey"
+        )
+        .limit(100)
+    )
+
+
+@register(
+    "q11_important_stock",
+    oracle=f"""
+    WITH {_PS_CTE},
+    j AS (
+      SELECT ps_partkey, ps_cost_cents * ps_availqty AS v_cents
+      FROM ps JOIN supplier ON ps_suppkey = s_suppkey
+      WHERE s_nationkey % 5 = 2),
+    g AS (SELECT ps_partkey, CAST(sum(v_cents) AS BIGINT) AS value_cents
+          FROM j GROUP BY ps_partkey)
+    SELECT ps_partkey, value_cents, value_cents / 100.0 AS value
+    FROM (SELECT ps_partkey, value_cents,
+                 CAST(sum(value_cents) OVER () AS BIGINT) AS total_cents,
+                 CAST(count(*) OVER () AS BIGINT) AS n_parts
+          FROM g)
+    WHERE value_cents * n_parts > 2 * total_cents
+    """,
+    tags=("tpch", "agg", "having", "partsupp"),
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock identification): per-part total
+    stock value held by a supplier cohort, keeping parts whose value
+    exceeds twice the mean per-part share. Adaptations: the cohort is the
+    deterministic s_nationkey % 5 = 2 fifth (a single named nation can be
+    supplier-EMPTY at the smallest SF — the driver spreads ~10 suppliers
+    over 25 synthetic nations), and dbgen's fixed FRACTION becomes the
+    scale-free 2x-mean cut (a fixed share threshold is all-pass at small
+    part counts and all-fail at large ones; 2x-mean selects a stable
+    minority at every SF). The global total AND part count are windows
+    over the GROUPED frame — parts-sized, so the single-partition window
+    is free and the partsupp join is scanned once (the scalar-subquery
+    form would re-run it). Values are integer cents throughout; the
+    threshold compare is value_cents * n_parts > 2 * total_cents — exact
+    integers on both engines, no float in the decision."""
+    from pyspark.sql.window import Window
+
+    ps = derived_partsupp(spark, sf_dir)
+    cohort = _t(spark, sf_dir, "supplier").filter(F.col("s_nationkey") % 5 == 2)
+    j = (
+        ps.join(cohort, F.col("ps_suppkey") == F.col("s_suppkey"))
+        .select("ps_partkey", (F.col("ps_cost_cents") * F.col("ps_availqty")).alias("v_cents"))
+    )
+    g = j.groupBy("ps_partkey").agg(F.sum("v_cents").alias("value_cents"))
+    w = Window.partitionBy()  # parts-sized frame: single partition is fine
+    return (
+        g.withColumn("total_cents", F.sum("value_cents").over(w))
+        .withColumn("n_parts", F.count(F.lit(1)).over(w))
+        .filter(F.col("value_cents") * F.col("n_parts") > 2 * F.col("total_cents"))
+        .select(
+            "ps_partkey", "value_cents",
+            (F.col("value_cents") / 100.0).alias("value"),
+        )
+    )
+
+
+@register(
+    "q20_potential_promotion",
+    oracle=f"""
+    WITH {_PS_CTE},
+    agg AS (
+      SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY 1, 2),
+    qualified AS (
+      SELECT DISTINCT ps.ps_suppkey
+      FROM ps JOIN part ON ps.ps_partkey = p_partkey AND p_name LIKE 'small%'
+              JOIN agg ON agg.l_partkey = ps.ps_partkey
+                      AND agg.l_suppkey = ps.ps_suppkey
+      WHERE ps.ps_availqty > 0.5 * agg.qty)
+    SELECT s_suppkey, s_name
+    FROM supplier JOIN qualified ON s_suppkey = ps_suppkey
+    """,
+    tags=("tpch", "join", "semi", "partsupp"),
+)
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): suppliers holding
+    excess stock (availqty > half of what they shipped in 1997) of
+    'small%' parts. The correlated quantity subquery becomes a pre-
+    aggregated (partkey, suppkey) frame joined into partsupp — lineitem
+    is scanned once with the year filter pushed to the scan, and the
+    final supplier attach is a semi-shaped DISTINCT join. Adaptation:
+    the nation cut is dropped (the driver's synthetic 25-nation split
+    would empty the result at the smallest SF; the semi-join chain is
+    the operator under test)."""
+    ps = derived_partsupp(spark, sf_dir)
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    agg = li.groupBy("l_partkey", "l_suppkey").agg(F.sum("l_quantity").alias("qty"))
+    small = _t(spark, sf_dir, "part").filter(F.col("p_name").like("small%")).select(
+        "p_partkey"
+    )
+    qualified = (
+        ps.join(small, F.col("ps_partkey") == F.col("p_partkey"))
+        .join(
+            agg,
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .filter(F.col("ps_availqty") > 0.5 * F.col("qty"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    return (
+        _t(spark, sf_dir, "supplier")
+        .join(qualified, F.col("s_suppkey") == F.col("ps_suppkey"))
+        .select("s_suppkey", "s_name")
     )

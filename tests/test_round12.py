@@ -377,3 +377,32 @@ def test_gatecheck_oracle_wrap_is_brace_safe():
     out = wrap(inner)
     assert inner in out  # braces untouched
     assert out.startswith("SELECT * FROM (") and out.endswith("WHERE doc_a % 17 = 0")
+
+
+# --------------------------------------------- derived partsupp stand-in
+
+
+def test_derived_partsupp_invariants(spark):
+    """The q2/q11/q20 stand-in: every part gets exactly 4 DISTINCT
+    suppliers (rotation strides 0/q/2q/3q with 3q < S can't collide),
+    keys stay in range, quantities/costs stay in their documented bands,
+    and the whole frame is deterministic across builds."""
+    import os
+
+    from proteus_engine_spark.queries.relational_ext import derived_partsupp
+
+    sf_dir = os.environ.get("PROTEUS_TEST_SF_DIR", "/root/testdata/sf0.001")
+    ps = derived_partsupp(spark, sf_dir).collect()
+    n_part = spark.read.parquet(f"{sf_dir}/part.parquet").count()
+    n_supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").count()
+    assert len(ps) == 4 * n_part
+    by_part = {}
+    for r in ps:
+        by_part.setdefault(r.ps_partkey, set()).add(r.ps_suppkey)
+        assert 0 <= r.ps_suppkey < n_supp
+        assert 1 <= r.ps_availqty <= 9999
+        assert 100 <= r.ps_cost_cents <= 100099
+    assert all(len(s) == 4 for s in by_part.values())
+    ps2 = derived_partsupp(spark, sf_dir).collect()
+    key = lambda r: (r.ps_partkey, r.ps_suppkey, r.ps_availqty, r.ps_cost_cents)  # noqa: E731
+    assert sorted(map(key, ps)) == sorted(map(key, ps2))
