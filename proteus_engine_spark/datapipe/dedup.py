@@ -831,3 +831,65 @@ def dedup_cluster_keep(
             ).alias("is_kept"),
         )
     )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+) -> DataFrame:
+    """Cross-document duplicated k-token spans — the span tier of exact-
+    substring dedup (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better": remove substrings of >= N tokens that repeat
+    across the corpus; the full suffix-array construction is replaced by
+    the standard rolling k-gram approximation). Distinct from the other
+    text signals: repetition_stats is WITHIN-doc, decontamination is
+    corpus-vs-eval-set — this is corpus-vs-itself at span granularity,
+    the signal that finds boilerplate paragraphs embedded in otherwise
+    unique documents (which whole-doc MinHash misses when the document
+    around them differs).
+
+    Per document (with >= k tokens): total k-token span positions, the
+    number of positions whose span also occurs in AT LEAST ONE OTHER
+    document, and their fraction. Positions count multiply (a doc
+    repeating a shared span twice has 2 duplicated positions) — the mass
+    a span-removal pass would actually cut.
+
+    Scale shape (the decontam discipline): spans are generated JVM-side
+    (transform over a token-index sequence) and hashed to 8 bytes in the
+    scan projection; the position frame shuffles (doc_id, hash) only.
+    Cross-doc span counts are ONE gram-keyed aggregation with map-side
+    combine (countDistinct over doc ids — bounded by the gram's doc
+    frequency); the attach join is left to AQE. An explicit repartition
+    ahead of the explode keeps a single-file input from serializing the
+    span generation on one task. xxhash64 collisions can at worst mark a
+    unique span duplicated (2^-64 per gram pair), deterministic across
+    runs; the registry oracle recomputes with STRING grams, so a
+    collision-induced miscount on the driver corpora would fail the gate.
+    """
+    toks = docs.select(
+        F.col(id_col), F.split(F.lower(F.col(text_col)), r"\s+").alias("t")
+    ).filter(F.size("t") >= k)
+    span_hashes = F.expr(
+        f"transform(sequence(1, size(t) - {k} + 1), "
+        f"i -> xxhash64(array_join(slice(t, i, {k}), ' ')))"
+    )
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    g = (
+        toks.repartition(n_parts)
+        .select(F.col(id_col), F.explode(span_hashes).alias("h"))
+    )
+    nd = g.groupBy("h").agg(F.countDistinct(id_col).alias("nd"))
+    return (
+        g.join(nd, "h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).alias("n_dup_spans"),
+        )
+        .withColumn(
+            "dup_span_frac",
+            F.round(F.col("n_dup_spans") / F.col("n_spans"), 6),
+        )
+    )

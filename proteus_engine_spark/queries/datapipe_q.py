@@ -704,6 +704,38 @@ def dedup_cluster_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_duplicate_spans",
+    oracle=r"""
+    WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+               FROM documents),
+    w AS (SELECT doc_id,
+                 unnest([array_to_string(t[i:i+9], ' ')
+                         FOR i IN range(1, len(t) - 10 + 2)]) AS gram
+          FROM t WHERE len(t) >= 10),
+    nd AS (SELECT gram, count(DISTINCT doc_id) AS nd FROM w GROUP BY gram)
+    SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(count(*) FILTER (WHERE nd.nd >= 2) AS BIGINT) AS n_dup_spans,
+           round(count(*) FILTER (WHERE nd.nd >= 2)
+                 / CAST(count(*) AS DOUBLE), 6) AS dup_span_frac
+    FROM w JOIN nd USING (gram) GROUP BY w.doc_id
+    """,
+    tags=("datapipe", "dedup", "spans"),
+)
+def text_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-span detection (dedup.duplicate_spans —
+    the Lee et al. 2022 exact-substring dedup tier, rolling 10-token
+    k-gram approximation): per document, how many of its span positions
+    also occur in at least one OTHER document, and the fraction a
+    span-removal pass would cut. Engine spans are hashed to 8 bytes in
+    the scan projection (the decontam discipline — the shuffle carries
+    (doc_id, hash), never span strings); the oracle recomputes with
+    STRING grams, so a hash-collision miscount would fail the gate."""
+    from proteus_engine_spark.datapipe.dedup import duplicate_spans
+
+    return duplicate_spans(load_table(spark, sf_dir, "documents"), k=10)
+
+
+@register(
     "text_decontaminate",
     oracle=r"""
     WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t

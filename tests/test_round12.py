@@ -406,3 +406,50 @@ def test_derived_partsupp_invariants(spark):
     ps2 = derived_partsupp(spark, sf_dir).collect()
     key = lambda r: (r.ps_partkey, r.ps_suppkey, r.ps_availqty, r.ps_cost_cents)  # noqa: E731
     assert sorted(map(key, ps)) == sorted(map(key, ps2))
+
+
+# ------------------------------------------- cross-doc duplicated spans
+
+
+def test_duplicate_spans_counts_shared_paragraph(spark):
+    """Two docs embed the SAME 12-token paragraph in different contexts:
+    with k=10 exactly the 3 span positions fully inside the paragraph are
+    duplicated in each (positions straddling the boundary differ — their
+    context tokens do); a unique doc reports 0 with frac 0.0. This is the
+    cross-doc signal whole-doc MinHash misses when the surrounding text
+    differs."""
+    from proteus_engine_spark.datapipe.dedup import duplicate_spans
+
+    para = " ".join(f"p{i}" for i in range(12))
+    rows = [
+        (1, "a1 a2 a3 a4 a5 " + para + " a6 a7 a8 a9 a10"),
+        (2, "b1 b2 b3 b4 b5 " + para + " b6 b7 b8 b9 b10"),
+        (3, " ".join(f"c{i}" for i in range(22))),
+        (4, "too short"),  # < k tokens: contributes no spans, absent
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in duplicate_spans(docs, k=10).collect()}
+    assert set(out) == {1, 2, 3}
+    for d in (1, 2):
+        assert out[d].n_spans == 22 - 10 + 1
+        assert out[d].n_dup_spans == 3
+        assert out[d].dup_span_frac == pytest.approx(3 / 13, abs=1e-6)
+    assert out[3].n_dup_spans == 0 and out[3].dup_span_frac == 0.0
+
+
+def test_duplicate_spans_positions_count_multiply(spark):
+    """A doc repeating a shared span twice has BOTH positions counted —
+    the mass a removal pass would actually cut."""
+    from proteus_engine_spark.datapipe.dedup import duplicate_spans
+
+    para = " ".join(f"p{i}" for i in range(10))  # exactly k tokens
+    rows = [
+        (1, para + " x1 x2 x3 " + para),  # the shared 10-gram appears twice
+        (2, para + " y1 y2 y3 y4 y5 y6 y7 y8 y9 y10"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in duplicate_spans(docs, k=10).collect()}
+    # doc 1: 23 tokens -> 14 positions; the paragraph 10-gram occurs at
+    # positions 1 and 14, both duplicated (it also occurs in doc 2)
+    assert out[1].n_spans == 14 and out[1].n_dup_spans == 2
+    assert out[2].n_dup_spans == 1
