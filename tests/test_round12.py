@@ -453,3 +453,94 @@ def test_duplicate_spans_positions_count_multiply(spark):
     # positions 1 and 14, both duplicated (it also occurs in doc 2)
     assert out[1].n_spans == 14 and out[1].n_dup_spans == 2
     assert out[2].n_dup_spans == 1
+
+
+# ------------------------------------------------------------- ALS (FlinkML)
+
+
+def _als_mirror(rows, rank, reg, iterations):
+    """Pure-numpy ALS-WR mirror: same hash init, same sorted accumulation
+    order, same np.linalg.solve — written independently of ml/als.py's
+    Spark plumbing so a drift in either side breaks the bitwise match."""
+    import numpy as np
+
+    from proteus_engine_spark.ml import init_factors_np
+
+    R = {(u, i): r for u, i, r in rows}
+    user_ids = sorted({u for u, _, _ in rows})
+    item_ids = sorted({i for _, i, _ in rows})
+    V = {i: v for i, v in zip(item_ids, init_factors_np(np.array(item_ids), rank))}
+    U = {}
+    for _ in range(iterations):
+        U = {}
+        for u in user_ids:
+            fs = sorted(i for (uu, i) in R if uu == u)
+            Y = np.stack([V[i] for i in fs])
+            r = np.array([R[(u, i)] for i in fs])
+            U[u] = np.linalg.solve(Y.T @ Y + reg * len(fs) * np.eye(rank), Y.T @ r)
+        V = {}
+        for i in item_ids:
+            fs = sorted(u for (u, ii) in R if ii == i)
+            Y = np.stack([U[u] for u in fs])
+            r = np.array([R[(u, i)] for u in fs])
+            V[i] = np.linalg.solve(Y.T @ Y + reg * len(fs) * np.eye(rank), Y.T @ r)
+    return U, V
+
+
+def test_als_matches_numpy_mirror_bitwise(spark):
+    """ALS.scala parity (weighted-λ ridge alternation): the deterministic
+    hash init + per-entity SORTED accumulation make the engine's factors
+    EXACTLY equal to the mirror's — max |Δ| asserted 0.0, not approx."""
+    import numpy as np
+
+    from proteus_engine_spark.ml import als
+
+    rows = [(u, i, float((u * 3 + i * 5) % 7 + 1))
+            for u in range(6) for i in range(8) if (u + i) % 3 != 0]
+    ratings = spark.createDataFrame(rows, "user long, item long, rating double")
+    users, items = als(ratings, rank=4, reg=0.5, iterations=3)
+    uf = {r.user: np.array(r.factors) for r in users.collect()}
+    vf = {r.item: np.array(r.factors) for r in items.collect()}
+    U, V = _als_mirror(rows, rank=4, reg=0.5, iterations=3)
+    assert max(abs(uf[u] - U[u]).max() for u in U) == 0.0
+    assert max(abs(vf[i] - V[i]).max() for i in V) == 0.0
+
+
+def test_als_training_loss_decreases(spark):
+    """More sweeps must not worsen the regularized objective — each
+    half-sweep solves its subproblem exactly, so the ALS objective is
+    monotonically non-increasing (and on this corpus strictly falls)."""
+    import numpy as np
+
+    from proteus_engine_spark.ml import als, als_predict
+
+    rows = [(u, i, float((u * 7 + i * 11) % 9 + 1))
+            for u in range(10) for i in range(12) if (u * i) % 4 != 1]
+    ratings = spark.createDataFrame(rows, "user long, item long, rating double")
+
+    def objective(k):
+        users, items = als(ratings, rank=4, reg=0.1, iterations=k)
+        p = als_predict(ratings, users, items).collect()
+        sq = sum((r.rating - r.prediction) ** 2 for r in p)
+        uf = {x.user: np.array(x.factors) for x in users.collect()}
+        vf = {x.item: np.array(x.factors) for x in items.collect()}
+        n_u = {u: sum(1 for (uu, _, _) in rows if uu == u) for u in uf}
+        n_i = {i: sum(1 for (_, ii, _) in rows if ii == i) for i in vf}
+        reg_term = 0.1 * (
+            sum(n_u[u] * (uf[u] ** 2).sum() for u in uf)
+            + sum(n_i[i] * (vf[i] ** 2).sum() for i in vf)
+        )
+        return sq + reg_term
+
+    o1, o3 = objective(1), objective(3)
+    assert o3 < o1
+
+
+def test_als_validation(spark):
+    from proteus_engine_spark.ml import als
+
+    ratings = spark.createDataFrame([(1, 1, 1.0)], "user long, item long, rating double")
+    with pytest.raises(ValueError, match="rank"):
+        als(ratings, rank=0)
+    with pytest.raises(ValueError, match="iterations"):
+        als(ratings, iterations=0)
