@@ -9,6 +9,7 @@ from proteus_engine_spark.ml.preprocessing import (
     train_test_split,
 )
 from proteus_engine_spark.ml.regression import LinearRegressionModel, linear_regression
+from proteus_engine_spark.ml.svm import svm_cocoa, svm_decision
 
 __all__ = [
     "LinearRegressionModel",
@@ -20,5 +21,7 @@ __all__ = [
     "polynomial_features",
     "standard_scaler",
     "stochastic_outlier_selection",
+    "svm_cocoa",
+    "svm_decision",
     "train_test_split",
 ]

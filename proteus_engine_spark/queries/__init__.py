@@ -50,11 +50,12 @@ from proteus_engine_spark.queries import (  # noqa: F401
 # et al. 2022 tier — dedup.duplicate_spans) — never driver-checked yet,
 # locally green at all three SFs (r12_delta.json); THEY MUST LEAD THE
 # R13 WINDOW as never-checked gates, ahead of any stale cohort.
-# ml_als_factorization (r12, ml/als.py — flips the FlinkML-ALS non-goal)
-# and ml_outlier_sos stay OUT of any window: both register oracle=None
+# ml_als_factorization and ml_svm_classify (r12, ml/als.py + ml/svm.py —
+# flip the FlinkML ALS/SVM non-goals) and ml_outlier_sos stay OUT of any
+# window: all three register oracle=None
 # (iterative solves are not SQL-expressible; a rows-only row must not
-# burn a window slot) — ALS is pytest-proven BITWISE against a numpy
-# mirror, SOS against an independent scalar implementation.
+# burn a window slot) — ALS and SVM are pytest-proven BITWISE against
+# numpy mirrors, SOS against an independent scalar implementation.
 _GATE_PRIORITY = [
     # new round-12 gates, never driver-checked (3)
     "stream_delta_trigger_fires",

@@ -185,3 +185,45 @@ def ml_als_factorization(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(F.sum(res2).cast("double") / F.count(F.lit(1))), 6
         ).alias("train_rmse"),
     )
+
+
+@register(
+    "ml_svm_classify",
+    tags=("ml", "classification"),
+)
+def ml_svm_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CoCoA soft-margin SVM (flink-ml classification/SVM.scala — per-block
+    SDCA with persisted duals, CoCoA-scaled averaging, the :516-545 single-
+    coordinate dual update) on the embeddings corpus: binary task label<5
+    vs label>=5 over the 64-dim vectors, λ=0.01, 10 outer sweeps with a
+    deterministic round-robin local solver (the documented derandomization
+    of the reference's seeded sampler). Emits a 1-row training summary —
+    point/dim counts, training accuracy, and weight checksums rounded to
+    1e-6 — bitwise-stable across runs because the whole optimization is a
+    pure function of the data (no RNG state anywhere). No SQL oracle:
+    CoCoA is iterative, not SQL-expressible — rows-only driver check;
+    value correctness is pytest-proven BITWISE against a pure-numpy mirror
+    plus a separable-data accuracy property (tests/test_round12.py)."""
+    import numpy as np
+
+    from proteus_engine_spark.ml import svm_cocoa, svm_decision
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("features"),
+        F.when(F.col("label") < 5, 1.0).otherwise(-1.0).alias("y"),
+    )
+    w = svm_cocoa(
+        emb, id_col="id", features_col="features", label_col="y",
+        blocks=8, iterations=10, local_iterations=100, regularization=0.01,
+    )
+    scored = svm_decision(emb, w)
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.lit(int(len(w))).alias("dim"),
+        F.round(
+            F.avg(F.when(F.signum("decision") == F.col("y"), 1.0).otherwise(0.0)), 6
+        ).alias("train_accuracy"),
+        F.lit(round(float(np.sum(w)), 6)).alias("w_sum"),
+        F.lit(round(float(np.abs(w).sum()), 6)).alias("w_l1"),
+    )

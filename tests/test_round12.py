@@ -544,3 +544,102 @@ def test_als_validation(spark):
         als(ratings, rank=0)
     with pytest.raises(ValueError, match="iterations"):
         als(ratings, iterations=0)
+
+
+# ------------------------------------------------------------ SVM (FlinkML)
+
+
+def _svm_mirror(rows, blocks, iters, liters, reg, step=1.0):
+    """Pure-numpy CoCoA mirror (SVM.scala's executed semantics with the
+    round-robin derandomization) — independent of ml/svm.py's plumbing."""
+    import numpy as np
+
+    n = len(rows)
+    dim = len(rows[0][1])
+    scaling = step / blocks
+    ln = reg * n
+    w = np.zeros(dim)
+    alphas = {i: 0.0 for i, _, _ in rows}
+    bmap = {}
+    for i, x, y in rows:
+        bmap.setdefault(i % blocks, []).append((i, np.array(x, dtype=float), y))
+    for b in bmap:
+        bmap[b].sort(key=lambda t: t[0])
+    for _ in range(iters):
+        total_dw = np.zeros(dim)
+        new_alphas = dict(alphas)
+        for blk in bmap.values():
+            temp = np.array([alphas[i] for i, _, _ in blk])
+            da = np.zeros(len(blk))
+            wl = w.copy()
+            dw = np.zeros(dim)
+            for t in range(liters):
+                idx = t % len(blk)
+                i, xi, yi = blk[idx]
+                a = temp[idx]
+                grad = (yi * (xi @ wl) - 1.0) * ln
+                if grad != 0.0:
+                    qii = xi @ xi
+                    na = min(max(a - grad / qii, 0.0), 1.0) if qii != 0.0 else 1.0
+                    d = xi * (yi * (na - a) / ln)
+                    temp[idx] = na
+                    da[idx] += na - a
+                    wl += d
+                    dw += d
+            for k, (i, _, _) in enumerate(blk):
+                new_alphas[i] = alphas[i] + da[k] * scaling
+            total_dw += dw
+        alphas = new_alphas
+        w = w + scaling * total_dw
+    return w
+
+
+def _svm_rows():
+    rows = []
+    for i in range(80):
+        x0 = ((i * 7919) % 1000) / 500.0 - 1.0
+        x1 = ((i * 104729) % 1000) / 500.0 - 1.0
+        rows.append((i, [x0, x1], 1.0 if x0 + 2 * x1 > 0 else -1.0))
+    return rows
+
+
+def test_svm_matches_numpy_mirror_bitwise(spark):
+    """SVM.scala parity (CoCoA with persisted duals): with the
+    deterministic round-robin local solver the engine's weight vector is
+    EXACTLY the mirror's — max |Δ| asserted 0.0."""
+    from proteus_engine_spark.ml import svm_cocoa
+
+    rows = _svm_rows()
+    df = spark.createDataFrame(rows, "id long, features array<double>, label double")
+    w = svm_cocoa(df, blocks=4, iterations=8, local_iterations=40,
+                  regularization=0.01)
+    wm = _svm_mirror(rows, blocks=4, iters=8, liters=40, reg=0.01)
+    assert abs(w - wm).max() == 0.0
+
+
+def test_svm_separates_linearly_separable_data(spark):
+    from pyspark.sql import functions as F
+
+    from proteus_engine_spark.ml import svm_cocoa, svm_decision
+
+    rows = _svm_rows()
+    df = spark.createDataFrame(rows, "id long, features array<double>, label double")
+    w = svm_cocoa(df, blocks=4, iterations=8, local_iterations=40,
+                  regularization=0.01)
+    acc = (
+        svm_decision(df, w)
+        .agg(F.avg(F.when(F.signum("decision") == F.col("label"), 1.0)
+                   .otherwise(0.0)))
+        .collect()[0][0]
+    )
+    assert acc > 0.9
+
+
+def test_svm_validation(spark):
+    from proteus_engine_spark.ml import svm_cocoa
+
+    df = spark.createDataFrame([(1, [1.0], 1.0)], "id long, features array<double>, label double")
+    with pytest.raises(ValueError, match="blocks"):
+        svm_cocoa(df, blocks=0)
+    with pytest.raises(ValueError, match="empty"):
+        svm_cocoa(df.filter("id < 0"))
