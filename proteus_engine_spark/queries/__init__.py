@@ -40,14 +40,16 @@ from proteus_engine_spark.queries import (  # noqa: F401
 # window beside the 47-row cohort — each is re-verified this round by the
 # local gate replica (scripts/gatecheck.py, sf0.01) and the tri-scale
 # delta record (scripts/triscale/r12_delta.json), and rotates back into
-# a driver window by r14 under the staleness cycle. FIVE MORE gates are
-# registered this round but cannot fit the full window:
-# text_bigram_logprob_pruned (the LM scorer's min_count+broadcast
-# production tier), q2_min_cost_supplier / q11_important_stock /
+# a driver window by r14 under the staleness cycle. SEVEN MORE
+# oracle-gated queries are registered this round but cannot fit the full
+# window: text_bigram_logprob_pruned (the LM scorer's min_count+broadcast
+# production tier); q2_min_cost_supplier / q11_important_stock /
 # q20_potential_promotion (the last three TPC-H shapes, closed via the
-# derived stand-in partsupp — relational_ext.py), and
+# derived stand-in partsupp — relational_ext.py);
 # text_duplicate_spans (cross-doc exact-substring span dedup, the Lee
-# et al. 2022 tier — dedup.duplicate_spans) — never driver-checked yet,
+# et al. 2022 tier — dedup.duplicate_spans); and
+# bucketing_sink_roundtrip / socket_sink_roundtrip (the last two
+# tests-only §2.1 sink rows, flipped to oracle gates) — never driver-checked yet,
 # locally green at all three SFs (r12_delta.json); THEY MUST LEAD THE
 # R13 WINDOW as never-checked gates, ahead of any stale cohort.
 # ml_als_factorization and ml_svm_classify (r12, ml/als.py + ml/svm.py —

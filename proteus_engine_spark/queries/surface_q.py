@@ -583,3 +583,132 @@ def rich_udf_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"accumulator saw {counter.value} rows, expected a multiple of {n_rows}"
         )
     return out
+
+
+@register(
+    "bucketing_sink_roundtrip",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type
+    """,
+    tags=("sink", "streaming", "surface"),
+)
+def bucketing_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BucketingSink gate (flink-connectors/flink-connector-filesystem
+    BucketingSink.java + checkpointing — previously pytest-only): the
+    events STREAM drains through the checkpointed streaming parquet sink
+    partitioned by event_type (partitionBy = the reference's Bucketer),
+    and the COMMITTED files are read back as a batch table and
+    aggregated against the batch oracle — a lost, duplicated, or
+    uncommitted micro-batch fails the count and the decimal sum. Scratch
+    dirs are per-invocation (hermetic, see _scratch); exactly-once under
+    kill/restart stays pinned by the dedicated pytest."""
+    from proteus_engine_spark.sources.sinks import stream_to_parquet
+    from proteus_engine_spark.streaming.sources import events_stream
+
+    ev = events_stream(spark, sf_dir).select("event_id", "event_type", "value")
+    base = _scratch("bucketing_sink", sf_dir)
+    q = stream_to_parquet(
+        ev, f"{base}/out", f"{base}/ckpt", partition_by=["event_type"]
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    back = spark.read.parquet(f"{base}/out")
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )
+
+
+@register(
+    "socket_sink_roundtrip",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type
+    """,
+    tags=("sink", "streaming", "surface"),
+)
+def socket_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """writeToSocket gate (DataStream.writeToSocket — previously
+    pytest-only): every event is serialized to one newline-delimited
+    line (id,type,cents — cents as an integer string so no float
+    formatting rides the wire), drained through the socket SINK into an
+    in-process TCP server (the socket SOURCE gate's counterpart,
+    resilience_q.socket_text_source_agg serves the other direction), and
+    the RECEIVED lines — not the sink's input — are parsed back and
+    aggregated against the batch oracle. A dropped, duplicated, or
+    truncated line fails the count or the exact cents sum."""
+    import socket
+    import threading
+
+    from proteus_engine_spark.sources.sinks import stream_to_socket
+    from proteus_engine_spark.streaming.sources import events_stream
+
+    expected = load_table(spark, sf_dir, "events").count()
+    received: list[str] = []
+    ready = threading.Event()
+    done = threading.Event()
+    port_holder: dict = {}
+
+    def server():
+        srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        srv.bind(("127.0.0.1", 0))
+        port_holder["port"] = srv.getsockname()[1]
+        srv.listen(1)
+        ready.set()
+        conn, _ = srv.accept()
+        conn.settimeout(60)
+        buf = b""
+        try:
+            while not done.is_set():
+                try:
+                    chunk = conn.recv(65536)
+                except socket.timeout:
+                    break
+                if not chunk:
+                    break
+                buf += chunk
+                while b"\n" in buf:
+                    line, buf = buf.split(b"\n", 1)
+                    received.append(line.decode())
+                if len(received) >= expected:
+                    done.set()
+        finally:
+            conn.close()
+            srv.close()
+
+    t = threading.Thread(target=server, daemon=True)
+    t.start()
+    if not ready.wait(10):
+        raise RuntimeError("socket sink gate: server did not come up")
+
+    line = F.concat_ws(
+        ",",
+        F.col("event_id").cast("string"),
+        F.col("event_type"),
+        F.round(F.col("value") * 100, 0).cast("long").cast("string"),
+    ).alias("value")
+    ev = events_stream(spark, sf_dir).select(line)
+    q = stream_to_socket(ev, "127.0.0.1", port_holder["port"])
+    try:
+        q.processAllAvailable()
+        done.wait(60)
+    finally:
+        done.set()
+        q.stop()
+        q.awaitTermination()
+
+    parsed = spark.createDataFrame(
+        [tuple(s.split(",")) for s in received],
+        "event_id string, event_type string, cents string",
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(F.col("cents").cast("long")) / 100.0).alias("total_value"),
+    )
