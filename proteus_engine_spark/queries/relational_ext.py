@@ -879,25 +879,36 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     over 25 synthetic nations), and dbgen's fixed FRACTION becomes the
     scale-free 2x-mean cut (a fixed share threshold is all-pass at small
     part counts and all-fail at large ones; 2x-mean selects a stable
-    minority at every SF). The global total AND part count are windows
-    over the GROUPED frame — parts-sized, so the single-partition window
-    is free and the partsupp join is scanned once (the scalar-subquery
-    form would re-run it). Values are integer cents throughout; the
-    threshold compare is value_cents * n_parts > 2 * total_cents — exact
-    integers on both engines, no float in the decision."""
-    from pyspark.sql.window import Window
-
+    minority at every SF). The global total AND part count come from a
+    1-ROW aggregate of the grouped frame, broadcast-crossJoined back —
+    NOT an unpartitioned window: the grouped frame is PARTS-cardinality
+    (~10^10 rows at the 100 TB design point) and `sum(...) OVER ()` would
+    sort it in a single task (the reference's own discipline for this
+    shape is the broadcast single-row join, DataSetSingleRowJoin.scala:42,
+    broadcast at :98-115). The grouped frame is eagerly localCheckpoint-ed
+    so the partsupp join is scanned once for both consumers — Catalyst
+    prunes the two branches' columns independently, so ReusedExchange
+    cannot be relied on (the scalar-subquery form would likewise re-run
+    the join). Values are integer cents throughout; the threshold compare
+    is value_cents * n_parts > 2 * total_cents — exact integers on both
+    engines, no float in the decision."""
     ps = derived_partsupp(spark, sf_dir)
     cohort = _t(spark, sf_dir, "supplier").filter(F.col("s_nationkey") % 5 == 2)
     j = (
         ps.join(cohort, F.col("ps_suppkey") == F.col("s_suppkey"))
         .select("ps_partkey", (F.col("ps_cost_cents") * F.col("ps_availqty")).alias("v_cents"))
     )
-    g = j.groupBy("ps_partkey").agg(F.sum("v_cents").alias("value_cents"))
-    w = Window.partitionBy()  # parts-sized frame: single partition is fine
+    g = (
+        j.groupBy("ps_partkey")
+        .agg(F.sum("v_cents").alias("value_cents"))
+        .localCheckpoint(eager=True)
+    )
+    totals = g.agg(
+        F.sum("value_cents").alias("total_cents"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
     return (
-        g.withColumn("total_cents", F.sum("value_cents").over(w))
-        .withColumn("n_parts", F.count(F.lit(1)).over(w))
+        g.crossJoin(F.broadcast(totals))
         .filter(F.col("value_cents") * F.col("n_parts") > 2 * F.col("total_cents"))
         .select(
             "ps_partkey", "value_cents",
