@@ -26,11 +26,21 @@ never driver-resident; only the d-dimensional weight vector is.
 Determinism (adaptation, documented): the reference's local SDCA samples
 points with ``Random(seed ^ subtaskIndex)`` (:440) — irreproducible
 across redeployments by construction. Here the local solver sweeps the
-block's points ROUND-ROBIN in sorted-id order, so the whole optimization
-is a pure function of the data: the pure-numpy mirror in
-tests/test_round12.py reproduces weights and duals BITWISE, and reruns/
-repartitionings cannot move the result. Same dual math, same persisted
-CoCoA state — only the coordinate-selection schedule is derandomized.
+block's points ROUND-ROBIN in sorted-id order, and the sweep cursor
+CARRIES ACROSS outer iterations (coordinate index =
+``(outer·local_iterations + t) mod m``) so every point in a block is
+visited regardless of block size — a block with more points than
+``local_iterations`` still covers them all over successive outer
+rounds, matching the reference sampler's every-point-in-expectation
+coverage. The per-block Δw vectors come back tagged with their block id
+and the driver reduce sums them in SORTED block order (float addition is
+not associative; collect() row order follows shuffle layout, so an
+unsorted sum could move the result across repartitionings). With both,
+the whole optimization is a pure function of the data: the pure-numpy
+mirror in tests/test_round12.py reproduces weights and duals BITWISE,
+and reruns/repartitionings cannot move the result. Same dual math, same
+persisted CoCoA state — only the coordinate-selection schedule is
+derandomized.
 """
 
 from __future__ import annotations
@@ -77,11 +87,12 @@ def svm_cocoa(
 
     alphas = pts.select("id", F.lit(0.0).alias("alpha"))
     w = np.zeros(dim)
-    out_schema = "id long, alpha double, dw array<double>"
+    out_schema = "id long, alpha double, block long, dw array<double>"
 
     try:
-        for _ in range(iterations):
+        for outer in range(iterations):
             w_b = w.tolist()  # the broadcast weight vector (closure-shipped)
+            cursor0 = outer * local_iterations  # sweep carries across outers
 
             def solve(pdf: pd.DataFrame) -> pd.DataFrame:
                 pdf = pdf.sort_values("id", kind="mergesort")
@@ -94,7 +105,10 @@ def svm_cocoa(
                 delta_w = np.zeros_like(w_local)
                 m = len(pdf)
                 for t in range(local_iterations):
-                    idx = t % m  # deterministic round-robin (see docstring)
+                    # deterministic round-robin whose cursor carries across
+                    # outer iterations: blocks larger than local_iterations
+                    # still cover every point over successive outers
+                    idx = (cursor0 + t) % m
                     xi, yi, a = x[idx], y[idx], temp[idx]
                     grad = (yi * (xi @ w_local) - 1.0) * ln  # SVM.scala:525
                     if grad != 0.0:
@@ -111,6 +125,7 @@ def svm_cocoa(
                     {
                         "id": pdf["id"].to_numpy(),
                         "alpha": persisted + delta_a * scaling,  # :496
+                        "block": pdf["block"].to_numpy(),
                         "dw": [None] * m,
                     }
                 )
@@ -125,8 +140,11 @@ def svm_cocoa(
                 .localCheckpoint(eager=True)  # one job per outer iteration
             )
             alphas = step.select("id", "alpha")
-            dws = step.filter(F.col("dw").isNotNull()).select("dw").collect()
-            # blocks × dim rows — the reference's union+reduce of ΔW vectors
+            dws = step.filter(F.col("dw").isNotNull()).select("block", "dw").collect()
+            # blocks × dim rows — the reference's union+reduce of ΔW
+            # vectors; summed in sorted-block order (collect() row order
+            # follows shuffle layout and float addition is not associative)
+            dws.sort(key=lambda r: r.block)
             w = w + scaling * np.sum([np.array(r.dw) for r in dws], axis=0)
     finally:
         pts.unpersist()

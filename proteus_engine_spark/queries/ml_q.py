@@ -160,7 +160,11 @@ def ml_als_factorization(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest-proven BITWISE against a pure-numpy mirror (the deterministic
     hash init + sorted-accumulation discipline makes the factors exactly
     reproducible, tests/test_round12.py), plus loss-decrease and
-    reconstruction properties."""
+    reconstruction properties. Runs the BLOCKED solve path (blocks=64,
+    2× the local core count): ~entities/64 ridge solves amortize each
+    applyInPandas call's Arrow/pandas fixed cost — bitwise-identical
+    factors (the blocked-path mirror test pins it), materially faster
+    wall-clock than one pandas group per entity."""
     from proteus_engine_spark.ml import als, als_predict
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
@@ -172,7 +176,7 @@ def ml_als_factorization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.avg("l_quantity").alias("rating"))
     )
-    users, items = als(ratings, rank=8, reg=1.0, iterations=3)
+    users, items = als(ratings, rank=8, reg=1.0, iterations=3, blocks=64)
     preds = als_predict(ratings, users, items)
     res2 = F.round(
         F.pow(F.col("rating") - F.col("prediction"), F.lit(2)), 6

@@ -506,6 +506,30 @@ def test_als_matches_numpy_mirror_bitwise(spark):
     assert max(abs(vf[i] - V[i]).max() for i in V) == 0.0
 
 
+def test_als_blocked_path_matches_numpy_mirror_bitwise(spark):
+    """The blocked solve path (blocks=B groups key%B entities per pandas
+    call — the OutBlockInformation-style amortization) must be BITWISE
+    the per-entity path: within a block, rows sort by (key, counterpart),
+    so every entity's gram/rhs accumulates in the per-entity order and
+    the same LAPACK solve runs on the same values. Pinned against the
+    SAME mirror as the per-entity test, with blocks that force multiple
+    entities per group (3 blocks over 6 users / 8 items)."""
+    import numpy as np
+
+    from proteus_engine_spark.ml import als
+
+    rows = [(u, i, float((u * 3 + i * 5) % 7 + 1))
+            for u in range(6) for i in range(8) if (u + i) % 3 != 0]
+    ratings = spark.createDataFrame(rows, "user long, item long, rating double")
+    users, items = als(ratings, rank=4, reg=0.5, iterations=3, blocks=3)
+    uf = {r.user: np.array(r.factors) for r in users.collect()}
+    vf = {r.item: np.array(r.factors) for r in items.collect()}
+    U, V = _als_mirror(rows, rank=4, reg=0.5, iterations=3)
+    assert set(uf) == set(U) and set(vf) == set(V)
+    assert max(abs(uf[u] - U[u]).max() for u in U) == 0.0
+    assert max(abs(vf[i] - V[i]).max() for i in V) == 0.0
+
+
 def test_als_training_loss_decreases(spark):
     """More sweeps must not worsen the regularized objective — each
     half-sweep solves its subproblem exactly, so the ALS objective is
@@ -544,6 +568,8 @@ def test_als_validation(spark):
         als(ratings, rank=0)
     with pytest.raises(ValueError, match="iterations"):
         als(ratings, iterations=0)
+    with pytest.raises(ValueError, match="blocks"):
+        als(ratings, blocks=0)
 
 
 # ------------------------------------------------------------ SVM (FlinkML)
@@ -565,16 +591,19 @@ def _svm_mirror(rows, blocks, iters, liters, reg, step=1.0):
         bmap.setdefault(i % blocks, []).append((i, np.array(x, dtype=float), y))
     for b in bmap:
         bmap[b].sort(key=lambda t: t[0])
-    for _ in range(iters):
+    for it in range(iters):
         total_dw = np.zeros(dim)
         new_alphas = dict(alphas)
-        for blk in bmap.values():
+        # sorted-block reduce order — mirrors the engine's sorted collect
+        for _, blk in sorted(bmap.items()):
             temp = np.array([alphas[i] for i, _, _ in blk])
             da = np.zeros(len(blk))
             wl = w.copy()
             dw = np.zeros(dim)
             for t in range(liters):
-                idx = t % len(blk)
+                # cursor carries across outer iterations (blocks larger
+                # than liters still cover every point over the run)
+                idx = (it * liters + t) % len(blk)
                 i, xi, yi = blk[idx]
                 a = temp[idx]
                 grad = (yi * (xi @ wl) - 1.0) * ln
@@ -614,6 +643,27 @@ def test_svm_matches_numpy_mirror_bitwise(spark):
     w = svm_cocoa(df, blocks=4, iterations=8, local_iterations=40,
                   regularization=0.01)
     wm = _svm_mirror(rows, blocks=4, iters=8, liters=40, reg=0.01)
+    assert abs(w - wm).max() == 0.0
+
+
+def test_svm_sweep_covers_blocks_larger_than_local_iterations(spark):
+    """The sweep cursor carries across outer iterations: in a 12-point
+    block with local_iterations=8, points 8..11 are only reachable in the
+    SECOND outer round (cursor 8..15). The first 8 points have zero
+    feature vectors (they move duals but contribute dw=0), so any nonzero
+    weight PROVES the cursor reached the tail — the restart-at-0 schedule
+    would leave w exactly 0 and those duals frozen forever."""
+    import numpy as np
+
+    from proteus_engine_spark.ml import svm_cocoa
+
+    rows = [(i, [0.0, 0.0], 1.0) for i in range(8)]
+    rows += [(i, [1.0, float(i - 7)], 1.0 if i % 2 else -1.0) for i in range(8, 12)]
+    df = spark.createDataFrame(rows, "id long, features array<double>, label double")
+    w = svm_cocoa(df, blocks=1, iterations=2, local_iterations=8,
+                  regularization=0.01)
+    assert np.abs(w).max() > 0.0
+    wm = _svm_mirror(rows, blocks=1, iters=2, liters=8, reg=0.01)
     assert abs(w - wm).max() == 0.0
 
 
