@@ -478,8 +478,18 @@ class _BucketCapMetrics:
         deadline = time.monotonic() + 0.3
         while True:
             try:
-                if not self._obs._jo.getOrEmpty().isEmpty():
+                # pyspark-private probe (Observation._jo, pyspark 4.1's
+                # attribute; the markers below are its JVM failure modes,
+                # live-reproduced on 4.1.2). A pyspark upgrade that renames
+                # the attribute must degrade to the explicit stats_df
+                # fallback — a real measurement — never crash the accessor.
+                jo = getattr(self._obs, "_jo", None)
+                if jo is None:
+                    return False
+                if not jo.getOrEmpty().isEmpty():
                     return True
+            except AttributeError:
+                return False  # probe surface changed → honest explicit path
             except Exception as e:  # noqa: BLE001 — re-raise unknown failures below
                 if not any(m in str(e) for m in self._INCOMPLETE_MARKERS):
                     raise
@@ -854,7 +864,8 @@ def duplicate_spans(
     number of positions whose span also occurs in AT LEAST ONE OTHER
     document, and their fraction. Positions count multiply (a doc
     repeating a shared span twice has 2 duplicated positions) — the mass
-    a span-removal pass would actually cut.
+    a span-removal pass would actually cut; ``remove_duplicate_spans``
+    below performs that cut.
 
     Scale shape (the decontam discipline): spans are generated JVM-side
     (transform over a token-index sequence) and hashed to 8 bytes in the
@@ -891,5 +902,102 @@ def duplicate_spans(
         .withColumn(
             "dup_span_frac",
             F.round(F.col("n_dup_spans") / F.col("n_spans"), 6),
+        )
+    )
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    min_repeats: int = 2,
+) -> DataFrame:
+    """Cut cross-document duplicated k-token spans — the OPERATIONAL tier
+    of exact-substring dedup (Lee et al. 2022 remove the repeated
+    substrings themselves; ``duplicate_spans`` above only scores their
+    mass). A token is removed iff ANY k-gram window covering it occurs in
+    at least ``min_repeats`` distinct documents; surviving tokens are
+    rejoined in order. Output is tokenization-normalized (lowered,
+    single-space joined — the span algebra operates on token sequences,
+    exactly as the scoring tier does).
+
+    Scale shape — entirely shuffle-based, no per-row Python and no
+    quadratic higher-order-function scans over token arrays:
+    - span grams are generated JVM-side and hashed to 8 bytes in the scan
+      projection (the decontam discipline); the gram frame shuffles
+      (doc_id, position, hash) only;
+    - duplicated-gram detection is ONE gram-keyed aggregation
+      (countDistinct over doc ids, map-side combined);
+    - removed token positions come from exploding each duplicated span
+      start into its k covered positions + distinct — bounded by k × the
+      duplicated-span count, never by corpus size;
+    - the cut itself is a left-anti join of (doc_id, pos, token) against
+      the removed positions, then a per-doc ordered reassembly
+      (array_sort over (pos, token) structs → array_join). Every join is
+      key-partitioned; AQE picks the strategies.
+    An explicit repartition ahead of the explodes keeps a single-file
+    input from serializing span generation on one task. xxhash64
+    collisions can at worst remove a unique span (2^-64 per gram pair),
+    deterministic across runs; the registry oracle reconstructs the cut
+    with STRING grams, so a collision-induced over-cut on the driver
+    corpora would fail the gate.
+
+    Returns (id_col, text_clean, n_tokens, n_removed) — one row per input
+    document (documents shorter than k tokens pass through uncut; fully
+    duplicated documents come back with text_clean = '').
+    """
+    toks = docs.select(
+        F.col(id_col), F.split(F.lower(F.col(text_col)), r"\s+").alias("t")
+    )
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    toks_wide = toks.repartition(n_parts)
+    # 1-based span starts, mirroring duplicate_spans' gram construction
+    span_structs = F.expr(
+        f"transform(sequence(1, size(t) - {k} + 1), "
+        f"i -> struct(i AS p, xxhash64(array_join(slice(t, i, {k}), ' ')) AS h))"
+    )
+    g = (
+        toks_wide.filter(F.size("t") >= k)
+        .select(F.col(id_col), F.explode(span_structs).alias("s"))
+        .select(F.col(id_col), F.col("s.p").alias("p"), F.col("s.h").alias("h"))
+    )
+    dup_grams = (
+        g.groupBy("h")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .filter(F.col("nd") >= min_repeats)
+        .select("h")
+    )
+    removed = (
+        g.join(dup_grams, "h")
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.col("p"), F.col("p") + F.lit(k - 1))).alias("pos"),
+        )
+        .distinct()
+    )
+    tok_pos = toks_wide.select(
+        F.col(id_col),
+        F.posexplode("t").alias("pos0", "tok"),
+    ).select(F.col(id_col), (F.col("pos0") + 1).alias("pos"), "tok")
+    kept = tok_pos.join(removed, [id_col, "pos"], "left_anti")
+    reassembled = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("text_clean"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return (
+        toks.select(F.col(id_col), F.size("t").cast("long").alias("n_tokens"))
+        .join(reassembled, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
         )
     )

@@ -736,6 +736,133 @@ def text_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_remove_duplicate_spans",
+    oracle=r"""
+    WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+               FROM documents),
+    w AS (SELECT doc_id,
+                 unnest(range(1, len(t) - 10 + 2)) AS p,
+                 unnest([array_to_string(t[i:i+9], ' ')
+                         FOR i IN range(1, len(t) - 10 + 2)]) AS gram
+          FROM t WHERE len(t) >= 10),
+    nd AS (SELECT gram FROM w GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+    rem AS (SELECT DISTINCT doc_id, unnest(range(p, p + 10)) AS pos
+            FROM w JOIN nd USING (gram)),
+    tp AS (SELECT doc_id, unnest(range(1, len(t) + 1)) AS pos, unnest(t) AS tok
+           FROM t),
+    kept AS (SELECT tp.doc_id, tp.pos, tp.tok FROM tp LEFT JOIN rem
+               ON tp.doc_id = rem.doc_id AND tp.pos = rem.pos
+             WHERE rem.pos IS NULL),
+    cln AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_clean,
+                   CAST(count(*) AS BIGINT) AS n_kept FROM kept GROUP BY doc_id)
+    SELECT t.doc_id, coalesce(cln.text_clean, '') AS text_clean,
+           CAST(len(t.t) AS BIGINT) AS n_tokens,
+           CAST(len(t.t) - coalesce(cln.n_kept, 0) AS BIGINT) AS n_removed
+    FROM t LEFT JOIN cln ON t.doc_id = cln.doc_id
+    """,
+    tags=("datapipe", "dedup", "spans"),
+)
+def text_remove_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-REMOVAL tier of exact-substring dedup
+    (dedup.remove_duplicate_spans — Lee et al. 2022's operational step:
+    the scoring tier above counts duplicated-span mass, this one CUTS the
+    spans and reassembles each document from the surviving tokens). The
+    cut is entirely shuffle-based — duplicated 10-gram starts explode
+    into covered positions, a left-anti join drops them, per-doc ordered
+    reassembly via array_sort over (pos, token) structs; no per-row
+    Python, no quadratic HOF scans. Engine grams are 8-byte xxhash64 (the
+    decontam discipline); the oracle reconstructs the identical cut with
+    STRING grams, so a collision-induced over-cut would fail the gate."""
+    from proteus_engine_spark.datapipe.dedup import remove_duplicate_spans
+
+    return remove_duplicate_spans(load_table(spark, sf_dir, "documents"), k=10)
+
+
+_SALT_BASE = " ".join(f"tok{i}" for i in range(60))
+
+
+@register(
+    "dedup_lsh_salted_recall",
+    oracle=rf"""
+    WITH base AS (
+      SELECT doc_id,
+             '{_SALT_BASE}' || ' uniq' || doc_id || ' uniq' || doc_id || 'b' AS text
+      FROM documents WHERE doc_id < 120),
+    sh AS (
+      SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ')
+                     FOR i IN range(1, greatest(len(t)-2, 1)+1)]) AS s
+      FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM base)
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.s, b.s))) >= 0.5)
+    SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
+           TRUE AS survivors_qualify,
+           TRUE AS recall_floor_met
+    FROM pairs
+    """,
+    tags=("datapipe", "dedup", "lsh", "recall"),
+)
+def dedup_lsh_salted_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-grade gate for the salted-split cap's recall property: a
+    deterministic 120-doc near-identical hot-bucket probe (every doc =
+    a shared 60-token base + 2 unique tokens, pairwise J≈0.94 — every
+    band bucket is one ~120-doc mega-bucket) is derived IDENTICALLY from
+    the documents table by both engines. The oracle computes the
+    exact-Jaccard qualifying pair count from first principles (7140 =
+    C(120,2) — every pair qualifies at threshold 0.5) plus the two
+    asserted invariants as literals; the engine MEASURES them: every
+    survivor of the capped run must be a qualifying exact pair
+    (survivors_qualify), and the salted_split cap at 20 must retain
+    >= 85% of the qualifying pairs (recall_floor_met — measured 0.903;
+    the plain split measures <0.5 on this corpus, pinned by pytest). A
+    recall regression in the salted chunk order flips the boolean and
+    hash-fails the gate. Probe corpus and pair frames are all bounded
+    (120 docs) — gate verification code, not a data-path operator."""
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 120)
+        .select(
+            "doc_id",
+            F.concat(
+                F.lit(_SALT_BASE),
+                F.lit(" uniq"), F.col("doc_id").cast("string"),
+                F.lit(" uniq"), F.col("doc_id").cast("string"), F.lit("b"),
+            ).alias("text"),
+        )
+    )
+    exact = minhash_lsh_pairs(base, jaccard_threshold=0.5, verify="exact").select(
+        "doc_a", "doc_b"
+    )
+    surv = minhash_lsh_pairs(
+        base,
+        jaccard_threshold=0.5,
+        verify="exact",
+        max_bucket_size=20,
+        oversize="salted_split",
+    ).select("doc_a", "doc_b")
+    n_ex = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
+    n_sv = surv.agg(F.count(F.lit(1)).alias("n_surv"))
+    n_sv_q = surv.join(exact, ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).alias("n_surv_qual")
+    )
+    return (
+        n_ex.crossJoin(n_sv)
+        .crossJoin(n_sv_q)
+        .select(
+            "n_exact_pairs",
+            (F.col("n_surv_qual") == F.col("n_surv")).alias("survivors_qualify"),
+            (
+                F.col("n_surv").cast("double")
+                >= 0.85 * F.col("n_exact_pairs").cast("double")
+            ).alias("recall_floor_met"),
+        )
+    )
+
+
+@register(
     "text_decontaminate",
     oracle=r"""
     WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
