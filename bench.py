@@ -107,9 +107,9 @@ def main() -> None:
                 runs.append(time.perf_counter() - t0)
         return round(statistics.median(runs), 4)
 
-    # Two fixed-shape calibration probes, independent of every engine
+    # Three fixed-shape calibration probes, independent of every engine
     # change, recorded so cross-round wall-clock drift is ATTRIBUTABLE
-    # (both are EXCLUDED from the headline total):
+    # (all EXCLUDED from the headline total):
     # - calibration_sec: sum over a 200M-row range — pure whole-stage
     #   codegen, no I/O; moves with CPU throttling/load only.
     # - calibration_io_sec: full warm parquet scan+agg of lineitem
@@ -117,7 +117,8 @@ def main() -> None:
     #   filesystem contention, which the CPU probe is blind to (the r10
     #   "1.23x regression" was exactly this, on unchanged code).
     # Judge drift on the probe that matches the query class: scan-heavy
-    # queries against io, compute-heavy against cpu.
+    # queries against io, compute-heavy against cpu, join/agg-heavy
+    # (the TPC-H cluster) against shuffle.
     calibration = timed(
         lambda: spark.range(200_000_000).selectExpr("sum(id)").collect()
     )
@@ -132,6 +133,27 @@ def main() -> None:
         )
         .collect()
     )
+    # - calibration_shuffle_sec: fixed 32-way groupBy + forced sort-merge
+    #   self-join on a CACHED 20M-row synthetic frame — no I/O, and unlike
+    #   the single-threaded CPU probe it exercises exchange + sort across
+    #   all cores, so sandbox co-tenancy on the multi-core shuffle path
+    #   (the r12 "1.3x TPC-H cluster on unchanged code" — invisible to
+    #   both other probes) becomes attributable.
+    shuffle_src = (
+        spark.range(20_000_000)
+        .selectExpr("id % 1000000 AS k", "id % 97 AS v")
+        .repartition(32)
+        .persist()
+    )
+    shuffle_src.count()  # materialize the cache outside the timed region
+    calibration_shuffle = timed(
+        lambda: shuffle_src.groupBy("k")
+        .sum("v")
+        .join(shuffle_src.hint("merge"), "k")
+        .selectExpr("sum(`sum(v)` + v)")
+        .collect()
+    )
+    shuffle_src.unpersist()
 
     timings: dict[str, float] = {}
     for name in names:
@@ -148,6 +170,7 @@ def main() -> None:
                 "queries": timings,
                 "calibration_sec": calibration,
                 "calibration_io_sec": calibration_io,
+                "calibration_shuffle_sec": calibration_shuffle,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

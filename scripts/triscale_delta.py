@@ -55,13 +55,15 @@ def main() -> None:
             entry = snap.get(n, {"err": "missing from gatecheck output"})
             # gatecheck_local.json is a committed, merged file: if the
             # subprocess died before its final write, snap still holds a
-            # PRIOR run's entry. Two provenance checks keep a stale green
-            # from being recorded as this SF's result: the entry's sf_dir
-            # stamp must match, AND this subprocess's own stdout must show
-            # it actually ran the query (guards same-SF staleness).
+            # PRIOR run's entry. Two provenance checks keep a stale record
+            # — green OR error — from being recorded as this SF's result:
+            # the entry's sf_dir stamp must match, AND this subprocess's
+            # own stdout must show it actually ran the query (guards
+            # same-SF staleness). Error entries are checked too: a stale
+            # error left by a run at another SF must not be mislabeled as
+            # this scale's failure.
             ran_now = f" {n} " in r.stdout or f" {n}:" in r.stdout
-            if ("err" not in entry
-                    and (entry.pop("sf_dir", None) != sf_dir or not ran_now)):
+            if entry.pop("sf_dir", None) != sf_dir or not ran_now:
                 entry = {"err": f"no fresh gatecheck entry for {sf_key} "
                                 "(stale record from another SF/run)"}
                 ok = False
