@@ -73,6 +73,12 @@ HEADLINE = [
     # DeltaTrigger on GlobalWindows — the custom-stateful trigger path's
     # per-element value walk (watermark-buffered applyInPandasWithState)
     "stream_delta_trigger_fires",
+    # added round 13 (exclude from cross-round like-for-like totals):
+    # the span-REMOVAL tier of exact-substring dedup (explode + anti-join
+    # + ordered reassembly) and SemDeDup cluster-then-prune over the
+    # embeddings table (k-means quantizer + within-cluster BLAS cosine)
+    "text_remove_duplicate_spans",
+    "dedup_semantic",
 ]
 
 

@@ -3,9 +3,12 @@ north-star): deduplication, similarity search, text analysis, multimodal
 column plumbing — all DataFrame-native and designed for 100 TB inputs."""
 
 from proteus_engine_spark.datapipe.dedup import (
+    duplicate_spans,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    remove_duplicate_spans,
+    semantic_dedup,
     simhash_buckets,
 )
 from proteus_engine_spark.datapipe.similarity import brute_force_topk, lsh_ann_topk
@@ -17,7 +20,10 @@ from proteus_engine_spark.datapipe.textstats import (
 )
 
 __all__ = [
+    "duplicate_spans",
     "exact_dedup",
+    "remove_duplicate_spans",
+    "semantic_dedup",
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
     "simhash_buckets",

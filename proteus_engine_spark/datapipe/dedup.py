@@ -16,10 +16,16 @@ Four tiers, all shuffle-architected for 100 TB corpora:
 - embedding_cosine_pairs — near-dup pairs by embedding cosine, blocked on a
                        cheap key (exact within blocks) or, for unblocked
                        100 TB corpora, on multi-table hyperplane-LSH buckets.
+- duplicate_spans / remove_duplicate_spans — exact-substring dedup at span
+                       granularity (Lee et al. 2022): score, then cut,
+                       cross-document duplicated k-token spans.
+- semantic_dedup     — SemDeDup (Abbas et al. 2023): k-means the embedding
+                       space, prune cosine near-dups within clusters.
 
 Everything is built-in expressions (xxhash64, explode, groupBy) — no Python
-in the hot path. MinHash permutations use xxhash64 with per-permutation
-seeds, the standard "one strong hash, k seeds" construction.
+in the hot path except the blocked BLAS cosine scorer. MinHash permutations
+use xxhash64 with per-permutation seeds, the standard "one strong hash,
+k seeds" construction.
 """
 
 from __future__ import annotations
@@ -999,5 +1005,73 @@ def remove_duplicate_spans(
             F.coalesce("text_clean", F.lit("")).alias("text_clean"),
             "n_tokens",
             (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
+        )
+    )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_clusters: int = 16,
+    n_iter: int = 2,
+    threshold: float = 0.85,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): cluster the embedding space with a coarse k-means
+    quantizer, then prune near-duplicates WITHIN clusters by exact
+    cosine — the all-pairs term is bounded by the largest cluster, never
+    the corpus (the paper's reason for clustering first). Composes the
+    engine's deterministic Lloyd quantizer
+    (similarity.kmeans_centroids — lowest-id seeds, no RNG) with the
+    blocked BLAS cosine scorer (embedding_cosine_pairs, one shuffle of
+    (id, vector) on the cluster key).
+
+    Keep rule (documented adaptation): the paper orders each epsilon-ball
+    by cosine-to-centroid and keeps one exemplar; here a vector is
+    DROPPED iff a LOWER-ID vector in its cluster is cosine-similar above
+    ``threshold`` — deterministic, engine-portable, one relational pass
+    (no iterative ball extraction), and like the paper it keeps at least
+    one exemplar per duplicate neighborhood (the lowest id survives).
+
+    Scale shape: the quantizer broadcasts n_clusters × dim doubles per
+    Lloyd step; assignment is a broadcast argmin; the prune shuffles each
+    vector ONCE on its 4-byte cluster id into the gemm scorer. At 100 TB
+    raise n_clusters so the largest cluster's pair block stays bounded
+    (the paper uses tens of thousands of clusters at web scale) — cluster
+    sizes are observable from the returned frame before pruning cost is
+    paid.
+
+    Returns (id_col, cluster, kept) — one row per input vector; ``kept``
+    false means a lower-id near-duplicate exists in the same cluster.
+    """
+    from proteus_engine_spark.datapipe.similarity import (
+        _assign_clusters,
+        kmeans_centroids,
+    )
+
+    corpus = emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col))
+    centroids = kmeans_centroids(
+        corpus, dim, n_centroids=n_clusters, n_iter=n_iter, c_id=id_col, vec=vec_col
+    )
+    assigned = _assign_clusters(corpus, centroids, vec_col).withColumnRenamed(
+        "__cluster__", "cluster"
+    )
+    pairs = embedding_cosine_pairs(
+        assigned,
+        id_col=id_col,
+        vec_col=vec_col,
+        threshold=threshold,
+        block_col="cluster",
+    )
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return (
+        assigned.join(dropped.withColumn("__dropped__", F.lit(True)), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("cluster"),
+            F.coalesce(~F.col("__dropped__"), F.lit(True)).alias("kept"),
         )
     )

@@ -39,14 +39,16 @@ from proteus_engine_spark.queries import (  # noqa: F401
 # (csv_roundtrip_agg, from_rows_dim_join — untouched source modules,
 # re-verified by this round's local replica), accepted as the minimal
 # staleness slip if the window truncates at 50; they lead the r14 cohort
-# otherwise. TWO NEW r13 oracle gates follow at 53-54 —
+# otherwise. THREE NEW r13 oracle gates follow at 53-55 —
 # dedup_lsh_salted_recall (the salted-split cap's >=0.85 recall floor,
 # measured on a deterministic 120-doc hot-bucket probe BOTH engines
 # derive from documents; flips the r12 "pytest-local only" status of the
-# recall number) and text_remove_duplicate_spans (the span-REMOVAL tier
+# recall number), text_remove_duplicate_spans (the span-REMOVAL tier
 # of exact-substring dedup — Lee et al.'s operational cut, STRING-gram
-# oracle) — locally green at all three SFs (r13_delta.json), they must
-# lead the r14 window if they do not fit r13's.
+# oracle), and dedup_semantic (SemDeDup cluster-then-prune over the
+# embeddings table — algorithm-mirror oracle, same n_iter=0 discipline
+# as sim_ann_ivf) — locally green at all three SFs (r13_delta.json),
+# they must lead the r14 window if they do not fit r13's.
 # ml_als_factorization (blocked solve path this round, still bitwise-
 # mirrored), ml_svm_classify (sweep-coverage + sorted-reduce fixes this
 # round, mirror updated) and ml_outlier_sos stay OUT of any window: all
@@ -107,9 +109,10 @@ _GATE_PRIORITY = [
     "window_hop",
     "csv_roundtrip_agg",
     "from_rows_dim_join",
-    # new r13 oracle gates (53-54) — lead r14 if the window stops at 50
+    # new r13 oracle gates (53-55) — lead r14 if the window stops at 50
     "dedup_lsh_salted_recall",
     "text_remove_duplicate_spans",
+    "dedup_semantic",
 ]
 
 

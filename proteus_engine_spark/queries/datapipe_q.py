@@ -402,6 +402,52 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_semantic",
+    oracle="""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl_id,
+                         embedding::DOUBLE[] AS cv
+                  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+         assign AS (
+           SELECT vec_id, v, cl_id AS cluster FROM (
+             SELECT c.vec_id, c.v, cent.cl_id,
+                    row_number() OVER (PARTITION BY c.vec_id
+                                       ORDER BY list_distance(c.v, cent.cv), cent.cl_id) AS rn
+             FROM c CROSS JOIN cent) t WHERE rn = 1),
+         dropped AS (
+           SELECT DISTINCT b.vec_id
+           FROM assign a JOIN assign b
+             ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+           WHERE round(list_dot_product(a.v, b.v)
+                       / (sqrt(list_dot_product(a.v, a.v))
+                          * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.35)
+    SELECT assign.vec_id, CAST(cluster AS INT) AS cluster,
+           dropped.vec_id IS NULL AS kept
+    FROM assign LEFT JOIN dropped ON assign.vec_id = dropped.vec_id
+    """,
+    tags=("datapipe", "dedup", "similarity"),
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (dedup.semantic_dedup — Abbas et al.
+    2023: k-means the embedding space, prune cosine near-duplicates within
+    clusters; the all-pairs term is cluster-bounded, never corpus-bounded).
+    ALGORITHM-MIRROR oracle, same discipline as sim_ann_ivf: with n_iter=0
+    the quantizer's centroids are exactly the 16 lowest-id vectors (no
+    float-order-dependent Lloyd means), so DuckDB reproduces the whole
+    pipeline — argmin-L2 assignment with (distance, cl_id) tie-break,
+    within-cluster cosine rounded to 1e-6 against the threshold, the
+    drop-if-lower-id-near-dup keep rule — and the oracle validates the
+    clustered-prune semantics themselves (cross-cluster near-dups are
+    legitimately missed by BOTH engines, the approximation the paper
+    accepts for scale). The Lloyd-refined quantizer (n_iter>=1) is the
+    production path, property-tested in tests/test_round13.py."""
+    from proteus_engine_spark.datapipe.dedup import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, dim=64, n_clusters=16, n_iter=0, threshold=0.35)
+
+
+@register(
     "multimodal_decode",
     oracle="""
     SELECT doc_id AS media_id,

@@ -133,6 +133,77 @@ def test_remove_duplicate_spans_consistent_with_scoring_tier(spark):
     assert len(removed) > 0  # the corpus genuinely exercises the cut
 
 
+# ------------------------------------------------- semantic dedup (SemDeDup)
+
+
+def test_semantic_dedup_keeps_lowest_id_per_duplicate_group(spark):
+    """Production path (Lloyd-refined quantizer, n_iter=2): three groups
+    of near-identical vectors along distinct directions + two singletons.
+    Seeds are the lowest-id vectors, so ids 0-3 are deliberately spread
+    across groups (one per direction) — Lloyd converges each group into
+    its own cluster, and within each group exactly the lowest id
+    survives; singletons always survive."""
+    from proteus_engine_spark.datapipe.dedup import semantic_dedup
+
+    def v(base, eps):
+        return [float(b + e) for b, e in zip(base, eps)]
+
+    g1, g2, g3 = [1.0, 0, 0, 0], [0, 1.0, 0, 0], [0, 0, 1.0, 0]
+    s1, s2 = [0.6, -0.6, 0.4, 0.3], [-0.5, 0.3, -0.6, 0.55]
+    rows = [
+        (0, v(g1, [0, 0.01, 0, 0])), (4, v(g1, [0, 0, 0.02, 0])), (5, v(g1, [0.01, 0, 0, 0.01])),
+        (1, v(g2, [0.02, 0, 0, 0])), (6, v(g2, [0, 0.01, 0.01, 0])), (7, v(g2, [0, 0, 0, 0.02])),
+        (2, v(g3, [0, 0.02, 0, 0])), (8, v(g3, [0.01, 0, 0.01, 0])), (9, v(g3, [0, 0, 0.02, 0])),
+        (3, v(s1, [0, 0, 0, 0])), (10, v(s2, [0, 0, 0, 0])),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r for r in
+           semantic_dedup(emb, dim=4, n_clusters=4, n_iter=2, threshold=0.9).collect()}
+    assert len(out) == 11
+    kept = {i for i, r in out.items() if r.kept}
+    assert kept == {0, 1, 2, 3, 10}
+    # group members co-cluster (the within-cluster prune saw each group whole)
+    assert out[0].cluster == out[4].cluster == out[5].cluster
+    assert out[1].cluster == out[6].cluster == out[7].cluster
+    assert out[2].cluster == out[8].cluster == out[9].cluster
+
+
+def test_semantic_dedup_drop_rule_is_sound(spark):
+    """On the real embeddings corpus: every dropped vector must have a
+    lower-id same-cluster neighbor with cosine >= threshold (recomputed
+    independently from the returned clusters + raw vectors), and the
+    lowest id of every cluster is always kept."""
+    import math
+
+    from proteus_engine_spark.datapipe.dedup import semantic_dedup
+    from proteus_engine_spark.sources import load_table
+
+    emb = load_table(spark, SF, "embeddings").limit(200)
+    out = semantic_dedup(emb, n_iter=1, threshold=0.35).collect()
+    vecs = {r.vec_id: r.embedding for r in
+            emb.select("vec_id", "embedding").collect()}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return round(d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b))), 6)
+
+    by_cluster: dict[int, list] = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster, []).append(r)
+    n_dropped = 0
+    for members in by_cluster.values():
+        members.sort(key=lambda r: r.vec_id)
+        assert members[0].kept  # lowest id of the cluster always survives
+        for i, r in enumerate(members):
+            if not r.kept:
+                n_dropped += 1
+                assert any(
+                    cos(vecs[m.vec_id], vecs[r.vec_id]) >= 0.35
+                    for m in members[:i]
+                )
+    assert n_dropped > 0  # the corpus genuinely exercises the prune
+
+
 # --------------------------------------- cap-metrics probe degradation
 
 
