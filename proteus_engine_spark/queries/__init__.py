@@ -39,7 +39,7 @@ from proteus_engine_spark.queries import (  # noqa: F401
 # (csv_roundtrip_agg, from_rows_dim_join — untouched source modules,
 # re-verified by this round's local replica), accepted as the minimal
 # staleness slip if the window truncates at 50; they lead the r14 cohort
-# otherwise. THREE NEW r13 oracle gates follow at 53-55 —
+# otherwise. FIVE NEW r13 oracle gates follow at 53-57 —
 # dedup_lsh_salted_recall (the salted-split cap's >=0.85 recall floor,
 # measured on a deterministic 120-doc hot-bucket probe BOTH engines
 # derive from documents; flips the r12 "pytest-local only" status of the
@@ -47,7 +47,13 @@ from proteus_engine_spark.queries import (  # noqa: F401
 # of exact-substring dedup — Lee et al.'s operational cut, STRING-gram
 # oracle), and dedup_semantic (SemDeDup cluster-then-prune over the
 # embeddings table — algorithm-mirror oracle, same n_iter=0 discipline
-# as sim_ann_ivf) — locally green at all three SFs (r13_delta.json),
+# as sim_ann_ivf), plus text_decontaminate_bloom (the Bloom
+# runtime-filter tier of decontamination — broadcast-bitmap map-side
+# prune, output provably identical to the exact path, so the oracle is
+# the unchanged exact-overlap SQL) and text_decontaminate_fuzzy (the
+# near-dup-vs-benchmark tier — bipartite MinHash band join, exact-
+# Jaccard verified; % 10 = 5 eval split so planted dup pairs cross the
+# boundary) — all locally green at all three SFs (r13_delta.json);
 # they must lead the r14 window if they do not fit r13's.
 # ml_als_factorization (blocked solve path this round, still bitwise-
 # mirrored), ml_svm_classify (sweep-coverage + sorted-reduce fixes this
@@ -109,10 +115,12 @@ _GATE_PRIORITY = [
     "window_hop",
     "csv_roundtrip_agg",
     "from_rows_dim_join",
-    # new r13 oracle gates (53-55) — lead r14 if the window stops at 50
+    # new r13 oracle gates (53-57) — lead r14 if the window stops at 50
     "dedup_lsh_salted_recall",
     "text_remove_duplicate_spans",
     "dedup_semantic",
+    "text_decontaminate_bloom",
+    "text_decontaminate_fuzzy",
 ]
 
 

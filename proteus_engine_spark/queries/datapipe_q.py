@@ -1468,3 +1468,81 @@ def corpus_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from proteus_engine_spark.datapipe.textstats import vocab_stats
 
     return vocab_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_decontaminate_bloom",
+    oracle=r"""
+    WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+               FROM documents),
+    g AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ')
+          FOR i IN range(1, greatest(len(t)-2, 1)+1)]) AS grams
+          FROM t WHERE len(t) >= 3),
+    eg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 53 = 0),
+    cg AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 53 <> 0)
+    SELECT cg.doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams
+    FROM cg JOIN eg USING (gram) GROUP BY cg.doc_id
+    """,
+    tags=("datapipe", "decontam"),
+)
+def text_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered benchmark decontamination — the runtime-filter
+    tier of text_decontaminate (decontam.ngram_overlap_counts_bloom): the
+    eval set's gram hashes build a 1 MiB broadcast bitmap, the corpus
+    gram stream is pruned map-side by k vectorized numpy bitmap probes
+    (positions computed JVM-side; the pandas UDF does pure array
+    indexing), and only might-match grams enter the exact hash join. A
+    Bloom filter has no false negatives and survivors still pass the
+    exact join, so the oracle is the UNCHANGED exact-overlap SQL — a
+    hash-collision or bitmap-layout bug on either the build or probe
+    side would drop/invent grams and fail the hash. Eval split
+    doc_id % 53 (distinct from text_decontaminate's % 97, so both gates
+    exercise different overlap sets)."""
+    from proteus_engine_spark.datapipe.decontam import ngram_overlap_counts_bloom
+
+    docs = load_table(spark, sf_dir, "documents")
+    eval_set = docs.filter(F.col("doc_id") % 53 == 0)
+    corpus = docs.filter(F.col("doc_id") % 53 != 0)
+    return ngram_overlap_counts_bloom(corpus, eval_set, n=3)
+
+
+@register(
+    "text_decontaminate_fuzzy",
+    oracle=r"""
+    WITH sh AS (
+      SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ')
+                     FOR i IN range(1, greatest(len(t)-2, 1)+1)]) AS s
+      FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents)
+    )
+    SELECT doc_id, eval_id, jaccard FROM (
+      SELECT c.doc_id AS doc_id, e.doc_id AS eval_id,
+             CAST(len(list_intersect(c.s, e.s)) AS DOUBLE)
+               / len(list_distinct(list_concat(c.s, e.s))) AS jaccard
+      FROM sh c JOIN sh e ON c.doc_id % 10 <> 5 AND e.doc_id % 10 = 5)
+    WHERE jaccard >= 0.5
+    """,
+    tags=("datapipe", "decontam", "dedup"),
+)
+def text_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (near-duplicate) benchmark decontamination
+    (decontam.fuzzy_overlap_pairs): corpus documents whose doc-level
+    shingle Jaccard against some eval document (doc_id % 10 = 5 split —
+    chosen so the corpus's planted near-dup pairs CROSS the boundary;
+    the % 97 split of text_decontaminate crosses none, which would gate
+    an empty output) clears 0.5 — the tier that
+    catches paraphrased/reformatted benchmark copies exact n-gram
+    overlap misses. Candidates come from a BIPARTITE MinHash band join
+    (corpus band keys x eval band keys — corpus self-collisions are
+    never generated; the eval side is benchmark-sized, AQE broadcasts
+    it), then exact Jaccard verification on candidate docs only.
+    Oracle-able on the dedup_minhash_lsh argument: the output is the
+    exact-verified tier, and every qualifying cross pair in this corpus
+    has J >= 0.9, where 16-band/4-row collision probability is
+    1-(1-0.9^4)^16 ~ 1-4e-8 — the oracle computes the full exact
+    bipartite pair set and LSH provably misses none of it."""
+    from proteus_engine_spark.datapipe.decontam import fuzzy_overlap_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    eval_set = docs.filter(F.col("doc_id") % 10 == 5)
+    corpus = docs.filter(F.col("doc_id") % 10 != 5)
+    return fuzzy_overlap_pairs(corpus, eval_set, jaccard_threshold=0.5)

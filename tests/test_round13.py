@@ -256,3 +256,210 @@ def test_salted_recall_gate_booleans_hold(spark):
     assert row.n_exact_pairs == 7140  # C(120,2)
     assert row.survivors_qualify is True
     assert row.recall_floor_met is True
+
+
+# ----------------------------- Bloom-prefiltered decontamination
+
+
+class TestBloomDecontam:
+    def _frames(self, spark):
+        from pyspark.sql import functions as F
+
+        from proteus_engine_spark.sources import load_table
+
+        docs = load_table(spark, SF, "documents")
+        return (
+            docs.filter(F.col("doc_id") % 53 != 0),
+            docs.filter(F.col("doc_id") % 53 == 0),
+        )
+
+    def test_bloom_output_identical_to_exact_path(self, spark):
+        """A Bloom filter has no false negatives and survivors re-pass the
+        exact join, so the prefiltered counts must EQUAL the exact path's
+        for any (m_bits, k) — checked at the default and at a deliberately
+        tiny bitmap (256 bits: high FP rate, everything still correct)."""
+        from proteus_engine_spark.datapipe.decontam import (
+            ngram_overlap_counts,
+            ngram_overlap_counts_bloom,
+        )
+
+        corpus, ev = self._frames(spark)
+        exact = {
+            r.doc_id: r.n_shared_grams
+            for r in ngram_overlap_counts(corpus, ev, n=3).collect()
+        }
+        assert exact, "split must produce a non-empty overlap set"
+        for m_bits, k in ((1 << 23, 3), (256, 2)):
+            got = {
+                r.doc_id: r.n_shared_grams
+                for r in ngram_overlap_counts_bloom(
+                    corpus, ev, n=3, m_bits=m_bits, k_hashes=k
+                ).collect()
+            }
+            assert got == exact
+
+    def test_bloom_actually_prunes(self, spark):
+        """At the default sizing the prefilter must remove most of the
+        corpus gram stream (the entire point of the tier). Measured by
+        running the probe stage standalone: survivors << total grams."""
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from proteus_engine_spark.datapipe import decontam as dc
+
+        corpus, ev = self._frames(spark)
+        n = 3
+        from proteus_engine_spark.datapipe.dedup import shingle_array
+        from proteus_engine_spark.datapipe.textstats import _tokens
+
+        grams = corpus.select(
+            F.explode(
+                F.when(F.size(_tokens("text")) >= n, shingle_array("text", k=n))
+                .otherwise(F.array().cast("array<string>"))
+            ).alias("gram")
+        ).select(F.xxhash64("gram").alias("gh"))
+        total = grams.count()
+        # Rebuild the same bitmap the operator builds and probe in numpy.
+        ev_grams = ev.select(
+            F.explode(
+                F.when(F.size(_tokens("text")) >= n, shingle_array("text", k=n))
+                .otherwise(F.array().cast("array<string>"))
+            ).alias("gram")
+        ).select(F.xxhash64("gram").alias("gh")).distinct()
+        m_bits, k = 1 << 23, 3
+        pos = ev_grams.select(
+            F.explode(F.array(*dc._gram_positions(F.col("gh"), m_bits, k))).alias("p")
+        ).distinct()
+        bits = np.zeros(m_bits >> 3, dtype=np.uint8)
+        p = np.array([r.p for r in pos.collect()], dtype=np.int64)
+        np.bitwise_or.at(bits, p >> 3, (1 << (p & 7)).astype(np.uint8))
+        probe = grams.select(
+            "gh", F.array(*dc._gram_positions(F.col("gh"), m_bits, k)).alias("bp")
+        ).collect()
+        hits = 0
+        for r in probe:
+            bp = np.array(r.bp, dtype=np.int64)
+            if (((bits[bp >> 3] >> (bp & 7)) & 1) == 1).all():
+                hits += 1
+        # The synthetic corpus is contamination-heavy vs a real pipeline,
+        # so just require REAL pruning, not a production ratio.
+        assert hits < total * 0.9
+        assert hits > 0
+
+    def test_bloom_validation(self, spark):
+        from proteus_engine_spark.datapipe.decontam import ngram_overlap_counts_bloom
+
+        corpus, ev = self._frames(spark)
+        with pytest.raises(ValueError, match="power of two"):
+            ngram_overlap_counts_bloom(corpus, ev, m_bits=1000)
+        with pytest.raises(ValueError, match="k_hashes"):
+            ngram_overlap_counts_bloom(corpus, ev, k_hashes=0)
+
+    def test_decontaminate_bloom_wrapper_matches_exact(self, spark):
+        from proteus_engine_spark.datapipe.decontam import decontaminate
+
+        corpus, ev = self._frames(spark)
+        kept_exact = {r.doc_id for r in decontaminate(corpus, ev, n=3).collect()}
+        # the bloom tier is a prefilter inside the counts; the wrapper
+        # parity check goes through the counts equality above, so here
+        # just pin the anti-join contract: kept = corpus - flagged
+        from proteus_engine_spark.datapipe.decontam import ngram_overlap_counts_bloom
+
+        flagged = {
+            r.doc_id for r in ngram_overlap_counts_bloom(corpus, ev, n=3).collect()
+        }
+        all_ids = {r.doc_id for r in corpus.select("doc_id").collect()}
+        assert kept_exact == all_ids - flagged
+
+
+# ----------------------------- Fuzzy (MinHash bipartite) decontamination
+
+
+class TestFuzzyDecontam:
+    def _frames(self, spark):
+        from pyspark.sql import functions as F
+
+        from proteus_engine_spark.sources import load_table
+
+        docs = load_table(spark, SF, "documents")
+        return (
+            docs.filter(F.col("doc_id") % 10 != 5),
+            docs.filter(F.col("doc_id") % 10 == 5),
+        )
+
+    def test_fuzzy_pairs_equal_exact_bipartite_jaccard(self, spark):
+        """The exact-verified LSH output must equal the brute-force
+        bipartite Jaccard pair set at this threshold (the corpus's
+        qualifying pairs all have J >= 0.9 — recall-1 territory for
+        64 perms / 16 bands)."""
+        from pyspark.sql import functions as F
+
+        from proteus_engine_spark.datapipe.decontam import fuzzy_overlap_pairs
+        from proteus_engine_spark.datapipe.dedup import shingle_array
+
+        corpus, ev = self._frames(spark)
+        got = {
+            (r.doc_id, r.eval_id): round(r.jaccard, 6)
+            for r in fuzzy_overlap_pairs(corpus, ev, jaccard_threshold=0.5).collect()
+        }
+        c = corpus.select(F.col("doc_id").alias("cid"), shingle_array("text").alias("cs"))
+        e = ev.select(F.col("doc_id").alias("eid"), shingle_array("text").alias("es"))
+        jac = (
+            F.size(F.array_intersect("cs", "es")).cast("double")
+            / F.size(F.array_union("cs", "es"))
+        ).alias("j")
+        want = {
+            (r.cid, r.eid): round(r.j, 6)
+            for r in c.crossJoin(e).select("cid", "eid", jac)
+            .filter(F.col("j") >= 0.5)
+            .collect()
+        }
+        assert got == want
+        assert want, "split must cross at least one planted near-dup pair"
+
+    def test_fuzzy_decontaminate_drops_exactly_flagged(self, spark):
+        from proteus_engine_spark.datapipe.decontam import (
+            fuzzy_decontaminate,
+            fuzzy_overlap_pairs,
+        )
+
+        corpus, ev = self._frames(spark)
+        flagged = {
+            r.doc_id
+            for r in fuzzy_overlap_pairs(corpus, ev, jaccard_threshold=0.5).collect()
+        }
+        kept = {r.doc_id for r in fuzzy_decontaminate(corpus, ev).collect()}
+        all_ids = {r.doc_id for r in corpus.select("doc_id").collect()}
+        assert kept == all_ids - flagged
+
+    def test_fuzzy_validation(self, spark):
+        from proteus_engine_spark.datapipe.decontam import fuzzy_overlap_pairs
+
+        corpus, ev = self._frames(spark)
+        with pytest.raises(ValueError, match="divide"):
+            fuzzy_overlap_pairs(corpus, ev, num_perm=64, bands=7)
+
+
+class TestBloomDecontamEdges:
+    def test_bloom_empty_eval_set_flags_nothing(self, spark):
+        """An empty benchmark builds an all-zero bitmap: every corpus gram
+        is pruned map-side and the output is empty — same answer as the
+        exact path, with the join input already empty."""
+        from proteus_engine_spark.datapipe.decontam import ngram_overlap_counts_bloom
+
+        corpus, ev = TestBloomDecontam._frames(self, spark)
+        empty = ev.filter("doc_id < 0")
+        assert ngram_overlap_counts_bloom(corpus, empty, n=3).count() == 0
+
+    def test_bloom_short_docs_contribute_no_grams(self, spark):
+        """Docs shorter than n tokens emit no grams on either side (the
+        decontam convention) — a corpus of only short docs yields an
+        empty overlap set even against a contaminated eval side."""
+        from proteus_engine_spark.datapipe.decontam import ngram_overlap_counts_bloom
+
+        corpus, ev = TestBloomDecontam._frames(self, spark)
+        short = corpus.selectExpr(
+            "doc_id",
+            "array_join(slice(split(lower(text), '\\\\s+'), 1, 2), ' ') AS text",
+        )
+        assert ngram_overlap_counts_bloom(short, ev, n=3).count() == 0
