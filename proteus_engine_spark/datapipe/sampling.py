@@ -255,3 +255,30 @@ def hash_split(
     # in the docstring (otherwise() would swallow the NULL digest).
     assigned = F.when(F.col(key_col).isNotNull(), assigned)
     return df.withColumn(split_col, assigned)
+
+
+def shuffle_order(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    salt: str = "",
+    out: str = "pos",
+) -> DataFrame:
+    """Deterministic global training-order shuffle: every row gets its
+    0-based position in the pseudo-random permutation induced by
+    md5(salt || key) — the epoch-shuffle step of a training-data
+    pipeline, reproducible across runs/engines and re-seedable per epoch
+    via ``salt`` (same portability argument as the md5 sampling rules
+    above). Ties on the digest (only possible for duplicate keys) break
+    by the key itself, so the permutation is total and stable.
+
+    Scale shape: one range-partitioned sort on the 16-byte digest (a
+    PARALLEL global sort — Spark samples range bounds, every partition
+    sorts independently) and the two-phase zip_with_index rank assign
+    (per-partition counts -> broadcast offsets; parallelism equals the
+    partition count). NO single-task row_number window anywhere; the only
+    data movement is the range shuffle of (key, payload)."""
+    h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    from proteus_engine_spark.operators.partitioning import zip_with_index
+
+    ordered = df.withColumn("__h__", h).orderBy("__h__", key_col)
+    return zip_with_index(ordered, out=out).drop("__h__")

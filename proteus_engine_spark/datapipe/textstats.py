@@ -454,3 +454,97 @@ def bigram_logprob(
             F.round(F.sum(F.col("n") * F.log(p)) / F.sum("n"), 6).alias("logprob"),
         )
     )
+
+
+def quality_buckets(
+    scored: DataFrame,
+    score_col: str = "logprob",
+    id_col: str = "doc_id",
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Assign each row to a quality percentile bucket (1 = worst score
+    .. n_buckets = best) — the CCNet move after LM scoring: split the
+    corpus into perplexity terciles/deciles and sample training data by
+    bucket. Returns (id_col, score_col, bucket int).
+
+    Scale shape — never ``ntile`` / ``percent_rank``: a rank-based
+    bucketing is an unpartitioned window, i.e. a single-task sort of the
+    full corpus (the q11 scale-killer class). Instead the n_buckets-1
+    exact percentile cut points come from ONE 1-row aggregate
+    (``percentile`` is a partial-aggregating JVM expression — map-side
+    combine, no row shuffle), broadcast-crossJoined back, and the bucket
+    is computed per-row as 1 + |{cuts strictly below the score}| (ties
+    land in the LOWER bucket on both engines by the strict <). Buckets
+    are therefore equal-frequency up to ties, and the whole op adds one
+    broadcast and zero shuffles to the scoring plan.
+
+    Engine-portability: Spark's `percentile` and DuckDB's
+    `quantile_cont` interpolate with the identical
+    lower + (upper-lower)*fraction formula over the same rounded
+    inputs, so the cut points — and hence every bucket id — reproduce
+    exactly (validated empirically at all three gate SFs)."""
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    qs = F.array(*[F.lit(i / n_buckets) for i in range(1, n_buckets)])
+    cuts = scored.agg(F.percentile(F.col(score_col), qs).alias("__cuts__"))
+    s = F.col(score_col)
+    return (
+        scored.crossJoin(F.broadcast(cuts))
+        .select(
+            id_col,
+            score_col,
+            (F.size(F.filter(F.col("__cuts__"), lambda c: c < s)) + 1).alias("bucket"),
+        )
+    )
+
+
+def winnowing_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the
+    MOSS algorithm): hash every k-token gram, slide a ``window`` over the
+    gram-hash sequence, keep the minimum hash of each window, distinct
+    per doc. Guarantees every shared run of window+k-1 tokens between two
+    documents yields at least one SHARED fingerprint — the shift-robust
+    local fingerprinting document_fingerprint (whole-doc, order-
+    insensitive) explicitly defers to. Returns (id_col,
+    fingerprint string) — one row per selected gram hash per doc.
+
+    Adaptation: plain per-window minimum (the paper breaks min-ties by
+    rightmost position to further thin the set; ties here keep ONE copy
+    anyway via the in-doc distinct, so the guarantee is unchanged and the
+    selection stays expressible as array_min). Gram hashes are md5 hex
+    strings compared lexicographically — engine-portable (identical
+    strings and byte-wise ordering on both engines), which is what makes
+    the fingerprint set oracle-checkable; a production deployment would
+    swap xxhash64 for md5 one-for-one.
+
+    Docs with fewer than k tokens emit nothing; docs with fewer grams
+    than the window emit the single minimum of what exists (the paper's
+    boundary convention — never zero fingerprints for a doc with >= 1
+    gram). Scale shape: per-row JVM expressions end-to-end (tokenize,
+    two transforms, in-doc distinct, one explode) — NO shuffle at all;
+    output is bounded by total grams / expected gap (2/(window+1))."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    toks = _tokens(text_col)
+    grams = F.expr(
+        f"transform(sequence(1, size(__t__) - {k} + 1), "
+        f"i -> md5(array_join(slice(__t__, i, {k}), ' ')))"
+    )
+    mins = F.expr(
+        f"transform(sequence(1, greatest(size(__g__) - {window} + 1, 1)), "
+        f"j -> array_min(slice(__g__, j, {window})))"
+    )
+    return (
+        docs.select(F.col(id_col), toks.alias("__t__"))
+        .filter(F.size("__t__") >= k)
+        .select(F.col(id_col), grams.alias("__g__"))
+        .select(F.col(id_col), F.explode(F.array_distinct(mins)).alias("fingerprint"))
+    )

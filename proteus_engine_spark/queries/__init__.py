@@ -39,7 +39,7 @@ from proteus_engine_spark.queries import (  # noqa: F401
 # (csv_roundtrip_agg, from_rows_dim_join — untouched source modules,
 # re-verified by this round's local replica), accepted as the minimal
 # staleness slip if the window truncates at 50; they lead the r14 cohort
-# otherwise. FIVE NEW r13 oracle gates follow at 53-57 —
+# otherwise. TEN NEW r13 oracle gates follow at 53-62 —
 # dedup_lsh_salted_recall (the salted-split cap's >=0.85 recall floor,
 # measured on a deterministic 120-doc hot-bucket probe BOTH engines
 # derive from documents; flips the r12 "pytest-local only" status of the
@@ -53,8 +53,17 @@ from proteus_engine_spark.queries import (  # noqa: F401
 # the unchanged exact-overlap SQL) and text_decontaminate_fuzzy (the
 # near-dup-vs-benchmark tier — bipartite MinHash band join, exact-
 # Jaccard verified; % 10 = 5 eval split so planted dup pairs cross the
-# boundary) — all locally green at all three SFs (r13_delta.json);
-# they must lead the r14 window if they do not fit r13's.
+# boundary), corpus_quality_buckets (CCNet decile split via broadcast
+# percentile cut points — never an ntile window), corpus_chunk_windows
+# (sliding token-window chunking, zero-shuffle) and corpus_shuffle_order
+# (deterministic md5 epoch permutation via parallel range sort + the
+# two-phase zip_with_index rank) and text_winnowing_fingerprints (the
+# MOSS shift-robust local fingerprint selection, zero-shuffle, md5-gram
+# portable), plus agg_approx_distinct_bounds (HLL++ sketch distinct with
+# a driver-checkable error-bound verdict) — all locally green at all
+# three SFs
+# (r13_delta.json); they must lead the r14 window if they do not fit
+# r13's.
 # ml_als_factorization (blocked solve path this round, still bitwise-
 # mirrored), ml_svm_classify (sweep-coverage + sorted-reduce fixes this
 # round, mirror updated) and ml_outlier_sos stay OUT of any window: all
@@ -121,6 +130,11 @@ _GATE_PRIORITY = [
     "dedup_semantic",
     "text_decontaminate_bloom",
     "text_decontaminate_fuzzy",
+    "corpus_quality_buckets",
+    "corpus_chunk_windows",
+    "corpus_shuffle_order",
+    "text_winnowing_fingerprints",
+    "agg_approx_distinct_bounds",
 ]
 
 

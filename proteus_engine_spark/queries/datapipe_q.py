@@ -1546,3 +1546,139 @@ def text_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval_set = docs.filter(F.col("doc_id") % 10 == 5)
     corpus = docs.filter(F.col("doc_id") % 10 != 5)
     return fuzzy_overlap_pairs(corpus, eval_set, jaccard_threshold=0.5)
+
+
+@register(
+    "corpus_quality_buckets",
+    oracle=r"""
+    WITH toks AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+                  FROM documents),
+    big AS (SELECT doc_id, unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+            FROM toks WHERE len(t) >= 2),
+    c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM big GROUP BY w1, w2),
+    c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM big GROUP BY w1),
+    v AS (SELECT CAST(count(DISTINCT w2) AS BIGINT) AS v2 FROM big),
+    scored AS (
+      SELECT big.doc_id,
+             round(avg(ln((c12.c12 + 0.4) / (c1.c1 + 0.4 * v.v2))), 6) AS logprob
+      FROM big JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+      GROUP BY big.doc_id),
+    cuts AS (SELECT quantile_cont(logprob,
+               [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cs
+             FROM scored)
+    SELECT doc_id, logprob,
+           CAST(len(list_filter(cs, c -> c < logprob)) + 1 AS INT) AS bucket
+    FROM scored CROSS JOIN cuts
+    """,
+    tags=("datapipe", "text", "quality"),
+)
+def corpus_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-decile assignment over the corpus-LM scores
+    (textstats.quality_buckets over textstats.bigram_logprob) — the CCNet
+    step after perplexity scoring: split the corpus into equal-frequency
+    score buckets and sample training data per bucket. NOT ntile: a
+    rank bucketing is an unpartitioned window (single-task sort of the
+    corpus, the q11 scale-killer class); instead the 9 exact decile cut
+    points come from ONE 1-row partial-aggregating percentile, broadcast
+    back, and the bucket is a per-row count of cuts strictly below the
+    score. Oracle-exact because Spark `percentile` and DuckDB
+    `quantile_cont` share the lower + (upper-lower)*fraction
+    interpolation over identical 1e-6-rounded inputs, and the strict-<
+    tie rule is mirrored."""
+    from proteus_engine_spark.datapipe.textstats import bigram_logprob, quality_buckets
+
+    scored = bigram_logprob(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "logprob"
+    )
+    return quality_buckets(scored, n_buckets=10)
+
+
+@register(
+    "corpus_chunk_windows",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      FROM documents WHERE length(trim(text)) > 0),
+    n AS (SELECT doc_id, t, len(t) AS nt,
+                 1 + CAST(ceil(greatest(nt - 32, 0) / 24.0) AS INT) AS nc
+          FROM toks)
+    SELECT doc_id, i - 1 AS chunk_id,
+           array_to_string(t[(i-1)*24 + 1 : (i-1)*24 + 32], ' ') AS chunk_text,
+           CAST(len(t[(i-1)*24 + 1 : (i-1)*24 + 32]) AS INT) AS n_chunk_tokens
+    FROM n, LATERAL (SELECT unnest(range(1, nc + 1)) AS i)
+    """,
+    tags=("datapipe", "text", "chunking"),
+)
+def corpus_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (packing.chunk_documents,
+    chunk_size=32 / overlap=8): the context-window splitting step of RAG
+    indexing and long-document training prep. Whole-stage-codegen per-row
+    expressions (tokenize once, transform over start indices, one
+    explode) — zero shuffles, output bounded by total tokens / stride.
+    The oracle rebuilds every window with DuckDB list slicing: a
+    misplaced start, lost tail chunk, or wrong overlap shifts some
+    chunk's text and fails the hash. chunk_id is INT on both sides."""
+    from proteus_engine_spark.datapipe.packing import chunk_documents
+
+    return chunk_documents(
+        load_table(spark, sf_dir, "documents"), chunk_size=32, overlap=8
+    )
+
+
+@register(
+    "corpus_shuffle_order",
+    oracle="""
+    SELECT doc_id,
+           CAST(row_number() OVER (
+             ORDER BY md5('ep1' || CAST(doc_id AS VARCHAR)), doc_id) - 1
+           AS BIGINT) AS pos
+    FROM documents
+    """,
+    tags=("datapipe", "sampling", "ordering"),
+)
+def corpus_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle (sampling.shuffle_order, salt='ep1'):
+    every document's position in the md5-induced pseudo-random training
+    permutation — reproducible across engines and re-seedable per epoch.
+    Engine side is a PARALLEL range-partitioned sort on the digest plus
+    the two-phase zip_with_index rank (per-partition counts -> broadcast
+    offsets — never a single-task row_number over the corpus); the
+    oracle, which is allowed to be naive, is exactly that single
+    window."""
+    from proteus_engine_spark.datapipe.sampling import shuffle_order
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return shuffle_order(docs, salt="ep1")
+
+
+@register(
+    "text_winnowing_fingerprints",
+    oracle=r"""
+    WITH toks AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+                  FROM documents),
+    g AS (SELECT doc_id,
+                 [md5(array_to_string(t[i:i+4], ' '))
+                  FOR i IN range(1, len(t) - 5 + 1 + 1)] AS g
+          FROM toks WHERE len(t) >= 5)
+    SELECT DISTINCT doc_id,
+           unnest([list_min(g[j:j+3])
+                   FOR j IN range(1, greatest(len(g) - 4 + 1, 1) + 1)])
+             AS fingerprint
+    FROM g
+    """,
+    tags=("datapipe", "text", "fingerprint", "dedup"),
+)
+def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing local fingerprints (textstats.winnowing_fingerprints,
+    k=5 / window=4 — the MOSS plagiarism-detection selection): per-window
+    minimum gram hash, distinct per doc, guaranteeing any 8-token run
+    shared between two docs yields a shared fingerprint. Zero-shuffle
+    per-row JVM expressions; md5 hex grams compared lexicographically on
+    both engines, so the oracle rebuilds the exact selected set — an
+    off-by-one in gram starts, window starts, or the short-doc boundary
+    convention changes some window's minimum and fails the hash."""
+    from proteus_engine_spark.datapipe.textstats import winnowing_fingerprints
+
+    return winnowing_fingerprints(
+        load_table(spark, sf_dir, "documents"), k=5, window=4
+    )

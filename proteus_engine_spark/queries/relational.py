@@ -1032,3 +1032,43 @@ def explode_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= 10)
     )
+
+
+@register(
+    "agg_approx_distinct_bounds",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS exact_distinct,
+           true AS within_bounds
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("agg", "sketch"),
+)
+def agg_approx_distinct_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct count, verdict-gated (the same
+    bounds discipline as text_length_percentiles_approx): per group the
+    engine computes BOTH approx_count_distinct(rsd=0.02) and the exact
+    distinct, and emits within_bounds = |approx - exact| <= 0.1 * exact
+    (5x the requested relative standard deviation — a bound the sketch
+    violates with negligible probability). The oracle computes the exact
+    count and asserts the verdict is uniformly true, so a broken sketch
+    (or a mis-wired rsd) fails the hash while the approximate VALUE,
+    which is engine-specific by nature, never has to match. At 100 TB
+    the sketch is the point: a mergeable fixed-size state per group
+    instead of a distinct-key shuffle."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx"),
+            F.countDistinct("o_custkey").alias("exact_distinct"),
+        )
+        .select(
+            "o_orderpriority",
+            "exact_distinct",
+            (
+                F.abs(F.col("approx") - F.col("exact_distinct"))
+                <= 0.1 * F.col("exact_distinct")
+            ).alias("within_bounds"),
+        )
+    )

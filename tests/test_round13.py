@@ -463,3 +463,242 @@ class TestBloomDecontamEdges:
             "array_join(slice(split(lower(text), '\\\\s+'), 1, 2), ' ') AS text",
         )
         assert ngram_overlap_counts_bloom(short, ev, n=3).count() == 0
+
+
+# ----------------------------- quality-percentile bucketing
+
+
+class TestQualityBuckets:
+    def test_equal_frequency_and_range(self, spark):
+        """Deciles over a distinct-score frame must be equal-frequency
+        (ties absent → exact N/10 per bucket when N divides evenly), and
+        bucket ids must cover 1..n in score order."""
+        from pyspark.sql import functions as F
+
+        from proteus_engine_spark.datapipe.textstats import quality_buckets
+
+        scored = spark.range(100).select(
+            F.col("id").alias("doc_id"), (F.col("id") * 1.5).alias("logprob")
+        )
+        out = quality_buckets(scored, n_buckets=10).collect()
+        by_bucket = {}
+        for r in out:
+            by_bucket.setdefault(r.bucket, []).append(r.logprob)
+        assert sorted(by_bucket) == list(range(1, 11))
+        assert all(len(v) == 10 for v in by_bucket.values())
+        # score order respects bucket order
+        for b in range(1, 10):
+            assert max(by_bucket[b]) < min(by_bucket[b + 1])
+
+    def test_ties_land_in_the_lower_bucket(self, spark):
+        """All-equal scores: every cut equals the score, the strict <
+        puts every row in bucket 1 — no row may be split across buckets
+        by a tie."""
+        from pyspark.sql import functions as F
+
+        from proteus_engine_spark.datapipe.textstats import quality_buckets
+
+        scored = spark.range(50).select(
+            F.col("id").alias("doc_id"), F.lit(7.25).alias("logprob")
+        )
+        out = quality_buckets(scored, n_buckets=10).collect()
+        assert {r.bucket for r in out} == {1}
+
+    def test_no_window_in_plan(self, spark):
+        """The whole point: bucket assignment must NOT be an ntile-style
+        unpartitioned window (single-task sort at scale) — the executed
+        plan has zero Window nodes and the cuts ride a broadcast."""
+        from pyspark.sql import functions as F
+
+        from proteus_engine_spark.datapipe.textstats import quality_buckets
+
+        scored = spark.range(1000).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 37 * 0.5).alias("logprob"),
+        )
+        df = quality_buckets(scored, n_buckets=4)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan
+        assert "Broadcast" in plan
+
+    def test_validation(self, spark):
+        from pyspark.sql import functions as F
+
+        from proteus_engine_spark.datapipe.textstats import quality_buckets
+
+        scored = spark.range(10).select(
+            F.col("id").alias("doc_id"), F.col("id").cast("double").alias("logprob")
+        )
+        with pytest.raises(ValueError, match="n_buckets"):
+            quality_buckets(scored, n_buckets=1)
+
+
+# ----------------------------- document chunking
+
+
+class TestChunkDocuments:
+    def test_window_layout(self, spark):
+        """10 tokens, chunk_size=4, overlap=1 (stride 3): starts 1,4,7 —
+        last chunk covers the final token, middle chunks share exactly
+        one token with their predecessor."""
+        from proteus_engine_spark.datapipe.packing import chunk_documents
+
+        doc = _docs(spark, [(1, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10")])
+        out = sorted(
+            chunk_documents(doc, chunk_size=4, overlap=1).collect(),
+            key=lambda r: r.chunk_id,
+        )
+        assert [r.chunk_text for r in out] == [
+            "t1 t2 t3 t4",
+            "t4 t5 t6 t7",
+            "t7 t8 t9 t10",
+        ]
+        assert [r.n_chunk_tokens for r in out] == [4, 4, 4]
+
+    def test_partial_tail_and_short_docs(self, spark):
+        """A non-aligned doc keeps a short tail chunk; a doc shorter than
+        chunk_size yields exactly one (short) chunk; an empty doc yields
+        none."""
+        from proteus_engine_spark.datapipe.packing import chunk_documents
+
+        docs = _docs(spark, [(1, "a b c d e"), (2, "x y"), (3, "   ")])
+        out = {}
+        for r in chunk_documents(docs, chunk_size=3, overlap=0).collect():
+            out.setdefault(r.doc_id, []).append((r.chunk_id, r.chunk_text))
+        assert sorted(out[1]) == [(0, "a b c"), (1, "d e")]
+        assert out[2] == [(0, "x y")]
+        assert 3 not in out
+
+    def test_coverage_reconstructs_doc_at_zero_overlap(self, spark):
+        """overlap=0 chunks concatenate back to the original token stream
+        for every document of the sf0.001 corpus."""
+        from pyspark.sql import functions as F
+
+        from proteus_engine_spark.datapipe.packing import chunk_documents
+        from proteus_engine_spark.sources import load_table
+
+        docs = load_table(spark, SF, "documents")
+        rebuilt = (
+            chunk_documents(docs, chunk_size=16, overlap=0)
+            .groupBy("doc_id")
+            .agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("chunk_id", "chunk_text"))),
+                        lambda s: s["chunk_text"],
+                    ),
+                    " ",
+                ).alias("re")
+            )
+        )
+        orig = docs.select(
+            "doc_id",
+            F.array_join(F.split(F.trim("text"), r"\s+"), " ").alias("want"),
+        ).filter(F.length(F.trim("text")) > 0)
+        bad = rebuilt.join(orig, "doc_id").filter(F.col("re") != F.col("want")).count()
+        assert bad == 0
+        assert rebuilt.count() == orig.count()
+
+    def test_validation(self, spark):
+        from proteus_engine_spark.datapipe.packing import chunk_documents
+
+        docs = _docs(spark, [(1, "a b c")])
+        with pytest.raises(ValueError, match="chunk_size"):
+            chunk_documents(docs, chunk_size=0)
+        with pytest.raises(ValueError, match="overlap"):
+            chunk_documents(docs, chunk_size=4, overlap=4)
+
+
+# ----------------------------- deterministic epoch shuffle
+
+
+class TestShuffleOrder:
+    def test_positions_are_a_permutation_and_reproducible(self, spark):
+        from proteus_engine_spark.datapipe.sampling import shuffle_order
+        from proteus_engine_spark.sources import load_table
+
+        docs = load_table(spark, SF, "documents").select("doc_id")
+        a = {r.doc_id: r.pos for r in shuffle_order(docs, salt="s1").collect()}
+        assert sorted(a.values()) == list(range(len(a)))
+        b = {r.doc_id: r.pos for r in shuffle_order(docs, salt="s1").collect()}
+        assert a == b
+
+    def test_salt_reshuffles(self, spark):
+        """Different salts give materially different permutations (epoch
+        re-shuffle), but each is still a full permutation."""
+        from proteus_engine_spark.datapipe.sampling import shuffle_order
+        from proteus_engine_spark.sources import load_table
+
+        docs = load_table(spark, SF, "documents").select("doc_id")
+        a = {r.doc_id: r.pos for r in shuffle_order(docs, salt="ep1").collect()}
+        b = {r.doc_id: r.pos for r in shuffle_order(docs, salt="ep2").collect()}
+        moved = sum(1 for k in a if a[k] != b[k])
+        assert moved > len(a) * 0.9
+        assert sorted(b.values()) == list(range(len(b)))
+
+
+# ----------------------------- winnowing fingerprints
+
+
+class TestWinnowing:
+    def test_shared_run_guarantee(self, spark):
+        """The winnowing guarantee: two docs sharing a run of
+        window + k - 1 tokens share at least one fingerprint; docs with
+        no shared run of that length (distinct vocabularies) share
+        none."""
+        from proteus_engine_spark.datapipe.textstats import winnowing_fingerprints
+
+        shared = "s1 s2 s3 s4 s5 s6 s7 s8"  # window+k-1 = 4+5-1 = 8 tokens
+        rows = [
+            (1, f"a1 a2 a3 {shared} a4 a5"),
+            (2, f"b1 b2 {shared} b3 b4 b5"),
+            (3, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"),
+        ]
+        fps = {}
+        out = winnowing_fingerprints(_docs(spark, rows), k=5, window=4).collect()
+        for r in out:
+            fps.setdefault(r.doc_id, set()).add(r.fingerprint)
+        assert fps[1] & fps[2]
+        assert not (fps[1] & fps[3])
+        assert not (fps[2] & fps[3])
+
+    def test_boundary_conventions(self, spark):
+        """Docs with >= 1 gram but fewer grams than the window emit
+        exactly one fingerprint (the global min); docs shorter than k
+        emit none; identical docs emit identical sets."""
+        from proteus_engine_spark.datapipe.textstats import winnowing_fingerprints
+
+        rows = [(1, "t1 t2 t3 t4 t5 t6"), (2, "x1 x2 x3"), (3, "t1 t2 t3 t4 t5 t6")]
+        out = winnowing_fingerprints(_docs(spark, rows), k=5, window=4).collect()
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r.doc_id, set()).add(r.fingerprint)
+        assert len(by_doc[1]) == 1  # 2 grams < window -> single min
+        assert 2 not in by_doc
+        assert by_doc[1] == by_doc[3]
+
+    def test_density(self, spark):
+        """Selected fingerprints per doc are ~2/(window+1) of grams (the
+        paper's expected density) — sanity-bound it on the real corpus
+        (distinct-collapse can only lower it)."""
+        from proteus_engine_spark.datapipe.textstats import winnowing_fingerprints
+        from proteus_engine_spark.sources import load_table
+
+        docs = load_table(spark, SF, "documents")
+        n_fp = winnowing_fingerprints(docs, k=5, window=4).count()
+        import pyspark.sql.functions as F
+
+        n_grams = (
+            docs.select((F.size(F.split(F.lower("text"), r"\s+")) - 4).alias("g"))
+            .filter("g > 0").agg(F.sum("g")).collect()[0][0]
+        )
+        assert 0.2 * n_grams < n_fp < 0.75 * n_grams
+
+    def test_validation(self, spark):
+        from proteus_engine_spark.datapipe.textstats import winnowing_fingerprints
+
+        with pytest.raises(ValueError, match="k must"):
+            winnowing_fingerprints(_docs(spark, [(1, "a")]), k=0)
+        with pytest.raises(ValueError, match="window"):
+            winnowing_fingerprints(_docs(spark, [(1, "a")]), window=0)
