@@ -39,7 +39,7 @@ from proteus_engine_spark.queries import (  # noqa: F401
 # (csv_roundtrip_agg, from_rows_dim_join — untouched source modules,
 # re-verified by this round's local replica), accepted as the minimal
 # staleness slip if the window truncates at 50; they lead the r14 cohort
-# otherwise. TEN NEW r13 oracle gates follow at 53-62 —
+# otherwise. ELEVEN NEW r13 oracle gates follow at 53-63 —
 # dedup_lsh_salted_recall (the salted-split cap's >=0.85 recall floor,
 # measured on a deterministic 120-doc hot-bucket probe BOTH engines
 # derive from documents; flips the r12 "pytest-local only" status of the
@@ -59,9 +59,11 @@ from proteus_engine_spark.queries import (  # noqa: F401
 # (deterministic md5 epoch permutation via parallel range sort + the
 # two-phase zip_with_index rank) and text_winnowing_fingerprints (the
 # MOSS shift-robust local fingerprint selection, zero-shuffle, md5-gram
-# portable), plus agg_approx_distinct_bounds (HLL++ sketch distinct with
-# a driver-checkable error-bound verdict) — all locally green at all
-# three SFs
+# portable), agg_approx_distinct_bounds (HLL++ sketch distinct with
+# a driver-checkable error-bound verdict), plus avro_roundtrip_agg (the
+# formerly env-blocked Avro format, rebuilt as a pure-Python container
+# codec — sources/avro_codec.py — so no spark-avro jar is needed) — all
+# locally green at all three SFs
 # (r13_delta.json); they must lead the r14 window if they do not fit
 # r13's.
 # ml_als_factorization (blocked solve path this round, still bitwise-
@@ -135,6 +137,7 @@ _GATE_PRIORITY = [
     "corpus_shuffle_order",
     "text_winnowing_fingerprints",
     "agg_approx_distinct_bounds",
+    "avro_roundtrip_agg",
 ]
 
 

@@ -712,3 +712,38 @@ def socket_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         (F.sum(F.col("cents").cast("long")) / 100.0).alias("total_value"),
     )
+
+
+@register(
+    "avro_roundtrip_agg",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+    tags=("sink", "source", "surface", "avro"),
+)
+def avro_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro format round-trip gate (flink-formats/flink-avro
+    AvroOutputFormat.java:87 / AvroInputFormat.java:68) — customer goes
+    out through the pure-Python Avro container sink (deflate codec, one
+    file per partition via mapInPandas) and back in through the
+    binaryFile + mapInPandas decoder, then aggregates; acctbal re-enters
+    as decimal before summing, so the binary round-trip is exact. The
+    spark-avro jar stays unnecessary: the codec is ~200 lines of the
+    Avro 1.11 spec over stdlib struct/zlib/json
+    (sources/avro_codec.py)."""
+    from proteus_engine_spark.sources.avro_codec import read_avro, write_avro
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    path = _scratch("avro_customer", sf_dir)
+    write_avro(cust, path, codec="deflate")
+    back = read_avro(
+        spark, path, "c_custkey long, c_mktsegment string, c_acctbal double"
+    )
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("total_bal"),
+    )

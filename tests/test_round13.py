@@ -702,3 +702,99 @@ class TestWinnowing:
             winnowing_fingerprints(_docs(spark, [(1, "a")]), k=0)
         with pytest.raises(ValueError, match="window"):
             winnowing_fingerprints(_docs(spark, [(1, "a")]), window=0)
+
+
+# ----------------------------- pure-Python Avro codec
+
+
+class TestAvroCodec:
+    FIELDS = [
+        ("a", "long", False), ("b", "string", True), ("c", "double", False),
+        ("d", "bytes", True), ("e", "boolean", False), ("f", "int", True),
+        ("g", "float", False),
+    ]
+    ROWS = [
+        (0, "hello", 1.5, b"xyz", True, 7, 0.5),
+        (-1, None, -2.25, None, False, -(2**31) + 1, -1.25),
+        (2**62, "", 0.0, b"", True, None, 2.0),
+        (-(2**62), "unicodé €", float("inf"), b"\x00\xff", False, 0, -0.0),
+    ]
+
+    def test_container_roundtrip_both_codecs_multiblock(self):
+        from hashlib import md5
+
+        from proteus_engine_spark.sources.avro_codec import (
+            decode_container,
+            encode_container,
+        )
+
+        for codec in ("null", "deflate"):
+            blob = encode_container(
+                self.ROWS, self.FIELDS, md5(b"s").digest(), codec=codec, block_rows=2
+            )
+            fields, rows = decode_container(blob)
+            assert fields == self.FIELDS
+            assert rows == self.ROWS
+
+    def test_container_error_paths(self):
+        from hashlib import md5
+
+        from proteus_engine_spark.sources.avro_codec import (
+            decode_container,
+            encode_container,
+        )
+
+        blob = encode_container(self.ROWS, self.FIELDS, md5(b"s").digest())
+        with pytest.raises(ValueError, match="magic"):
+            decode_container(b"Bad1" + blob[4:])
+        with pytest.raises(ValueError, match="truncated"):
+            decode_container(blob[:-3])
+        with pytest.raises(ValueError, match="codec"):
+            encode_container(self.ROWS, self.FIELDS, md5(b"s").digest(), codec="snappy")
+        with pytest.raises(ValueError, match="sync"):
+            encode_container(self.ROWS, self.FIELDS, b"short")
+        with pytest.raises(ValueError, match="non-nullable"):
+            encode_container([(None, "x", 1.0, b"", True, 1, 0.0)], self.FIELDS,
+                             md5(b"s").digest())
+
+    def test_spark_roundtrip_preserves_values_and_parallel_layout(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from proteus_engine_spark.sources.avro_codec import read_avro, write_avro
+
+        df = spark.range(2003).select(
+            F.col("id").alias("k"),
+            F.when(F.col("id") % 7 == 0, None)
+            .otherwise(F.concat(F.lit("v"), F.col("id"))).alias("s"),
+            (F.col("id") * 0.25 - 100).alias("d"),
+            F.encode(F.concat(F.lit("b"), F.col("id")), "utf-8").alias("payload"),
+            (F.col("id") % 3 == 0).alias("flag"),
+        ).repartition(5)
+        path = str(tmp_path / "rt")
+        n = write_avro(df, path, codec="deflate")
+        assert n == 2003
+        import glob
+
+        assert len(glob.glob(f"{path}/*.avro")) == 5  # one file per partition
+        back = read_avro(spark, path, "k long, s string, d double, payload binary, flag boolean")
+        assert sorted(map(tuple, df.collect())) == sorted(map(tuple, back.collect()))
+
+    def test_spark_unsupported_type_raises(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from proteus_engine_spark.sources.avro_codec import write_avro
+
+        df = spark.range(3).select(F.array(F.col("id")).alias("arr"))
+        with pytest.raises(ValueError, match="no mapping"):
+            write_avro(df, str(tmp_path / "bad"))
+
+    def test_reader_schema_mismatch_raises(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from proteus_engine_spark.sources.avro_codec import read_avro, write_avro
+
+        df = spark.range(5).select(F.col("id").alias("k"))
+        path = str(tmp_path / "mm")
+        write_avro(df, path)
+        with pytest.raises(Exception, match="does not match"):
+            read_avro(spark, path, "k string").collect()
