@@ -79,6 +79,17 @@ HEADLINE = [
     # embeddings table (k-means quantizer + within-cluster BLAS cosine)
     "text_remove_duplicate_spans",
     "dedup_semantic",
+    # added round 13, second batch (exclude from like-for-like totals):
+    # Bloom runtime-filter decontamination (broadcast-bitmap map-side
+    # prune — NOTE: slower than plain text_decontaminate at sf0.1, where
+    # the synthetic corpus is contamination-heavy and the exact join is
+    # cheap; the tier exists for the <<1%-contamination 100 TB shape and
+    # its fixed costs — the build job + Arrow probe pass — are what this
+    # datapoint tracks), zero-shuffle sliding-window chunking, and the
+    # md5 epoch-shuffle permutation (parallel range sort + two-phase rank)
+    "text_decontaminate_bloom",
+    "corpus_chunk_windows",
+    "corpus_shuffle_order",
 ]
 
 

@@ -191,37 +191,43 @@ def ngram_overlap_counts_bloom(
     np.bitwise_or.at(bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
     bc = corpus.sparkSession.sparkContext.broadcast(bits)
 
-    # No inline signature annotations: the module-wide `from __future__
-    # import annotations` stringifies hints, which pandas_udf's signature
-    # validation rejects ("Unsupported signature: 'pd.Series'"); real
-    # (non-string) hints are attached below instead.
-    def _might_contain_fn(parr):
+    def _check(cols):
         b = bc.value
-        if len(parr) == 0:
-            return pd.Series([], dtype=bool)
-        # Arrow hands each array<bigint> element over as a numpy array of
-        # fixed length k; vstack gives one (batch, k) matrix and the probe
-        # is three whole-matrix numpy ops — no per-row Python.
-        m = np.vstack(parr.to_numpy()).astype(np.int64, copy=False)
-        hit = ((b[m >> 3] >> (m & 7)) & 1).all(axis=1)
+        hit = np.ones(len(cols[0]), dtype=bool)
+        for c in cols:
+            # each position column arrives as one contiguous int64 array —
+            # the probe is pure whole-array numpy, no per-row objects (an
+            # earlier array<bigint>-column variant paid an np.vstack over
+            # per-row ndarrays: ~6x slower end-to-end at sf0.1)
+            p = c.to_numpy(dtype=np.int64)
+            hit &= ((b[p >> 3] >> (p & 7)) & 1).astype(bool)
         return pd.Series(hit)
 
-    _might_contain_fn.__annotations__ = {"parr": pd.Series, "return": pd.Series}
-    _might_contain = pandas_udf(_might_contain_fn, "boolean")
+    # pandas_udf validates the function SIGNATURE, so the k-ary probe is
+    # generated with k named params (a *cols vararg is rejected, and the
+    # module-wide `from __future__ import annotations` stringifies inline
+    # hints — real hint objects are attached after).
+    arglist = ", ".join(f"p{i}" for i in range(k_hashes))
+    ns: dict = {"_check": _check}
+    exec(f"def _probe({arglist}):\n    return _check(({arglist},))", ns)
+    probe_fn = ns["_probe"]
+    probe_fn.__annotations__ = {
+        **{f"p{i}": pd.Series for i in range(k_hashes)},
+        "return": pd.Series,
+    }
+    _might_contain = pandas_udf(probe_fn, "boolean")
 
     n_parts = corpus.sparkSession.sparkContext.defaultParallelism
     corpus_grams = (
         corpus.select(id_col, text_col)
         .repartition(n_parts)
         .select(F.col(id_col), F.explode(_full_grams(text_col)).alias("gram"))
-        .select(id_col, F.xxhash64("gram").alias("gh"))
-        .select(
-            id_col,
-            "gh",
-            F.array(*_gram_positions(F.col("gh"), m_bits, k_hashes)).alias("bp"),
-        )
+        .select(F.col(id_col), F.xxhash64("gram").alias("gh"))
+        .select(id_col, "gh", *_gram_positions(F.col("gh"), m_bits, k_hashes))
     )
-    survivors = corpus_grams.filter(_might_contain(F.col("bp"))).select(id_col, "gh")
+    survivors = corpus_grams.filter(
+        _might_contain(*[F.col(f"bp_{i}") for i in range(k_hashes)])
+    ).select(id_col, "gh")
     return (
         survivors.join(eval_grams, "gh")
         .groupBy(id_col)
