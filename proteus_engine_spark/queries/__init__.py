@@ -39,7 +39,7 @@ from proteus_engine_spark.queries import (  # noqa: F401
 # (csv_roundtrip_agg, from_rows_dim_join — untouched source modules,
 # re-verified by this round's local replica), accepted as the minimal
 # staleness slip if the window truncates at 50; they lead the r14 cohort
-# otherwise. ELEVEN NEW r13 oracle gates follow at 53-63 —
+# otherwise. THIRTEEN NEW r13 oracle gates follow at 53-65 —
 # dedup_lsh_salted_recall (the salted-split cap's >=0.85 recall floor,
 # measured on a deterministic 120-doc hot-bucket probe BOTH engines
 # derive from documents; flips the r12 "pytest-local only" status of the
@@ -62,7 +62,9 @@ from proteus_engine_spark.queries import (  # noqa: F401
 # portable), agg_approx_distinct_bounds (HLL++ sketch distinct with
 # a driver-checkable error-bound verdict), plus avro_roundtrip_agg (the
 # formerly env-blocked Avro format, rebuilt as a pure-Python container
-# codec — sources/avro_codec.py — so no spark-avro jar is needed) — all
+# codec — sources/avro_codec.py — so no spark-avro jar is needed) and
+# orc_roundtrip_agg / json_roundtrip_agg (the native columnar + row text
+# format paths, driver-gated instead of tests-only) — all
 # locally green at all three SFs
 # (r13_delta.json); they must lead the r14 window if they do not fit
 # r13's.
@@ -138,6 +140,8 @@ _GATE_PRIORITY = [
     "text_winnowing_fingerprints",
     "agg_approx_distinct_bounds",
     "avro_roundtrip_agg",
+    "orc_roundtrip_agg",
+    "json_roundtrip_agg",
 ]
 
 

@@ -747,3 +747,64 @@ def avro_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("total_bal"),
     )
+
+
+@register(
+    "orc_roundtrip_agg",
+    oracle="""
+    SELECT p_type, COUNT(*) AS n, CAST(SUM(p_size) AS BIGINT) AS total_size
+    FROM part GROUP BY p_type
+    """,
+    tags=("sink", "source", "surface", "orc"),
+)
+def orc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC columnar round-trip gate (the reference's flink-orc format
+    surface): part goes out through the native ORC sink and back in
+    through the native ORC source, then aggregates on exact integers.
+    The oracle never reads ORC — it states the expected aggregate from
+    the shared parquet input, so a lossy round-trip (dropped rows,
+    mangled types) fails the hash. Predicate pushdown and column pruning
+    against ORC are native Catalyst behaviors, same as parquet."""
+    from proteus_engine_spark.sources.sinks import write_orc
+    from proteus_engine_spark.sources.tables import read_orc
+
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type", "p_size")
+    path = _scratch("orc_part", sf_dir)
+    write_orc(part, path)
+    back = read_orc(spark, path)
+    return back.groupBy("p_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("p_size").cast("bigint").alias("total_size"),
+    )
+
+
+@register(
+    "json_roundtrip_agg",
+    oracle="""
+    SELECT n_regionkey, COUNT(*) AS n,
+           string_agg(n_name, ',' ORDER BY n_name) AS names
+    FROM nation GROUP BY n_regionkey
+    """,
+    tags=("sink", "source", "surface", "json"),
+)
+def json_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-delimited JSON round-trip gate: nation out through the native
+    JSON sink, back in with an EXPLICIT schema (inference would add a
+    second full scan — the same discipline as the CSV gate), then a
+    deterministic string aggregate. Exercises the row-format text path
+    the reference serves with its JSON (de)serialization schemas."""
+    from proteus_engine_spark.sources.sinks import write_json
+    from proteus_engine_spark.sources.tables import read_json
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    path = _scratch("json_nation", sf_dir)
+    write_json(nation, path)
+    back = read_json(
+        spark, path, schema="n_nationkey long, n_name string, n_regionkey long"
+    )
+    return back.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("names"),
+    )
