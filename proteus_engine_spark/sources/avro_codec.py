@@ -324,14 +324,50 @@ def write_avro(
     return sum(r.n_rows for r in manifest)
 
 
-def read_avro(spark: SparkSession, path: str, schema) -> DataFrame:
+def _infer_schema(path: str) -> T.StructType:
+    """Derive the Spark schema from the FIRST container file's embedded
+    writer schema (header-only read — the metadata map precedes any data
+    block, so this never scans rows). One driver-side file open, same as
+    every schema-inferring Spark source's footer/header peek."""
+    import glob
+
+    files = sorted(glob.glob(f"{path}/*.avro"))
+    if not files:
+        raise ValueError(f"no .avro files under {path}")
+    with open(files[0], "rb") as fh:
+        head = fh.read(1 << 20)  # metadata map is a few hundred bytes
+    r = _Reader(head)
+    if r.raw(4) != _MAGIC:
+        raise ValueError(f"{files[0]}: not an Avro object container file")
+    meta = {}
+    while True:
+        n = r.long()
+        if n == 0:
+            break
+        if n < 0:
+            n = -n
+            r.long()
+        for _ in range(n):
+            k = r.raw(r.long()).decode()
+            meta[k] = r.raw(r.long())
+    fields = _parse_schema(meta["avro.schema"].decode())
+    return T.StructType(
+        [T.StructField(n, _AVRO_TO_SPARK[t], nl) for n, t, nl in fields]
+    )
+
+
+def read_avro(spark: SparkSession, path: str, schema=None) -> DataFrame:
     """Read a directory of Avro container files written by ``write_avro``
     (or any producer within the supported subset). ``schema`` is the
     expected Spark schema (DDL string or StructType) — mapInPandas needs
     a static output schema; the embedded writer schema of every file is
     validated against it (field names + types; nullability is the
     writer's to declare — decoding always follows the FILE's unions) so
-    a silently mismatched file fails loudly instead of mis-decoding."""
+    a silently mismatched file fails loudly instead of mis-decoding.
+    With ``schema=None`` the schema is inferred from the first file's
+    embedded writer schema (header-only driver read)."""
+    if schema is None:
+        schema = _infer_schema(path)
     if isinstance(schema, str):
         schema = T._parse_datatype_string(schema)
     want = _fields_of(schema)
