@@ -306,3 +306,145 @@ def lsh_ann_topk(
     )
     w = Window.partitionBy(q_id).orderBy(F.desc("cos_sim"), F.asc(c_id))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    dim: int,
+    m_subspaces: int = 4,
+    n_codes: int = 16,
+    n_iter: int = 2,
+    c_id: str = "c_id",
+    vec: str = "vec",
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks: the vector space is split into
+    m_subspaces contiguous sub-vectors and each subspace gets its own
+    n_codes-centroid k-means codebook (Jégou et al. 2011). Reuses the
+    deterministic lowest-id-seed Lloyd quantizer, once per subspace —
+    m driver syncs of n_codes x (dim/m) doubles, the same driver-sync
+    budget class as the IVF coarse quantizer."""
+    if dim % m_subspaces:
+        raise ValueError(f"m_subspaces={m_subspaces} must divide dim={dim}")
+    sub = dim // m_subspaces
+    books = []
+    for s in range(m_subspaces):
+        sub_corpus = corpus.select(
+            F.col(c_id), F.slice(F.col(vec), s * sub + 1, sub).alias("vec")
+        )
+        books.append(kmeans_centroids(sub_corpus, sub, n_codes, n_iter, c_id, "vec"))
+    return books
+
+
+def _book_lit(book: list[list[float]]) -> Column:
+    return F.array(*[F.array(*[F.lit(float(x)) for x in code]) for code in book])
+
+
+def _sub_d2s(sub_vec: Column, book: list[list[float]]) -> Column:
+    """Array of squared L2 distances from one sub-vector to every code of
+    one codebook — a transform over the literal codebook, sequential
+    fold per code (all JVM, no join)."""
+    return F.transform(
+        _book_lit(book),
+        lambda cb: F.aggregate(
+            F.zip_with(sub_vec, cb, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    books: list[list[list[float]]],
+    dim: int,
+    c_id: str = "c_id",
+    vec: str = "vec",
+) -> DataFrame:
+    """Encode every vector as m small integer codes (argmin code per
+    subspace, ties to the LOWEST code id via array_position-of-min).
+    ONE scan projection — the codebooks ride the plan as literals, so
+    encoding needs no join and no shuffle; the encoded table is m bytes-
+    ish per vector, the 100 TB memory win PQ exists for."""
+    m = len(books)
+    sub = dim // m
+    cols = [F.col(c_id)]
+    for s, book in enumerate(books):
+        d2s = _sub_d2s(F.slice(F.col(vec), s * sub + 1, sub), book)
+        cols.append(
+            (F.array_position(d2s, F.array_min(d2s)) - 1).cast("int").alias(f"code_{s}")
+        )
+    return corpus.select(*cols)
+
+
+def pq_ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 5,
+    m_subspaces: int = 4,
+    n_codes: int = 16,
+    n_iter: int = 2,
+    n_candidates: int = 32,
+    q_id: str = "q_id",
+    c_id: str = "c_id",
+    vec: str = "vec",
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation and
+    exact re-rank — the standard shape at 10^9+ vectors (FAISS IVF-PQ's
+    PQ half; compose with ivf_ann_topk's cells to also prune the scan):
+
+    1. train m per-subspace codebooks (deterministic Lloyd);
+    2. encode the corpus to m small ints per vector (one scan, no join);
+    3. per query, build the ADC lookup table (n_codes d2 values per
+       subspace — a per-row expression over the SAME literal codebooks,
+       so query LUT and corpus codes provably share one quantizer);
+    4. score every (query, code-row) pair as m LUT lookups — the pair
+       walk touches m ints + m doubles per candidate instead of dim
+       floats, which is the ADC speedup;
+    5. keep the n_candidates best by (adc, c_id) and exact-cosine
+       re-rank ONLY those against the raw vectors (candidate-bounded
+       second scan), returning (q_id, c_id, cos_sim, rank <= k).
+
+    ADC values order candidates but never reach the output — the emitted
+    cos_sim is exact, which is also what makes the gate oracle-portable
+    (float fold-order wobble in adc could at worst swap candidates at the
+    n_candidates boundary; verified empirically against the oracle at
+    all three gate SFs)."""
+    if n_candidates < k:
+        raise ValueError(f"n_candidates={n_candidates} must be >= k={k}")
+    books = pq_codebooks(corpus, dim, m_subspaces, n_codes, n_iter, c_id, vec)
+    m = len(books)
+    sub = dim // m
+    encoded = pq_encode(corpus, books, dim, c_id, vec)
+
+    lut_cols = [F.col(q_id), F.col(vec).alias("q_vec")]
+    for s, book in enumerate(books):
+        lut_cols.append(
+            _sub_d2s(F.slice(F.col(vec), s * sub + 1, sub), book).alias(f"lut_{s}")
+        )
+    q_luts = queries.select(*lut_cols)
+
+    adc = None
+    for s in range(m):
+        term = F.element_at(F.col(f"lut_{s}"), F.col(f"code_{s}") + 1)
+        adc = term if adc is None else adc + term
+    pairs = (
+        F.broadcast(q_luts)
+        .crossJoin(encoded)
+        .select(q_id, "q_vec", F.col(c_id), adc.alias("__adc__"))
+    )
+    w_c = Window.partitionBy(q_id).orderBy(F.asc("__adc__"), F.asc(c_id))
+    cand = (
+        pairs.withColumn("__crk__", F.row_number().over(w_c))
+        .filter(F.col("__crk__") <= n_candidates)
+        .select(q_id, "q_vec", c_id)
+    )
+    rer = cand.join(
+        corpus.select(F.col(c_id), F.col(vec).alias("c_vec")), c_id
+    ).select(
+        q_id,
+        c_id,
+        F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy(q_id).orderBy(F.desc("cos_sim"), F.asc(c_id))
+    return rer.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -1682,3 +1682,77 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnowing_fingerprints(
         load_table(spark, sf_dir, "documents"), k=5, window=4
     )
+
+
+@register(
+    "sim_ann_pq",
+    oracle="""
+    WITH c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
+                    embedding::DOUBLE[] AS cv
+             FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+    sp AS (SELECT unnest(range(4)) AS s),
+    cb AS (SELECT sp.s, cent.code, cent.cv[sp.s*16+1 : sp.s*16+16] AS cbv
+           FROM cent, sp),
+    enc AS (
+      SELECT c_id, s, code FROM (
+        SELECT c.c_id, cb.s, cb.code,
+               row_number() OVER (PARTITION BY c.c_id, cb.s
+                 ORDER BY list_sum([ (c.v[cb.s*16+i] - cb.cbv[i])
+                                     * (c.v[cb.s*16+i] - cb.cbv[i])
+                                     FOR i IN range(1, 17) ]),
+                          cb.code) AS rn
+        FROM c CROSS JOIN cb) t WHERE rn = 1),
+    q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+          FROM embeddings WHERE vec_id < 5),
+    adc AS (
+      SELECT q.q_id, enc.c_id,
+             SUM(list_sum([ (q.qv[enc.s*16+i] - cb.cbv[i])
+                            * (q.qv[enc.s*16+i] - cb.cbv[i])
+                            FOR i IN range(1, 17) ])) AS a
+      FROM q CROSS JOIN enc
+      JOIN cb ON cb.s = enc.s AND cb.code = enc.code
+      GROUP BY q.q_id, enc.c_id),
+    cand AS (SELECT q_id, c_id FROM (
+        SELECT q_id, c_id,
+               row_number() OVER (PARTITION BY q_id ORDER BY a, c_id) AS crk
+        FROM adc) t WHERE crk <= 32),
+    scored AS (
+      SELECT cand.q_id, cand.c_id,
+             round(list_dot_product(q.qv, c.v)
+                   / (sqrt(list_dot_product(q.qv, q.qv))
+                      * sqrt(list_dot_product(c.v, c.v))), 6) AS cos_sim
+      FROM cand JOIN q USING (q_id) JOIN c USING (c_id))
+    SELECT q_id, c_id, cos_sim,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY cos_sim DESC, c_id) AS rank
+    FROM scored QUALIFY rank <= 5
+    """,
+    tags=("datapipe", "similarity"),
+)
+def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (similarity.pq_ann_topk — Jégou et al.
+    2011, the FAISS PQ/ADC kernel): 4 subspaces x 16 codes trained on
+    the corpus, corpus encoded to 4 small ints per vector in ONE scan
+    (codebooks ride the plan as literals — no join, no shuffle), queries
+    score candidates via ADC lookup tables, top-32 by (adc, c_id) get an
+    exact cosine re-rank, top-5 out. ALGORITHM-MIRROR oracle with the
+    sim_ann_ivf discipline: n_iter=0 makes every codebook exactly the
+    subvector slices of the 16 lowest-id vectors, so DuckDB reproduces
+    training, encoding (argmin + lowest-code tie-break), the ADC
+    candidate cut, and the re-rank. ADC floats order candidates but
+    never reach the output — emitted cos_sim is exact. The Lloyd-refined
+    codebooks (n_iter>=1) are the production path, recall-tested in
+    pytest."""
+    from proteus_engine_spark.datapipe.similarity import pq_ann_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), vec.alias("vec")
+    )
+    corpus = emb.select(F.col("vec_id").alias("c_id"), vec.alias("vec"))
+    return pq_ann_topk(
+        queries, corpus, dim=64, k=5, m_subspaces=4, n_codes=16,
+        n_iter=0, n_candidates=32,
+    )
