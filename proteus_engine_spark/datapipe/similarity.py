@@ -448,3 +448,94 @@ def pq_ann_topk(
     )
     w = Window.partitionBy(q_id).orderBy(F.desc("cos_sim"), F.asc(c_id))
     return rer.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivfpq_ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m_subspaces: int = 4,
+    n_codes: int = 16,
+    n_iter: int = 2,
+    n_candidates: int = 32,
+    q_id: str = "q_id",
+    c_id: str = "c_id",
+    vec: str = "vec",
+) -> DataFrame:
+    """IVF-PQ: the two scale levers composed the way FAISS composes them —
+    the IVF coarse quantizer prunes WHICH corpus rows are scanned
+    (queries touch ~n_probe/n_centroids of the corpus), PQ shrinks WHAT
+    a scanned row costs (m LUT lookups instead of dim multiplications).
+    Candidate generation is the probed-cell join from ivf_ann_topk with
+    the pair scoring of pq_ann_topk; the final answer is an exact cosine
+    re-rank of the n_candidates best ADC candidates per query.
+
+    Both halves are independently oracle-gated (sim_ann_ivf, sim_ann_pq);
+    the composition is relational plumbing between them — its recall is
+    pytest-verified against brute force on the real corpus."""
+    if n_candidates < k:
+        raise ValueError(f"n_candidates={n_candidates} must be >= k={k}")
+    # coarse quantizer + cell assignment (ivf_ann_topk's front half)
+    centroids = kmeans_centroids(corpus, dim, n_centroids, n_iter, c_id, vec)
+    c_assigned = _assign_clusters(corpus, centroids, vec).select(
+        F.col(c_id), F.col(vec).alias("c_vec"), F.col("__cluster__").alias("cell")
+    )
+    books = pq_codebooks(corpus, dim, m_subspaces, n_codes, n_iter, c_id, vec)
+    m = len(books)
+    sub = dim // m
+    encoded = pq_encode(
+        c_assigned.select(F.col(c_id), F.col("c_vec").alias(vec)), books, dim, c_id, vec
+    ).join(c_assigned.select(c_id, "cell"), c_id)
+
+    ct = _centroid_table(queries.sparkSession, centroids)
+    d2 = F.aggregate(
+        F.zip_with(F.col(vec), F.col("cl_vec"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    lut_cols = [F.col(q_id), F.col(vec), F.col("cell")]
+    q_cells = (
+        queries.crossJoin(F.broadcast(ct))
+        .withColumn("__d2__", d2)
+        .withColumn(
+            "__rk__",
+            F.row_number().over(
+                Window.partitionBy(q_id).orderBy(F.asc("__d2__"), F.asc("cl_id"))
+            ),
+        )
+        .filter(F.col("__rk__") <= n_probe)
+        .select(F.col(q_id), F.col(vec), F.col("cl_id").alias("cell"))
+    )
+    for s, book in enumerate(books):
+        lut_cols.append(
+            _sub_d2s(F.slice(F.col(vec), s * sub + 1, sub), book).alias(f"lut_{s}")
+        )
+    q_luts = q_cells.select(*lut_cols).withColumnRenamed(vec, "q_vec")
+
+    adc = None
+    for s in range(m):
+        term = F.element_at(F.col(f"lut_{s}"), F.col(f"code_{s}") + 1)
+        adc = term if adc is None else adc + term
+    pairs = (
+        F.broadcast(q_luts)
+        .join(encoded, "cell")  # the IVF prune: only probed cells are scored
+        .select(q_id, "q_vec", F.col(c_id), adc.alias("__adc__"))
+    )
+    w_c = Window.partitionBy(q_id).orderBy(F.asc("__adc__"), F.asc(c_id))
+    cand = (
+        pairs.withColumn("__crk__", F.row_number().over(w_c))
+        .filter(F.col("__crk__") <= n_candidates)
+        .select(q_id, "q_vec", c_id)
+    )
+    rer = cand.join(
+        corpus.select(F.col(c_id), F.col(vec).alias("c_vec")), c_id
+    ).select(
+        q_id,
+        c_id,
+        F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy(q_id).orderBy(F.desc("cos_sim"), F.asc(c_id))
+    return rer.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

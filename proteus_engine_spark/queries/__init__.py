@@ -39,7 +39,7 @@ from proteus_engine_spark.queries import (  # noqa: F401
 # (csv_roundtrip_agg, from_rows_dim_join — untouched source modules,
 # re-verified by this round's local replica), accepted as the minimal
 # staleness slip if the window truncates at 50; they lead the r14 cohort
-# otherwise. FOURTEEN NEW r13 oracle gates follow at 53-66 —
+# otherwise. FIFTEEN NEW r13 oracle gates follow at 53-67 —
 # dedup_lsh_salted_recall (the salted-split cap's >=0.85 recall floor,
 # measured on a deterministic 120-doc hot-bucket probe BOTH engines
 # derive from documents; flips the r12 "pytest-local only" status of the
@@ -67,7 +67,8 @@ from proteus_engine_spark.queries import (  # noqa: F401
 # format paths, driver-gated instead of tests-only), and sim_ann_pq
 # (product-quantization ANN — per-subspace codebooks, one-scan integer
 # encoding, ADC candidate cut, exact re-rank; the FAISS-PQ kernel that
-# completes the similarity family's 10^9-vector story) — all
+# completes the similarity family's 10^9-vector story) with
+# sim_ann_ivfpq (the two levers composed: probed-cell prune + ADC) — all
 # locally green at all three SFs
 # (r13_delta.json); they must lead the r14 window if they do not fit
 # r13's.
@@ -146,6 +147,7 @@ _GATE_PRIORITY = [
     "orc_roundtrip_agg",
     "json_roundtrip_agg",
     "sim_ann_pq",
+    "sim_ann_ivfpq",
 ]
 
 

@@ -1756,3 +1756,85 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries, corpus, dim=64, k=5, m_subspaces=4, n_codes=16,
         n_iter=0, n_candidates=32,
     )
+
+
+@register(
+    "sim_ann_ivfpq",
+    oracle="""
+    WITH c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl_id,
+                    embedding::DOUBLE[] AS cv
+             FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+    assign AS (
+      SELECT c_id, v, cl_id AS cell FROM (
+        SELECT c.c_id, c.v, cent.cl_id,
+               row_number() OVER (PARTITION BY c.c_id
+                 ORDER BY list_distance(c.v, cent.cv), cent.cl_id) AS rn
+        FROM c CROSS JOIN cent) t WHERE rn = 1),
+    sp AS (SELECT unnest(range(4)) AS s),
+    cb AS (SELECT sp.s, cent.cl_id AS code, cent.cv[sp.s*16+1 : sp.s*16+16] AS cbv
+           FROM cent, sp),
+    enc AS (
+      SELECT c_id, s, code FROM (
+        SELECT c.c_id, cb.s, cb.code,
+               row_number() OVER (PARTITION BY c.c_id, cb.s
+                 ORDER BY list_sum([ (c.v[cb.s*16+i] - cb.cbv[i])
+                                     * (c.v[cb.s*16+i] - cb.cbv[i])
+                                     FOR i IN range(1, 17) ]),
+                          cb.code) AS rn
+        FROM c CROSS JOIN cb) t WHERE rn = 1),
+    q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+          FROM embeddings WHERE vec_id < 5),
+    qcells AS (
+      SELECT q_id, cl_id AS cell FROM (
+        SELECT q.q_id, cent.cl_id,
+               row_number() OVER (PARTITION BY q.q_id
+                 ORDER BY list_distance(q.qv, cent.cv), cent.cl_id) AS rn
+        FROM q CROSS JOIN cent) t WHERE rn <= 4),
+    adc AS (
+      SELECT q.q_id, assign.c_id,
+             SUM(list_sum([ (q.qv[enc.s*16+i] - cb.cbv[i])
+                            * (q.qv[enc.s*16+i] - cb.cbv[i])
+                            FOR i IN range(1, 17) ])) AS a
+      FROM q JOIN qcells USING (q_id)
+      JOIN assign ON assign.cell = qcells.cell
+      JOIN enc ON enc.c_id = assign.c_id
+      JOIN cb ON cb.s = enc.s AND cb.code = enc.code
+      GROUP BY q.q_id, assign.c_id),
+    cand AS (SELECT q_id, c_id FROM (
+        SELECT q_id, c_id,
+               row_number() OVER (PARTITION BY q_id ORDER BY a, c_id) AS crk
+        FROM adc) t WHERE crk <= 32),
+    scored AS (
+      SELECT cand.q_id, cand.c_id,
+             round(list_dot_product(q.qv, c.v)
+                   / (sqrt(list_dot_product(q.qv, q.qv))
+                      * sqrt(list_dot_product(c.v, c.v))), 6) AS cos_sim
+      FROM cand JOIN q USING (q_id) JOIN c USING (c_id))
+    SELECT q_id, c_id, cos_sim,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY cos_sim DESC, c_id) AS rank
+    FROM scored QUALIFY rank <= 5
+    """,
+    tags=("datapipe", "similarity"),
+)
+def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed (similarity.ivfpq_ann_topk): the coarse quantizer
+    prunes WHICH rows are scored (4 of 16 cells probed), PQ's ADC tables
+    shrink WHAT scoring a row costs, exact cosine re-ranks the 32 best.
+    The oracle is the sim_ann_ivf mirror composed with the sim_ann_pq
+    mirror — cells, probe set, codes, ADC cut and re-rank all rebuilt in
+    SQL from the same 16 lowest-id seed vectors (n_iter=0 discipline);
+    the Lloyd production path is recall-pytested."""
+    from proteus_engine_spark.datapipe.similarity import ivfpq_ann_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), vec.alias("vec")
+    )
+    corpus = emb.select(F.col("vec_id").alias("c_id"), vec.alias("vec"))
+    return ivfpq_ann_topk(
+        queries, corpus, dim=64, k=5, n_centroids=16, n_probe=4,
+        m_subspaces=4, n_codes=16, n_iter=0, n_candidates=32,
+    )

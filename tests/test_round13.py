@@ -984,3 +984,36 @@ class TestPQAnn:
             pq_codebooks(c, dim=64, m_subspaces=5)
         with pytest.raises(ValueError, match="n_candidates"):
             pq_ann_topk(q, c, dim=64, k=10, n_candidates=5)
+
+    def test_ivfpq_composition_recall_and_dedup(self, spark):
+        """IVF-PQ: probed-cell pruning + ADC + exact re-rank. Same recall
+        floor as plain PQ (the probe loses a little more), one row per
+        (q, c) even when a candidate appears via several probed cells,
+        and every emitted cos_sim must equal the brute-force value for
+        that exact pair."""
+        from proteus_engine_spark.datapipe.similarity import (
+            brute_force_topk,
+            ivfpq_ann_topk,
+        )
+
+        q, c = self._frames(spark)
+        truth_rows = brute_force_topk(q, c, k=5).collect()
+        truth = {}
+        exact_sim = {}
+        for r in truth_rows:
+            truth.setdefault(r.q_id, set()).add(r.c_id)
+            exact_sim[(r.q_id, r.c_id)] = r.cos_sim
+        out = ivfpq_ann_topk(q, c, dim=64, k=5, n_iter=2, n_candidates=32).collect()
+        seen = set()
+        got = {}
+        for r in out:
+            assert (r.q_id, r.c_id) not in seen, "duplicate pair emitted"
+            seen.add((r.q_id, r.c_id))
+            got.setdefault(r.q_id, set()).add(r.c_id)
+            if (r.q_id, r.c_id) in exact_sim:
+                assert r.cos_sim == exact_sim[(r.q_id, r.c_id)]
+        hits = sum(len(truth[qi] & got.get(qi, set())) for qi in truth)
+        total = sum(len(v) for v in truth.values())
+        assert hits / total >= 0.5, f"recall {hits}/{total}"
+        for qi, ids in got.items():
+            assert qi in ids  # self-retrieval survives the probe + ADC cut
