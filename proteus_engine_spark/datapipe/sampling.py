@@ -282,3 +282,68 @@ def shuffle_order(
 
     ordered = df.withColumn("__h__", h).orderBy("__h__", key_col)
     return zip_with_index(ordered, out=out).drop("__h__")
+
+
+def interleave_by_weight(
+    df: DataFrame,
+    group_col: str,
+    weights: dict,
+    key_col: str = "doc_id",
+    salt: str = "",
+    out: str = "pos",
+) -> DataFrame:
+    """Deterministic weighted interleave of corpus groups into one global
+    training order — the data-mixing sequencer: each group's rows are
+    paced by virtual time (rank_in_group + 1) / weight, so a group with
+    twice the weight appears twice as densely throughout the stream
+    (instead of a block per source, which destroys training mixing).
+    Within each group the order is the md5(salt || key) epoch shuffle.
+    Returns df's columns + ``out`` (0-based global position).
+
+    Scale shape — two parallel range sorts, ZERO per-group windows (a
+    window partitioned by source puts an entire 10 TB source in ONE
+    task): rank-in-group comes from a global sort on (group, digest) +
+    the two-phase zip_with_index rank, minus broadcast per-group offsets
+    (a window over #groups rows — config-bounded); the final position is
+    a second global sort on (virtual_time, group, key) + the same
+    two-phase rank. Virtual-time ties across groups break by (group,
+    key), so the permutation is total and engine-reproducible."""
+    from functools import reduce
+
+    from proteus_engine_spark.operators.partitioning import zip_with_index
+
+    for g, w in weights.items():
+        if not w > 0:
+            raise ValueError(f"weight for group {g!r} must be > 0, got {w}")
+    present = [r[0] for r in df.select(group_col).distinct().collect()]
+    missing = [g for g in present if g not in weights]
+    if missing:
+        raise ValueError(f"groups without a weight: {sorted(missing)}")
+
+    h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    ranked = zip_with_index(
+        df.withColumn("__h__", h).orderBy(group_col, "__h__", key_col),
+        out="__gr__",
+    )
+    counts = ranked.groupBy(group_col).agg(F.count(F.lit(1)).alias("__cnt__"))
+    from pyspark.sql import Window
+
+    w_off = Window.orderBy(group_col).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        group_col,
+        F.coalesce(F.sum("__cnt__").over(w_off), F.lit(0)).cast("long").alias("__off__"),
+    )
+    weight_expr = reduce(
+        lambda acc, gw: acc.when(F.col(group_col) == gw[0], F.lit(float(gw[1]))),
+        weights.items(),
+        F.when(F.lit(False), F.lit(0.0)),
+    )
+    vt = ((F.col("__gr__") - F.col("__off__") + 1) / weight_expr).alias("__vt__")
+    paced = (
+        ranked.join(F.broadcast(offsets), group_col)
+        .select(*df.columns, "__h__", vt)
+    )
+    final = zip_with_index(
+        paced.orderBy("__vt__", group_col, key_col), out=out
+    )
+    return final.drop("__vt__", "__h__")

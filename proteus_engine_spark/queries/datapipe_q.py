@@ -1838,3 +1838,39 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries, corpus, dim=64, k=5, n_centroids=16, n_probe=4,
         m_subspaces=4, n_codes=16, n_iter=0, n_candidates=32,
     )
+
+
+@register(
+    "corpus_interleave_weighted",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+               ORDER BY md5('ep1' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS rg
+      FROM documents),
+    v AS (SELECT doc_id, source,
+                 (rg + 1) / (1.0 + CAST(substr(source, 4) AS INT) % 4) AS vt
+          FROM r)
+    SELECT doc_id, source,
+           CAST(row_number() OVER (ORDER BY vt, source, doc_id) - 1 AS BIGINT)
+             AS pos
+    FROM v
+    """,
+    tags=("datapipe", "sampling", "ordering"),
+)
+def corpus_interleave_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted deterministic corpus interleave
+    (sampling.interleave_by_weight): sources paced into one training
+    stream by virtual time (rank_in_source + 1) / weight — weight
+    1 + (source index mod 4), derived identically by both engines — with
+    the md5 epoch shuffle inside each source. The engine computes
+    rank-in-source WITHOUT a per-source window (a whole source in one
+    task at 100 TB): global (source, digest) range sort + two-phase rank
+    minus broadcast per-source offsets; the oracle, allowed to be naive,
+    uses the partitioned window directly."""
+    from proteus_engine_spark.datapipe.sampling import interleave_by_weight
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    sources = [r.source for r in docs.select("source").distinct().collect()]
+    weights = {s: 1.0 + int(s[3:]) % 4 for s in sources}
+    return interleave_by_weight(docs, "source", weights, salt="ep1")

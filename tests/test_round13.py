@@ -1017,3 +1017,46 @@ class TestPQAnn:
         assert hits / total >= 0.5, f"recall {hits}/{total}"
         for qi, ids in got.items():
             assert qi in ids  # self-retrieval survives the probe + ADC cut
+
+
+# ----------------------------- weighted corpus interleave
+
+
+class TestInterleave:
+    def test_pacing_density_and_permutation(self, spark):
+        """Two groups, weight 3 vs 1: the heavy group appears ~3x as
+        densely in any prefix of the stream; positions are a total
+        permutation."""
+        from pyspark.sql import functions as F
+
+        from proteus_engine_spark.datapipe.sampling import interleave_by_weight
+
+        df = spark.range(400).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") % 4 < 3, "heavy").otherwise("light").alias("g"),
+        )
+        out = sorted(
+            interleave_by_weight(df, "g", {"heavy": 3.0, "light": 1.0}).collect(),
+            key=lambda r: r.pos,
+        )
+        assert [r.pos for r in out] == list(range(400))
+        prefix = out[:100]
+        n_heavy = sum(1 for r in prefix if r.g == "heavy")
+        assert 65 <= n_heavy <= 85  # ~75 expected at 3:1 pacing
+        # equal-weight sanity: within each group the order is the epoch
+        # shuffle (no id-monotone blocks)
+        heavy_ids = [r.doc_id for r in out if r.g == "heavy"]
+        assert heavy_ids != sorted(heavy_ids)
+
+    def test_validation(self, spark):
+        from pyspark.sql import functions as F
+
+        from proteus_engine_spark.datapipe.sampling import interleave_by_weight
+
+        df = spark.range(10).select(
+            F.col("id").alias("doc_id"), F.lit("a").alias("g")
+        )
+        with pytest.raises(ValueError, match="must be > 0"):
+            interleave_by_weight(df, "g", {"a": 0})
+        with pytest.raises(ValueError, match="without a weight"):
+            interleave_by_weight(df, "g", {"b": 1.0})
