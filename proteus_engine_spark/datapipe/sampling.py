@@ -347,3 +347,77 @@ def interleave_by_weight(
         paced.orderBy("__vt__", group_col, key_col), out=out
     )
     return final.drop("__vt__", "__h__")
+
+
+def sample_to_token_budget(
+    df: DataFrame,
+    group_col: str,
+    budgets: dict,
+    size_col,
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Materialize a mixture by ABSOLUTE per-group token budgets: within
+    each group, keep the maximal epoch-shuffled prefix whose cumulative
+    size stays within the group's budget (a row is kept iff its inclusive
+    within-group running total <= budget — prefix semantics, so the first
+    overflowing document and everything after it in the group's shuffle
+    order are dropped). This is the third tier of the sampling family:
+    mixture_weights PLANS shares, stratified/rebalance sampling applies
+    RATES, this applies exact token QUOTAS (how curated mixtures are
+    actually cut). Adds ``group_cumsum`` (long, inclusive) to the kept
+    rows.
+
+    Scale shape — the pack_sequences prefix-sum discipline, never a
+    data-sized window: rows range-partition on (group, digest, key);
+    per-partition totals roll into broadcast partition offsets (window
+    over #partitions rows); each partition computes its local running
+    sum in parallel; the within-GROUP total converts from the global one
+    by subtracting broadcast per-group bases (window over #groups rows).
+    One range shuffle, everything else map-side."""
+    from pyspark.sql.window import Window
+
+    for g, b in budgets.items():
+        if not b >= 0:
+            raise ValueError(f"budget for group {g!r} must be >= 0, got {b}")
+    present = [r[0] for r in df.select(group_col).distinct().collect()]
+    missing = [g for g in present if g not in budgets]
+    if missing:
+        raise ValueError(f"groups without a budget: {sorted(missing)}")
+
+    size = (F.col(size_col) if isinstance(size_col, str) else size_col).cast("long")
+    h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    n = df.sparkSession.sparkContext.defaultParallelism
+    tagged = (
+        df.withColumn("__sz__", size)
+        .withColumn("__h__", h)
+        .repartitionByRange(n, F.col(group_col), F.col("__h__"), F.col(key_col))
+        .withColumn("__pid__", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # totals + assign must see ONE layout
+    )
+    totals = tagged.groupBy("__pid__").agg(F.sum("__sz__").alias("__psum__"))
+    w_p = Window.orderBy("__pid__").rowsBetween(Window.unboundedPreceding, -1)
+    p_off = totals.select(
+        "__pid__",
+        F.coalesce(F.sum("__psum__").over(w_p), F.lit(0)).cast("long").alias("__poff__"),
+    )
+    g_tot = tagged.groupBy(group_col).agg(F.sum("__sz__").alias("__gsum__"))
+    w_g = Window.orderBy(group_col).rowsBetween(Window.unboundedPreceding, -1)
+    g_base = g_tot.select(
+        group_col,
+        F.coalesce(F.sum("__gsum__").over(w_g), F.lit(0)).cast("long").alias("__gbase__"),
+    )
+    w_local = Window.partitionBy("__pid__").orderBy(group_col, "__h__", key_col)
+    budget_expr = F.lit(None).cast("long")
+    for g, b in budgets.items():
+        budget_expr = F.when(F.col(group_col) == g, F.lit(int(b))).otherwise(budget_expr)
+    out = (
+        tagged.join(F.broadcast(p_off), "__pid__")
+        .join(F.broadcast(g_base), group_col)
+        .withColumn(
+            "group_cumsum",
+            F.sum("__sz__").over(w_local) + F.col("__poff__") - F.col("__gbase__"),
+        )
+        .filter(F.col("group_cumsum") <= budget_expr)
+    )
+    return out.select(*df.columns, "group_cumsum")

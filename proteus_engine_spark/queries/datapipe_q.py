@@ -1874,3 +1874,47 @@ def corpus_interleave_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     sources = [r.source for r in docs.select("source").distinct().collect()]
     weights = {s: 1.0 + int(s[3:]) % 4 for s in sources}
     return interleave_by_weight(docs, "source", weights, salt="ep1")
+
+
+@register(
+    "corpus_token_budget_sample",
+    oracle=r"""
+    WITH t AS (SELECT doc_id, source,
+                      CASE WHEN length(trim(text)) > 0
+                           THEN len(string_split_regex(text, '\s+'))
+                           ELSE 0 END AS sz
+               FROM documents),
+    c AS (SELECT doc_id, source, sz,
+                 SUM(sz) OVER (PARTITION BY source
+                   ORDER BY md5('q1' || CAST(doc_id AS VARCHAR)), doc_id) AS cs
+          FROM t)
+    SELECT doc_id, source, CAST(cs AS BIGINT) AS group_cumsum
+    FROM c
+    WHERE cs <= 600 + (CAST(substr(source, 4) AS INT) % 4) * 300
+    """,
+    tags=("datapipe", "sampling"),
+)
+def corpus_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-quota mixture materialization
+    (sampling.sample_to_token_budget): per source, keep the maximal
+    epoch-shuffled prefix whose inclusive token cumsum fits the source's
+    budget (600 + 300·(source index mod 4) — derived identically by both
+    engines) — the absolute-quota tier completing mixture_weights (plan)
+    and stratified/rebalance (rates). Engine side computes the
+    within-group cumsum with the pack_sequences two-phase prefix sum
+    (range partition + broadcast partition offsets + broadcast group
+    bases) — never a data-sized window; the oracle uses the naive
+    per-source window cumsum."""
+    from proteus_engine_spark.datapipe.sampling import sample_to_token_budget
+    from proteus_engine_spark.datapipe.textstats import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    sources = [r.source for r in docs.select("source").distinct().collect()]
+    budgets = {s: 600 + (int(s[3:]) % 4) * 300 for s in sources}
+    return sample_to_token_budget(
+        docs.select("doc_id", "source", "text"),
+        "source",
+        budgets,
+        size_col=token_count("text"),
+        salt="q1",
+    ).select("doc_id", "source", "group_cumsum")

@@ -1060,3 +1060,56 @@ class TestInterleave:
             interleave_by_weight(df, "g", {"a": 0})
         with pytest.raises(ValueError, match="without a weight"):
             interleave_by_weight(df, "g", {"b": 1.0})
+
+
+# ----------------------------- token-budget sampling
+
+
+class TestTokenBudget:
+    def test_prefix_semantics_and_exact_cut(self, spark):
+        """Keep = the maximal shuffled prefix with inclusive cumsum within
+        budget; the first overflowing doc AND its successors drop (prefix,
+        not knapsack). Verified against an independently computed cumsum
+        in the same md5 order."""
+        import hashlib
+
+        from pyspark.sql import functions as F
+
+        from proteus_engine_spark.datapipe.sampling import sample_to_token_budget
+
+        rows = [(i, "g", "tok " * (10 + i % 7)) for i in range(40)]
+        df = spark.createDataFrame(rows, "doc_id long, g string, text string")
+        sz = {i: (10 + i % 7) for i in range(40)}
+        order = sorted(range(40), key=lambda i: (hashlib.md5(f"s{i}".encode()).hexdigest(), i))
+        budget, run, want = 200, 0, {}
+        for i in order:
+            run += sz[i]
+            if run > budget:
+                break
+            want[i] = run
+        out = {
+            r.doc_id: r.group_cumsum
+            for r in sample_to_token_budget(
+                df, "g", {"g": budget},
+                size_col=F.size(F.split(F.trim("text"), r"\s+")),
+                salt="s",
+            ).collect()
+        }
+        assert out == want
+        assert 0 < len(want) < 40  # the budget genuinely cuts mid-group
+
+    def test_zero_budget_and_validation(self, spark):
+        from pyspark.sql import functions as F
+
+        from proteus_engine_spark.datapipe.sampling import sample_to_token_budget
+
+        df = spark.createDataFrame(
+            [(1, "a", "x y"), (2, "b", "x y z")], "doc_id long, g string, text string"
+        )
+        sz = F.size(F.split("text", r"\s+"))
+        out = sample_to_token_budget(df, "g", {"a": 0, "b": 100}, size_col=sz).collect()
+        assert {r.doc_id for r in out} == {2}
+        with pytest.raises(ValueError, match="must be >= 0"):
+            sample_to_token_budget(df, "g", {"a": -1, "b": 1}, size_col=sz)
+        with pytest.raises(ValueError, match="without a budget"):
+            sample_to_token_budget(df, "g", {"a": 5}, size_col=sz)
