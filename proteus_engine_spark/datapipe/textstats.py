@@ -548,3 +548,20 @@ def winnowing_fingerprints(
         .select(F.col(id_col), grams.alias("__g__"))
         .select(F.col(id_col), F.explode(F.array_distinct(mins)).alias("fingerprint"))
     )
+
+
+def normalize_text(text: str | Column) -> Column:
+    """Canonical text-normalization expression (the C4/CCNet pre-dedup
+    canonicalization): lowercase, strip every non-alphanumeric rune to a
+    space, collapse whitespace runs, trim. Two docs differing only in
+    case, punctuation, or layout normalize to the same string — feed the
+    result to exact dedup for "normalized exact" duplicate removal (the
+    tier between byte-exact md5 dedup and MinHash near-dup). Pure
+    Catalyst regexp expressions: runs in the scan projection at line
+    rate, portable to any SQL engine with regexp_replace."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(c), r"[^a-z0-9\s]", " "), r"\s+", " "
+        )
+    )

@@ -39,7 +39,7 @@ from proteus_engine_spark.queries import (  # noqa: F401
 # (csv_roundtrip_agg, from_rows_dim_join — untouched source modules,
 # re-verified by this round's local replica), accepted as the minimal
 # staleness slip if the window truncates at 50; they lead the r14 cohort
-# otherwise. SEVENTEEN NEW r13 oracle gates follow at 53-69 —
+# otherwise. EIGHTEEN NEW r13 oracle gates follow at 53-70 —
 # dedup_lsh_salted_recall (the salted-split cap's >=0.85 recall floor,
 # measured on a deterministic 120-doc hot-bucket probe BOTH engines
 # derive from documents; flips the r12 "pytest-local only" status of the
@@ -74,7 +74,8 @@ from proteus_engine_spark.queries import (  # noqa: F401
 # + two-phase rank, never a per-source window) and
 # corpus_token_budget_sample (absolute per-source token quotas via the
 # pack_sequences two-phase prefix sum — the tier that completes
-# plan/rate/quota sampling) — all
+# plan/rate/quota sampling) and dedup_exact_normalized (C4-style
+# canonicalization fused into the scan ahead of digest dedup) — all
 # locally green at all three SFs
 # (r13_delta.json); they must lead the r14 window if they do not fit
 # r13's.
@@ -156,6 +157,7 @@ _GATE_PRIORITY = [
     "sim_ann_ivfpq",
     "corpus_interleave_weighted",
     "corpus_token_budget_sample",
+    "dedup_exact_normalized",
 ]
 
 

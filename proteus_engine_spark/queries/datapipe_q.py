@@ -1918,3 +1918,34 @@ def corpus_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         size_col=token_count("text"),
         salt="q1",
     ).select("doc_id", "source", "group_cumsum")
+
+
+@register(
+    "dedup_exact_normalized",
+    oracle=r"""
+    SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS content_hash,
+           CAST(min(doc_id) AS BIGINT) AS keep_id,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+    tags=("datapipe", "dedup", "text"),
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized exact dedup — the tier between byte-exact md5 dedup and
+    MinHash near-dup: documents canonicalize (lowercase, punctuation to
+    spaces, collapsed whitespace — textstats.normalize_text, the C4-style
+    pre-dedup cleanup) and the standard keep-lowest-id digest dedup runs
+    on the canonical form. Catches case/punctuation/layout-only
+    duplicates that byte-exact dedup misses, at byte-exact cost: the
+    normalization fuses into the scan projection and the shuffle still
+    carries only (digest, id). Oracle mirrors the regexp chain (DuckDB
+    needs the 'g' flag for replace-ALL; Spark's regexp_replace is global
+    by default)."""
+    from proteus_engine_spark.datapipe.dedup import exact_dedup
+    from proteus_engine_spark.datapipe.textstats import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", normalize_text("text").alias("text")
+    )
+    return exact_dedup(docs)

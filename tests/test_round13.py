@@ -1113,3 +1113,32 @@ class TestTokenBudget:
             sample_to_token_budget(df, "g", {"a": -1, "b": 1}, size_col=sz)
         with pytest.raises(ValueError, match="without a budget"):
             sample_to_token_budget(df, "g", {"a": 5}, size_col=sz)
+
+
+# ----------------------------- normalized exact dedup
+
+
+def test_normalize_text_merges_layout_variants(spark):
+    """Case / punctuation / whitespace variants canonicalize to one
+    string and dedupe together; genuinely different content does not."""
+    from pyspark.sql import functions as F
+
+    from proteus_engine_spark.datapipe.dedup import exact_dedup
+    from proteus_engine_spark.datapipe.textstats import normalize_text
+
+    rows = [
+        (1, "Hello,   World!"),
+        (2, "hello world"),
+        (3, "HELLO... WORLD"),
+        (4, "goodbye world"),
+    ]
+    docs = _docs(spark, rows).select("doc_id", normalize_text("text").alias("text"))
+    out = {r.content_hash: r for r in exact_dedup(docs).collect()}
+    assert len(out) == 2
+    by_copies = sorted((r.n_copies, r.keep_id) for r in out.values())
+    assert by_copies == [(1, 4), (3, 1)]  # lowest id kept in the merged group
+    # byte-exact dedup would NOT merge these
+    from proteus_engine_spark.datapipe.dedup import exact_dedup as ed
+
+    raw = ed(_docs(spark, rows))
+    assert raw.count() == 4
