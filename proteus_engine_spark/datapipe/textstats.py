@@ -550,6 +550,93 @@ def winnowing_fingerprints(
     )
 
 
+# The Gopher rule set's required-stopword anchor (Rae et al. 2021,
+# Appendix A1.1: "contains at least two of the following English words").
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_flags(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Gopher quality-filter rule set (Rae et al. 2021, Appendix A1.1 —
+    the standard heuristic document filter ahead of dedup/LM-scoring in
+    a pre-training pipeline). Per document, the seven rules and their
+    conjunction:
+
+    - ``r_word_count``: min_words <= #tokens <= max_words
+    - ``r_mean_word_len``: mean token length in [3, 10] characters
+    - ``r_symbol_ratio``: (#'#' + #'...') / #tokens < 0.1
+    - ``r_bullet_lines``: <= 90% of lines start with a bullet
+    - ``r_ellipsis_lines``: <= 30% of lines end with an ellipsis
+    - ``r_alpha_words``: >= 80% of tokens contain an alphabetic char
+    - ``r_stopwords``: >= 2 distinct hits in GOPHER_STOPWORDS
+    - ``passes`` = AND of all seven.
+
+    Scale/portability shape: every rule is a pure Catalyst expression
+    over one tokenization — zero shuffles, runs fused into the parquet
+    scan at 100 TB. Every ratio threshold is evaluated as an INTEGER
+    cross-multiplication (e.g. 10*alpha_words >= 8*n_tokens), so no
+    float division ever reaches a comparison and the oracle can mirror
+    each rule bit-exactly. Counters are emitted alongside the booleans
+    so a drifted tokenizer fails the hash, not just a flipped flag."""
+    c = F.col(text_col)
+    toks = F.split(F.lower(c), r"\s+")
+    n_tokens = F.when(
+        F.length(F.trim(c)) > 0, F.size(toks)
+    ).otherwise(F.lit(0)).cast("long")
+    sum_wl = F.when(
+        F.length(F.trim(c)) > 0,
+        F.aggregate(toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x)),
+    ).otherwise(F.lit(0)).cast("long")
+    n_alpha = F.when(
+        F.length(F.trim(c)) > 0,
+        F.size(F.filter(toks, lambda x: x.rlike("[a-z]"))),
+    ).otherwise(F.lit(0)).cast("long")
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(toks), F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+        )
+    ).cast("long")
+    lines = F.split(c, r"\n")
+    n_lines = F.size(lines).cast("long")
+    n_bullet = F.size(
+        F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]"))
+    ).cast("long")
+    n_ellipsis_l = F.size(
+        F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$"))
+    ).cast("long")
+    n_hash = (F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))).cast("long")
+    n_dots = F.regexp_count(c, F.lit(r"\.\.\.")).cast("long")
+
+    r_wc = (n_tokens >= min_words) & (n_tokens <= max_words)
+    r_mwl = (sum_wl >= 3 * n_tokens) & (sum_wl <= 10 * n_tokens) & (n_tokens > 0)
+    r_sym = 10 * (n_hash + n_dots) < n_tokens
+    r_bul = 10 * n_bullet <= 9 * n_lines
+    r_ell = 10 * n_ellipsis_l <= 3 * n_lines
+    r_alpha = (10 * n_alpha >= 8 * n_tokens) & (n_tokens > 0)
+    r_stop = n_stop >= 2
+
+    return docs.select(
+        id_col,
+        n_tokens.alias("n_tokens"),
+        sum_wl.alias("sum_word_len"),
+        n_alpha.alias("n_alpha_words"),
+        n_stop.alias("n_stop_hits"),
+        r_wc.alias("r_word_count"),
+        r_mwl.alias("r_mean_word_len"),
+        r_sym.alias("r_symbol_ratio"),
+        r_bul.alias("r_bullet_lines"),
+        r_ell.alias("r_ellipsis_lines"),
+        r_alpha.alias("r_alpha_words"),
+        r_stop.alias("r_stopwords"),
+        (r_wc & r_mwl & r_sym & r_bul & r_ell & r_alpha & r_stop).alias("passes"),
+    )
+
+
 def normalize_text(text: str | Column) -> Column:
     """Canonical text-normalization expression (the C4/CCNet pre-dedup
     canonicalization): lowercase, strip every non-alphanumeric rune to a

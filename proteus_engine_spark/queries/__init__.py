@@ -39,7 +39,7 @@ from proteus_engine_spark.queries import (  # noqa: F401
 # (csv_roundtrip_agg, from_rows_dim_join — untouched source modules,
 # re-verified by this round's local replica), accepted as the minimal
 # staleness slip if the window truncates at 50; they lead the r14 cohort
-# otherwise. EIGHTEEN NEW r13 oracle gates follow at 53-70 —
+# otherwise. NINETEEN NEW r13 oracle gates follow at 53-71 —
 # dedup_lsh_salted_recall (the salted-split cap's >=0.85 recall floor,
 # measured on a deterministic 120-doc hot-bucket probe BOTH engines
 # derive from documents; flips the r12 "pytest-local only" status of the
@@ -75,7 +75,10 @@ from proteus_engine_spark.queries import (  # noqa: F401
 # corpus_token_budget_sample (absolute per-source token quotas via the
 # pack_sequences two-phase prefix sum — the tier that completes
 # plan/rate/quota sampling) and dedup_exact_normalized (C4-style
-# canonicalization fused into the scan ahead of digest dedup) — all
+# canonicalization fused into the scan ahead of digest dedup) and
+# text_gopher_rules (the Rae et al. 2021 A1.1 seven-rule heuristic
+# filter — every ratio threshold an integer cross-multiplication,
+# zero-shuffle scan-fused) — all
 # locally green at all three SFs
 # (r13_delta.json); they must lead the r14 window if they do not fit
 # r13's.
@@ -158,6 +161,7 @@ _GATE_PRIORITY = [
     "corpus_interleave_weighted",
     "corpus_token_budget_sample",
     "dedup_exact_normalized",
+    "text_gopher_rules",
 ]
 
 

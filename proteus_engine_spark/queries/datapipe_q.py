@@ -1949,3 +1949,68 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", normalize_text("text").alias("text")
     )
     return exact_dedup(docs)
+
+
+@register(
+    "text_gopher_rules",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id, text,
+             string_split_regex(lower(text), '\s+') AS t,
+             string_split(text, chr(10)) AS ln,
+             length(trim(text)) > 0 AS nonempty
+      FROM documents),
+    feat AS (
+      SELECT doc_id,
+        CAST(CASE WHEN nonempty THEN len(t) ELSE 0 END AS BIGINT) AS n_tokens,
+        CAST(CASE WHEN nonempty
+             THEN COALESCE(list_sum(list_transform(t, x -> length(x))), 0)
+             ELSE 0 END AS BIGINT) AS sum_word_len,
+        CAST(CASE WHEN nonempty
+             THEN len(list_filter(t, x -> regexp_matches(x, '[a-z]')))
+             ELSE 0 END AS BIGINT) AS n_alpha_words,
+        CAST(len(list_intersect(list_distinct(t),
+             ['the','be','to','of','and','that','have','with'])) AS BIGINT)
+          AS n_stop_hits,
+        CAST(len(ln) AS BIGINT) AS n_lines,
+        CAST(len(list_filter(ln, x -> regexp_matches(x, '^\s*[-*•]')))
+          AS BIGINT) AS n_bullet,
+        CAST(len(list_filter(ln, x -> regexp_matches(x, '(\.\.\.|…)\s*$')))
+          AS BIGINT) AS n_ell,
+        CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash,
+        CAST(len(regexp_extract_all(text, '\.\.\.')) AS BIGINT) AS n_dots
+      FROM base)
+    SELECT doc_id, n_tokens, sum_word_len, n_alpha_words, n_stop_hits,
+      (n_tokens >= 50 AND n_tokens <= 100000) AS r_word_count,
+      (sum_word_len >= 3*n_tokens AND sum_word_len <= 10*n_tokens
+       AND n_tokens > 0) AS r_mean_word_len,
+      (10*(n_hash + n_dots) < n_tokens) AS r_symbol_ratio,
+      (10*n_bullet <= 9*n_lines) AS r_bullet_lines,
+      (10*n_ell <= 3*n_lines) AS r_ellipsis_lines,
+      (10*n_alpha_words >= 8*n_tokens AND n_tokens > 0) AS r_alpha_words,
+      (n_stop_hits >= 2) AS r_stopwords,
+      ((n_tokens >= 50 AND n_tokens <= 100000)
+       AND (sum_word_len >= 3*n_tokens AND sum_word_len <= 10*n_tokens
+            AND n_tokens > 0)
+       AND (10*(n_hash + n_dots) < n_tokens)
+       AND (10*n_bullet <= 9*n_lines)
+       AND (10*n_ell <= 3*n_lines)
+       AND (10*n_alpha_words >= 8*n_tokens AND n_tokens > 0)
+       AND (n_stop_hits >= 2)) AS passes
+    FROM feat
+    """,
+    tags=("datapipe", "text", "quality"),
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher heuristic quality filter (textstats.gopher_quality_flags —
+    Rae et al. 2021 Appendix A1.1): the seven-rule document filter that
+    fronts a pre-training pipeline, with every ratio threshold evaluated
+    as an integer cross-multiplication so no float comparison exists to
+    drift between engines. Zero shuffles — the whole rule set fuses into
+    the parquet scan. The counters ride along in the output, so the hash
+    pins the tokenizer, the line splitter, and each rule's boundary
+    convention (<= at the 90%/30% caps, < at the 10% symbol cap), not
+    just the final pass bit."""
+    from proteus_engine_spark.datapipe.textstats import gopher_quality_flags
+
+    return gopher_quality_flags(load_table(spark, sf_dir, "documents"))

@@ -1142,3 +1142,89 @@ def test_normalize_text_merges_layout_variants(spark):
 
     raw = ed(_docs(spark, rows))
     assert raw.count() == 4
+
+
+# ----------------------------- Gopher quality rule set
+
+
+def test_gopher_rules_python_mirror(spark):
+    """Every rule bit and counter must match a plain-Python recomputation
+    over the same documents — the rules are pure integer arithmetic, so
+    the mirror is exact, not tolerance-based."""
+    import re
+
+    from proteus_engine_spark.datapipe.textstats import (
+        GOPHER_STOPWORDS,
+        gopher_quality_flags,
+    )
+    from proteus_engine_spark.sources import load_table
+
+    docs = load_table(spark, SF, "documents")
+    rows = {r.doc_id: r for r in gopher_quality_flags(docs).collect()}
+    for raw in docs.select("doc_id", "text").collect():
+        t = raw.text
+        toks = re.split(r"\s+", t.lower()) if t.strip() else []
+        lines = t.split("\n")
+        n_tok = len(toks)
+        sum_wl = sum(len(x) for x in toks)
+        n_alpha = sum(1 for x in toks if re.search("[a-z]", x))
+        n_stop = len(set(toks) & set(GOPHER_STOPWORDS))
+        n_bullet = sum(1 for l in lines if re.match(r"^\s*[-*•]", l))
+        n_ell = sum(1 for l in lines if re.search(r"(\.\.\.|…)\s*$", l))
+        n_sym = t.count("#") + len(re.findall(r"\.\.\.", t))
+        got = rows[raw.doc_id]
+        assert got.n_tokens == n_tok
+        assert got.sum_word_len == sum_wl
+        assert got.n_alpha_words == n_alpha
+        assert got.n_stop_hits == n_stop
+        assert got.r_word_count == (50 <= n_tok <= 100_000)
+        assert got.r_mean_word_len == (3 * n_tok <= sum_wl <= 10 * n_tok and n_tok > 0)
+        assert got.r_symbol_ratio == (10 * n_sym < n_tok)
+        assert got.r_bullet_lines == (10 * n_bullet <= 9 * len(lines))
+        assert got.r_ellipsis_lines == (10 * n_ell <= 3 * len(lines))
+        assert got.r_alpha_words == (10 * n_alpha >= 8 * n_tok and n_tok > 0)
+        assert got.r_stopwords == (n_stop >= 2)
+        assert got.passes == all([
+            got.r_word_count, got.r_mean_word_len, got.r_symbol_ratio,
+            got.r_bullet_lines, got.r_ellipsis_lines, got.r_alpha_words,
+            got.r_stopwords,
+        ])
+
+
+def test_gopher_rules_edge_docs(spark):
+    """Bullet/ellipsis/empty-document edges the corpus lacks: the rules
+    must fire on synthetic adversarial docs (multi-line bullets, ellipsis
+    endings, symbol soup, empty text)."""
+    from proteus_engine_spark.datapipe.textstats import gopher_quality_flags
+
+    docs = spark.createDataFrame(
+        [
+            (1, "- one\n- two\n- three\nplain"),          # 3/4 bullet lines: fails >90%? no — 75% <= 90% passes
+            (2, "- a\n- b\n- c\n- d\n- e\n- f\n- g\n- h\n- i\n- j"),  # 100% bullets
+            (3, "end one...\nend two...\nplain line"),    # 2/3 ellipsis > 30%
+            (4, "# # # # word"),                          # symbol-heavy
+            (5, ""),                                      # empty
+            (6, "the be to of and that have with " + "ok " * 60),  # passes most
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in gopher_quality_flags(docs).collect()}
+    assert out[1].r_bullet_lines is True
+    assert out[2].r_bullet_lines is False
+    assert out[3].r_ellipsis_lines is False
+    assert out[4].r_symbol_ratio is False
+    assert out[5].n_tokens == 0 and out[5].passes is False
+    assert out[6].r_word_count is True and out[6].r_stopwords is True
+    assert out[6].r_alpha_words is True
+
+
+def test_gopher_rules_plan_is_scan_fused(spark):
+    """Zero shuffles: the whole rule set must evaluate in the scan stage
+    (no Exchange in the executed plan)."""
+    from proteus_engine_spark.datapipe.textstats import gopher_quality_flags
+    from proteus_engine_spark.sources import load_table
+
+    df = gopher_quality_flags(load_table(spark, SF, "documents"))
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
