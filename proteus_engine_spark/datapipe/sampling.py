@@ -421,3 +421,89 @@ def sample_to_token_budget(
         .filter(F.col("group_cumsum") <= budget_expr)
     )
     return out.select(*df.columns, "group_cumsum")
+
+
+def dsir_select(
+    docs: DataFrame,
+    target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    frac: float = 0.25,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, "Data Selection for Language
+    Models via Importance Resampling"): score every raw document by the
+    log importance weight of its hashed unigram features under a target
+    -domain model vs the raw-corpus model, and keep the top ``frac``.
+
+    Feature space: 256 buckets keyed by the first two hex chars of
+    md5(token) — the hashed-ngram compression of the paper, made ENGINE
+    -PORTABLE by using md5 (identical in Spark / DuckDB / Python) and a
+    STRING bucket id, so no integer-hash divergence can exist. Both
+    bucket models are add-``alpha`` smoothed over the fixed 256-bucket
+    space; the per-document score is the token-count-weighted mean of
+    the per-bucket log-likelihood ratios, rounded to 1e-6 BEFORE the
+    selection rank so both engines rank identical values (ties break on
+    the document id).
+
+    Scale shape (100 TB): ONE corpus tokenization feeding ONE
+    (doc, bucket) aggregation — shuffle carries (id, 2-char bucket,
+    count), never tokens. The 256-row model and its 1-row totals are
+    broadcast; the only other movement is the parallel range sort of the
+    per-doc score frame for the two-phase rank (zip_with_index — no
+    single-task row_number window; the selection cut-off K rides a
+    1-row broadcast, not a driver round-trip)."""
+    from proteus_engine_spark.operators.partitioning import zip_with_index
+
+    n_buckets = 256
+    c = F.col(text_col)
+    tok = (
+        docs.filter(F.length(F.trim(c)) > 0)
+        .select(
+            F.col(id_col),
+            target.alias("__t__"),
+            F.explode(F.split(F.lower(c), r"\s+")).alias("__tok__"),
+        )
+        .select(
+            id_col, "__t__", F.substring(F.md5("__tok__"), 1, 2).alias("__b__")
+        )
+    )
+    dbc = tok.groupBy(id_col, "__t__", "__b__").agg(
+        F.count(F.lit(1)).cast("long").alias("__n__")
+    )
+    model = dbc.groupBy("__b__").agg(
+        F.sum("__n__").alias("__cr__"),
+        F.sum(F.when(F.col("__t__"), F.col("__n__")).otherwise(F.lit(0))).alias("__ct__"),
+    )
+    totals = model.agg(
+        F.sum("__cr__").alias("__nr__"), F.sum("__ct__").alias("__nt__")
+    )
+    lr = F.log(
+        ((F.col("__ct__") + alpha) / (F.col("__nt__") + alpha * n_buckets))
+        / ((F.col("__cr__") + alpha) / (F.col("__nr__") + alpha * n_buckets))
+    )
+    m2 = model.crossJoin(F.broadcast(totals)).select("__b__", lr.alias("__lr__"))
+    scored = (
+        dbc.join(F.broadcast(m2), "__b__")
+        .groupBy(id_col)
+        .agg(
+            F.sum("__n__").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("__n__") * F.col("__lr__")) / F.sum("__n__"), 6
+            ).alias("dsir_score"),
+        )
+    )
+    k = scored.agg(F.ceil(F.count(F.lit(1)) * frac).cast("long").alias("__k__"))
+    ranked = zip_with_index(
+        scored.orderBy(F.col("dsir_score").desc(), id_col), out="__rk__"
+    )
+    return (
+        ranked.crossJoin(F.broadcast(k))
+        .filter(F.col("__rk__") + 1 <= F.col("__k__"))
+        .select(
+            id_col,
+            "n_tokens",
+            "dsir_score",
+            (F.col("__rk__") + 1).alias("sel_rank"),
+        )
+    )

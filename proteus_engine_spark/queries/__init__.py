@@ -39,7 +39,7 @@ from proteus_engine_spark.queries import (  # noqa: F401
 # (csv_roundtrip_agg, from_rows_dim_join — untouched source modules,
 # re-verified by this round's local replica), accepted as the minimal
 # staleness slip if the window truncates at 50; they lead the r14 cohort
-# otherwise. NINETEEN NEW r13 oracle gates follow at 53-71 —
+# otherwise. TWENTY NEW r13 oracle gates follow at 53-72 —
 # dedup_lsh_salted_recall (the salted-split cap's >=0.85 recall floor,
 # measured on a deterministic 120-doc hot-bucket probe BOTH engines
 # derive from documents; flips the r12 "pytest-local only" status of the
@@ -78,8 +78,10 @@ from proteus_engine_spark.queries import (  # noqa: F401
 # canonicalization fused into the scan ahead of digest dedup) and
 # text_gopher_rules (the Rae et al. 2021 A1.1 seven-rule heuristic
 # filter — every ratio threshold an integer cross-multiplication,
-# zero-shuffle scan-fused) — all
-# locally green at all three SFs
+# zero-shuffle scan-fused) and corpus_dsir_select (Xie et al. 2023
+# hashed-ngram importance resampling toward a target domain — portable
+# md5-prefix string buckets, broadcast model + cutoff, two-phase rank)
+# — all locally green at all three SFs
 # (r13_delta.json); they must lead the r14 window if they do not fit
 # r13's.
 # ml_als_factorization (blocked solve path this round, still bitwise-
@@ -162,6 +164,7 @@ _GATE_PRIORITY = [
     "corpus_token_budget_sample",
     "dedup_exact_normalized",
     "text_gopher_rules",
+    "corpus_dsir_select",
 ]
 
 

@@ -2014,3 +2014,50 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     from proteus_engine_spark.datapipe.textstats import gopher_quality_flags
 
     return gopher_quality_flags(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "corpus_dsir_select",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, source = 'src0' AS is_t,
+             unnest(string_split_regex(lower(text), '\s+')) AS tok
+      FROM documents WHERE length(trim(text)) > 0),
+    tb AS (SELECT doc_id, is_t, substr(md5(tok), 1, 2) AS b,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM toks GROUP BY 1, 2, 3),
+    model AS (SELECT b, sum(n) AS cr,
+                     sum(CASE WHEN is_t THEN n ELSE 0 END) AS ct
+              FROM tb GROUP BY b),
+    tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM model),
+    m2 AS (SELECT b, ln(((ct + 1.0) / (nt + 256.0))
+                        / ((cr + 1.0) / (nr + 256.0))) AS lr
+           FROM model CROSS JOIN tot),
+    sc AS (SELECT tb.doc_id, CAST(sum(tb.n) AS BIGINT) AS n_tokens,
+                  round(sum(tb.n * m2.lr) / sum(tb.n), 6) AS dsir_score
+           FROM tb JOIN m2 USING (b) GROUP BY tb.doc_id),
+    nn AS (SELECT ceil(count(*) * 0.25) AS k FROM sc)
+    SELECT doc_id, n_tokens, dsir_score,
+           CAST(row_number() OVER (ORDER BY dsir_score DESC, doc_id)
+                AS BIGINT) AS sel_rank
+    FROM sc CROSS JOIN nn
+    QUALIFY sel_rank <= k
+    """,
+    tags=("datapipe", "sampling", "quality"),
+)
+def corpus_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (sampling.dsir_select — Xie et al. 2023):
+    top-25% of the corpus by hashed-unigram importance weight toward the
+    'src0' target domain. The 256 md5-prefix STRING buckets make the
+    feature hash engine-portable; scores round to 1e-6 before the rank,
+    so the oracle's naive window reproduces the engine's parallel
+    two-phase rank exactly (ties break on doc_id). Engine side never
+    single-tasks: (doc, bucket) counts are the only corpus-sized
+    shuffle, the model and its totals are broadcast, the selection
+    cut-off is a 1-row broadcast, and the rank is the zip_with_index
+    two-phase scheme over a range sort."""
+    from proteus_engine_spark.datapipe.sampling import dsir_select
+
+    return dsir_select(
+        load_table(spark, sf_dir, "documents"), target=F.col("source") == "src0"
+    )

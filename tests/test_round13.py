@@ -1228,3 +1228,83 @@ def test_gopher_rules_plan_is_scan_fused(spark):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ----------------------------- DSIR importance selection
+
+
+def test_dsir_python_mirror(spark):
+    """Recompute the full DSIR pipeline in plain Python (hashlib md5
+    buckets, add-1 smoothing over 256 buckets, weighted-mean log ratio,
+    top-25% by (rounded score, doc_id)) and require the identical
+    selection set, ranks, and rounded scores."""
+    import hashlib
+    import math
+    import re
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from proteus_engine_spark.datapipe.sampling import dsir_select
+    from proteus_engine_spark.sources import load_table
+
+    docs = load_table(spark, SF, "documents")
+    got = {
+        r.doc_id: r
+        for r in dsir_select(docs, target=F.col("source") == "src0").collect()
+    }
+
+    raw = docs.select("doc_id", "text", "source").collect()
+    per_doc: dict[int, Counter] = {}
+    is_t: dict[int, bool] = {}
+    for r in raw:
+        if not r.text.strip():
+            continue
+        buckets = Counter(
+            hashlib.md5(t.encode()).hexdigest()[:2]
+            for t in re.split(r"\s+", r.text.lower())
+        )
+        per_doc[r.doc_id] = buckets
+        is_t[r.doc_id] = r.source == "src0"
+    cr: Counter = Counter()
+    ct: Counter = Counter()
+    for d, b in per_doc.items():
+        cr.update(b)
+        if is_t[d]:
+            ct.update(b)
+    nr, nt = sum(cr.values()), sum(ct.values())
+    lr = {
+        b: math.log(((ct[b] + 1.0) / (nt + 256.0)) / ((cr[b] + 1.0) / (nr + 256.0)))
+        for b in cr
+    }
+    scores = {
+        d: round(sum(n * lr[b] for b, n in bs.items()) / sum(bs.values()), 6)
+        for d, bs in per_doc.items()
+    }
+    k = math.ceil(len(scores) * 0.25)
+    order = sorted(scores, key=lambda d: (-scores[d], d))[:k]
+    assert set(got) == set(order)
+    for rank, d in enumerate(order, start=1):
+        assert got[d].sel_rank == rank
+        assert abs(got[d].dsir_score - scores[d]) < 2e-6
+        assert got[d].n_tokens == sum(per_doc[d].values())
+
+
+def test_dsir_plan_has_no_global_window(spark):
+    """The selection rank must be the two-phase zip_with_index scheme:
+    any Window in the executed plan must be partitioned (no single-task
+    global row_number), and the model/cutoff joins must broadcast."""
+    from pyspark.sql import functions as F
+
+    from proteus_engine_spark.datapipe.sampling import dsir_select
+    from proteus_engine_spark.sources import load_table
+
+    df = dsir_select(
+        load_table(spark, SF, "documents"), target=F.col("source") == "src0"
+    )
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line.lower():
+            assert "partitionBy" not in line or "__pid__" in line
