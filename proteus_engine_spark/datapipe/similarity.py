@@ -539,3 +539,129 @@ def ivfpq_ann_topk(
     )
     w = Window.partitionBy(q_id).orderBy(F.desc("cos_sim"), F.asc(c_id))
     return rer.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def sq8_train(
+    corpus: DataFrame, dim: int, vec: str = "vec"
+) -> tuple[list[float], list[float]]:
+    """Scalar-quantization trainer (the FAISS SQ8 tier): per-dimension
+    (lo, step) with step = (max - min) / 256 over the corpus. ONE
+    posexplode + groupBy(dim) aggregation — map-side partials shrink the
+    shuffle to #partitions x dim rows — and a dim-row driver sync, the
+    same bounded-sync class as the IVF/PQ centroid collection. min/max
+    are exact (no float summation), so the trained range is
+    deterministic and reproducible on any engine."""
+    rows = (
+        corpus.select(F.posexplode(F.col(vec)).alias("p", "x"))
+        .groupBy("p")
+        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+        .collect()
+    )
+    if len(rows) != dim:
+        raise ValueError(f"expected {dim} dimensions, saw {len(rows)}")
+    lo = [0.0] * dim
+    step = [0.0] * dim
+    for r in rows:
+        lo[r.p] = float(r.lo)
+        step[r.p] = (float(r.hi) - float(r.lo)) / 256.0
+    return lo, step
+
+
+def sq8_encode(
+    corpus: DataFrame,
+    lo: list[float],
+    step: list[float],
+    c_id: str = "c_id",
+    vec: str = "vec",
+) -> DataFrame:
+    """Encode every vector to dim uint8 codes: code_i = clamp(floor(
+    (x_i - lo_i) / step_i), 0, 255) (constant dimensions — step 0 —
+    code 0). One scan projection, the (lo, step) tables ride the plan
+    as literals: no join, no shuffle, and the encoded corpus is dim
+    bytes per vector — the 4x memory cut SQ8 exists for."""
+    lo_lit = F.array(*[F.lit(float(x)) for x in lo])
+    st_lit = F.array(*[F.lit(float(x)) for x in step])
+    codes = F.transform(
+        F.col(vec),
+        lambda x, i: F.when(
+            F.element_at(st_lit, i + 1) > 0,
+            F.least(
+                F.lit(255),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        (x - F.element_at(lo_lit, i + 1))
+                        / F.element_at(st_lit, i + 1)
+                    ).cast("int"),
+                ),
+            ),
+        ).otherwise(F.lit(0)),
+    )
+    return corpus.select(F.col(c_id), codes.alias("codes"))
+
+
+def sq8_ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_candidates: int = 32,
+    q_id: str = "q_id",
+    c_id: str = "c_id",
+    vec: str = "vec",
+) -> DataFrame:
+    """Scalar-quantization ANN with asymmetric scoring and exact re-rank
+    — the third quantization lever next to IVF (scan prune) and PQ
+    (code compression); FAISS's ScalarQuantizer.QT_8bit:
+
+    1. train per-dimension (lo, step) from corpus min/max (exact — no
+       k-means, which is SQ's operational advantage);
+    2. encode the corpus to dim uint8 codes in one scan;
+    3. score query-vs-codes asymmetrically against reconstruction
+       centers lo_i + (code_i + 0.5) * step_i — raw query floats, so
+       only the corpus side pays quantization error;
+    4. keep n_candidates by (approx_d2, c_id), exact-cosine re-rank to
+       top-k, identical to the PQ discipline: approx distances order
+       candidates but never reach the output.
+
+    The reconstruction arithmetic is written with the exact same
+    operation tree the oracle uses ((q_i - (lo_i + (c_i + 0.5)*st_i))
+    squared via self-multiplication, summed left-to-right), so both
+    engines walk bitwise-identical doubles into the candidate cut."""
+    if n_candidates < k:
+        raise ValueError(f"n_candidates={n_candidates} must be >= k={k}")
+    lo, step = sq8_train(corpus, dim, vec)
+    encoded = sq8_encode(corpus, lo, step, c_id, vec)
+    lo_lit = F.array(*[F.lit(float(x)) for x in lo])
+    st_lit = F.array(*[F.lit(float(x)) for x in step])
+
+    def term(code: Column, i: Column) -> Column:
+        center = F.element_at(lo_lit, i + 1) + (
+            code.cast("double") + F.lit(0.5)
+        ) * F.element_at(st_lit, i + 1)
+        d = F.element_at(F.col("q_vec"), i + 1) - center
+        return d * d
+
+    adc = F.aggregate(
+        F.transform(F.col("codes"), term), F.lit(0.0), lambda acc, x: acc + x
+    )
+    pairs = (
+        F.broadcast(queries.select(F.col(q_id), F.col(vec).alias("q_vec")))
+        .crossJoin(encoded)
+        .select(q_id, "q_vec", F.col(c_id), adc.alias("__adc__"))
+    )
+    w_c = Window.partitionBy(q_id).orderBy(F.asc("__adc__"), F.asc(c_id))
+    cand = (
+        pairs.withColumn("__crk__", F.row_number().over(w_c))
+        .filter(F.col("__crk__") <= n_candidates)
+        .select(q_id, "q_vec", c_id)
+    )
+    rer = cand.join(
+        corpus.select(F.col(c_id), F.col(vec).alias("c_vec")), c_id
+    ).select(
+        q_id,
+        c_id,
+        F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy(q_id).orderBy(F.desc("cos_sim"), F.asc(c_id))
+    return rer.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -39,7 +39,7 @@ from proteus_engine_spark.queries import (  # noqa: F401
 # (csv_roundtrip_agg, from_rows_dim_join — untouched source modules,
 # re-verified by this round's local replica), accepted as the minimal
 # staleness slip if the window truncates at 50; they lead the r14 cohort
-# otherwise. TWENTY NEW r13 oracle gates follow at 53-72 —
+# otherwise. TWENTY-ONE NEW r13 oracle gates follow at 53-73 —
 # dedup_lsh_salted_recall (the salted-split cap's >=0.85 recall floor,
 # measured on a deterministic 120-doc hot-bucket probe BOTH engines
 # derive from documents; flips the r12 "pytest-local only" status of the
@@ -81,6 +81,9 @@ from proteus_engine_spark.queries import (  # noqa: F401
 # zero-shuffle scan-fused) and corpus_dsir_select (Xie et al. 2023
 # hashed-ngram importance resampling toward a target domain — portable
 # md5-prefix string buckets, broadcast model + cutoff, two-phase rank)
+# and sim_ann_sq8 (FAISS QT_8bit scalar quantization — exact min/max
+# training, uint8 one-scan encode, asymmetric center scoring, exact
+# re-rank; FULL algorithm-mirror oracle incl. training)
 # — all locally green at all three SFs
 # (r13_delta.json); they must lead the r14 window if they do not fit
 # r13's.
@@ -165,6 +168,7 @@ _GATE_PRIORITY = [
     "dedup_exact_normalized",
     "text_gopher_rules",
     "corpus_dsir_select",
+    "sim_ann_sq8",
 ]
 
 

@@ -2061,3 +2061,64 @@ def corpus_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_select(
         load_table(spark, sf_dir, "documents"), target=F.col("source") == "src0"
     )
+
+
+@register(
+    "sim_ann_sq8",
+    oracle="""
+    WITH c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS v FROM embeddings),
+    mm AS (SELECT p, min(v[p]) AS lo, max(v[p]) AS hi
+           FROM c CROSS JOIN (SELECT unnest(range(1, 65)) AS p) GROUP BY p),
+    mml AS (SELECT list(lo ORDER BY p) AS lo,
+                   list((hi - lo) / 256.0 ORDER BY p) AS st
+            FROM mm),
+    enc AS (SELECT c_id,
+                   [ CASE WHEN mml.st[i] > 0
+                          THEN least(255, greatest(0,
+                               CAST(floor((v[i] - mml.lo[i]) / mml.st[i]) AS INT)))
+                          ELSE 0 END
+                     FOR i IN range(1, 65) ] AS codes
+            FROM c CROSS JOIN mml),
+    q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+          FROM embeddings WHERE vec_id < 5),
+    adc AS (SELECT q.q_id, enc.c_id,
+                   list_sum([ (q.qv[i] - (mml.lo[i] + (enc.codes[i] + 0.5) * mml.st[i]))
+                              * (q.qv[i] - (mml.lo[i] + (enc.codes[i] + 0.5) * mml.st[i]))
+                              FOR i IN range(1, 65) ]) AS a
+            FROM q CROSS JOIN enc CROSS JOIN mml),
+    cand AS (SELECT q_id, c_id FROM (
+        SELECT q_id, c_id,
+               row_number() OVER (PARTITION BY q_id ORDER BY a, c_id) AS crk
+        FROM adc) t WHERE crk <= 32),
+    scored AS (
+      SELECT cand.q_id, cand.c_id,
+             round(list_dot_product(q.qv, c.v)
+                   / (sqrt(list_dot_product(q.qv, q.qv))
+                      * sqrt(list_dot_product(c.v, c.v))), 6) AS cos_sim
+      FROM cand JOIN q USING (q_id) JOIN c USING (c_id))
+    SELECT q_id, c_id, cos_sim,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY cos_sim DESC, c_id) AS rank
+    FROM scored QUALIFY rank <= 5
+    """,
+    tags=("datapipe", "similarity"),
+)
+def sim_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantization ANN (similarity.sq8_ann_topk — FAISS
+    QT_8bit): per-dimension (min, (max-min)/256) trained exactly from
+    the corpus, uint8 encoding in one scan, asymmetric scoring against
+    reconstruction centers, top-32 candidate cut, exact cosine re-rank,
+    top-5 out. FULL algorithm-mirror oracle — unlike PQ there is no
+    k-means, so the oracle reproduces training too (min/max are exact),
+    plus encoding (identical floor/clamp arithmetic), the candidate cut,
+    and the re-rank. Approx distances order candidates but never reach
+    the output; emitted cos_sim is exact."""
+    from proteus_engine_spark.datapipe.similarity import sq8_ann_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), vec.alias("vec")
+    )
+    corpus = emb.select(F.col("vec_id").alias("c_id"), vec.alias("vec"))
+    return sq8_ann_topk(queries, corpus, dim=64, k=5, n_candidates=32)

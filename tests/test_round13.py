@@ -1308,3 +1308,68 @@ def test_dsir_plan_has_no_global_window(spark):
     for line in plan.splitlines():
         if "Window" in line and "windowspecdefinition" in line.lower():
             assert "partitionBy" not in line or "__pid__" in line
+
+
+# ----------------------------- SQ8 scalar-quantization ANN
+
+
+def test_sq8_encode_python_mirror(spark):
+    """Codes must equal the plain-Python floor/clamp recomputation from
+    the same exact min/max — training has no k-means, so the mirror is
+    exact end-to-end."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from proteus_engine_spark.datapipe.similarity import sq8_encode, sq8_train
+    from proteus_engine_spark.sources import load_table
+
+    emb = load_table(spark, SF, "embeddings").select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").cast("array<double>").alias("vec")
+    )
+    lo, step = sq8_train(emb, 64)
+    got = {r.c_id: r.codes for r in sq8_encode(emb, lo, step).collect()}
+    for r in emb.collect():
+        exp = [
+            min(255, max(0, math.floor((x - l) / s))) if s > 0 else 0
+            for x, l, s in zip(r.vec, lo, step)
+        ]
+        assert got[r.c_id] == exp
+
+
+def test_sq8_recall_vs_bruteforce(spark):
+    """With 32 candidates over the sf0.001 corpus, SQ8 top-5 must agree
+    with exact brute-force top-5 on >= 80% of (query, neighbor) pairs —
+    8-bit reconstruction error is tiny relative to inter-vector
+    distances."""
+    from pyspark.sql import functions as F
+
+    from proteus_engine_spark.datapipe.similarity import brute_force_topk, sq8_ann_topk
+    from proteus_engine_spark.sources import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), vec.alias("vec")
+    )
+    corpus = emb.select(F.col("vec_id").alias("c_id"), vec.alias("vec"))
+    approx = {
+        (r.q_id, r.c_id)
+        for r in sq8_ann_topk(queries, corpus, dim=64, k=5, n_candidates=32).collect()
+    }
+    exact = {
+        (r.q_id, r.c_id) for r in brute_force_topk(queries, corpus, k=5).collect()
+    }
+    assert len(approx & exact) / len(exact) >= 0.8
+
+
+def test_sq8_constant_dimension_is_code_zero(spark):
+    """A constant dimension (step 0) must encode to 0 — not NaN/div0 —
+    and scoring must still work."""
+    from proteus_engine_spark.datapipe.similarity import sq8_ann_topk
+
+    rows = [(i, [float(i % 3), 7.0]) for i in range(20)]  # dim 2 constant
+    df = spark.createDataFrame(rows, "c_id long, vec array<double>")
+    q = spark.createDataFrame(rows[:2], "q_id long, vec array<double>")
+    out = sq8_ann_topk(q, df, dim=2, k=3, n_candidates=5).collect()
+    assert len(out) == 6  # 2 queries x top-3
