@@ -90,6 +90,14 @@ HEADLINE = [
     "text_decontaminate_bloom",
     "corpus_chunk_windows",
     "corpus_shuffle_order",
+    # added round 13, third batch (exclude from like-for-like totals):
+    # the Gopher seven-rule heuristic filter (zero-shuffle scan-fused),
+    # DSIR importance-resampling selection (one (doc,bucket) shuffle +
+    # broadcast model + two-phase rank), and SQ8 scalar-quantization ANN
+    # (exact min/max train, one-scan uint8 encode, asymmetric scoring)
+    "text_gopher_rules",
+    "corpus_dsir_select",
+    "sim_ann_sq8",
 ]
 
 
