@@ -88,13 +88,24 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ')
                      FOR i IN range(1, greatest(len(t)-2, 1)+1)]) AS s
       FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents)
-    )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-             / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
-    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-             / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+    ),
+    -- |A intersect B| = shared-gram count via a gram-keyed equi-join
+    -- (s is distinct per doc) and |A union B| = na + nb - c: identical
+    -- INTEGER counts to the list_intersect/list_concat formulation, so
+    -- the emitted double is bit-identical — but linear in shared grams
+    -- instead of quadratic in documents
+    grams AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+    common AS (
+      SELECT ga.doc_id AS doc_a, gb.doc_id AS doc_b, count(*) AS c
+      FROM grams ga JOIN grams gb ON ga.g = gb.g AND ga.doc_id < gb.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
     """,
     tags=("datapipe", "dedup", "bench"),
 )
@@ -708,11 +719,21 @@ def embedding_preprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
                      FOR i IN range(1, greatest(len(t)-2, 1)+1)]) AS s
       FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
             FROM documents)),
+    -- |A intersect B| via a gram-keyed equi-join over the DISTINCT
+    -- shingle sets (not all-pairs list_intersect: identical math —
+    -- s is distinct per doc — but linear in shared grams instead of
+    -- quadratic in documents; cut this oracle from ~60s to ~1s)
+    grams AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+    common AS (
+      SELECT ga.doc_id AS a, gb.doc_id AS b, count(*) AS c
+      FROM grams ga JOIN grams gb ON ga.g = gb.g AND ga.doc_id < gb.doc_id
+      GROUP BY 1, 2),
     edges AS (
-      SELECT a.doc_id AS a, b.doc_id AS b
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-              / len(list_distinct(list_concat(a.s, b.s))) >= 0.5),
+      SELECT a, b FROM common
+      JOIN sizes sa ON sa.doc_id = a
+      JOIN sizes sb ON sb.doc_id = b
+      WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5),
     sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
     reach(src, dst) AS (
       SELECT a, b FROM sym
