@@ -561,6 +561,7 @@ def gopher_quality_flags(
     text_col: str = "text",
     min_words: int = 50,
     max_words: int = 100_000,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Gopher quality-filter rule set (Rae et al. 2021, Appendix A1.1 —
     the standard heuristic document filter ahead of dedup/LM-scoring in
@@ -622,6 +623,7 @@ def gopher_quality_flags(
 
     return docs.select(
         id_col,
+        *carry_cols,
         n_tokens.alias("n_tokens"),
         sum_wl.alias("sum_word_len"),
         n_alpha.alias("n_alpha_words"),

@@ -2143,3 +2143,92 @@ def sim_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = emb.select(F.col("vec_id").alias("c_id"), vec.alias("vec"))
     return sq8_ann_topk(queries, corpus, dim=64, k=5, n_candidates=32)
+
+
+@register(
+    "stream_gopher_filter",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id, source, text,
+             string_split_regex(lower(text), '\s+') AS t,
+             length(trim(text)) > 0 AS nonempty
+      FROM documents),
+    feat AS (
+      SELECT doc_id, source,
+        CAST(CASE WHEN nonempty THEN len(t) ELSE 0 END AS BIGINT) AS n_tokens,
+        CAST(CASE WHEN nonempty
+             THEN COALESCE(list_sum(list_transform(t, x -> length(x))), 0)
+             ELSE 0 END AS BIGINT) AS sum_word_len,
+        CAST(CASE WHEN nonempty
+             THEN len(list_filter(t, x -> regexp_matches(x, '[a-z]')))
+             ELSE 0 END AS BIGINT) AS n_alpha_words,
+        CAST(len(list_intersect(list_distinct(t),
+             ['the','be','to','of','and','that','have','with'])) AS BIGINT)
+          AS n_stop_hits,
+        CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+        CAST(len(list_filter(string_split(text, chr(10)),
+             x -> regexp_matches(x, '^\s*[-*•]'))) AS BIGINT) AS n_bullet,
+        CAST(len(list_filter(string_split(text, chr(10)),
+             x -> regexp_matches(x, '(\.\.\.|…)\s*$'))) AS BIGINT) AS n_ell,
+        CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash,
+        CAST(len(regexp_extract_all(text, '\.\.\.')) AS BIGINT) AS n_dots
+      FROM base),
+    flags AS (
+      SELECT source, n_tokens,
+        (n_tokens >= 50 AND n_tokens <= 100000) AS r_wc,
+        (n_stop_hits >= 2) AS r_stop,
+        ((n_tokens >= 50 AND n_tokens <= 100000)
+         AND (sum_word_len >= 3*n_tokens AND sum_word_len <= 10*n_tokens
+              AND n_tokens > 0)
+         AND (10*(n_hash + n_dots) < n_tokens)
+         AND (10*n_bullet <= 9*n_lines)
+         AND (10*n_ell <= 3*n_lines)
+         AND (10*n_alpha_words >= 8*n_tokens AND n_tokens > 0)
+         AND (n_stop_hits >= 2)) AS passes
+      FROM feat)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN passes THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           CAST(sum(CASE WHEN r_wc THEN 1 ELSE 0 END) AS BIGINT) AS n_word_count_ok,
+           CAST(sum(CASE WHEN r_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_stopwords_ok,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM flags GROUP BY source
+    """,
+    tags=("datapipe", "streaming", "quality"),
+)
+def stream_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE ingest quality filtering — the Gopher rule set applied to a
+    document STREAM (the file-monitor source over documents.parquet, the
+    readFile(PROCESS_CONTINUOUSLY) bridge every stream_* gate uses), with
+    per-source pass/fail accounting as a continuous unbounded aggregate
+    in complete mode. This is the shape of a training-data ingest
+    firehose: rules evaluate per micro-batch inside the scan projection
+    (stateless — the SAME gopher_quality_flags expression tree as the
+    batch gate), and only the per-source counter state persists. The
+    oracle recomputes the rules + rollup over the batch table, so a rule
+    drifting between the batch and streaming paths fails the hash."""
+    import os
+
+    from proteus_engine_spark.datapipe.textstats import gopher_quality_flags
+    from proteus_engine_spark.streaming.sources import (
+        probe_parquet_schema,
+        run_to_completion,
+    )
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    schema = probe_parquet_schema(spark, path)
+    raw = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+    flags = gopher_quality_flags(raw, carry_cols=("source",))
+    agg = flags.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("passes").cast("long")).alias("n_pass"),
+        F.sum(F.col("r_word_count").cast("long")).alias("n_word_count_ok"),
+        F.sum(F.col("r_stopwords").cast("long")).alias("n_stopwords_ok"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+    return run_to_completion(agg, "stream_gopher_filter_sink", "complete")

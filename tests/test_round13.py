@@ -1373,3 +1373,38 @@ def test_sq8_constant_dimension_is_code_zero(spark):
     q = spark.createDataFrame(rows[:2], "q_id long, vec array<double>")
     out = sq8_ann_topk(q, df, dim=2, k=3, n_candidates=5).collect()
     assert len(out) == 6  # 2 queries x top-3
+
+
+# ----------------------------- streaming Gopher ingest filter
+
+
+def test_stream_gopher_filter_equals_batch(spark):
+    """The streaming rollup must equal the batch gopher_quality_flags
+    rollup exactly — same expression tree, different execution mode."""
+    from pyspark.sql import functions as F
+
+    from proteus_engine_spark.datapipe.textstats import gopher_quality_flags
+    from proteus_engine_spark.queries.registry import REGISTRY
+    from proteus_engine_spark.sources import load_table
+
+    streamed = {
+        r.source: r for r in REGISTRY["stream_gopher_filter"].fn(spark, SF).collect()
+    }
+    batch = {
+        r.source: r
+        for r in gopher_quality_flags(
+            load_table(spark, SF, "documents"), carry_cols=("source",)
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("passes").cast("long")).alias("n_pass"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .collect()
+    }
+    assert set(streamed) == set(batch)
+    for s, b in batch.items():
+        assert streamed[s].n_docs == b.n_docs
+        assert streamed[s].n_pass == b.n_pass
+        assert streamed[s].total_tokens == b.total_tokens
