@@ -493,10 +493,13 @@ def dsir_select(
             ).alias("dsir_score"),
         )
     )
-    k = scored.agg(F.ceil(F.count(F.lit(1)) * frac).cast("long").alias("__k__"))
     ranked = zip_with_index(
         scored.orderBy(F.col("dsir_score").desc(), id_col), out="__rk__"
     )
+    # cutoff derived from the frame zip_with_index already checkpointed —
+    # counting `scored` itself would re-run the whole tokenize + model
+    # pipeline a second time just to size the cut
+    k = ranked.agg(F.ceil(F.count(F.lit(1)) * frac).cast("long").alias("__k__"))
     return (
         ranked.crossJoin(F.broadcast(k))
         .filter(F.col("__rk__") + 1 <= F.col("__k__"))

@@ -308,6 +308,27 @@ def lsh_ann_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+
+def _exact_rerank(
+    cand: DataFrame, corpus: DataFrame, k: int, q_id: str, c_id: str, vec: str
+) -> DataFrame:
+    """The quantized-ANN family's shared final tier: join the candidate
+    set (q_id, q_vec, c_id) back to the raw corpus vectors, score EXACT
+    cosine rounded to 1e-6, keep top-k per query with the (cos_sim desc,
+    c_id) tie-break. One definition so the re-rank convention — the
+    "approx distances order candidates but never reach the output"
+    discipline — cannot drift between the PQ / IVF-PQ / SQ8 gates."""
+    rer = cand.join(
+        corpus.select(F.col(c_id), F.col(vec).alias("c_vec")), c_id
+    ).select(
+        q_id,
+        c_id,
+        F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy(q_id).orderBy(F.desc("cos_sim"), F.asc(c_id))
+    return rer.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def pq_codebooks(
     corpus: DataFrame,
     dim: int,
@@ -439,15 +460,7 @@ def pq_ann_topk(
         .filter(F.col("__crk__") <= n_candidates)
         .select(q_id, "q_vec", c_id)
     )
-    rer = cand.join(
-        corpus.select(F.col(c_id), F.col(vec).alias("c_vec")), c_id
-    ).select(
-        q_id,
-        c_id,
-        F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
-    )
-    w = Window.partitionBy(q_id).orderBy(F.desc("cos_sim"), F.asc(c_id))
-    return rer.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return _exact_rerank(cand, corpus, k, q_id, c_id, vec)
 
 
 def ivfpq_ann_topk(
@@ -530,15 +543,7 @@ def ivfpq_ann_topk(
         .filter(F.col("__crk__") <= n_candidates)
         .select(q_id, "q_vec", c_id)
     )
-    rer = cand.join(
-        corpus.select(F.col(c_id), F.col(vec).alias("c_vec")), c_id
-    ).select(
-        q_id,
-        c_id,
-        F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
-    )
-    w = Window.partitionBy(q_id).orderBy(F.desc("cos_sim"), F.asc(c_id))
-    return rer.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return _exact_rerank(cand, corpus, k, q_id, c_id, vec)
 
 
 def sq8_train(
@@ -656,12 +661,4 @@ def sq8_ann_topk(
         .filter(F.col("__crk__") <= n_candidates)
         .select(q_id, "q_vec", c_id)
     )
-    rer = cand.join(
-        corpus.select(F.col(c_id), F.col(vec).alias("c_vec")), c_id
-    ).select(
-        q_id,
-        c_id,
-        F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
-    )
-    w = Window.partitionBy(q_id).orderBy(F.desc("cos_sim"), F.asc(c_id))
-    return rer.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return _exact_rerank(cand, corpus, k, q_id, c_id, vec)

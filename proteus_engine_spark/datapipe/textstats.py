@@ -570,11 +570,18 @@ def gopher_quality_flags(
 
     - ``r_word_count``: min_words <= #tokens <= max_words
     - ``r_mean_word_len``: mean token length in [3, 10] characters
-    - ``r_symbol_ratio``: (#'#' + #'...') / #tokens < 0.1
+    - ``r_symbol_ratio``: the paper's "greater than 0.1 for EITHER the
+      hash symbol or the ellipsis" — #'#'/#tokens < 0.1 AND
+      #ellipsis/#tokens < 0.1, tested SEPARATELY, with both the ASCII
+      '...' and the Unicode '…' counting as ellipses (matching the
+      ellipsis-line rule's character set)
     - ``r_bullet_lines``: <= 90% of lines start with a bullet
     - ``r_ellipsis_lines``: <= 30% of lines end with an ellipsis
     - ``r_alpha_words``: >= 80% of tokens contain an alphabetic char
-    - ``r_stopwords``: >= 2 distinct hits in GOPHER_STOPWORDS
+    - ``r_stopwords``: >= 2 stopword OCCURRENCES from GOPHER_STOPWORDS
+      (the Dolma/DataTrove reading of "contains at least two of the
+      following English words" — token occurrences, not distinct words,
+      so 'the ... the' satisfies it)
     - ``passes`` = AND of all seven.
 
     Scale/portability shape: every rule is a pure Catalyst expression
@@ -597,10 +604,9 @@ def gopher_quality_flags(
         F.length(F.trim(c)) > 0,
         F.size(F.filter(toks, lambda x: x.rlike("[a-z]"))),
     ).otherwise(F.lit(0)).cast("long")
+    stop_lit = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
     n_stop = F.size(
-        F.array_intersect(
-            F.array_distinct(toks), F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
-        )
+        F.filter(toks, lambda x: F.array_contains(stop_lit, x))
     ).cast("long")
     lines = F.split(c, r"\n")
     n_lines = F.size(lines).cast("long")
@@ -611,11 +617,12 @@ def gopher_quality_flags(
         F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$"))
     ).cast("long")
     n_hash = (F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))).cast("long")
-    n_dots = F.regexp_count(c, F.lit(r"\.\.\.")).cast("long")
+    n_dots = F.regexp_count(c, F.lit(r"\.\.\.|…")).cast("long")
 
     r_wc = (n_tokens >= min_words) & (n_tokens <= max_words)
     r_mwl = (sum_wl >= 3 * n_tokens) & (sum_wl <= 10 * n_tokens) & (n_tokens > 0)
-    r_sym = 10 * (n_hash + n_dots) < n_tokens
+    # two independent caps, per the paper's "either ... or" phrasing
+    r_sym = (10 * n_hash < n_tokens) & (10 * n_dots < n_tokens)
     r_bul = 10 * n_bullet <= 9 * n_lines
     r_ell = 10 * n_ellipsis_l <= 3 * n_lines
     r_alpha = (10 * n_alpha >= 8 * n_tokens) & (n_tokens > 0)

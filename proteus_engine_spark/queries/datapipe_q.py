@@ -1972,17 +1972,20 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(docs)
 
 
-@register(
-    "text_gopher_rules",
-    oracle=r"""
-    WITH base AS (
-      SELECT doc_id, text,
+# The Gopher rule SQL, shared VERBATIM by the batch gate
+# (text_gopher_rules) and the streaming gate (stream_gopher_filter):
+# both oracles interpolate this single constant, so a threshold or
+# regex fix cannot reach one gate and miss the other — the exact
+# batch/stream drift the streaming gate exists to catch.
+_GOPHER_RULES_CTE = r"""
+    base AS (
+      SELECT doc_id, source, text,
              string_split_regex(lower(text), '\s+') AS t,
              string_split(text, chr(10)) AS ln,
              length(trim(text)) > 0 AS nonempty
       FROM documents),
     feat AS (
-      SELECT doc_id,
+      SELECT doc_id, source,
         CAST(CASE WHEN nonempty THEN len(t) ELSE 0 END AS BIGINT) AS n_tokens,
         CAST(CASE WHEN nonempty
              THEN COALESCE(list_sum(list_transform(t, x -> length(x))), 0)
@@ -1990,35 +1993,44 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         CAST(CASE WHEN nonempty
              THEN len(list_filter(t, x -> regexp_matches(x, '[a-z]')))
              ELSE 0 END AS BIGINT) AS n_alpha_words,
-        CAST(len(list_intersect(list_distinct(t),
-             ['the','be','to','of','and','that','have','with'])) AS BIGINT)
-          AS n_stop_hits,
+        CAST(len(list_filter(t, x -> list_contains(
+             ['the','be','to','of','and','that','have','with'], x)))
+          AS BIGINT) AS n_stop_hits,
         CAST(len(ln) AS BIGINT) AS n_lines,
         CAST(len(list_filter(ln, x -> regexp_matches(x, '^\s*[-*•]')))
           AS BIGINT) AS n_bullet,
         CAST(len(list_filter(ln, x -> regexp_matches(x, '(\.\.\.|…)\s*$')))
           AS BIGINT) AS n_ell,
         CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash,
-        CAST(len(regexp_extract_all(text, '\.\.\.')) AS BIGINT) AS n_dots
-      FROM base)
+        CAST(len(regexp_extract_all(text, '\.\.\.|…')) AS BIGINT) AS n_dots
+      FROM base),
+    verdicts AS (
+      SELECT *,
+        (r_word_count AND r_mean_word_len AND r_symbol_ratio
+         AND r_bullet_lines AND r_ellipsis_lines AND r_alpha_words
+         AND r_stopwords) AS passes
+      FROM (
+        SELECT *,
+          (n_tokens >= 50 AND n_tokens <= 100000) AS r_word_count,
+          (sum_word_len >= 3*n_tokens AND sum_word_len <= 10*n_tokens
+           AND n_tokens > 0) AS r_mean_word_len,
+          (10*n_hash < n_tokens AND 10*n_dots < n_tokens) AS r_symbol_ratio,
+          (10*n_bullet <= 9*n_lines) AS r_bullet_lines,
+          (10*n_ell <= 3*n_lines) AS r_ellipsis_lines,
+          (10*n_alpha_words >= 8*n_tokens AND n_tokens > 0) AS r_alpha_words,
+          (n_stop_hits >= 2) AS r_stopwords
+        FROM feat) r)
+"""
+
+
+@register(
+    "text_gopher_rules",
+    oracle=f"""
+    WITH {_GOPHER_RULES_CTE}
     SELECT doc_id, n_tokens, sum_word_len, n_alpha_words, n_stop_hits,
-      (n_tokens >= 50 AND n_tokens <= 100000) AS r_word_count,
-      (sum_word_len >= 3*n_tokens AND sum_word_len <= 10*n_tokens
-       AND n_tokens > 0) AS r_mean_word_len,
-      (10*(n_hash + n_dots) < n_tokens) AS r_symbol_ratio,
-      (10*n_bullet <= 9*n_lines) AS r_bullet_lines,
-      (10*n_ell <= 3*n_lines) AS r_ellipsis_lines,
-      (10*n_alpha_words >= 8*n_tokens AND n_tokens > 0) AS r_alpha_words,
-      (n_stop_hits >= 2) AS r_stopwords,
-      ((n_tokens >= 50 AND n_tokens <= 100000)
-       AND (sum_word_len >= 3*n_tokens AND sum_word_len <= 10*n_tokens
-            AND n_tokens > 0)
-       AND (10*(n_hash + n_dots) < n_tokens)
-       AND (10*n_bullet <= 9*n_lines)
-       AND (10*n_ell <= 3*n_lines)
-       AND (10*n_alpha_words >= 8*n_tokens AND n_tokens > 0)
-       AND (n_stop_hits >= 2)) AS passes
-    FROM feat
+           r_word_count, r_mean_word_len, r_symbol_ratio, r_bullet_lines,
+           r_ellipsis_lines, r_alpha_words, r_stopwords, passes
+    FROM verdicts
     """,
     tags=("datapipe", "text", "quality"),
 )
@@ -2147,52 +2159,17 @@ def sim_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_gopher_filter",
-    oracle=r"""
-    WITH base AS (
-      SELECT doc_id, source, text,
-             string_split_regex(lower(text), '\s+') AS t,
-             length(trim(text)) > 0 AS nonempty
-      FROM documents),
-    feat AS (
-      SELECT doc_id, source,
-        CAST(CASE WHEN nonempty THEN len(t) ELSE 0 END AS BIGINT) AS n_tokens,
-        CAST(CASE WHEN nonempty
-             THEN COALESCE(list_sum(list_transform(t, x -> length(x))), 0)
-             ELSE 0 END AS BIGINT) AS sum_word_len,
-        CAST(CASE WHEN nonempty
-             THEN len(list_filter(t, x -> regexp_matches(x, '[a-z]')))
-             ELSE 0 END AS BIGINT) AS n_alpha_words,
-        CAST(len(list_intersect(list_distinct(t),
-             ['the','be','to','of','and','that','have','with'])) AS BIGINT)
-          AS n_stop_hits,
-        CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
-        CAST(len(list_filter(string_split(text, chr(10)),
-             x -> regexp_matches(x, '^\s*[-*•]'))) AS BIGINT) AS n_bullet,
-        CAST(len(list_filter(string_split(text, chr(10)),
-             x -> regexp_matches(x, '(\.\.\.|…)\s*$'))) AS BIGINT) AS n_ell,
-        CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash,
-        CAST(len(regexp_extract_all(text, '\.\.\.')) AS BIGINT) AS n_dots
-      FROM base),
-    flags AS (
-      SELECT source, n_tokens,
-        (n_tokens >= 50 AND n_tokens <= 100000) AS r_wc,
-        (n_stop_hits >= 2) AS r_stop,
-        ((n_tokens >= 50 AND n_tokens <= 100000)
-         AND (sum_word_len >= 3*n_tokens AND sum_word_len <= 10*n_tokens
-              AND n_tokens > 0)
-         AND (10*(n_hash + n_dots) < n_tokens)
-         AND (10*n_bullet <= 9*n_lines)
-         AND (10*n_ell <= 3*n_lines)
-         AND (10*n_alpha_words >= 8*n_tokens AND n_tokens > 0)
-         AND (n_stop_hits >= 2)) AS passes
-      FROM feat)
+    oracle=f"""
+    WITH {_GOPHER_RULES_CTE}
     SELECT source,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(CASE WHEN passes THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
-           CAST(sum(CASE WHEN r_wc THEN 1 ELSE 0 END) AS BIGINT) AS n_word_count_ok,
-           CAST(sum(CASE WHEN r_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_stopwords_ok,
+           CAST(sum(CASE WHEN r_word_count THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_word_count_ok,
+           CAST(sum(CASE WHEN r_stopwords THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_stopwords_ok,
            CAST(sum(n_tokens) AS BIGINT) AS total_tokens
-    FROM flags GROUP BY source
+    FROM verdicts GROUP BY source
     """,
     tags=("datapipe", "streaming", "quality"),
 )

@@ -1168,10 +1168,11 @@ def test_gopher_rules_python_mirror(spark):
         n_tok = len(toks)
         sum_wl = sum(len(x) for x in toks)
         n_alpha = sum(1 for x in toks if re.search("[a-z]", x))
-        n_stop = len(set(toks) & set(GOPHER_STOPWORDS))
+        n_stop = sum(1 for x in toks if x in set(GOPHER_STOPWORDS))
         n_bullet = sum(1 for l in lines if re.match(r"^\s*[-*•]", l))
         n_ell = sum(1 for l in lines if re.search(r"(\.\.\.|…)\s*$", l))
-        n_sym = t.count("#") + len(re.findall(r"\.\.\.", t))
+        n_hash = t.count("#")
+        n_dots = len(re.findall(r"\.\.\.|…", t))
         got = rows[raw.doc_id]
         assert got.n_tokens == n_tok
         assert got.sum_word_len == sum_wl
@@ -1179,7 +1180,7 @@ def test_gopher_rules_python_mirror(spark):
         assert got.n_stop_hits == n_stop
         assert got.r_word_count == (50 <= n_tok <= 100_000)
         assert got.r_mean_word_len == (3 * n_tok <= sum_wl <= 10 * n_tok and n_tok > 0)
-        assert got.r_symbol_ratio == (10 * n_sym < n_tok)
+        assert got.r_symbol_ratio == (10 * n_hash < n_tok and 10 * n_dots < n_tok)
         assert got.r_bullet_lines == (10 * n_bullet <= 9 * len(lines))
         assert got.r_ellipsis_lines == (10 * n_ell <= 3 * len(lines))
         assert got.r_alpha_words == (10 * n_alpha >= 8 * n_tok and n_tok > 0)
@@ -1305,9 +1306,17 @@ def test_dsir_plan_has_no_global_window(spark):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Broadcast" in plan
-    for line in plan.splitlines():
-        if "Window" in line and "windowspecdefinition" in line.lower():
-            assert "partitionBy" not in line or "__pid__" in line
+    # The rank must be zip_with_index's two-phase scheme — never a
+    # corpus-sized unpartitioned row_number. The range sort itself is
+    # invisible here (localCheckpoint truncates lineage to a Scan
+    # ExistingRDD), so pin what the final plan CAN show: the corpus-
+    # sized rank window is partitioned by __pid__, and the only other
+    # window is the #partitions-row offsets walk (bounded) — at most
+    # two windows total, one of which must carry the __pid__ spec.
+    final = plan.split("== Initial Plan ==")[0]  # AQE prints both plans
+    assert "windowspecdefinition(__pid__" in final, final
+    n_windows = final.count("windowspecdefinition")
+    assert n_windows <= 2, final
 
 
 # ----------------------------- SQ8 scalar-quantization ANN
