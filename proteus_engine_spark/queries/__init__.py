@@ -94,7 +94,10 @@ from proteus_engine_spark.queries import (  # noqa: F401
 # mirrored), ml_svm_classify (sweep-coverage + sorted-reduce fixes this
 # round, mirror updated) and ml_outlier_sos stay OUT of any window: all
 # three register oracle=None (iterative solves are not SQL-expressible;
-# a rows-only row must not burn a window slot).
+# a rows-only row must not burn a window slot). corpus_bpe_merges joins
+# that cohort this round (BPE training: each step's argmax pair depends
+# on the previous step's rewritten vocabulary — bitwise pure-Python
+# mirror in tests instead).
 _GATE_PRIORITY = [
     # r12 oracle gates, never driver-checked (7)
     "q2_min_cost_supplier",

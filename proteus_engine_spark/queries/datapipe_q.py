@@ -2209,3 +2209,24 @@ def stream_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("total_tokens"),
     )
     return run_to_completion(agg, "stream_gopher_filter_sink", "complete")
+
+
+@register(
+    "corpus_bpe_merges",
+    oracle=None,  # iterative argmax-dependent rewrites are not
+    # SQL-expressible (each step's pair depends on the previous step's
+    # rewritten vocabulary); correctness is pinned by the bitwise
+    # pure-Python mirror in tests/test_round13.py instead — the ALS/SVM
+    # rows-only discipline.
+    tags=("datapipe", "text", "tokenizer"),
+)
+def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (datapipe.bpe.bpe_train — Sennrich et al.
+    2016): the first 8 learned merges over the documents corpus, in
+    order, with their weighted pair counts. ONE corpus pass (the word
+    count); every iteration is vocabulary-sized with a 1-row driver
+    sync. Rows-only by design — see oracle note."""
+    from proteus_engine_spark.datapipe.bpe import bpe_train, merges_frame
+
+    merges = bpe_train(load_table(spark, sf_dir, "documents"), n_merges=8)
+    return merges_frame(spark, merges)

@@ -1417,3 +1417,91 @@ def test_stream_gopher_filter_equals_batch(spark):
         assert streamed[s].n_docs == b.n_docs
         assert streamed[s].n_pass == b.n_pass
         assert streamed[s].total_tokens == b.total_tokens
+
+
+# ----------------------------- BPE tokenizer training
+
+
+def _bpe_train_py(word_counts, n_merges):
+    """Reference BPE (Sennrich et al. 2016 alg.): chars + </w>, argmax
+    adjacent pair by (count, left, right), greedy non-overlapping
+    merge — the bitwise mirror of datapipe.bpe.bpe_train."""
+    from collections import Counter
+
+    vocab = {tuple(list(w) + ["</w>"]): n for w, n in word_counts.items()}
+    merges = []
+    for step in range(n_merges):
+        pairs = Counter()
+        for syms, n in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += n
+        if not pairs:
+            break
+        (l, r), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merged = l + r
+        merges.append((step, l, r, merged, cnt))
+        new_vocab = {}
+        for syms, n in vocab.items():
+            out, just = [], False
+            for x in syms:
+                if not just and out and out[-1] == l and x == r:
+                    out[-1] = merged
+                    just = True
+                else:
+                    out.append(x)
+                    just = False
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + n
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_train_python_mirror(spark):
+    """The engine's 8 learned merges over the sf0.001 corpus must equal
+    the pure-Python reference BPE bitwise (strings + integer counts)."""
+    import re
+    from collections import Counter
+
+    from proteus_engine_spark.datapipe.bpe import bpe_train
+    from proteus_engine_spark.sources import load_table
+
+    docs = load_table(spark, SF, "documents")
+    got = [
+        (m.step, m.left, m.right, m.merged, m.pair_count)
+        for m in bpe_train(docs, n_merges=8)
+    ]
+    wc = Counter()
+    for r in docs.select("text").collect():
+        if r.text.strip():
+            wc.update(w for w in re.split(r"\s+", r.text.lower()) if w)
+    assert got == _bpe_train_py(wc, 8)
+
+
+def test_bpe_merge_is_greedy_non_overlapping(spark):
+    """aaaa + merge (a,a) must become [aa, aa, </w>] — overlapping
+    occurrences never merge in one pass."""
+    from pyspark.sql import functions as F
+
+    from proteus_engine_spark.datapipe.bpe import Merge, bpe_segment
+
+    df = spark.createDataFrame([("aaaa",), ("aaa",)], "w string")
+    out = df.select(
+        F.col("w"),
+        bpe_segment(F.col("w"), [Merge(0, "a", "a", "aa", 0)]).alias("s"),
+    ).collect()
+    got = {r.w: r.s for r in out}
+    assert got["aaaa"] == ["aa", "aa", "</w>"]
+    assert got["aaa"] == ["aa", "a", "</w>"]
+
+
+def test_bpe_segment_applies_merges_in_order(spark):
+    """Later merges must see earlier merges' output: (a,b)->ab then
+    (ab,c)->abc segments 'abc' to a single token."""
+    from pyspark.sql import functions as F
+
+    from proteus_engine_spark.datapipe.bpe import Merge, bpe_segment
+
+    df = spark.createDataFrame([("abc",), ("abd",)], "w string")
+    merges = [Merge(0, "a", "b", "ab", 0), Merge(1, "ab", "c", "abc", 0)]
+    got = {r.w: r.s for r in df.select("w", bpe_segment(F.col("w"), merges).alias("s")).collect()}
+    assert got["abc"] == ["abc", "</w>"]
+    assert got["abd"] == ["ab", "d", "</w>"]
