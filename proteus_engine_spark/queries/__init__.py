@@ -39,7 +39,7 @@ from proteus_engine_spark.queries import (  # noqa: F401
 # (csv_roundtrip_agg, from_rows_dim_join — untouched source modules,
 # re-verified by this round's local replica), accepted as the minimal
 # staleness slip if the window truncates at 50; they lead the r14 cohort
-# otherwise. TWENTY-TWO NEW r13 oracle gates follow at 53-74 —
+# otherwise. TWENTY-THREE NEW r13 oracle gates follow at 53-75 —
 # dedup_lsh_salted_recall (the salted-split cap's >=0.85 recall floor,
 # measured on a deterministic 120-doc hot-bucket probe BOTH engines
 # derive from documents; flips the r12 "pytest-local only" status of the
@@ -86,7 +86,10 @@ from proteus_engine_spark.queries import (  # noqa: F401
 # re-rank; FULL algorithm-mirror oracle incl. training) and
 # stream_gopher_filter (the same rule expression tree applied to the
 # document STREAM — online ingest filtering with per-source pass/fail
-# state, batch-vs-stream parity pytested)
+# state, batch-vs-stream parity pytested) and corpus_bpe_token_counts
+# (the BPE ENCODE path hash-gated: fixed literal merges via Catalyst
+# folds, oracle re-derives them through an independent delimiter-
+# replace mechanism)
 # — all locally green at all three SFs
 # (r13_delta.json); they must lead the r14 window if they do not fit
 # r13's.
@@ -176,6 +179,7 @@ _GATE_PRIORITY = [
     "corpus_dsir_select",
     "sim_ann_sq8",
     "stream_gopher_filter",
+    "corpus_bpe_token_counts",
 ]
 
 

@@ -2230,3 +2230,78 @@ def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     merges = bpe_train(load_table(spark, sf_dir, "documents"), n_merges=8)
     return merges_frame(spark, merges)
+
+
+# Fixed merge table for the BPE ENCODE gate: the gate verifies the
+# APPLICATION path (bpe_segment's fold mechanics) under hash grade, so
+# the merges are literals — corpus-independent, valid at every SF. The
+# LEARNED table is corpus_bpe_merges' rows-only job.
+_BPE_GATE_MERGES = [
+    ("e", "</w>"), ("t", "a"), ("s", "</w>"), ("ta", "b"), ("q", "u"),
+    ("th", "e</w>"),
+]
+
+
+@register(
+    "corpus_bpe_token_counts",
+    oracle=r"""
+    WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+               FROM documents WHERE length(trim(text)) > 0),
+    w AS (SELECT doc_id, unnest(t) AS w FROM t),
+    rep AS (SELECT doc_id,
+                   chr(1) || array_to_string(
+                     list_append(regexp_extract_all(w, '.'), '</w>'),
+                     chr(1) || chr(1)) || chr(1) AS s
+            FROM w),
+    merged AS (SELECT doc_id,
+      replace(replace(replace(replace(replace(replace(s,
+        chr(1)||'e'||chr(1)||chr(1)||'</w>'||chr(1), chr(1)||'e</w>'||chr(1)),
+        chr(1)||'t'||chr(1)||chr(1)||'a'||chr(1),    chr(1)||'ta'||chr(1)),
+        chr(1)||'s'||chr(1)||chr(1)||'</w>'||chr(1), chr(1)||'s</w>'||chr(1)),
+        chr(1)||'ta'||chr(1)||chr(1)||'b'||chr(1),   chr(1)||'tab'||chr(1)),
+        chr(1)||'q'||chr(1)||chr(1)||'u'||chr(1),    chr(1)||'qu'||chr(1)),
+        chr(1)||'th'||chr(1)||chr(1)||'e</w>'||chr(1), chr(1)||'the</w>'||chr(1))
+      AS s FROM rep)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum((length(s) - length(replace(s, chr(1), ''))) / 2)
+             AS BIGINT) AS n_subwords
+    FROM merged GROUP BY doc_id
+    """,
+    tags=("datapipe", "text", "tokenizer"),
+)
+def corpus_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE path under hash grade: a fixed six-merge table
+    (including a second-order merge, th + e</w>, that only exists
+    because earlier merges created its operands) segments every corpus
+    word via bpe_segment's Catalyst folds, and the gate emits per-doc
+    word/subword counts. The oracle applies the SAME merges through a
+    DIFFERENT mechanism — each word rendered as \\x01-delimited symbols
+    (\\x01sym\\x01 concatenated) and each merge as one string replace of
+    \\x01l\\x01\\x01r\\x01 with \\x01lr\\x01, which is exactly greedy
+    left-to-right non-overlapping — so a fold bug cannot hide behind a
+    mirrored fold. Zero shuffles on the engine side beyond the final
+    per-doc aggregation of an already-per-doc expression (scan-fused
+    segmentation)."""
+    from proteus_engine_spark.datapipe.bpe import Merge, bpe_segment
+
+    merges = [
+        Merge(i, l, r, l + r, 0) for i, (l, r) in enumerate(_BPE_GATE_MERGES)
+    ]
+    c = F.col("text")
+    toks = F.split(F.lower(c), r"\s+")
+    n_words = F.size(toks).cast("long")
+    n_sub = F.aggregate(
+        F.transform(toks, lambda w: F.size(bpe_segment(w, merges)).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length(F.trim(c)) > 0)
+        .select(
+            "doc_id",
+            n_words.alias("n_words"),
+            n_sub.alias("n_subwords"),
+        )
+    )
