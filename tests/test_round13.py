@@ -1505,3 +1505,71 @@ def test_bpe_segment_applies_merges_in_order(spark):
     got = {r.w: r.s for r in df.select("w", bpe_segment(F.col("w"), merges).alias("s")).collect()}
     assert got["abc"] == ["abc", "</w>"]
     assert got["abd"] == ["ab", "d", "</w>"]
+
+
+def test_bpe_segment_randomized_mirror(spark):
+    """300 random words x a 4-merge table (including overlapping-prone
+    (a,a) and second-order (aa,b) merges): the Catalyst fold must equal
+    the pure-Python greedy merge for every word — one Spark job, not one
+    per example."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from proteus_engine_spark.datapipe.bpe import Merge, bpe_segment
+
+    rng = random.Random(1307)
+    words = ["".join(rng.choice("aabbc") for _ in range(rng.randint(1, 12)))
+             for _ in range(300)]
+    merges = [
+        Merge(0, "a", "a", "aa", 0),
+        Merge(1, "aa", "b", "aab", 0),
+        Merge(2, "b", "c", "bc", 0),
+        Merge(3, "c", "</w>", "c</w>", 0),
+    ]
+
+    def mirror(word):
+        syms = list(word) + ["</w>"]
+        for m in merges:
+            out, just = [], False
+            for x in syms:
+                if not just and out and out[-1] == m.left and x == m.right:
+                    out[-1] = m.merged
+                    just = True
+                else:
+                    out.append(x)
+                    just = False
+            syms = out
+        return syms
+
+    df = spark.createDataFrame([(i, w) for i, w in enumerate(words)], "i long, w string")
+    got = {r.i: r.s for r in df.select("i", bpe_segment(F.col("w"), merges).alias("s")).collect()}
+    for i, w in enumerate(words):
+        assert got[i] == mirror(w), (w, got[i], mirror(w))
+
+
+def test_sq8_randomized_encode_mirror(spark):
+    """Random vectors (negatives, constant dims, extremes): SQ8 train +
+    encode must equal the numpy/pure-Python mirror exactly."""
+    import math
+    import random
+
+    from proteus_engine_spark.datapipe.similarity import sq8_encode, sq8_train
+
+    rng = random.Random(4242)
+    dim = 8
+    rows = []
+    for i in range(120):
+        v = [rng.uniform(-5, 5) for _ in range(dim)]
+        v[3] = 7.5  # constant dimension -> step 0 -> code 0
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "c_id long, vec array<double>")
+    lo, step = sq8_train(df, dim)
+    assert step[3] == 0.0
+    got = {r.c_id: r.codes for r in sq8_encode(df, lo, step).collect()}
+    for i, v in rows:
+        exp = [
+            min(255, max(0, math.floor((x - l) / s))) if s > 0 else 0
+            for x, l, s in zip(v, lo, step)
+        ]
+        assert got[i] == exp
