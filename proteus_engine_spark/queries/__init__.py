@@ -39,7 +39,7 @@ from proteus_engine_spark.queries import (  # noqa: F401
 # (csv_roundtrip_agg, from_rows_dim_join — untouched source modules,
 # re-verified by this round's local replica), accepted as the minimal
 # staleness slip if the window truncates at 50; they lead the r14 cohort
-# otherwise. TWENTY-THREE NEW r13 oracle gates follow at 53-75 —
+# otherwise. TWENTY-FOUR NEW r13 oracle gates follow at 53-76 —
 # dedup_lsh_salted_recall (the salted-split cap's >=0.85 recall floor,
 # measured on a deterministic 120-doc hot-bucket probe BOTH engines
 # derive from documents; flips the r12 "pytest-local only" status of the
@@ -89,7 +89,9 @@ from proteus_engine_spark.queries import (  # noqa: F401
 # state, batch-vs-stream parity pytested) and corpus_bpe_token_counts
 # (the BPE ENCODE path hash-gated: fixed literal merges via Catalyst
 # folds, oracle re-derives them through an independent delimiter-
-# replace mechanism)
+# replace mechanism) and corpus_source_report (the per-source pipeline
+# health rollup: docs/tokens/Gopher-pass/exact-dup counts in one
+# composed query — one corpus scan + one digest-count join)
 # — all locally green at all three SFs
 # (r13_delta.json); they must lead the r14 window if they do not fit
 # r13's.
@@ -180,6 +182,7 @@ _GATE_PRIORITY = [
     "sim_ann_sq8",
     "stream_gopher_filter",
     "corpus_bpe_token_counts",
+    "corpus_source_report",
 ]
 
 

@@ -2305,3 +2305,91 @@ def corpus_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_sub.alias("n_subwords"),
         )
     )
+
+
+@register(
+    "corpus_source_report",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, source, text,
+             CASE WHEN length(trim(text)) > 0
+                  THEN len(string_split_regex(lower(text), '\s+'))
+                  ELSE 0 END AS n_tokens,
+             md5(text) AS digest
+      FROM documents),
+    dup AS (SELECT digest, count(*) AS cnt FROM t GROUP BY digest),
+    g AS (
+      SELECT doc_id, source,
+             string_split_regex(lower(text), '\s+') AS tk,
+             length(trim(text)) > 0 AS nonempty
+      FROM documents),
+    gf AS (
+      SELECT doc_id, source,
+        CAST(CASE WHEN nonempty THEN len(tk) ELSE 0 END AS BIGINT) AS ntok,
+        CAST(CASE WHEN nonempty
+             THEN COALESCE(list_sum(list_transform(tk, x -> length(x))), 0)
+             ELSE 0 END AS BIGINT) AS swl,
+        CAST(CASE WHEN nonempty
+             THEN len(list_filter(tk, x -> regexp_matches(x, '[a-z]')))
+             ELSE 0 END AS BIGINT) AS nalpha,
+        CAST(len(list_filter(tk, x -> list_contains(
+             ['the','be','to','of','and','that','have','with'], x)))
+          AS BIGINT) AS nstop
+      FROM g),
+    gp AS (
+      SELECT doc_id,
+        (ntok >= 50 AND ntok <= 100000
+         AND swl >= 3*ntok AND swl <= 10*ntok AND ntok > 0
+         AND 10*nalpha >= 8*ntok
+         AND nstop >= 2) AS passes
+      FROM gf)
+    SELECT t.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(t.n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(CASE WHEN gp.passes THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_gopher_pass,
+           CAST(sum(CASE WHEN dup.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_docs
+    FROM t JOIN dup USING (digest) JOIN gp USING (doc_id)
+    GROUP BY t.source
+    """,
+    tags=("datapipe", "text", "report"),
+)
+def corpus_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source pipeline health report — the operational rollup every
+    ingest pipeline dashboards: document count, whitespace token mass,
+    Gopher pass count, and byte-exact duplicate count, per source, in
+    one composed query. The corpus is scanned ONCE for the per-doc
+    features; the only extra movement is the (16-byte digest, source)
+    duplicate-count aggregation joined back by digest. The simple-text
+    ruleset here drops the line-level and symbol rules (the corpus has
+    no newlines; the oracle mirrors exactly what the engine composes:
+    word-count, mean-word-length, alpha-word, stopword rules)."""
+    from proteus_engine_spark.datapipe.textstats import gopher_quality_flags
+
+    docs = load_table(spark, sf_dir, "documents")
+    flags = gopher_quality_flags(docs, carry_cols=("source", "text"))
+    per_doc = flags.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        # the four text-level rules (line/symbol rules excluded — see doc)
+        (
+            F.col("r_word_count")
+            & F.col("r_mean_word_len")
+            & F.col("r_alpha_words")
+            & F.col("r_stopwords")
+        ).alias("passes"),
+        F.md5("text").alias("digest"),
+    )
+    dup = per_doc.groupBy("digest").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        per_doc.join(dup, "digest")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum(F.col("passes").cast("long")).cast("long").alias("n_gopher_pass"),
+            F.sum((F.col("cnt") > 1).cast("long")).cast("long").alias("n_dup_docs"),
+        )
+    )

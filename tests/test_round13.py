@@ -1573,3 +1573,25 @@ def test_sq8_randomized_encode_mirror(spark):
             for x, l, s in zip(v, lo, step)
         ]
         assert got[i] == exp
+
+
+def test_sq8_encode_and_bpe_counts_are_scan_fused(spark):
+    """Both one-scan projections must execute without any Exchange."""
+    from pyspark.sql import functions as F
+
+    from proteus_engine_spark.datapipe.similarity import sq8_encode, sq8_train
+    from proteus_engine_spark.queries.registry import REGISTRY
+    from proteus_engine_spark.sources import load_table
+
+    emb = load_table(spark, SF, "embeddings").select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").cast("array<double>").alias("vec"),
+    )
+    lo, step = sq8_train(emb, 64)
+    enc = sq8_encode(emb, lo, step)
+    enc.collect()
+    assert "Exchange" not in enc._jdf.queryExecution().executedPlan().toString()
+
+    bpe = REGISTRY["corpus_bpe_token_counts"].fn(spark, SF)
+    bpe.collect()
+    assert "Exchange" not in bpe._jdf.queryExecution().executedPlan().toString()
