@@ -98,6 +98,13 @@ HEADLINE = [
     "text_gopher_rules",
     "corpus_dsir_select",
     "sim_ann_sq8",
+    # added round 13, fourth batch (exclude from like-for-like totals):
+    # Okapi BM25 batch retrieval (broadcast query terms prune the
+    # postings shuffle; one corpus-sized doc-length count) and the
+    # Naive Bayes source classifier (aggregation-trained dense model,
+    # exact integer micro-nat scoring)
+    "text_bm25_topk",
+    "text_nb_source_classify",
 ]
 
 

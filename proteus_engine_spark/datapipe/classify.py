@@ -1,0 +1,181 @@
+"""Model-based corpus classification: a multinomial Naive Bayes text
+classifier trained and applied entirely as DataFrame aggregations — the
+engine's stand-in for the fastText linear classifier that CCNet-style
+pipelines use for model-based quality/domain filtering (reference scope:
+the quality-classifier stage of a training-data pipeline; the reference
+engine's ML surface is mirrored in ml/, this is the DATA-PATH tier that
+must run inline over the full corpus).
+
+Unlike the iterative solvers in ml/ (ALS, SVM — oracle=None by design),
+Naive Bayes training IS aggregation: class priors are document counts,
+token likelihoods are (class, token) counts, and scoring is one join +
+one sum. Every step is SQL-expressible, so the gate carries a full
+DuckDB oracle.
+
+Determinism discipline ("exact micro-nats", the integer-cents pattern):
+each model log-probability is quantized ONCE to an integer number of
+micro-nats (round(ln(p) * 1e6) as long) at model-build time; per-document
+scores are then exact integer sums (sum of tf * loglik_micro + prior),
+so accumulation order — Spark partition order vs DuckDB's — cannot move
+the result by even one bit, and argmax ties break deterministically by
+ascending class label.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from proteus_engine_spark.datapipe.textstats import _tokens
+
+_MICRO = 1_000_000
+
+
+def _micro(c: Column) -> Column:
+    return F.round(c * _MICRO, 0).cast("long")
+
+
+def nb_token_model(
+    train: DataFrame,
+    class_col: str = "source",
+    text_col: str = "text",
+    alpha: float = 1.0,
+    min_count: int = 1,
+) -> tuple[DataFrame, DataFrame]:
+    """Train a multinomial NB model over whitespace tokens.
+
+    Returns (priors, likelihoods):
+    - priors: (class_col, prior_micro long) — ln(n_docs_c / n_docs) in
+      micro-nats;
+    - likelihoods: (class_col, term, loglik_micro long) — DENSE over
+      vocabulary × classes, ln((n(c,t) + α) / (n(c) + α·V)) in
+      micro-nats, so scoring never needs a per-class unseen fallback.
+
+    ``min_count`` prunes the vocabulary to terms with corpus count >=
+    min_count BEFORE densification (the fastText min-count knob): with a
+    floor the dense model is (pruned-V × C) rows — executor-memory-sized
+    for real corpora — and broadcasts into the scoring join. Class token
+    totals n(c) are computed over the PRUNED vocabulary so the model
+    stays a proper distribution over the terms it ships.
+
+    Scale shape: ONE tokenize pass feeds a (class, term) count with
+    map-side combine [the vocabulary-sized shuffle]; n(c), V, and the
+    vocabulary all derive from that frame; densification is a
+    vocab × classes crossJoin where the class list is a broadcast 1-side
+    (classes are enum-sized) followed by a left join of the observed
+    counts. Priors are a class-keyed doc count [enum-sized]."""
+    cls = F.col(class_col)
+    dcount = train.groupBy(class_col).agg(F.count(F.lit(1)).alias("n_docs_c"))
+    priors = (
+        dcount.crossJoin(F.broadcast(train.agg(F.count(F.lit(1)).alias("n_docs"))))
+        .select(
+            class_col,
+            _micro(F.log(F.col("n_docs_c").cast("double") / F.col("n_docs"))).alias(
+                "prior_micro"
+            ),
+        )
+    )
+
+    ct = (
+        train.select(cls, F.explode(_tokens(text_col)).alias("term"))
+        .groupBy(class_col, "term")
+        .agg(F.count(F.lit(1)).alias("n_ct"))
+    )
+    if min_count > 1:
+        kept = (
+            ct.groupBy("term")
+            .agg(F.sum("n_ct").alias("n_t"))
+            .filter(F.col("n_t") >= min_count)
+            .select("term")
+        )
+        ct = ct.join(kept, "term")
+    vocab = ct.select("term").distinct()
+    nc = ct.groupBy(class_col).agg(F.sum("n_ct").alias("n_c"))
+    v1 = vocab.agg(F.count(F.lit(1)).alias("v"))
+    classes = nc.select(class_col)  # enum-sized
+    dense = (
+        vocab.crossJoin(F.broadcast(classes))
+        .join(ct, ["term", class_col], "left")
+        .join(F.broadcast(nc), class_col)
+        .crossJoin(F.broadcast(v1))
+        .select(
+            class_col,
+            "term",
+            _micro(
+                F.log(
+                    (F.coalesce(F.col("n_ct"), F.lit(0)) + F.lit(alpha))
+                    / (F.col("n_c") + F.lit(alpha) * F.col("v"))
+                )
+            ).alias("loglik_micro"),
+        )
+    )
+    return priors, dense
+
+
+def nb_classify(
+    docs: DataFrame,
+    priors: DataFrame,
+    likelihoods: DataFrame,
+    class_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Score documents under a trained NB model and predict the argmax
+    class. Out-of-vocabulary tokens are dropped (standard multinomial
+    NB); a document with NO in-vocabulary tokens falls back to the prior
+    argmax. Returns (id_col, predicted class string, score_micro long) —
+    exact integer scores, ties broken by ascending class label.
+
+    Scale shape: one tokenize pass into a (doc, term) count
+    [candidate shuffle 1]; the model join is term-keyed against the
+    dense (V × C) likelihood table — broadcast by default (a pruned
+    model is executor-memory-sized; pass broadcast_model=False to let
+    AQE decide for giant vocabularies); the (doc, class) score is one
+    aggregation [shuffle 2, n_docs × C rows]; the prior add is an
+    enum-sized broadcast join and the argmax is a doc-keyed max_by over
+    C rows per doc — never a corpus-wide window."""
+    lik = F.broadcast(likelihoods) if broadcast_model else likelihoods
+    pri = F.broadcast(priors)
+    tf = (
+        docs.select(F.col(id_col), F.explode(_tokens(text_col)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    scores = (
+        tf.join(lik, "term")
+        .groupBy(id_col, class_col)
+        .agg(F.sum(F.col("tf") * F.col("loglik_micro")).alias("lik_sum"))
+    )
+    # every (doc, class) pair exists — docs with zero in-vocab tokens
+    # score prior-only (coalesce 0)
+    full = (
+        docs.select(id_col)
+        .crossJoin(pri)
+        .join(scores, [id_col, class_col], "left")
+        .select(
+            id_col,
+            class_col,
+            (F.coalesce(F.col("lik_sum"), F.lit(0)) + F.col("prior_micro")).alias(
+                "score_micro"
+            ),
+        )
+    )
+    # argmax with class-asc tie-break: max over (score, reversed-class)
+    # structs would need string negation — a doc-keyed max_by on the
+    # struct (score_micro, class) picks the LAST class on ties, so order
+    # by score desc then class asc via min_by over (-score, class)
+    return (
+        full.groupBy(id_col)
+        .agg(
+            F.min_by(
+                F.struct(F.col(class_col), F.col("score_micro")),
+                F.struct((-F.col("score_micro")).alias("neg"), F.col(class_col)),
+            ).alias("best")
+        )
+        .select(
+            id_col,
+            F.col(f"best.{class_col}").alias("predicted"),
+            F.col("best.score_micro").alias("score_micro"),
+        )
+    )

@@ -1075,3 +1075,42 @@ def semantic_dedup(
             F.coalesce(~F.col("__dropped__"), F.lit(True)).alias("kept"),
         )
     )
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental exact dedup: dedup a NEW ingest batch against an
+    EXISTING corpus — the continuous-crawl shape (every real pipeline
+    dedups today's crawl against everything already kept, not the union
+    from scratch). A batch document survives iff (a) its content digest
+    does not appear anywhere in the existing corpus and (b) it is the
+    smallest-id copy of its digest WITHIN the batch. Returns
+    (content_hash, keep_id, n_batch_copies) for the survivors.
+
+    Scale shape: both sides reduce to (digest, id) pairs at the scan —
+    ~24 bytes/row regardless of document size. The corpus side projects
+    digests only and de-duplicates them map-side via aggregate [shuffle
+    1, corpus-digest-sized]; the batch aggregates per digest [shuffle 2,
+    batch-sized — typically orders of magnitude smaller than the
+    corpus]; the membership test is a LEFT ANTI join on the 16-byte
+    digest [shuffle 3 — AQE broadcasts the batch side when it is small,
+    which is the common case: today's crawl vs years of corpus]. At
+    production scale persist the corpus digest set as its own
+    bucketed-by-digest table so step 1 amortizes across daily batches
+    and the anti join co-locates without shuffling the corpus."""
+    corpus_digests = (
+        corpus.select(F.md5(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.lit(1).alias("_one"))
+        .select("content_hash")
+    )
+    batch_best = (
+        batch.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_batch_copies"))
+    )
+    return batch_best.join(corpus_digests, "content_hash", "left_anti")

@@ -661,3 +661,161 @@ def normalize_text(text: str | Column) -> Column:
             F.regexp_replace(F.lower(c), r"[^a-z0-9\s]", " "), r"\s+", " "
         )
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 10,
+    num_docs: int | None = None,
+) -> DataFrame:
+    """Batch BM25 retrieval: for each query string, the top-k documents
+    by Okapi BM25 with the Lucene idf variant
+    ``ln(1 + (N - df + 0.5) / (df + 0.5))`` (non-negative for every df)
+    — the classic lexical-retrieval scorer used to mine
+    training/eval-adjacent documents from a corpus (and the exact-match
+    baseline every embedding retriever is graded against). Repeated
+    query terms weight their contribution by query term frequency.
+    Only documents sharing at least one term with the query are
+    candidates (standard sparse retrieval — zero-score rows are never
+    materialized). Returns (query_id long, id_col, score double rounded
+    to 1e-6, rk long); ties break by ascending doc id AFTER rounding so
+    the ranking is engine-portable.
+
+    Scale shape: the query-term table is a literal (a few rows) and is
+    BROADCAST into the postings stream BEFORE any aggregation, so the
+    (doc, term) count shuffle carries only query-term postings
+    [candidate-bounded shuffle 1]; document lengths are a doc-keyed
+    count over the full token stream [shuffle 2 — unavoidable: BM25's
+    length normalization needs every doc's length, but the shuffle rows
+    are (doc, long) pairs, never text]; df and N are query-term-sized /
+    1-row aggregates broadcast back; final top-k is one window
+    partitioned by query_id over candidate-bounded rows. At a 10^9-doc
+    corpus the only corpus-sized shuffle is the doc-length count —
+    precompute/persist it when scoring many query batches."""
+    from pyspark.sql.window import Window
+
+    spark = docs.sparkSession
+    qrows = []
+    for qid, qtext in enumerate(queries):
+        terms = [t for t in qtext.lower().split() if t]
+        if not terms:
+            raise ValueError(f"query {qid} has no terms")
+        for t in terms:
+            qrows.append((qid, t))
+    qdf = (
+        spark.createDataFrame(qrows, "query_id long, term string")
+        .groupBy("query_id", "term")
+        .agg(F.count(F.lit(1)).alias("qtf"))
+    )
+
+    toks = docs.select(F.col(id_col), F.explode(_tokens(text_col)).alias("term"))
+    # doc lengths over the FULL token stream (length normalization), with
+    # the empty-text phantom-token guard shared with token_count()
+    dl = docs.select(
+        F.col(id_col), token_count(text_col).cast("long").alias("dl")
+    )
+    if num_docs is None:
+        n_df = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    else:
+        n_df = spark.range(1).select(F.lit(int(num_docs)).alias("n_docs"))
+    avg_df = dl.agg(F.avg("dl").alias("avgdl"))
+
+    # candidate postings: broadcast the literal query-term table into the
+    # token stream BEFORE counting, so the tf shuffle is candidate-bounded
+    qterms = F.broadcast(qdf.select("term").distinct())
+    tf = (
+        toks.join(qterms, "term")
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.when(F.col("tf") >= 1, 1)).alias("df"))
+
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(qdf), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(n_df))
+        .crossJoin(F.broadcast(avg_df))
+        .select(
+            "query_id",
+            id_col,
+            (
+                F.col("qtf")
+                * F.log(
+                    1.0
+                    + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (k1 + 1.0))
+                / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+            ).alias("part"),
+        )
+        .groupBy("query_id", id_col)
+        .agg(F.round(F.sum("part"), 6).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("query_id", id_col, "score", "rk")
+    )
+
+
+def ngram_diversity(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    max_n: int = 3,
+) -> DataFrame:
+    """Per-group n-gram diversity profile (distinct-n over total-n for
+    n = 1..max_n) — the distinct-n / rep-n corpus-health metric family
+    (Li et al. 2016): a source whose distinct-2 ratio collapses is
+    emitting templated/looping text and should be down-weighted before
+    training. N-grams are WITHIN-document (no grams span documents).
+    Documents with fewer than n tokens contribute nothing at that n.
+    Returns (group_col, n int, total_ngrams long, distinct_ngrams long,
+    distinct_ratio double rounded to 1e-6), exact integer counts so the
+    ratios are engine-portable single divisions.
+
+    Scale shape: ONE corpus scan, structurally — the per-n gram arrays
+    are built in a SINGLE projection (concat of max_n transform()
+    expressions over the same token array; a union-of-branches shape
+    would re-scan the corpus once per n, plan-tested) and explode once
+    as (n, gram) structs feeding a two-level aggregate — (group, n,
+    gram) count with map-side combine [the distinct pass], then a
+    (group, n) rollup of distinct/total — so no countDistinct expansion
+    and the widest shuffle is the (group, gram)-keyed count. Grams
+    shuffle as strings here for oracle portability; swap the gram
+    expression for xxhash64 when grouping a 10^12-gram corpus (the
+    duplicate_spans discipline) — the counts are identical up to hash
+    collisions."""
+    # empty/whitespace-only docs are dropped BEFORE tokenizing: split('')
+    # yields [''] — one phantom token — in Spark and DuckDB alike (the
+    # token_count guard, mirrored in the oracle)
+    toks = docs.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(group_col), _tokens(text_col).alias("t")
+    )
+    # one (n, gram)-struct array per n, guarded per doc length (sequence
+    # with a zero/negative end DESCENDS in Spark — the CASE is load-bearing)
+    parts = [
+        F.expr(
+            f"CASE WHEN size(t) >= {n} THEN"
+            f" transform(sequence(1, size(t) - {n} + 1),"
+            f" i -> struct({n} AS n, array_join(slice(t, i, {n}), ' ') AS gram))"
+            f" ELSE array() END"
+        )
+        for n in range(1, max_n + 1)
+    ]
+    allg = toks.select(
+        group_col, F.explode(F.concat(*parts)).alias("g")
+    ).select(group_col, F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+    counted = allg.groupBy(group_col, "n", "gram").agg(F.count(F.lit(1)).alias("c"))
+    return counted.groupBy(group_col, "n").agg(
+        F.sum("c").alias("total_ngrams"),
+        F.count(F.lit(1)).alias("distinct_ngrams"),
+        F.round(F.count(F.lit(1)) / F.sum("c"), 6).alias("distinct_ratio"),
+    )

@@ -91,7 +91,18 @@ from proteus_engine_spark.queries import (  # noqa: F401
 # folds, oracle re-derives them through an independent delimiter-
 # replace mechanism) and corpus_source_report (the per-source pipeline
 # health rollup: docs/tokens/Gopher-pass/exact-dup counts in one
-# composed query — one corpus scan + one digest-count join)
+# composed query — one corpus scan + one digest-count join), and FOUR
+# more from the session's second wave: text_bm25_topk (Okapi BM25 batch
+# retrieval, Lucene idf, broadcast query terms pruning the postings
+# shuffle, rounded-then-ranked), text_nb_source_classify (the
+# model-based quality/domain filter tier: aggregation-trained
+# multinomial Naive Bayes, DENSE vocab×class model, exact integer
+# micro-nat scoring so accumulation order cannot move a score),
+# dedup_incremental (new-batch-vs-existing-corpus digest anti-join —
+# the continuous-crawl shape; overlapping %2/%3 splits fire both the
+# drop and survive branches at every SF), and corpus_ngram_diversity
+# (distinct-n/rep-n per source, single-projection gram arrays = ONE
+# corpus scan, plan-tested)
 # — all locally green at all three SFs
 # (r13_delta.json); they must lead the r14 window if they do not fit
 # r13's.

@@ -2393,3 +2393,201 @@ def corpus_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("cnt") > 1).cast("long")).cast("long").alias("n_dup_docs"),
         )
     )
+
+
+@register(
+    "text_bm25_topk",
+    oracle=r"""
+    WITH q(query_id, term) AS (VALUES
+      (CAST(0 AS BIGINT), 'table'), (0, 'scan'), (0, 'filter'),
+      (CAST(1 AS BIGINT), 'stream'), (1, 'window'), (1, 'agg'),
+      (CAST(2 AS BIGINT), 'hash'), (2, 'join'), (2, 'merge'), (2, 'batch')),
+    qdf AS (SELECT query_id, term, CAST(count(*) AS BIGINT) AS qtf
+            FROM q GROUP BY query_id, term),
+    toks AS (SELECT doc_id,
+                    unnest(string_split_regex(lower(text), '\s+')) AS term
+             FROM documents),
+    dl AS (SELECT doc_id,
+                  CASE WHEN length(trim(text)) > 0
+                       THEN CAST(len(string_split_regex(text, '\s+')) AS BIGINT)
+                       ELSE 0 END AS dl
+           FROM documents),
+    stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                     avg(dl) AS avgdl FROM dl),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM toks WHERE term IN (SELECT term FROM qdf)
+           GROUP BY doc_id, term),
+    dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+              FROM tf GROUP BY term),
+    scored AS (
+      SELECT qdf.query_id, tf.doc_id,
+             round(sum(qdf.qtf
+                       * ln(1.0 + (stats.n_docs - dfreq.df + 0.5)
+                                  / (dfreq.df + 0.5))
+                       * (tf.tf * 2.2)
+                       / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))),
+                   6) AS score
+      FROM tf JOIN dfreq USING (term) JOIN qdf USING (term)
+              JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats
+      GROUP BY qdf.query_id, tf.doc_id),
+    ranked AS (SELECT *, row_number() OVER
+                 (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rk
+               FROM scored)
+    SELECT query_id, doc_id, score, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 10
+    """,
+    tags=("datapipe", "text", "retrieval", "bench"),
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 batch retrieval (textstats.bm25_topk): top-10 documents
+    per query for three fixed queries, Lucene idf variant, k1=1.2 b=0.75,
+    query-term-frequency weighting, rounded-then-ranked scores with
+    doc-id tie-break. The oracle rebuilds the identical scorer in SQL —
+    a drifted df, a lost length normalization, or a wrong idf floor all
+    fail the hash. The query-term table broadcasts into the token stream
+    BEFORE aggregation so the tf shuffle carries only candidate
+    postings."""
+    from proteus_engine_spark.datapipe.textstats import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(
+        docs,
+        ["table scan filter", "stream window agg", "hash join merge batch"],
+        k=10,
+    )
+
+
+@register(
+    "text_nb_source_classify",
+    oracle=r"""
+    WITH train AS (SELECT source, text FROM documents WHERE doc_id % 10 < 8),
+    ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 8),
+    n_train AS (SELECT count(*) AS n FROM train),
+    priors AS (SELECT source,
+                      CAST(round(ln(count(*) * 1.0 / n_train.n) * 1000000, 0)
+                           AS BIGINT) AS prior_micro
+               FROM train CROSS JOIN n_train GROUP BY source, n_train.n),
+    ttok AS (SELECT source,
+                    unnest(string_split_regex(lower(text), '\s+')) AS term
+             FROM train),
+    ct AS (SELECT source, term, CAST(count(*) AS BIGINT) AS n_ct
+           FROM ttok GROUP BY source, term),
+    vocab AS (SELECT DISTINCT term FROM ct),
+    nc AS (SELECT source, sum(n_ct) AS n_c FROM ct GROUP BY source),
+    v1 AS (SELECT count(*) AS v FROM vocab),
+    dense AS (SELECT nc.source, vocab.term,
+                     CAST(round(ln((coalesce(ct.n_ct, 0) + 1.0)
+                                   / (nc.n_c + 1.0 * v1.v)) * 1000000, 0)
+                          AS BIGINT) AS loglik_micro
+              FROM vocab CROSS JOIN nc CROSS JOIN v1
+              LEFT JOIN ct ON ct.term = vocab.term AND ct.source = nc.source),
+    etf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+            FROM (SELECT doc_id,
+                         unnest(string_split_regex(lower(text), '\s+')) AS term
+                  FROM ev)
+            GROUP BY doc_id, term),
+    scores AS (SELECT doc_id, source, sum(tf * loglik_micro) AS lik_sum
+               FROM etf JOIN dense USING (term) GROUP BY doc_id, source),
+    fulls AS (SELECT e.doc_id, p.source,
+                     coalesce(s.lik_sum, 0) + p.prior_micro AS score_micro
+              FROM (SELECT doc_id FROM ev) e CROSS JOIN priors p
+              LEFT JOIN scores s
+                ON s.doc_id = e.doc_id AND s.source = p.source),
+    ranked AS (SELECT *, row_number() OVER
+                 (PARTITION BY doc_id ORDER BY score_micro DESC, source ASC)
+                 AS rk
+               FROM fulls)
+    SELECT doc_id, source AS predicted, CAST(score_micro AS BIGINT) AS score_micro
+    FROM ranked WHERE rk = 1
+    """,
+    tags=("datapipe", "text", "classify"),
+)
+def text_nb_source_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based corpus classification (datapipe.classify): a
+    multinomial Naive Bayes source classifier trained on the doc_id%10<8
+    split by pure aggregation (priors = doc counts, likelihoods =
+    (class, token) counts, add-1 smoothing, DENSE over vocab × classes)
+    and applied to the held-out %10>=8 split — the fastText-classifier
+    stage of a CCNet-style quality/domain filter, expressed as the
+    DATA-PATH tier the reference's pipeline runs inline. Every model
+    log-probability is quantized ONCE to integer micro-nats, so
+    per-document scores are exact integer sums — accumulation order
+    cannot move them — and argmax ties break by ascending class. The
+    oracle retrains the identical model in SQL."""
+    from proteus_engine_spark.datapipe.classify import nb_classify, nb_token_model
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 10 < 8)
+    ev = docs.filter(F.col("doc_id") % 10 >= 8)
+    priors, lik = nb_token_model(train, class_col="source")
+    return nb_classify(ev, priors, lik, class_col="source")
+
+
+@register(
+    "dedup_incremental",
+    oracle=r"""
+    WITH corpus AS (SELECT DISTINCT md5(text) AS content_hash
+                    FROM documents WHERE doc_id % 2 = 0),
+    batch AS (SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
+                     CAST(count(*) AS BIGINT) AS n_batch_copies
+              FROM documents WHERE doc_id % 3 = 0
+              GROUP BY md5(text))
+    SELECT b.content_hash, b.keep_id, b.n_batch_copies
+    FROM batch b ANTI JOIN corpus c USING (content_hash)
+    """,
+    tags=("datapipe", "dedup"),
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup (dedup.incremental_dedup): a simulated
+    re-ingest batch (doc_id % 3 = 0) deduped against the existing corpus
+    (doc_id % 2 = 0) — digests whose text already exists in the corpus
+    drop via a 16-byte-key LEFT ANTI join (the doc_id % 6 = 0 cohort
+    guarantees both the drop and the survive branch fire at every SF);
+    within-batch copies collapse to the smallest id. Shuffles (digest,
+    id) pairs only, never text."""
+    from proteus_engine_spark.datapipe.dedup import incremental_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return incremental_dedup(
+        docs.filter(F.col("doc_id") % 3 == 0),
+        docs.filter(F.col("doc_id") % 2 == 0),
+    )
+
+
+@register(
+    "corpus_ngram_diversity",
+    oracle=r"""
+    WITH toks AS (SELECT source, string_split_regex(lower(text), '\s+') AS t
+                  FROM documents WHERE length(trim(text)) > 0),
+    g1 AS (SELECT source, CAST(1 AS INTEGER) AS n, unnest(t) AS gram
+           FROM toks WHERE len(t) >= 1),
+    g2 AS (SELECT source, CAST(2 AS INTEGER) AS n,
+                  unnest(list_transform(generate_series(1, len(t) - 1),
+                                        i -> t[i] || ' ' || t[i+1])) AS gram
+           FROM toks WHERE len(t) >= 2),
+    g3 AS (SELECT source, CAST(3 AS INTEGER) AS n,
+                  unnest(list_transform(generate_series(1, len(t) - 2),
+                                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                    AS gram
+           FROM toks WHERE len(t) >= 3),
+    allg AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2 UNION ALL SELECT * FROM g3),
+    counted AS (SELECT source, n, gram, CAST(count(*) AS BIGINT) AS c
+                FROM allg GROUP BY source, n, gram)
+    SELECT source, n, CAST(sum(c) AS BIGINT) AS total_ngrams,
+           CAST(count(*) AS BIGINT) AS distinct_ngrams,
+           round(count(*) * 1.0 / sum(c), 6) AS distinct_ratio
+    FROM counted GROUP BY source, n
+    """,
+    tags=("datapipe", "text", "quality"),
+)
+def corpus_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source n-gram diversity (textstats.ngram_diversity): distinct-n
+    over total-n for n = 1..3 — the distinct-n / rep-n repetitiveness
+    metric (Li et al. 2016) that flags templated/looping sources before
+    training. Within-document grams only; exact integer counts with one
+    tokenize pass and a two-level (group, gram) aggregate — never a
+    countDistinct expansion. The oracle regenerates the same string grams
+    via list_transform windows."""
+    from proteus_engine_spark.datapipe.textstats import ngram_diversity
+
+    return ngram_diversity(load_table(spark, sf_dir, "documents"))

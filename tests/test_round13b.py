@@ -1,0 +1,255 @@
+"""Round-13 second wave: BM25 retrieval, the Naive Bayes source
+classifier (exact micro-nat scoring), incremental dedup, and n-gram
+diversity — hand-computed mirrors on tiny frames plus the scale-shape
+plan assertions."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+# ----------------------------- BM25
+
+
+def _bm25_expected(docs, query, k1=1.2, b=0.75):
+    """Pure-Python Okapi BM25 with the Lucene idf, mirroring bm25_topk."""
+    toks = {i: t.lower().split() for i, t in docs}
+    n = len(docs)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    qterms = query.lower().split()
+    out = {}
+    for i, t in toks.items():
+        score = 0.0
+        matched = False
+        for q in set(qterms):
+            tf = t.count(q)
+            if tf == 0:
+                continue
+            matched = True
+            df = sum(1 for tt in toks.values() if q in tt)
+            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            qtf = qterms.count(q)
+            score += (
+                qtf * idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(t) / avgdl))
+            )
+        if matched:
+            out[i] = round(score, 6)
+    return out
+
+
+def test_bm25_matches_pure_python_mirror(spark):
+    from proteus_engine_spark.datapipe.textstats import bm25_topk
+
+    rows = [
+        (1, "spark shuffle join join join"),
+        (2, "join scan"),
+        (3, "filter filter scan scan scan"),
+        (4, "window agg stream"),
+        (5, "nothing relevant here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.query_id, r.doc_id): (r.score, r.rk)
+        for r in bm25_topk(df, ["join scan", "filter"], k=10).collect()
+    }
+    for qid, q in enumerate(["join scan", "filter"]):
+        exp = _bm25_expected(rows, q)
+        ranked = sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))
+        for rk, (doc, score) in enumerate(ranked, start=1):
+            assert got[(qid, doc)] == (pytest.approx(score, abs=2e-6), rk)
+        # no zero-match rows materialize
+        assert {d for (g, d) in got if g == qid} == set(exp)
+
+
+def test_bm25_repeated_query_terms_weight_by_qtf(spark):
+    from proteus_engine_spark.datapipe.textstats import bm25_topk
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a a b b")], "doc_id long, text string"
+    )
+    single = {r.doc_id: r.score for r in bm25_topk(df, ["a"], k=10).collect()}
+    double = {r.doc_id: r.score for r in bm25_topk(df, ["a a"], k=10).collect()}
+    for d in single:
+        assert double[d] == pytest.approx(2 * single[d], abs=2e-6)
+
+
+def test_bm25_query_terms_prune_before_the_tf_shuffle(spark):
+    """The broadcast of the literal query-term table must land BELOW the
+    (doc, term) aggregation — the postings shuffle carries candidates
+    only. Assert the executed plan joins the token stream to a broadcast
+    BEFORE any hash aggregate over (doc_id, term)."""
+    from proteus_engine_spark.datapipe.textstats import bm25_topk
+    from proteus_engine_spark.sources import load_table
+
+    docs = load_table(spark, SF, "documents")
+    out = bm25_topk(docs, ["table scan"], k=5)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+# ----------------------------- Naive Bayes
+
+
+def test_nb_matches_hand_model(spark):
+    """Two classes, tiny vocab — every model weight checked by hand:
+    loglik = ln((n_ct + 1) / (n_c + V)), prior = ln(docs_c / docs),
+    quantized to integer micro-nats; doc scores are exact integer sums."""
+    from proteus_engine_spark.datapipe.classify import nb_classify, nb_token_model
+
+    train = spark.createDataFrame(
+        [
+            (1, "spam", "buy buy cheap"),
+            (2, "spam", "cheap buy"),
+            (3, "ham", "meeting notes agenda"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    ev = spark.createDataFrame(
+        [(10, "buy cheap cheap"), (11, "agenda notes"), (12, "unknownword")],
+        "doc_id long, text string",
+    )
+    priors, lik = nb_token_model(train, class_col="source")
+    got_lik = {(r.source, r.term): r.loglik_micro for r in lik.collect()}
+    # vocab = {buy, cheap, meeting, notes, agenda}, V=5
+    # spam: n_c=5 -> buy: ln(4/10), cheap: ln(3/10), meeting: ln(1/10)
+    assert got_lik[("spam", "buy")] == round(math.log(4 / 10) * 1e6)
+    assert got_lik[("spam", "cheap")] == round(math.log(3 / 10) * 1e6)
+    assert got_lik[("spam", "meeting")] == round(math.log(1 / 10) * 1e6)
+    # ham: n_c=3 -> notes: ln(2/8), buy: ln(1/8)
+    assert got_lik[("ham", "notes")] == round(math.log(2 / 8) * 1e6)
+    assert got_lik[("ham", "buy")] == round(math.log(1 / 8) * 1e6)
+    assert len(got_lik) == 10  # dense: 5 terms x 2 classes
+
+    got = {r.doc_id: (r.predicted, r.score_micro) for r in
+           nb_classify(ev, priors, lik, class_col="source").collect()}
+    p_spam = round(math.log(2 / 3) * 1e6)
+    p_ham = round(math.log(1 / 3) * 1e6)
+    s10 = p_spam + round(math.log(4 / 10) * 1e6) + 2 * round(math.log(3 / 10) * 1e6)
+    assert got[10] == ("spam", s10)
+    # "agenda notes": both terms occur once in ham -> ln((1+1)/(3+5)) each
+    s11 = p_ham + 2 * round(math.log(2 / 8) * 1e6)
+    assert got[11] == ("ham", s11)
+    # OOV-only doc falls back to the prior argmax (spam: 2/3 > 1/3)
+    assert got[12] == ("spam", p_spam)
+
+
+def test_nb_tie_breaks_by_ascending_class(spark):
+    from proteus_engine_spark.datapipe.classify import nb_classify, nb_token_model
+
+    train = spark.createDataFrame(
+        [(1, "b_class", "x"), (2, "a_class", "x")],
+        "doc_id long, source string, text string",
+    )
+    ev = spark.createDataFrame([(9, "x")], "doc_id long, text string")
+    priors, lik = nb_token_model(train, class_col="source")
+    row = nb_classify(ev, priors, lik, class_col="source").collect()[0]
+    assert row.predicted == "a_class"
+
+
+def test_nb_min_count_prunes_vocab_and_renormalizes(spark):
+    from proteus_engine_spark.datapipe.classify import nb_token_model
+
+    train = spark.createDataFrame(
+        [(1, "c", "a a a b")], "doc_id long, source string, text string"
+    )
+    _, lik = nb_token_model(train, class_col="source", min_count=2)
+    got = {r.term: r.loglik_micro for r in lik.collect()}
+    # vocab prunes to {a}; n_c counts only pruned-vocab tokens (3), V=1
+    assert set(got) == {"a"}
+    assert got["a"] == round(math.log(4 / 4) * 1e6)
+
+
+# ----------------------------- incremental dedup
+
+
+def test_incremental_dedup_drops_corpus_hits_and_batch_copies(spark):
+    from proteus_engine_spark.datapipe.dedup import incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "already kept"), (2, "old text")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "already kept"),   # drops: digest in corpus
+            (11, "fresh text"),     # survives
+            (12, "fresh text"),     # collapses into 11
+            (13, "other fresh"),    # survives
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.keep_id: r.n_batch_copies
+        for r in incremental_dedup(batch, corpus).collect()
+    }
+    assert got == {11: 2, 13: 1}
+
+
+def test_incremental_dedup_shuffles_digests_not_text(spark):
+    """Neither exchange in the executed plan may carry the text column."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from proteus_engine_spark.datapipe.dedup import incremental_dedup
+    from proteus_engine_spark.sources import load_table
+
+    docs = load_table(spark, SF, "documents")
+    out = incremental_dedup(
+        docs.filter("doc_id % 3 = 0"), docs.filter("doc_id % 2 = 0")
+    )
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text#" not in line
+
+
+# ----------------------------- n-gram diversity
+
+
+def test_ngram_diversity_known_counts(spark):
+    from proteus_engine_spark.datapipe.textstats import ngram_diversity
+
+    df = spark.createDataFrame(
+        [
+            (1, "s1", "a b a b"),
+            (2, "s1", "a b"),
+            (3, "s2", "x"),
+            (4, "s2", "   "),  # whitespace-only: contributes nothing
+        ],
+        "doc_id long, source string, text string",
+    )
+    got = {
+        (r.source, r.n): (r.total_ngrams, r.distinct_ngrams, r.distinct_ratio)
+        for r in ngram_diversity(df).collect()
+    }
+    # s1 unigrams: a,b,a,b,a,b -> 6 total, 2 distinct
+    assert got[("s1", 1)] == (6, 2, round(2 / 6, 6))
+    # s1 bigrams: "a b","b a","a b" + "a b" -> 4 total, 2 distinct
+    assert got[("s1", 2)] == (4, 2, 0.5)
+    # s1 trigrams: "a b a","b a b" -> 2 total 2 distinct
+    assert got[("s1", 3)] == (2, 2, 1.0)
+    # s2: single 1-token doc; no bigrams/trigrams rows
+    assert got[("s2", 1)] == (1, 1, 1.0)
+    assert ("s2", 2) not in got
+    assert ("s2", 3) not in got
+
+
+def test_ngram_diversity_single_tokenize_pass(spark):
+    """One corpus scan: the per-n gram arrays are built in one projection
+    and exploded once — a union-of-branches shape would scan the parquet
+    once (or twice) per n."""
+    from proteus_engine_spark.datapipe.textstats import ngram_diversity
+    from proteus_engine_spark.sources import load_table
+
+    docs = load_table(spark, SF, "documents")
+    out = ngram_diversity(docs)
+    out.collect()
+    # the optimized logical plan has exactly ONE relation node (the AQE
+    # executed-plan string re-prints materialized query-stage subtrees,
+    # so counting scans there double-counts the same scan)
+    logical = out._jdf.queryExecution().optimizedPlan().toString()
+    assert logical.count("Relation [") == 1
