@@ -662,3 +662,108 @@ def sq8_ann_topk(
         .select(q_id, "q_vec", c_id)
     )
     return _exact_rerank(cand, corpus, k, q_id, c_id, vec)
+
+
+def knn_classify(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    q_id: str = "q_id",
+    c_id: str = "c_id",
+    vec: str = "vec",
+    label: str = "label",
+) -> DataFrame:
+    """k-nearest-neighbor majority-vote classification over an embedding
+    corpus — the label-transfer / weak-labeling step of a training-data
+    pipeline (label new examples from their nearest labeled neighbors
+    before a model exists). For each query vector: the k most-cosine-
+    similar labeled corpus vectors vote; the winning label maximizes
+    (votes, summed similarity, -label) in that order. Returns
+    (q_id, predicted int, votes long, sim_micro_sum long).
+
+    Determinism discipline: each neighbor's rounded cosine quantizes to
+    integer micro-units (round(cos·1e6) as long) BEFORE the vote sums, so
+    the per-label similarity mass is an exact integer sum — accumulation
+    order cannot move it — and every tie-break layer (votes, mass, label
+    asc) is exact.
+
+    Scale shape: the scorer is the brute_force_topk crossJoin — correct
+    for broadcastable query batches (the gate shape); at corpus scale
+    swap the candidate generator for the LSH/IVF/PQ paths in this module
+    (identical vote stage — the top-k frame is the interface). The vote
+    itself is a (query, label) aggregate over k·|queries| rows followed
+    by a query-keyed min_by argmax — never a corpus-sized shuffle."""
+    topk = brute_force_topk(queries, corpus.select(c_id, vec), k=k,
+                            q_id=q_id, c_id=c_id, vec=vec)
+    labeled = topk.join(
+        corpus.select(F.col(c_id), F.col(label).alias("_lbl")), c_id
+    )
+    votes = (
+        labeled.withColumn("sim_micro", F.round(F.col("cos_sim") * 1e6, 0).cast("long"))
+        .groupBy(q_id, "_lbl")
+        .agg(
+            F.count(F.lit(1)).alias("votes"),
+            F.sum("sim_micro").alias("sim_micro_sum"),
+        )
+    )
+    return (
+        votes.groupBy(q_id)
+        .agg(
+            F.min_by(
+                F.struct(F.col("_lbl"), F.col("votes"), F.col("sim_micro_sum")),
+                F.struct(
+                    (-F.col("votes")).alias("nv"),
+                    (-F.col("sim_micro_sum")).alias("ns"),
+                    F.col("_lbl"),
+                ),
+            ).alias("best")
+        )
+        .select(
+            q_id,
+            F.col("best._lbl").alias("predicted"),
+            F.col("best.votes").alias("votes"),
+            F.col("best.sim_micro_sum").alias("sim_micro_sum"),
+        )
+    )
+
+
+def hard_negative_topk(
+    anchors: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    q_id: str = "q_id",
+    c_id: str = "c_id",
+    vec: str = "vec",
+    label: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor,
+    the k most-similar corpus vectors with a DIFFERENT label — the
+    near-miss negatives that make a contrastive batch informative
+    (random negatives are trivially far; the hard ones sit just across
+    the decision boundary). Returns (q_id, c_id, cos_sim, rank<=k),
+    rounded-then-ranked with c_id tie-break.
+
+    Scale shape: identical to brute_force_topk with the label-inequality
+    predicate applied BEFORE the rank window (anchors broadcast with
+    their labels; the filter drops same-label candidates at scan rate, so
+    the window ranks only cross-label rows). At corpus scale swap the
+    crossJoin for an ANN candidate generator and keep the filter+window —
+    mining only needs near-neighbors, which is exactly what ANN returns."""
+    a = anchors.select(
+        F.col(q_id), F.col(vec).alias("q_vec"), F.col(label).alias("q_lbl")
+    )
+    c = corpus.select(
+        F.col(c_id), F.col(vec).alias("c_vec"), F.col(label).alias("c_lbl")
+    )
+    scored = (
+        F.broadcast(a)
+        .crossJoin(c)
+        .filter(F.col("q_lbl") != F.col("c_lbl"))
+        .select(
+            q_id,
+            c_id,
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy(q_id).orderBy(F.desc("cos_sim"), F.asc(c_id))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

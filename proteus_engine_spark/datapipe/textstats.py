@@ -819,3 +819,67 @@ def ngram_diversity(
         F.count(F.lit(1)).alias("distinct_ngrams"),
         F.round(F.count(F.lit(1)) / F.sum("c"), 6).alias("distinct_ratio"),
     )
+
+
+def source_profile_similarity(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairwise cosine similarity between per-source unigram-count
+    profiles — mirror/near-mirror SOURCE detection (two feeds serving the
+    same content distribution, e.g. a site and its CDN mirror, re-crawled
+    forums, scraped re-posts): document-level dedup misses them when the
+    documents differ but the distribution matches; a profile cosine near
+    1 flags the pair for source-level arbitration. Returns one row per
+    unordered source pair (source_a < source_b lexically):
+    (source_a, source_b, dot long, cos_sim double rounded 1e-6).
+
+    Exactness: profiles are integer term counts, the pair dot product and
+    per-source sum-of-squares are exact LONG sums, and the cosine is one
+    double expression over three exact integers (sqrt/division are
+    IEEE-correctly-rounded single ops) — engine-portable without any
+    accumulation-order caveat.
+
+    Scale shape: ONE tokenize pass into a (source, term) count with
+    map-side combine [vocabulary × sources shuffle]; squared norms are a
+    source-keyed rollup of that frame [enum-sized, broadcast back]; the
+    pair dot is the profile frame self-joined ON TERM (never a document
+    join) with source_a < source_b — per term the join emits
+    C(sources_with_term, 2) rows, so the blow-up is bounded by the
+    source enum, not the corpus. Group count is assumed enum-sized
+    (sources, domains, shards); for 10^5+ groups move to MinHash over
+    the profile sets (the dedup module's discipline)."""
+    prof = (
+        docs.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.col(group_col), F.explode(_tokens(text_col)).alias("term"))
+        .groupBy(group_col, "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    norms = prof.groupBy(group_col).agg(F.sum(F.col("c") * F.col("c")).alias("ss"))
+    a = prof.select(
+        F.col(group_col).alias("source_a"), "term", F.col("c").alias("ca")
+    )
+    b = prof.select(
+        F.col(group_col).alias("source_b"), "term", F.col("c").alias("cb")
+    )
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+    )
+    na = F.broadcast(norms.select(F.col(group_col).alias("source_a"), F.col("ss").alias("ssa")))
+    nb = F.broadcast(norms.select(F.col(group_col).alias("source_b"), F.col("ss").alias("ssb")))
+    return (
+        dots.join(na, "source_a")
+        .join(nb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "dot",
+            F.round(
+                F.col("dot") / (F.sqrt(F.col("ssa")) * F.sqrt(F.col("ssb"))), 6
+            ).alias("cos_sim"),
+        )
+    )

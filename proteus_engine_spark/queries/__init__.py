@@ -102,7 +102,14 @@ from proteus_engine_spark.queries import (  # noqa: F401
 # the continuous-crawl shape; overlapping %2/%3 splits fire both the
 # drop and survive branches at every SF), and corpus_ngram_diversity
 # (distinct-n/rep-n per source, single-projection gram arrays = ONE
-# corpus scan, plan-tested)
+# corpus scan, plan-tested), and THREE over the labeled embedding
+# surface: sim_knn_classify (kNN label transfer — 5-NN majority vote
+# with integer micro-unit similarity mass so every tie-break layer is
+# exact), sim_hard_negatives (contrastive hard-negative mining —
+# cross-label top-k, label filter below the rank window), and
+# corpus_source_similarity (mirror-source detection — pairwise cosine
+# of per-source integer unigram profiles, exact long dot/norms,
+# term-keyed pair join bounded by the source enum)
 # — all locally green at all three SFs
 # (r13_delta.json); they must lead the r14 window if they do not fit
 # r13's.

@@ -2591,3 +2591,128 @@ def corpus_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from proteus_engine_spark.datapipe.textstats import ngram_diversity
 
     return ngram_diversity(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "sim_knn_classify",
+    oracle="""
+    WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec
+               FROM embeddings WHERE vec_id % 10 >= 8),
+    c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS c_vec, label
+          FROM embeddings WHERE vec_id % 10 < 8),
+    scored AS (
+      SELECT q_id, c_id, label,
+             round(list_dot_product(q_vec, c_vec)
+                   / (sqrt(list_dot_product(q_vec, q_vec))
+                      * sqrt(list_dot_product(c_vec, c_vec))), 6) AS cos_sim
+      FROM q, c),
+    topk AS (SELECT *, row_number() OVER
+               (PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS rank
+             FROM scored QUALIFY rank <= 5),
+    votes AS (SELECT q_id, label, CAST(count(*) AS BIGINT) AS votes,
+                     CAST(sum(CAST(round(cos_sim * 1000000, 0) AS BIGINT))
+                          AS BIGINT) AS sim_micro_sum
+              FROM topk GROUP BY q_id, label),
+    ranked AS (SELECT *, row_number() OVER
+                 (PARTITION BY q_id
+                  ORDER BY votes DESC, sim_micro_sum DESC, label ASC) AS rk
+               FROM votes)
+    SELECT q_id, label AS predicted, votes, sim_micro_sum
+    FROM ranked WHERE rk = 1
+    """,
+    tags=("datapipe", "similarity", "classify"),
+)
+def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label transfer (similarity.knn_classify): the vec_id%10>=8
+    held-out vectors are labeled by majority vote of their 5 nearest
+    cosine neighbors in the labeled %10<8 corpus — the weak-labeling step
+    that bootstraps labels before any model exists. Neighbor similarities
+    quantize to integer micro-units before the vote sums, so every
+    tie-break layer (votes, similarity mass, label asc) is exact integer
+    arithmetic. The oracle re-runs the identical vote in SQL."""
+    from proteus_engine_spark.datapipe.similarity import knn_classify
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    queries = emb.filter(F.col("vec_id") % 10 >= 8).select(
+        F.col("vec_id").alias("q_id"), vec.alias("vec")
+    )
+    corpus = emb.filter(F.col("vec_id") % 10 < 8).select(
+        F.col("vec_id").alias("c_id"), vec.alias("vec"), F.col("label")
+    )
+    return knn_classify(queries, corpus, k=5)
+
+
+@register(
+    "sim_hard_negatives",
+    oracle="""
+    WITH a AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec, label AS q_lbl
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS c_vec, label AS c_lbl
+          FROM embeddings),
+    scored AS (
+      SELECT q_id, c_id,
+             round(list_dot_product(q_vec, c_vec)
+                   / (sqrt(list_dot_product(q_vec, q_vec))
+                      * sqrt(list_dot_product(c_vec, c_vec))), 6) AS cos_sim
+      FROM a, c WHERE a.q_lbl != c.c_lbl)
+    SELECT q_id, c_id, cos_sim,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY cos_sim DESC, c_id) AS rank
+    FROM scored QUALIFY rank <= 3
+    """,
+    tags=("datapipe", "similarity"),
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining (similarity.hard_negative_topk):
+    for each of the first 10 anchors, the 3 most-cosine-similar vectors
+    carrying a DIFFERENT label — the near-miss negatives that make a
+    contrastive batch informative. The label-inequality predicate applies
+    before the rank window; rounded-then-ranked with c_id tie-break."""
+    from proteus_engine_spark.datapipe.similarity import hard_negative_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    anchors = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), vec.alias("vec"), F.col("label")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("c_id"), vec.alias("vec"), F.col("label")
+    )
+    return hard_negative_topk(anchors, corpus, k=3)
+
+
+@register(
+    "corpus_source_similarity",
+    oracle=r"""
+    WITH prof AS (
+      SELECT source, term, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT source,
+                   unnest(string_split_regex(lower(text), '\s+')) AS term
+            FROM documents WHERE length(trim(text)) > 0)
+      GROUP BY source, term),
+    norms AS (SELECT source, sum(c * c) AS ss FROM prof GROUP BY source),
+    dots AS (SELECT a.source AS source_a, b.source AS source_b,
+                    CAST(sum(a.c * b.c) AS BIGINT) AS dot
+             FROM prof a JOIN prof b
+               ON a.term = b.term AND a.source < b.source
+             GROUP BY a.source, b.source)
+    SELECT source_a, source_b, dot,
+           round(dot / (sqrt(na.ss) * sqrt(nb.ss)), 6) AS cos_sim
+    FROM dots JOIN norms na ON na.source = dots.source_a
+              JOIN norms nb ON nb.source = dots.source_b
+    """,
+    tags=("datapipe", "text", "dedup"),
+)
+def corpus_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirror-source detection (textstats.source_profile_similarity):
+    pairwise cosine between per-source unigram-count profiles — two feeds
+    serving the same content distribution score near 1 even when no two
+    documents are duplicates. Integer profiles make the dot product and
+    norms exact longs; the cosine is a single double expression over
+    them, portable without accumulation-order caveats. The pair join is
+    term-keyed (bounded by the source enum per term), never a document
+    join."""
+    from proteus_engine_spark.datapipe.textstats import source_profile_similarity
+
+    return source_profile_similarity(load_table(spark, sf_dir, "documents"))

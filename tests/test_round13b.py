@@ -253,3 +253,106 @@ def test_ngram_diversity_single_tokenize_pass(spark):
     # so counting scans there double-counts the same scan)
     logical = out._jdf.queryExecution().optimizedPlan().toString()
     assert logical.count("Relation [") == 1
+
+
+# ----------------------------- kNN classify / hard negatives
+
+
+def _unit(v):
+    n = sum(x * x for x in v) ** 0.5
+    return [x / n for x in v]
+
+
+def test_knn_classify_majority_and_mass_tiebreak(spark):
+    from proteus_engine_spark.datapipe.similarity import knn_classify
+
+    # corpus: two labels; query sits nearest three label-1 vectors
+    corpus = spark.createDataFrame(
+        [
+            (1, _unit([1.0, 0.0]), 1),
+            (2, _unit([0.9, 0.1]), 1),
+            (3, _unit([0.8, 0.2]), 1),
+            (4, _unit([0.0, 1.0]), 2),
+            (5, _unit([0.1, 0.9]), 2),
+        ],
+        "c_id long, vec array<double>, label int",
+    )
+    q = spark.createDataFrame(
+        [(100, _unit([1.0, 0.05]))], "q_id long, vec array<double>"
+    )
+    row = knn_classify(q, corpus, k=5).collect()[0]
+    assert (row.q_id, row.predicted, row.votes) == (100, 1, 3)
+
+    # 2-vs-2 vote (k=4 over a 4-vector corpus): similarity mass decides
+    corpus22 = corpus.filter("c_id != 3")
+    row = knn_classify(q, corpus22, k=4).collect()[0]
+    assert row.predicted == 1 and row.votes == 2
+
+
+def test_knn_label_tiebreak_is_ascending(spark):
+    from proteus_engine_spark.datapipe.similarity import knn_classify
+
+    # perfectly symmetric: one neighbor per label at the same similarity
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0], 7), (2, [0.0, 1.0], 3)],
+        "c_id long, vec array<double>, label int",
+    )
+    q = spark.createDataFrame(
+        [(9, _unit([1.0, 1.0]))], "q_id long, vec array<double>"
+    )
+    row = knn_classify(q, corpus, k=2).collect()[0]
+    assert row.predicted == 3  # equal votes, equal mass -> smaller label
+
+
+def test_hard_negatives_exclude_same_label(spark):
+    from proteus_engine_spark.datapipe.similarity import hard_negative_topk
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 1),     # anchor
+            (2, [0.99, 0.01], 1),   # same label: never a negative
+            (3, [0.9, 0.1], 2),     # hard negative (closest cross-label)
+            (4, [0.0, 1.0], 2),
+        ],
+        "c_id long, vec array<double>, label int",
+    )
+    anchors = corpus.filter("c_id = 1").selectExpr(
+        "c_id as q_id", "vec", "label"
+    )
+    got = hard_negative_topk(anchors, corpus, k=2).collect()
+    ids = [(r.c_id, r.rank) for r in sorted(got, key=lambda r: r.rank)]
+    assert ids == [(3, 1), (4, 2)]
+
+
+# ----------------------------- source profile similarity
+
+
+def test_source_profile_similarity_exact_counts(spark):
+    from proteus_engine_spark.datapipe.textstats import source_profile_similarity
+
+    df = spark.createDataFrame(
+        [
+            (1, "m1", "a a b"),
+            (2, "m2", "a b b"),
+            (3, "m3", "zz"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    got = {(r.source_a, r.source_b): (r.dot, r.cos_sim)
+           for r in source_profile_similarity(df).collect()}
+    # m1 profile {a:2, b:1}, m2 {a:1, b:2}: dot=4, |m1|=|m2|=sqrt(5)
+    assert got[("m1", "m2")] == (4, round(4 / 5, 6))
+    # m3 shares no terms: pair row absent (cos 0 by construction)
+    assert ("m1", "m3") not in got and ("m2", "m3") not in got
+    assert set(got) == {("m1", "m2")}
+
+
+def test_source_profile_identical_sources_score_one(spark):
+    from proteus_engine_spark.datapipe.textstats import source_profile_similarity
+
+    df = spark.createDataFrame(
+        [(1, "s1", "x y x"), (2, "s2", "x y x"), (3, "s2", "")],
+        "doc_id long, source string, text string",
+    )
+    row = source_profile_similarity(df).collect()[0]
+    assert (row.source_a, row.source_b, row.cos_sim) == ("s1", "s2", 1.0)
