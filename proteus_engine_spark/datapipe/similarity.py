@@ -767,3 +767,51 @@ def hard_negative_topk(
     )
     w = Window.partitionBy(q_id).orderBy(F.desc("cos_sim"), F.asc(c_id))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 60,
+    topk: int = 10,
+    q_id: str = "q_id",
+    c_id: str = "c_id",
+    rank: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009): combine any number
+    of per-query rankings — lexical BM25, dense cosine, ANN, heuristic —
+    into one list by summing 1/(k + rank) per candidate; the standard
+    hybrid-retrieval merge (rank-based, so incomparable scores fuse
+    without calibration). A candidate missing from a ranking simply
+    contributes nothing for it. Returns (q_id, c_id, rrf_score double
+    rounded 1e-6, rank long), top-k per query, rounded-then-ranked with
+    c_id tie-break.
+
+    Scale shape: inputs are already top-k frames (queries × k rows
+    each); the fuse is one unionByName + one (q_id, c_id) aggregate +
+    one query-keyed window over ≤ |rankings|·k rows per query — nothing
+    corpus-sized enters. The 1/(k+rank) terms are single IEEE divisions
+    of exact integers, identical in any engine; each per-candidate sum
+    has ≤ |rankings| addends in ascending-ranking order both engines
+    (rounding at 1e-6 absorbs the last-ulp reorder risk — the repo-wide
+    double-sum quantum discipline)."""
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    parts = [
+        r.select(F.col(q_id), F.col(c_id), F.col(rank).cast("long").alias("rank"))
+        for r in rankings
+    ]
+    allr = parts[0]
+    for p in parts[1:]:
+        allr = allr.unionByName(p)
+    fused = (
+        allr.select(
+            q_id, c_id, (F.lit(1.0) / (F.lit(float(k)) + F.col("rank"))).alias("part")
+        )
+        .groupBy(q_id, c_id)
+        .agg(F.round(F.sum("part"), 6).alias("rrf_score"))
+    )
+    w = Window.partitionBy(q_id).orderBy(F.desc("rrf_score"), F.asc(c_id))
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= topk)
+    )

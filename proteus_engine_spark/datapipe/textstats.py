@@ -665,13 +665,14 @@ def normalize_text(text: str | Column) -> Column:
 
 def bm25_topk(
     docs: DataFrame,
-    queries: list[str],
+    queries: list[str] | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     k1: float = 1.2,
     b: float = 0.75,
     k: int = 10,
     num_docs: int | None = None,
+    query_terms: DataFrame | None = None,
 ) -> DataFrame:
     """Batch BM25 retrieval: for each query string, the top-k documents
     by Okapi BM25 with the Lucene idf variant
@@ -696,22 +697,35 @@ def bm25_topk(
     1-row aggregates broadcast back; final top-k is one window
     partitioned by query_id over candidate-bounded rows. At a 10^9-doc
     corpus the only corpus-sized shuffle is the doc-length count —
-    precompute/persist it when scoring many query batches."""
+    precompute/persist it when scoring many query batches.
+
+    Queries come as EITHER a list of strings (whitespace-split into the
+    literal query-term table) OR a ``query_terms`` DataFrame of
+    (query_id long, term string, qtf long) — the doc-as-query /
+    derived-query shape (e.g. hybrid retrieval querying by an existing
+    document's tokens) where the query terms are themselves a tiny
+    in-plan aggregate. The frame must stay broadcast-sized: it is
+    hinted broadcast into the postings stream either way."""
     from pyspark.sql.window import Window
 
     spark = docs.sparkSession
-    qrows = []
-    for qid, qtext in enumerate(queries):
-        terms = [t for t in qtext.lower().split() if t]
-        if not terms:
-            raise ValueError(f"query {qid} has no terms")
-        for t in terms:
-            qrows.append((qid, t))
-    qdf = (
-        spark.createDataFrame(qrows, "query_id long, term string")
-        .groupBy("query_id", "term")
-        .agg(F.count(F.lit(1)).alias("qtf"))
-    )
+    if (queries is None) == (query_terms is None):
+        raise ValueError("pass exactly one of queries / query_terms")
+    if query_terms is not None:
+        qdf = query_terms
+    else:
+        qrows = []
+        for qid, qtext in enumerate(queries):
+            terms = [t for t in qtext.lower().split() if t]
+            if not terms:
+                raise ValueError(f"query {qid} has no terms")
+            for t in terms:
+                qrows.append((qid, t))
+        qdf = (
+            spark.createDataFrame(qrows, "query_id long, term string")
+            .groupBy("query_id", "term")
+            .agg(F.count(F.lit(1)).alias("qtf"))
+        )
 
     toks = docs.select(F.col(id_col), F.explode(_tokens(text_col)).alias("term"))
     # doc lengths over the FULL token stream (length normalization), with

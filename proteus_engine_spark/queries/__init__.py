@@ -109,7 +109,10 @@ from proteus_engine_spark.queries import (  # noqa: F401
 # cross-label top-k, label filter below the rank window), and
 # corpus_source_similarity (mirror-source detection — pairwise cosine
 # of per-source integer unigram profiles, exact long dot/norms,
-# term-keyed pair join bounded by the source enum)
+# term-keyed pair join bounded by the source enum), and sim_hybrid_rrf
+# (hybrid retrieval: doc-as-query BM25 via an in-plan query-term frame
+# + dense cosine, merged by reciprocal-rank fusion — with <=2 addends
+# per candidate the RRF sum is order-proof outright)
 # — all locally green at all three SFs
 # (r13_delta.json); they must lead the r14 window if they do not fit
 # r13's.

@@ -2716,3 +2716,99 @@ def corpus_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from proteus_engine_spark.datapipe.textstats import source_profile_similarity
 
     return source_profile_similarity(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "sim_hybrid_rrf",
+    oracle=r"""
+    WITH qdf AS (
+      SELECT doc_id AS query_id, term, CAST(count(*) AS BIGINT) AS qtf
+      FROM (SELECT doc_id,
+                   unnest(string_split_regex(lower(text), '\s+')) AS term
+            FROM documents WHERE doc_id < 3)
+      GROUP BY doc_id, term),
+    toks AS (SELECT doc_id,
+                    unnest(string_split_regex(lower(text), '\s+')) AS term
+             FROM documents),
+    dl AS (SELECT doc_id,
+                  CASE WHEN length(trim(text)) > 0
+                       THEN CAST(len(string_split_regex(text, '\s+')) AS BIGINT)
+                       ELSE 0 END AS dl
+           FROM documents),
+    stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                     avg(dl) AS avgdl FROM dl),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM toks WHERE term IN (SELECT DISTINCT term FROM qdf)
+           GROUP BY doc_id, term),
+    dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+              FROM tf GROUP BY term),
+    lex_scored AS (
+      SELECT qdf.query_id, tf.doc_id,
+             round(sum(qdf.qtf
+                       * ln(1.0 + (stats.n_docs - dfreq.df + 0.5)
+                                  / (dfreq.df + 0.5))
+                       * (tf.tf * 2.2)
+                       / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))),
+                   6) AS score
+      FROM tf JOIN dfreq USING (term) JOIN qdf USING (term)
+              JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats
+      GROUP BY qdf.query_id, tf.doc_id),
+    lex AS (SELECT query_id AS q_id, doc_id AS c_id, row_number() OVER
+              (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+            FROM lex_scored QUALIFY rank <= 10),
+    q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec
+          FROM embeddings WHERE vec_id < 3),
+    c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS c_vec FROM embeddings),
+    dense_scored AS (
+      SELECT q_id, c_id,
+             round(list_dot_product(q_vec, c_vec)
+                   / (sqrt(list_dot_product(q_vec, q_vec))
+                      * sqrt(list_dot_product(c_vec, c_vec))), 6) AS cos_sim
+      FROM q, c),
+    dense AS (SELECT q_id, c_id, row_number() OVER
+                (PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS rank
+              FROM dense_scored QUALIFY rank <= 10),
+    allr AS (SELECT q_id, c_id, rank FROM lex
+             UNION ALL SELECT q_id, c_id, rank FROM dense),
+    fused AS (SELECT q_id, c_id,
+                     round(sum(1.0 / (60 + rank)), 6) AS rrf_score
+              FROM allr GROUP BY q_id, c_id)
+    SELECT q_id, c_id, rrf_score,
+           CAST(row_number() OVER (PARTITION BY q_id
+                                   ORDER BY rrf_score DESC, c_id) AS BIGINT)
+             AS rank
+    FROM fused QUALIFY rank <= 10
+    """,
+    tags=("datapipe", "similarity", "retrieval"),
+)
+def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (textstats.bm25_topk + similarity.rrf_fuse): the
+    first three documents query the corpus BOTH ways — lexically (BM25
+    with the query doc's own tokens as the in-plan query-term frame, the
+    doc-as-query shape) and densely (cosine top-10 of the matching
+    embedding, vec_id ≡ doc_id in the synthetic corpus) — and the two
+    rankings merge by reciprocal-rank fusion, the calibration-free
+    rank-based combiner every hybrid search stack uses. With ≤2 addends
+    per candidate the RRF sum is order-proof outright; rounded scores
+    rank with c_id tie-break."""
+    from proteus_engine_spark.datapipe.similarity import brute_force_topk, rrf_fuse
+    from proteus_engine_spark.datapipe.textstats import _tokens, bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qdf = (
+        docs.filter(F.col("doc_id") < 3)
+        .select(F.col("doc_id").alias("query_id"), F.explode(_tokens("text")).alias("term"))
+        .groupBy("query_id", "term")
+        .agg(F.count(F.lit(1)).alias("qtf"))
+    )
+    lex = bm25_topk(docs, query_terms=qdf, k=10).select(
+        F.col("query_id").alias("q_id"), F.col("doc_id").alias("c_id"), F.col("rk").alias("rank")
+    )
+    vec = F.col("embedding").cast("array<double>")
+    dense = brute_force_topk(
+        emb.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("q_id"), vec.alias("vec")),
+        emb.select(F.col("vec_id").alias("c_id"), vec.alias("vec")),
+        k=10,
+    ).select("q_id", "c_id", "rank")
+    return rrf_fuse([lex, dense], k=60, topk=10)

@@ -356,3 +356,61 @@ def test_source_profile_identical_sources_score_one(spark):
     )
     row = source_profile_similarity(df).collect()[0]
     assert (row.source_a, row.source_b, row.cos_sim) == ("s1", "s2", 1.0)
+
+
+# ----------------------------- RRF fusion / doc-as-query BM25
+
+
+def test_rrf_fuse_known_values(spark):
+    from proteus_engine_spark.datapipe.similarity import rrf_fuse
+
+    r1 = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3)], "q_id long, c_id long, rank long"
+    )
+    r2 = spark.createDataFrame(
+        [(0, 11, 1), (0, 13, 2)], "q_id long, c_id long, rank long"
+    )
+    got = {r.c_id: (r.rrf_score, r.rank)
+           for r in rrf_fuse([r1, r2], k=60, topk=10).collect()}
+    # 11: 1/62 + 1/61 ; 10: 1/61 ; 13: 1/62 ; 12: 1/63
+    assert got[11] == (round(1 / 62 + 1 / 61, 6), 1)
+    assert got[10] == (round(1 / 61, 6), 2)
+    assert got[13] == (round(1 / 62, 6), 3)
+    assert got[12] == (round(1 / 63, 6), 4)
+
+
+def test_rrf_fuse_tie_breaks_by_candidate_id(spark):
+    from proteus_engine_spark.datapipe.similarity import rrf_fuse
+
+    r1 = spark.createDataFrame(
+        [(0, 20, 1), (0, 5, 1)], "q_id long, c_id long, rank long"
+    )  # same rank twice (two tied systems' outputs unioned)
+    got = [(r.c_id, r.rank) for r in
+           sorted(rrf_fuse([r1], k=60, topk=2).collect(), key=lambda r: r.rank)]
+    assert got == [(5, 1), (20, 2)]
+
+
+def test_bm25_query_terms_frame_matches_literal_queries(spark):
+    """The doc-as-query frame path must reproduce the literal-list path
+    when fed the identical (query_id, term, qtf) rows."""
+    from pyspark.sql import functions as F
+
+    from proteus_engine_spark.datapipe.textstats import bm25_topk
+
+    df = spark.createDataFrame(
+        [(1, "join scan scan"), (2, "join join"), (3, "scan filter")],
+        "doc_id long, text string",
+    )
+    via_list = bm25_topk(df, ["join scan"], k=10).collect()
+    qdf = spark.createDataFrame(
+        [(0, "join", 1), (0, "scan", 1)], "query_id long, term string, qtf long"
+    )
+    via_frame = bm25_topk(df, query_terms=qdf, k=10).collect()
+    key = lambda r: (r.query_id, r.doc_id)
+    assert sorted(([r.query_id, r.doc_id, r.score, r.rk] for r in via_list)) == \
+           sorted(([r.query_id, r.doc_id, r.score, r.rk] for r in via_frame))
+
+    with pytest.raises(ValueError):
+        bm25_topk(df)  # neither
+    with pytest.raises(ValueError):
+        bm25_topk(df, ["a"], query_terms=qdf)  # both
