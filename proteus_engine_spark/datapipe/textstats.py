@@ -897,3 +897,99 @@ def source_profile_similarity(
             ).alias("cos_sim"),
         )
     )
+
+
+def bigram_pmi_top(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Collocation / phrase mining: the top-k adjacent word pairs by
+    pointwise mutual information, PMI = ln(P(w1,w2) / (P(w1)·P(w2))) with
+    P(w1,w2) = c12/N2 over bigram mass and P(w) = c/N1 over unigram mass
+    — the word2vec-phrases / NPMI collocation detector that decides which
+    token pairs deserve to become single vocabulary units before
+    tokenizer training. ``min_count`` floors the bigram count (rare
+    pairs produce unstable, spuriously-high PMI — the standard guard).
+    Returns (w1, w2, c12 long, pmi double rounded 1e-6, rk long), ranked
+    by (pmi desc, w1, w2).
+
+    Determinism: all counts are exact longs; the PMI is ONE double
+    expression — round(ln((1.0·c12·N1·N1) / (1.0·N2·c1·c2)), 6) — whose
+    multiplication sequence is written identically in the oracle, so
+    both engines evaluate the same IEEE product chain (doubles hold the
+    magnitudes: 10^31 ≪ the double range; the 1e-6 round absorbs libm's
+    last-ulp ln variance).
+
+    Scale shape: ONE corpus scan, guaranteed structurally — unigrams and
+    bigrams ride the same single projection (the ngram_diversity
+    concat-of-transforms trick) into one (n, gram) count [the
+    vocabulary+bigram-sized shuffle] which is EAGERLY localCheckpoint-ed
+    (the bigram_logprob discipline: totals, unigram counts, and the
+    bigram frame all branch from it with divergent column pruning, so
+    exchange reuse cannot protect the scan — without the checkpoint the
+    corpus would be read once per branch); totals are a 1-row aggregate
+    broadcast back; the c1/c2 attachments are vocabulary-sized joins
+    (AQE broadcasts real vocabularies); the top-k is a single global
+    window over the min_count-floored bigram frame — floored-bigram-
+    sized, and the floor is what bounds it (raise min_count as the
+    corpus grows; the window input shrinks with it)."""
+    from pyspark.sql.window import Window
+
+    toks = docs.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        _tokens(text_col).alias("t")
+    )
+    parts = [
+        F.expr(
+            f"CASE WHEN size(t) >= {n} THEN"
+            f" transform(sequence(1, size(t) - {n} + 1),"
+            f" i -> struct({n} AS n, array_join(slice(t, i, {n}), ' ') AS gram))"
+            f" ELSE array() END"
+        )
+        for n in (1, 2)
+    ]
+    counted = (
+        toks.select(F.explode(F.concat(*parts)).alias("g"))
+        .select(F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+        .groupBy("n", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)  # ONE corpus pass, see docstring
+    )
+    totals = counted.agg(
+        F.sum(F.when(F.col("n") == 1, F.col("c"))).alias("n1"),
+        F.sum(F.when(F.col("n") == 2, F.col("c"))).alias("n2"),
+    )
+    uni = counted.filter(F.col("n") == 1).select(
+        F.col("gram").alias("term"), F.col("c").alias("cu")
+    )
+    big = (
+        counted.filter((F.col("n") == 2) & (F.col("c") >= min_count))
+        .select(
+            F.element_at(F.split("gram", " "), 1).alias("w1"),
+            F.element_at(F.split("gram", " "), 2).alias("w2"),
+            F.col("c").alias("c12"),
+        )
+    )
+    scored = (
+        big.join(uni.select(F.col("term").alias("w1"), F.col("cu").alias("c1")), "w1")
+        .join(uni.select(F.col("term").alias("w2"), F.col("cu").alias("c2")), "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.round(
+                F.log(
+                    (F.lit(1.0) * F.col("c12") * F.col("n1") * F.col("n1"))
+                    / (F.lit(1.0) * F.col("n2") * F.col("c1") * F.col("c2"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    w = Window.partitionBy().orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+    )

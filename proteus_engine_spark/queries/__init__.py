@@ -112,7 +112,14 @@ from proteus_engine_spark.queries import (  # noqa: F401
 # term-keyed pair join bounded by the source enum), and sim_hybrid_rrf
 # (hybrid retrieval: doc-as-query BM25 via an in-plan query-term frame
 # + dense cosine, merged by reciprocal-rank fusion — with <=2 addends
-# per candidate the RRF sum is order-proof outright)
+# per candidate the RRF sum is order-proof outright), plus
+# corpus_bigram_pmi (collocation mining for tokenizer prep — exact-long
+# counts, identical PMI multiplication chain both engines, one
+# checkpointed corpus pass) and stream_incremental_dedup (the
+# continuous-crawl dedup run ON the ingest stream: stream-static LEFT
+# ANTI join against the static corpus digest set + complete-mode
+# per-source rollup with an id checksum standing in for the streaming-
+# unsupported COUNT DISTINCT)
 # — all locally green at all three SFs
 # (r13_delta.json); they must lead the r14 window if they do not fit
 # r13's.

@@ -2812,3 +2812,106 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=10,
     ).select("q_id", "c_id", "rank")
     return rrf_fuse([lex, dense], k=60, topk=10)
+
+
+@register(
+    "corpus_bigram_pmi",
+    oracle=r"""
+    WITH toks AS (SELECT string_split_regex(lower(text), '\s+') AS t
+                  FROM documents WHERE length(trim(text)) > 0),
+    uni AS (SELECT unnest(t) AS term FROM toks),
+    ucnt AS (SELECT term, CAST(count(*) AS BIGINT) AS cu FROM uni GROUP BY term),
+    big AS (SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                                         i -> t[i] || ' ' || t[i+1])) AS gram
+            FROM toks WHERE len(t) >= 2),
+    bcnt AS (SELECT string_split(gram, ' ')[1] AS w1,
+                    string_split(gram, ' ')[2] AS w2,
+                    CAST(count(*) AS BIGINT) AS c12
+             FROM big GROUP BY gram),
+    tot AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM uni) AS n1,
+                   (SELECT CAST(count(*) AS BIGINT) FROM big) AS n2),
+    scored AS (
+      SELECT b.w1, b.w2, b.c12,
+             round(ln((1.0 * b.c12 * tot.n1 * tot.n1)
+                      / (1.0 * tot.n2 * u1.cu * u2.cu)), 6) AS pmi
+      FROM bcnt b
+      JOIN ucnt u1 ON u1.term = b.w1
+      JOIN ucnt u2 ON u2.term = b.w2
+      CROSS JOIN tot
+      WHERE b.c12 >= 5)
+    SELECT w1, w2, c12, pmi,
+           CAST(row_number() OVER (ORDER BY pmi DESC, w1, w2) AS BIGINT) AS rk
+    FROM scored QUALIFY rk <= 20
+    """,
+    tags=("datapipe", "text", "tokenizer"),
+)
+def corpus_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining (textstats.bigram_pmi_top): the 20 adjacent
+    word pairs with the highest pointwise mutual information (min bigram
+    count 5) — the word2vec-phrases detector that promotes collocations
+    to single vocabulary units ahead of tokenizer training. Counts are
+    exact longs; the PMI formula's multiplication chain is written
+    identically in both engines, so the rounded scores match bit-for-bit.
+    Unigrams and bigrams ride one single-projection corpus scan."""
+    from proteus_engine_spark.datapipe.textstats import bigram_pmi_top
+
+    return bigram_pmi_top(load_table(spark, sf_dir, "documents"), min_count=5, k=20)
+
+
+@register(
+    "stream_incremental_dedup",
+    oracle="""
+    WITH corpus AS (SELECT DISTINCT md5(text) AS h
+                    FROM documents WHERE doc_id % 2 = 0),
+    batch AS (SELECT doc_id, source, md5(text) AS h
+              FROM documents WHERE doc_id % 3 = 0)
+    SELECT source, CAST(count(*) AS BIGINT) AS n_new_docs,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum
+    FROM batch ANTI JOIN corpus USING (h)
+    GROUP BY source
+    """,
+    tags=("datapipe", "streaming", "dedup"),
+)
+def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup ON THE INGEST STREAM — the continuous-crawl
+    shape run continuously: the simulated re-ingest batch (doc_id % 3 =
+    0) arrives as a document STREAM (the file-monitor source every
+    stream_* gate uses) and is LEFT-ANTI stream-static joined against
+    the STATIC existing-corpus digest set (doc_id % 2 = 0) — Structured
+    Streaming's stream-static join family, which needs no watermark or
+    state because the static side is fixed per micro-batch; survivors
+    roll up per source as a continuous complete-mode aggregate (count +
+    id checksum — streaming aggregates cannot COUNT DISTINCT, and the
+    checksum makes the surviving SET, not just its size, part of the
+    hash). Only digests and ids cross the join; text never shuffles."""
+    import os
+
+    from proteus_engine_spark.streaming.sources import (
+        probe_parquet_schema,
+        run_to_completion,
+    )
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    schema = probe_parquet_schema(spark, path)
+    raw = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+    corpus_digests = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 2 == 0)
+        .select(F.md5(F.col("text")).alias("h"))
+        .distinct()
+    )
+    survivors = (
+        raw.filter(F.col("doc_id") % 3 == 0)
+        .select("doc_id", "source", F.md5(F.col("text")).alias("h"))
+        .join(corpus_digests, "h", "left_anti")
+    )
+    agg = survivors.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_new_docs"),
+        F.sum("doc_id").alias("id_checksum"),
+    )
+    return run_to_completion(agg, "stream_incr_dedup_sink", "complete")

@@ -414,3 +414,54 @@ def test_bm25_query_terms_frame_matches_literal_queries(spark):
         bm25_topk(df)  # neither
     with pytest.raises(ValueError):
         bm25_topk(df, ["a"], query_terms=qdf)  # both
+
+
+# ----------------------------- bigram PMI
+
+
+def test_bigram_pmi_hand_computed(spark):
+    from proteus_engine_spark.datapipe.textstats import bigram_pmi_top
+
+    # corpus: "a b" x3, "a c" x1  ->  unigrams: a:4 b:3 c:1 + trailing
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "a c")], "doc_id long, text string"
+    )
+    got = {(r.w1, r.w2): (r.c12, r.pmi, r.rk)
+           for r in bigram_pmi_top(df, min_count=1, k=10).collect()}
+    # unigram counts: a:4, b:3, c:1 ; N1=8. bigrams within docs:
+    # doc1: (a,b)x3, (b,a)x2 ; doc2: (a,c) ; N2=6
+    n1, n2 = 8, 6
+    exp_ab = round(math.log((1.0 * 3 * n1 * n1) / (1.0 * n2 * 4 * 3)), 6)
+    exp_ba = round(math.log((1.0 * 2 * n1 * n1) / (1.0 * n2 * 3 * 4)), 6)
+    exp_ac = round(math.log((1.0 * 1 * n1 * n1) / (1.0 * n2 * 4 * 1)), 6)
+    assert got[("a", "b")][0:2] == (3, exp_ab)
+    assert got[("b", "a")][0:2] == (2, exp_ba)
+    assert got[("a", "c")][0:2] == (1, exp_ac)
+    # ranking: ab and ac TIE at ln(8/3) (192/72 == 64/24) -> (w1, w2)
+    # tie-break puts ab first; ba (ln 16/9) ranks last
+    assert got[("a", "b")][2] == 1
+    assert got[("a", "c")][2] == 2
+    assert got[("b", "a")][2] == 3
+
+
+def test_bigram_pmi_min_count_floor(spark):
+    from proteus_engine_spark.datapipe.textstats import bigram_pmi_top
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "a c")], "doc_id long, text string"
+    )
+    got = {(r.w1, r.w2) for r in bigram_pmi_top(df, min_count=3, k=10).collect()}
+    assert got == {("a", "b")}
+
+
+def test_bigram_pmi_single_corpus_scan(spark):
+    from proteus_engine_spark.datapipe.textstats import bigram_pmi_top
+    from proteus_engine_spark.sources import load_table
+
+    out = bigram_pmi_top(load_table(spark, SF, "documents"), min_count=5, k=20)
+    out.collect()
+    # the eager checkpoint on the (n, gram) count is the ONLY corpus
+    # read: no parquet relation survives into the result plan (totals /
+    # unigram / bigram branches all derive from the checkpointed RDD)
+    logical = out._jdf.queryExecution().optimizedPlan().toString()
+    assert logical.count("Relation [") == 0
