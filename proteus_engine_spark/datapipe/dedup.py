@@ -1114,3 +1114,56 @@ def incremental_dedup(
         .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_batch_copies"))
     )
     return batch_best.join(corpus_digests, "content_hash", "left_anti")
+
+
+def cluster_keep_best(
+    docs: DataFrame,
+    pairs: DataFrame,
+    quality_col: str,
+    id_col: str = "doc_id",
+    pair_a: str = "doc_a",
+    pair_b: str = "doc_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Duplicate-cluster resolution keeping the BEST copy: like
+    dedup_cluster_keep, but each cluster's representative maximizes
+    (quality_col, then lowest id) instead of defaulting to the lowest id
+    — the production keep rule (a crawl usually holds one full copy and
+    several truncated/boilerplate-wrapped variants of a page; pipelines
+    keep the longest / highest-quality copy, not the numerically first).
+    Returns (id_col, cluster_rep, is_kept).
+
+    Scale shape: identical to dedup_cluster_keep (candidate-bounded pair
+    graph, label-propagation components, AQE-arbitrated label join) plus
+    ONE component-keyed min_by aggregate to elect representatives —
+    component-count-sized, strictly smaller than the label set — and an
+    AQE-arbitrated rep join back. Ties in quality break by ascending id,
+    so the election is total and engine-portable when quality is exact
+    (counts/lengths; for float quality scores quantize first — the
+    micro-unit discipline)."""
+    from proteus_engine_spark.operators.iterations import connected_components
+
+    comp = connected_components(
+        pairs.select(F.col(pair_a).alias("src"), F.col(pair_b).alias("dst")),
+        max_iterations=max_iterations,
+    )
+    labeled = docs.select(F.col(id_col), F.col(quality_col).alias("__q__")).join(
+        comp.select(
+            F.col("vertex").alias(id_col), F.col("component").alias("comp")
+        ),
+        id_col,
+        "left",
+    ).withColumn("comp", F.coalesce(F.col("comp"), F.col(id_col)))
+    reps = labeled.groupBy("comp").agg(
+        F.min_by(
+            F.col(id_col), F.struct((-F.col("__q__")).alias("nq"), F.col(id_col))
+        ).alias("cluster_rep")
+    )
+    return (
+        labeled.join(reps, "comp")
+        .select(
+            id_col,
+            "cluster_rep",
+            (F.col(id_col) == F.col("cluster_rep")).alias("is_kept"),
+        )
+    )

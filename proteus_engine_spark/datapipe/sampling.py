@@ -510,3 +510,55 @@ def dsir_select(
             (F.col("__rk__") + 1).alias("sel_rank"),
         )
     )
+
+
+def bucketed_batches(
+    docs: DataFrame,
+    batch_size: int,
+    bucket_width: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Length-bucketed batch assignment (the BucketIterator shape):
+    documents are grouped into token-length buckets (bucket =
+    n_tokens // bucket_width) and each bucket is cut into fixed-size
+    batches in ascending-id order — the padding-efficiency step before
+    batched inference/scoring (batching a 10-token doc with a
+    10,000-token doc wastes the difference as pad tokens; same-bucket
+    batches pad to roughly the bucket width). Returns (id_col, n_tokens
+    long, bucket long, batch_id long, pos_in_batch long) — a total,
+    deterministic assignment (the LAST batch of each bucket may be
+    short, exactly like a training dataloader's remainder batch).
+
+    Scale shape: one scan computes lengths and buckets in the
+    projection; ONE range-partitioned global sort on (bucket, id) — a
+    PARALLEL sort, range bounds sampled — feeds the two-phase
+    zip_with_index rank; per-bucket offsets are a bucket-count-sized
+    aggregate BROADCAST back (bucket count = max_len/width, config-
+    bounded in practice — clamp pathological outliers upstream), so
+    rank-in-bucket is a subtraction, never a per-bucket window."""
+    from proteus_engine_spark.datapipe.textstats import token_count
+    from proteus_engine_spark.operators.partitioning import zip_with_index
+
+    if batch_size < 1 or bucket_width < 1:
+        raise ValueError("batch_size and bucket_width must be >= 1")
+    base = docs.select(
+        F.col(id_col),
+        token_count(text_col).cast("long").alias("n_tokens"),
+    ).withColumn("bucket", F.expr(f"n_tokens div {bucket_width}"))
+    ordered = base.orderBy("bucket", id_col)
+    idx = zip_with_index(ordered, out="__idx__")
+    offs = F.broadcast(
+        idx.groupBy("bucket").agg(F.min("__idx__").alias("__off__"))
+    )
+    return (
+        idx.join(offs, "bucket")
+        .withColumn("__rnk__", F.col("__idx__") - F.col("__off__"))
+        .select(
+            id_col,
+            "n_tokens",
+            "bucket",
+            F.expr(f"__rnk__ div {batch_size}").alias("batch_id"),
+            (F.col("__rnk__") % batch_size).alias("pos_in_batch"),
+        )
+    )

@@ -119,7 +119,13 @@ from proteus_engine_spark.queries import (  # noqa: F401
 # continuous-crawl dedup run ON the ingest stream: stream-static LEFT
 # ANTI join against the static corpus digest set + complete-mode
 # per-source rollup with an id checksum standing in for the streaming-
-# unsupported COUNT DISTINCT)
+# unsupported COUNT DISTINCT), plus dedup_cluster_keep_best (best-copy
+# duplicate resolution — the cluster representative maximizes n_chars
+# then lowest id, the production keep rule; sf0.1 uses the same
+# composed engine-pairs oracle scheme as dedup_cluster_keep) and
+# corpus_bucketed_batches (length-bucketed batch assignment, the
+# BucketIterator shape — parallel range sort + two-phase rank with
+# broadcast per-bucket offsets, plan-tested free of data-keyed windows)
 # — all locally green at all three SFs
 # (r13_delta.json); they must lead the r14 window if they do not fit
 # r13's.

@@ -2915,3 +2915,95 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("doc_id").alias("id_checksum"),
     )
     return run_to_completion(agg, "stream_incr_dedup_sink", "complete")
+
+
+@register(
+    "dedup_cluster_keep_best",
+    oracle=r"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ')
+                     FOR i IN range(1, greatest(len(t)-2, 1)+1)]) AS s
+      FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+            FROM documents)),
+    grams AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+    common AS (
+      SELECT ga.doc_id AS a, gb.doc_id AS b, count(*) AS c
+      FROM grams ga JOIN grams gb ON ga.g = gb.g AND ga.doc_id < gb.doc_id
+      GROUP BY 1, 2),
+    edges AS (
+      SELECT a, b FROM common
+      JOIN sizes sa ON sa.doc_id = a
+      JOIN sizes sb ON sb.doc_id = b
+      WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5),
+    sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+    reach(src, dst) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.src, s.b FROM reach r JOIN sym s ON s.a = r.dst),
+    lab AS (
+      SELECT src AS node, least(src, min(dst)) AS comp
+      FROM reach GROUP BY src),
+    qual AS (
+      SELECT d.doc_id, COALESCE(l.comp, d.doc_id) AS comp, d.n_chars
+      FROM documents d LEFT JOIN lab l ON l.node = d.doc_id),
+    ranked AS (
+      SELECT *, row_number() OVER
+        (PARTITION BY comp ORDER BY n_chars DESC, doc_id) AS rn
+      FROM qual),
+    rep AS (SELECT comp, doc_id AS rep_id FROM ranked WHERE rn = 1)
+    SELECT q.doc_id, r.rep_id AS cluster_rep,
+           q.doc_id = r.rep_id AS is_kept
+    FROM qual q JOIN rep r USING (comp)
+    """,
+    tags=("datapipe", "dedup", "cluster"),
+)
+def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-copy duplicate resolution (dedup.cluster_keep_best): the
+    same MinHash-LSH exact-verified J>=0.5 clusters as dedup_cluster_keep,
+    but each cluster keeps its LONGEST copy (n_chars, ties by lowest id)
+    — the production keep rule: a crawl holds one full page and several
+    truncated variants, and the pipeline keeps the fullest one. The
+    oracle rebuilds the clusters by transitive closure and elects the
+    same representative by window, so a wrong election or a split
+    cluster fails the hash."""
+    from proteus_engine_spark.datapipe.dedup import cluster_keep_best, minhash_lsh_pairs
+    from proteus_engine_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, jaccard_threshold=0.5, verify="exact")
+    return cluster_keep_best(docs, pairs.select("doc_a", "doc_b"), "n_chars")
+
+
+@register(
+    "corpus_bucketed_batches",
+    oracle=r"""
+    WITH b AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) > 0
+                  THEN CAST(len(string_split_regex(text, '\s+')) AS BIGINT)
+                  ELSE 0 END AS n_tokens
+      FROM documents),
+    w AS (SELECT doc_id, n_tokens, n_tokens // 32 AS bucket FROM b),
+    r AS (SELECT *, row_number() OVER
+            (PARTITION BY bucket ORDER BY doc_id) - 1 AS rnk
+          FROM w)
+    SELECT doc_id, n_tokens, CAST(bucket AS BIGINT) AS bucket,
+           CAST(rnk // 8 AS BIGINT) AS batch_id,
+           CAST(rnk % 8 AS BIGINT) AS pos_in_batch
+    FROM r
+    """,
+    tags=("datapipe", "sampling", "batching"),
+)
+def corpus_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch assignment (sampling.bucketed_batches,
+    batch_size=8, bucket_width=32) — the BucketIterator shape that packs
+    similar-length documents into the same inference batch so padding
+    waste stays bounded by the bucket width. One parallel range sort +
+    the two-phase zip_with_index rank with broadcast per-bucket offsets;
+    the oracle reproduces the assignment with a plain window."""
+    from proteus_engine_spark.datapipe.sampling import bucketed_batches
+
+    return bucketed_batches(
+        load_table(spark, sf_dir, "documents"), batch_size=8, bucket_width=32
+    )

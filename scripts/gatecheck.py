@@ -141,6 +141,29 @@ _SAMPLED_OVERRIDES = {
         "mode": "oracle_on_engine_pairs",
         "prep": _stage_engine_pairs,
     },
+    # same composed-oracle scheme, best-copy election (n_chars desc, id)
+    "dedup_cluster_keep_best": {
+        "engine_filter": None,
+        "oracle": """
+WITH RECURSIVE edges AS (SELECT doc_a AS a, doc_b AS b FROM engine_pairs),
+sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+reach(src, dst) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.src, s.b FROM reach r JOIN sym s ON s.a = r.dst),
+lab AS (SELECT src AS node, least(src, min(dst)) AS comp FROM reach GROUP BY src),
+qual AS (SELECT d.doc_id, COALESCE(l.comp, d.doc_id) AS comp, d.n_chars
+         FROM documents d LEFT JOIN lab l ON l.node = d.doc_id),
+ranked AS (SELECT *, row_number() OVER
+             (PARTITION BY comp ORDER BY n_chars DESC, doc_id) AS rn
+           FROM qual),
+rep AS (SELECT comp, doc_id AS rep_id FROM ranked WHERE rn = 1)
+SELECT q.doc_id, r.rep_id AS cluster_rep, q.doc_id = r.rep_id AS is_kept
+FROM qual q JOIN rep r USING (comp)
+""",
+        "mode": "oracle_on_engine_pairs",
+        "prep": _stage_engine_pairs,
+    },
 }
 
 

@@ -465,3 +465,58 @@ def test_bigram_pmi_single_corpus_scan(spark):
     # unigram / bigram branches all derive from the checkpointed RDD)
     logical = out._jdf.queryExecution().optimizedPlan().toString()
     assert logical.count("Relation [") == 0
+
+
+# ----------------------------- best-copy cluster resolution / bucketed batches
+
+
+def test_cluster_keep_best_elects_longest(spark):
+    from proteus_engine_spark.datapipe.dedup import cluster_keep_best
+
+    docs = spark.createDataFrame(
+        [
+            (1, 10),   # cluster {1,2,3}: 2 is longest -> rep
+            (2, 50),
+            (3, 50),   # ties with 2 on quality -> lower id (2) wins
+            (9, 7),    # singleton keeps itself
+        ],
+        "doc_id long, n_chars long",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "doc_a long, doc_b long"
+    )
+    got = {r.doc_id: (r.cluster_rep, r.is_kept)
+           for r in cluster_keep_best(docs, pairs, "n_chars").collect()}
+    assert got == {1: (2, False), 2: (2, True), 3: (2, False), 9: (9, True)}
+
+
+def test_bucketed_batches_assignment(spark):
+    from proteus_engine_spark.datapipe.sampling import bucketed_batches
+
+    rows = [(i, "w " * (5 if i < 5 else 40)) for i in range(8)]
+    df = spark.createDataFrame(
+        [(i, t.strip()) for i, t in rows], "doc_id long, text string"
+    )
+    got = {r.doc_id: (r.bucket, r.batch_id, r.pos_in_batch)
+           for r in bucketed_batches(df, batch_size=2, bucket_width=32).collect()}
+    # docs 0-4: 5 tokens -> bucket 0; docs 5-7: 40 tokens -> bucket 1
+    assert got[0] == (0, 0, 0) and got[1] == (0, 0, 1)
+    assert got[2] == (0, 1, 0) and got[3] == (0, 1, 1)
+    assert got[4] == (0, 2, 0)           # remainder batch of 1
+    assert got[5] == (1, 0, 0) and got[6] == (1, 0, 1)
+    assert got[7] == (1, 1, 0)
+
+
+def test_bucketed_batches_no_per_bucket_window(spark):
+    """The rank-in-bucket must come from the two-phase zip_with_index +
+    broadcast offsets, never a data-keyed window: zip_with_index's OWN
+    windows (per-partition-id local index; partition-count-sized offset
+    cumsum) are parallel/bounded by construction — what must NOT appear
+    is a window partitioned by the data-cardinality bucket column."""
+    from proteus_engine_spark.datapipe.sampling import bucketed_batches
+    from proteus_engine_spark.sources import load_table
+
+    out = bucketed_batches(load_table(spark, SF, "documents"), 8, 32)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition(bucket" not in plan
