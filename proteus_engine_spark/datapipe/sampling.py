@@ -562,3 +562,45 @@ def bucketed_batches(
             (F.col("__rnk__") % batch_size).alias("pos_in_batch"),
         )
     )
+
+
+def fixed_n_sample(
+    docs: DataFrame,
+    n_per_group: int,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Exact-N per-group sampling: deterministically keep (up to) N rows
+    per group — the "take exactly 10k docs per source" primitive that
+    complements rate-based stratified_sample (rates give expected
+    counts; audits, eval-set construction, and per-source caps need
+    EXACT counts). Selection order inside a group is the md5(salt||key)
+    pseudo-random permutation (re-seedable per draw via ``salt``, stable
+    under corpus growth for the kept prefix semantics of a FIXED group —
+    adding rows can only displace, never reorder, prior ranks). Groups
+    smaller than N keep everything. Returns the sampled rows as
+    (group_col, key_col, rank_in_group long).
+
+    Scale shape: ONE parallel range sort on (group, digest, key) feeds
+    the two-phase zip_with_index rank; per-group offsets are a
+    group-enum-sized aggregate BROADCAST back, so rank-in-group is a
+    subtraction — never a per-group window (the bucketed_batches
+    discipline). The filter rank < N then cuts at scan rate."""
+    from proteus_engine_spark.operators.partitioning import zip_with_index
+
+    if n_per_group < 1:
+        raise ValueError("n_per_group must be >= 1")
+    h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    base = docs.select(F.col(group_col), F.col(key_col)).withColumn("__h__", h)
+    ordered = base.orderBy(group_col, "__h__", key_col)
+    idx = zip_with_index(ordered, out="__idx__")
+    offs = F.broadcast(
+        idx.groupBy(group_col).agg(F.min("__idx__").alias("__off__"))
+    )
+    return (
+        idx.join(offs, group_col)
+        .withColumn("rank_in_group", F.col("__idx__") - F.col("__off__"))
+        .filter(F.col("rank_in_group") < n_per_group)
+        .select(group_col, key_col, "rank_in_group")
+    )

@@ -993,3 +993,70 @@ def bigram_pmi_top(
         scored.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= k)
     )
+
+
+def source_divergence(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source distribution-shift report: the KL divergence
+    KL(P_s || P_corpus) of each source's unigram distribution from the
+    whole-corpus distribution — the drift detector that flags a feed
+    whose token distribution has diverged (language flip, spam
+    injection, template takeover) even when every individual document
+    passes the per-doc filters. Since every source term is in the corpus
+    by construction, the divergence is finite with no smoothing. Returns
+    (group_col, n_tokens long, kl_micro long, kl double) where kl_micro
+    is the EXACT integer sum of per-term contributions quantized to
+    micro-nats — round(1e6 · p_s · ln(p_s/p_c)) per term — so
+    accumulation order cannot move the result (the NB/micro-unit
+    discipline; kl = kl_micro/1e6 is derived for readability, never
+    summed).
+
+    Scale shape: ONE tokenize pass into a (group, term) count [the
+    vocabulary × sources shuffle]; corpus term counts and totals derive
+    from that frame (group-enum rollups, never a second scan); the
+    per-term contribution is computed in the join projection and the KL
+    is one group-keyed integer sum."""
+    prof = (
+        docs.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.col(group_col), F.explode(_tokens(text_col)).alias("term"))
+        .groupBy(group_col, "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)  # corpus + group models both derive
+    )
+    corpus = prof.groupBy("term").agg(F.sum("c").alias("cc"))
+    gt = prof.groupBy(group_col).agg(F.sum("c").alias("nt"))
+    tot = prof.agg(F.sum("c").alias("nc"))
+    contrib = (
+        prof.join(corpus, "term")
+        .join(F.broadcast(gt), group_col)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            group_col,
+            F.col("nt"),
+            F.round(
+                F.lit(1000000.0)
+                * (F.col("c") / F.col("nt"))
+                * F.log(
+                    (F.lit(1.0) * F.col("c") * F.col("nc"))
+                    / (F.lit(1.0) * F.col("nt") * F.col("cc"))
+                ),
+                0,
+            ).cast("long").alias("k_micro"),
+        )
+    )
+    return (
+        contrib.groupBy(group_col)
+        .agg(
+            F.max("nt").alias("n_tokens"),
+            F.sum("k_micro").alias("kl_micro"),
+        )
+        .select(
+            group_col,
+            "n_tokens",
+            "kl_micro",
+            (F.col("kl_micro") / 1000000.0).alias("kl"),
+        )
+    )

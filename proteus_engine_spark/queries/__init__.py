@@ -125,7 +125,12 @@ from proteus_engine_spark.queries import (  # noqa: F401
 # composed engine-pairs oracle scheme as dedup_cluster_keep) and
 # corpus_bucketed_batches (length-bucketed batch assignment, the
 # BucketIterator shape — parallel range sort + two-phase rank with
-# broadcast per-bucket offsets, plan-tested free of data-keyed windows)
+# broadcast per-bucket offsets, plan-tested free of data-keyed windows),
+# and corpus_fixed_n_sample (exact-N per-group md5 sampling — the
+# exact-count complement to rate-based stratified sampling, same
+# two-phase rank shape) with corpus_source_divergence (per-source
+# KL(P_s||P_corpus) drift detection — per-term contributions quantized
+# to integer micro-nats BEFORE the sum, exact-integer accumulation)
 # — all locally green at all three SFs
 # (r13_delta.json); they must lead the r14 window if they do not fit
 # r13's.

@@ -3007,3 +3007,71 @@ def corpus_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bucketed_batches(
         load_table(spark, sf_dir, "documents"), batch_size=8, bucket_width=32
     )
+
+
+@register(
+    "corpus_fixed_n_sample",
+    oracle="""
+    WITH h AS (SELECT source, doc_id,
+                      md5(CAST(doc_id AS VARCHAR)) AS hh
+               FROM documents),
+    r AS (SELECT source, doc_id, row_number() OVER
+            (PARTITION BY source ORDER BY hh, doc_id) - 1 AS rank_in_group
+          FROM h)
+    SELECT source, doc_id, CAST(rank_in_group AS BIGINT) AS rank_in_group
+    FROM r WHERE rank_in_group < 10
+    """,
+    tags=("datapipe", "sampling"),
+)
+def corpus_fixed_n_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-N per-group sampling (sampling.fixed_n_sample, N=10 per
+    source): deterministically keep the first 10 docs of each source in
+    the md5 permutation — the exact-count complement to rate-based
+    stratified sampling (eval sets and per-source caps need exact
+    counts, not expected ones). One parallel range sort + two-phase rank
+    with broadcast per-group offsets — never a per-group window on the
+    engine side; the oracle uses the plain window."""
+    from proteus_engine_spark.datapipe.sampling import fixed_n_sample
+
+    return fixed_n_sample(load_table(spark, sf_dir, "documents"), n_per_group=10)
+
+
+@register(
+    "corpus_source_divergence",
+    oracle=r"""
+    WITH prof AS (
+      SELECT source, term, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT source,
+                   unnest(string_split_regex(lower(text), '\s+')) AS term
+            FROM documents WHERE length(trim(text)) > 0)
+      GROUP BY source, term),
+    corpus AS (SELECT term, sum(c) AS cc FROM prof GROUP BY term),
+    gt AS (SELECT source, sum(c) AS nt FROM prof GROUP BY source),
+    tot AS (SELECT sum(c) AS nc FROM prof),
+    contrib AS (
+      SELECT p.source, gt.nt,
+             CAST(round(1000000.0 * (p.c / gt.nt)
+                        * ln((1.0 * p.c * tot.nc)
+                             / (1.0 * gt.nt * corpus.cc)), 0) AS BIGINT)
+               AS k_micro
+      FROM prof p JOIN corpus USING (term)
+      JOIN gt ON gt.source = p.source CROSS JOIN tot)
+    SELECT source, CAST(max(nt) AS BIGINT) AS n_tokens,
+           CAST(sum(k_micro) AS BIGINT) AS kl_micro,
+           sum(k_micro) / 1000000.0 AS kl
+    FROM contrib GROUP BY source
+    """,
+    tags=("datapipe", "text", "quality"),
+)
+def corpus_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shift detection (textstats.source_divergence):
+    KL(P_source || P_corpus) over unigram distributions per source — the
+    drift detector that flags a feed whose token distribution has
+    diverged even when every individual document passes the per-doc
+    filters. Per-term contributions quantize to integer micro-nats
+    BEFORE the per-source sum (the exact-integer accumulation
+    discipline), so the oracle matches bit-for-bit; the readable double
+    kl is derived from the integer, never summed."""
+    from proteus_engine_spark.datapipe.textstats import source_divergence
+
+    return source_divergence(load_table(spark, sf_dir, "documents"))

@@ -520,3 +520,65 @@ def test_bucketed_batches_no_per_bucket_window(spark):
     out.collect()
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "windowspecdefinition(bucket" not in plan
+
+
+# ----------------------------- fixed-N sample / source divergence
+
+
+def test_fixed_n_sample_exact_counts_and_permutation(spark):
+    import hashlib
+
+    from proteus_engine_spark.datapipe.sampling import fixed_n_sample
+
+    rows = [(i, "g1" if i < 20 else "g2") for i in range(23)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = fixed_n_sample(df, 5, group_col="source", key_col="doc_id").collect()
+    by_group = {}
+    for r in got:
+        by_group.setdefault(r.source, []).append((r.rank_in_group, r.doc_id))
+    # g1 (20 rows) keeps exactly 5; g2 (3 rows) keeps all 3
+    assert len(by_group["g1"]) == 5 and len(by_group["g2"]) == 3
+    # the kept set + order mirror the md5 permutation
+    for g, members in (("g1", range(20)), ("g2", range(20, 23))):
+        perm = sorted(members, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+        expect = [(rk, i) for rk, i in enumerate(perm[:5])]
+        assert sorted(by_group[g]) == expect
+
+
+def test_fixed_n_sample_no_per_group_window(spark):
+    from proteus_engine_spark.datapipe.sampling import fixed_n_sample
+    from proteus_engine_spark.sources import load_table
+
+    out = fixed_n_sample(load_table(spark, SF, "documents"), 10)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition(source" not in plan
+
+
+def test_source_divergence_identical_sources_zero_kl(spark):
+    from proteus_engine_spark.datapipe.textstats import source_divergence
+
+    df = spark.createDataFrame(
+        [(1, "s1", "a b c"), (2, "s2", "a b c")],
+        "doc_id long, source string, text string",
+    )
+    got = {r.source: (r.n_tokens, r.kl_micro) for r in source_divergence(df).collect()}
+    # both sources have the corpus distribution -> KL exactly 0
+    assert got == {"s1": (3, 0), "s2": (3, 0)}
+
+
+def test_source_divergence_matches_hand_kl(spark):
+    from proteus_engine_spark.datapipe.textstats import source_divergence
+
+    df = spark.createDataFrame(
+        [(1, "s1", "a a b"), (2, "s2", "b")],
+        "doc_id long, source string, text string",
+    )
+    # corpus: a:2, b:2 (N=4); s1: a:2/3, b:1/3 (nt=3); s2: b:1 (nt=1)
+    def micro(x):
+        import math
+        return round(1e6 * x[0] * math.log(x[1]))
+    s1 = micro((2 / 3, (2 * 4) / (3 * 2))) + micro((1 / 3, (1 * 4) / (3 * 2)))
+    s2 = micro((1.0, (1 * 4) / (1 * 2)))
+    got = {r.source: r.kl_micro for r in source_divergence(df).collect()}
+    assert got == {"s1": s1, "s2": s2}
