@@ -130,7 +130,12 @@ from proteus_engine_spark.queries import (  # noqa: F401
 # exact-count complement to rate-based stratified sampling, same
 # two-phase rank shape) with corpus_source_divergence (per-source
 # KL(P_s||P_corpus) drift detection — per-term contributions quantized
-# to integer micro-nats BEFORE the sum, exact-integer accumulation)
+# to integer micro-nats BEFORE the sum, exact-integer accumulation),
+# and agg_heavy_hitters_bounds (Misra-Gries heavy hitters — batch-
+# vectorized k-counter partition sketches merged by item-keyed sums,
+# verdict-gated against the exact heavy set with the mergeable-
+# summaries undercount bound, the approx_distinct/percentile sketch
+# discipline)
 # — all locally green at all three SFs
 # (r13_delta.json); they must lead the r14 window if they do not fit
 # r13's.

@@ -3075,3 +3075,53 @@ def corpus_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     from proteus_engine_spark.datapipe.textstats import source_divergence
 
     return source_divergence(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "agg_heavy_hitters_bounds",
+    oracle=r"""
+    WITH tok AS (SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
+                 FROM documents),
+    cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY token),
+    tot AS (SELECT sum(n) AS total FROM cnt)
+    SELECT token, n AS exact_n, true AS within_bounds
+    FROM cnt CROSS JOIN tot WHERE n >= total // 64
+    """,
+    tags=("datapipe", "sketch", "agg"),
+)
+def agg_heavy_hitters_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy hitters, verdict-gated (the
+    agg_approx_distinct_bounds discipline): the engine runs the
+    partition-parallel k=64 sketch over the corpus token stream AND the
+    exact count, then emits within_bounds for every true heavy hitter
+    (exact >= N/64): present in the merged sketch, estimate <= exact
+    (MG never overcounts), and undercount <= N/64 (the mergeable-
+    summaries bound, N/(k+1) rounded up to the looser integer N/k). The
+    oracle computes the exact heavy set and asserts the verdict is
+    uniformly true — the sketch VALUE, partition-order-dependent by
+    nature, never has to match. At 100 TB the sketch replaces the
+    vocabulary-cardinality shuffle with k rows per partition."""
+    from proteus_engine_spark.datapipe.sketches import misra_gries_heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token")
+    )
+    sk = misra_gries_heavy_hitters(toks, "token", k=64)
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_n"))
+    total = exact.agg(F.sum("exact_n").alias("total"))
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .filter(F.col("exact_n") >= F.expr("total div 64"))
+        .join(sk.withColumnRenamed("item", "token"), "token", "left")
+        .select(
+            "token",
+            "exact_n",
+            (
+                F.col("est").isNotNull()
+                & (F.col("est") <= F.col("exact_n"))
+                & (F.col("exact_n") - F.coalesce(F.col("est"), F.lit(0))
+                   <= F.expr("total div 64"))
+            ).alias("within_bounds"),
+        )
+    )

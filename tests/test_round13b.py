@@ -582,3 +582,49 @@ def test_source_divergence_matches_hand_kl(spark):
     s2 = micro((1.0, (1 * 4) / (1 * 2)))
     got = {r.source: r.kl_micro for r in source_divergence(df).collect()}
     assert got == {"s1": s1, "s2": s2}
+
+
+# ----------------------------- Misra-Gries heavy hitters
+
+
+def test_misra_gries_exact_when_k_covers_cardinality(spark):
+    from proteus_engine_spark.datapipe.sketches import misra_gries_heavy_hitters
+
+    df = spark.createDataFrame(
+        [(x,) for x in ["a"] * 5 + ["b"] * 3 + ["c"] * 2], "item string"
+    )
+    got = {r.item: r.est for r in
+           misra_gries_heavy_hitters(df, "item", k=8).collect()}
+    assert got == {"a": 5, "b": 3, "c": 2}
+
+
+def test_misra_gries_bounds_under_decrement_pressure(spark):
+    """k=2 over a 1-partition stream with 5 distinct items: estimates
+    must never overcount, undercount by <= N/(k+1), and every item with
+    true count > N/(k+1) must be present."""
+    from proteus_engine_spark.datapipe.sketches import misra_gries_heavy_hitters
+
+    stream = ["a"] * 40 + ["b"] * 25 + ["c"] * 3 + ["d"] * 2 + ["e"] * 2
+    exact = {"a": 40, "b": 25, "c": 3, "d": 2, "e": 2}
+    n = len(stream)
+    df = spark.createDataFrame([(x,) for x in stream], "item string").coalesce(1)
+    got = {r.item: r.est for r in
+           misra_gries_heavy_hitters(df, "item", k=2).collect()}
+    bound = n / 3  # N/(k+1)
+    for item, est in got.items():
+        assert est <= exact[item]
+        assert exact[item] - est <= bound
+    for item, c in exact.items():
+        if c > bound:
+            assert item in got
+
+
+def test_misra_gries_merge_across_partitions(spark):
+    from proteus_engine_spark.datapipe.sketches import misra_gries_heavy_hitters
+
+    stream = ["x"] * 50 + ["y"] * 30 + ["z"] * 20
+    df = spark.createDataFrame([(v,) for v in stream], "item string").repartition(4)
+    got = {r.item: r.est for r in
+           misra_gries_heavy_hitters(df, "item", k=8).collect()}
+    # k covers the cardinality in every partition -> merged sums are exact
+    assert got == {"x": 50, "y": 30, "z": 20}
