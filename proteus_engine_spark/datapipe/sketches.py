@@ -63,3 +63,72 @@ def misra_gries_heavy_hitters(
         sketch, "item string, est long"
     )
     return partials.groupBy("item").agg(F.sum("est").alias("est"))
+
+
+def count_min_table(
+    df: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Count-Min sketch as a PURE DataFrame aggregation — no Python in
+    the data path at all: for each of ``depth`` seeded hash rows the
+    item buckets via xxhash64(item, seed) mod width (JVM-side,
+    whole-stage codegen), and the sketch table is one (row, bucket)
+    count with map-side combine — at most depth·width rows regardless of
+    corpus size, trivially mergeable across corpora by cell-wise sum.
+    Returns (row int, bucket long, c long). The frequency companion to
+    Misra-Gries with the OPPOSITE error side: CM never undercounts and
+    overcounts by at most εN with ε = e/width at confidence 1-(1/e)^depth
+    (Cormode & Muthukrishnan 2005)."""
+    if depth < 1 or width < 1:
+        raise ValueError("depth and width must be >= 1")
+    rows = [
+        F.struct(
+            F.lit(i).alias("row"),
+            F.pmod(F.xxhash64(F.col(item_col), F.lit(i)), F.lit(width)).alias(
+                "bucket"
+            ),
+        )
+        for i in range(depth)
+    ]
+    return (
+        df.select(F.explode(F.array(*rows)).alias("rb"))
+        .select(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def count_min_estimate(
+    table: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-frequency estimates from a count_min_table: each query item
+    re-derives its depth buckets with the SAME seeded hashes, joins the
+    sketch table on (row, bucket), and takes the minimum cell — the CM
+    estimate. Missing cells count 0 (an item hashing to an untouched
+    cell has estimate 0 — correct: it never occurred). Returns
+    (item_col, est long). The join is broadcast-friendly in both
+    directions: the table is depth·width rows, the query set is
+    typically small."""
+    rows = [
+        F.struct(
+            F.lit(i).alias("row"),
+            F.pmod(F.xxhash64(F.col(item_col), F.lit(i)), F.lit(width)).alias(
+                "bucket"
+            ),
+        )
+        for i in range(depth)
+    ]
+    probes = items.select(
+        F.col(item_col), F.explode(F.array(*rows)).alias("rb")
+    ).select(item_col, F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+    return (
+        probes.join(F.broadcast(table), ["row", "bucket"], "left")
+        .groupBy(item_col)
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est"))
+    )

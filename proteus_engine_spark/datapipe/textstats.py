@@ -1060,3 +1060,43 @@ def source_divergence(
             (F.col("kl_micro") / 1000000.0).alias("kl"),
         )
     )
+
+
+def concordance(
+    docs: DataFrame,
+    term: str,
+    window: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Keyword-in-context (KWIC) concordance: every occurrence of
+    ``term`` with its ±window-token context — the corpus-inspection
+    primitive behind "show me how this token is used" (filter-rule
+    debugging, PII-pattern triage, tokenizer-merge sanity checks).
+    Returns (id_col, pos long — 1-based token position, context string).
+
+    Scale shape: zero shuffle — tokenize, positional explode, equality
+    filter, and the context slice all fuse into the scan projection;
+    output size is occurrence-bounded. The term filter lands AFTER the
+    explode (posexplode of the token array), so the per-doc cost is the
+    tokenize it already pays; for repeated interactive probes over the
+    same corpus, persist the exploded (id, pos, token) frame once."""
+    t = _tokens(text_col)
+    base = docs.select(F.col(id_col), t.alias("t")).select(
+        F.col(id_col),
+        F.col("t"),
+        F.posexplode(F.col("t")).alias("pos0", "tok"),
+    )
+    pos = F.col("pos0") + 1  # 1-based
+    start = F.greatest(F.lit(1), pos - window)
+    end = F.least(F.size("t"), pos + window)
+    return (
+        base.filter(F.col("tok") == term.lower())
+        .select(
+            id_col,
+            pos.cast("long").alias("pos"),
+            F.array_join(
+                F.slice(F.col("t"), start, end - start + 1), " "
+            ).alias("context"),
+        )
+    )

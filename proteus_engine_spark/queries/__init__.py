@@ -135,7 +135,10 @@ from proteus_engine_spark.queries import (  # noqa: F401
 # vectorized k-counter partition sketches merged by item-keyed sums,
 # verdict-gated against the exact heavy set with the mergeable-
 # summaries undercount bound, the approx_distinct/percentile sketch
-# discipline)
+# discipline) with agg_count_min_bounds (Count-Min as a PURE DataFrame
+# aggregation — seeded xxhash64 bucketing in codegen, depth×width cell
+# table, opposite error side to MG, same verdict discipline) and
+# text_concordance (KWIC ±3-token contexts, zero-shuffle scan-fused)
 # — all locally green at all three SFs
 # (r13_delta.json); they must lead the r14 window if they do not fit
 # r13's.

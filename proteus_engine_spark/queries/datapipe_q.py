@@ -3125,3 +3125,85 @@ def agg_heavy_hitters_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("within_bounds"),
         )
     )
+
+
+@register(
+    "agg_count_min_bounds",
+    oracle=r"""
+    WITH tok AS (SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
+                 FROM documents),
+    cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY token),
+    tot AS (SELECT sum(n) AS total FROM cnt)
+    SELECT token, n AS exact_n, true AS within_bounds
+    FROM cnt CROSS JOIN tot WHERE n >= total // 64
+    """,
+    tags=("datapipe", "sketch", "agg"),
+)
+def agg_count_min_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min point-frequency estimates, verdict-gated: the engine
+    builds the depth=4 × width=256 sketch as a PURE DataFrame aggregation
+    (seeded xxhash64 bucketing in whole-stage codegen — no Python
+    anywhere), probes it for every exact heavy hitter (the same
+    probe set as agg_heavy_hitters_bounds, so the two sketches' verdicts
+    are directly comparable), and asserts the CM error side: estimate >=
+    exact (CM never undercounts) and overcount <= 2·N/width. Verdicts
+    are deterministic given data + fixed seeds (collision mass is
+    data-dependent, not random at run time). The oracle computes the
+    exact heavy set and expects a uniformly true verdict."""
+    from proteus_engine_spark.datapipe.sketches import (
+        count_min_estimate,
+        count_min_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token")
+    )
+    table = count_min_table(toks, "token", depth=4, width=256)
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_n"))
+    total = exact.agg(F.sum("exact_n").alias("total"))
+    heavy = (
+        exact.crossJoin(F.broadcast(total))
+        .filter(F.col("exact_n") >= F.expr("total div 64"))
+    )
+    est = count_min_estimate(table, heavy.select("token"), "token", depth=4, width=256)
+    return (
+        heavy.join(est, "token")
+        .select(
+            "token",
+            "exact_n",
+            (
+                (F.col("est") >= F.col("exact_n"))
+                & (F.col("est") - F.col("exact_n") <= F.expr("2 * total div 256"))
+            ).alias("within_bounds"),
+        )
+    )
+
+
+@register(
+    "text_concordance",
+    oracle=r"""
+    WITH toks AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+                  FROM documents),
+    hits AS (
+      SELECT doc_id, t, unnest(generate_series(1, len(t))) AS pos
+      FROM toks),
+    m AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+                 array_to_string(
+                   t[greatest(1, pos - 3):least(len(t), pos + 3)], ' ')
+                   AS context
+          FROM hits WHERE t[pos] = 'spark')
+    SELECT doc_id, pos, context FROM m
+    """,
+    tags=("datapipe", "text"),
+)
+def text_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KWIC concordance (textstats.concordance): every occurrence of the
+    token 'spark' with its ±3-token context — the corpus-inspection
+    primitive for filter-rule debugging and tokenizer sanity checks.
+    Zero shuffle: tokenize, positional explode, equality filter, and the
+    context slice fuse into the scan projection; the oracle reproduces
+    the identical inclusive slice arithmetic."""
+    from proteus_engine_spark.datapipe.textstats import concordance
+
+    return concordance(load_table(spark, sf_dir, "documents"), "spark", window=3)

@@ -628,3 +628,63 @@ def test_misra_gries_merge_across_partitions(spark):
            misra_gries_heavy_hitters(df, "item", k=8).collect()}
     # k covers the cardinality in every partition -> merged sums are exact
     assert got == {"x": 50, "y": 30, "z": 20}
+
+
+# ----------------------------- Count-Min sketch / concordance
+
+
+def test_count_min_never_undercounts_and_zero_for_absent(spark):
+    from pyspark.sql import functions as F
+
+    from proteus_engine_spark.datapipe.sketches import (
+        count_min_estimate,
+        count_min_table,
+    )
+
+    stream = ["a"] * 10 + ["b"] * 4 + ["c"] * 1
+    df = spark.createDataFrame([(v,) for v in stream], "item string")
+    table = count_min_table(df, "item", depth=4, width=64)
+    # table mass: every row of the sketch holds the full stream count
+    mass = {r.row: r.c for r in
+            table.groupBy("row").agg(F.sum("c").alias("c")).collect()}
+    assert mass == {0: 15, 1: 15, 2: 15, 3: 15}
+    q = spark.createDataFrame([("a",), ("b",), ("c",), ("zz",)], "item string")
+    got = {r.item: r.est for r in
+           count_min_estimate(table, q, "item", depth=4, width=64).collect()}
+    assert got["a"] >= 10 and got["b"] >= 4 and got["c"] >= 1
+    for k, exact in (("a", 10), ("b", 4), ("c", 1)):
+        assert got[k] - exact <= 15  # trivially within eN at tiny width
+    # an item never inserted can only collide; with 3 distinct items in
+    # 64 buckets x 4 rows the min cell is overwhelmingly 0 — and never
+    # negative
+    assert got["zz"] >= 0
+
+
+def test_count_min_width_one_degenerates_to_total(spark):
+    from proteus_engine_spark.datapipe.sketches import (
+        count_min_estimate,
+        count_min_table,
+    )
+
+    df = spark.createDataFrame([("x",), ("y",), ("y",)], "item string")
+    table = count_min_table(df, "item", depth=2, width=1)
+    q = spark.createDataFrame([("x",)], "item string")
+    got = count_min_estimate(table, q, "item", depth=2, width=1).collect()[0]
+    assert got.est == 3  # every item shares the single cell
+
+
+def test_concordance_positions_and_clipped_windows(spark):
+    from proteus_engine_spark.datapipe.textstats import concordance
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta TARGET gamma delta epsilon"),
+         (2, "target at start here"),
+         (3, "no match at all")],
+        "doc_id long, text string",
+    )
+    got = {(r.doc_id, r.pos): r.context
+           for r in concordance(df, "target", window=2).collect()}
+    assert got == {
+        (1, 3): "alpha beta target gamma delta",
+        (2, 1): "target at start",
+    }
