@@ -138,7 +138,14 @@ from proteus_engine_spark.queries import (  # noqa: F401
 # discipline) with agg_count_min_bounds (Count-Min as a PURE DataFrame
 # aggregation — seeded xxhash64 bucketing in codegen, depth×width cell
 # table, opposite error side to MG, same verdict discipline) and
-# text_concordance (KWIC ±3-token contexts, zero-shuffle scan-fused)
+# text_concordance (KWIC ±3-token contexts, zero-shuffle scan-fused),
+# plus corpus_pipeline_e2e (the COMPOSED nightly run: Gopher filter ∧
+# exact-dedup keep → per-source kept rollup, one corpus scan + the
+# digest-keeper join, independently recomposed oracle) and
+# stream_count_min_table (the CM sketch built BY a streaming aggregate
+# — fixed depth×width cells are the archetypal streaming state;
+# cell-for-cell batch parity verified engine-side, mass invariant in
+# the oracle)
 # — all locally green at all three SFs
 # (r13_delta.json); they must lead the r14 window if they do not fit
 # r13's.

@@ -3207,3 +3207,153 @@ def text_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from proteus_engine_spark.datapipe.textstats import concordance
 
     return concordance(load_table(spark, sf_dir, "documents"), "spark", window=3)
+
+
+@register(
+    "corpus_pipeline_e2e",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, source, text,
+             CASE WHEN length(trim(text)) > 0
+                  THEN len(string_split_regex(lower(text), '\s+'))
+                  ELSE 0 END AS n_tokens,
+             md5(text) AS digest
+      FROM documents),
+    keepers AS (SELECT digest, min(doc_id) AS keep_id FROM t GROUP BY digest),
+    g AS (
+      SELECT doc_id, source,
+             string_split_regex(lower(text), '\s+') AS tk,
+             length(trim(text)) > 0 AS nonempty
+      FROM documents),
+    gf AS (
+      SELECT doc_id,
+        CAST(CASE WHEN nonempty THEN len(tk) ELSE 0 END AS BIGINT) AS ntok,
+        CAST(CASE WHEN nonempty
+             THEN COALESCE(list_sum(list_transform(tk, x -> length(x))), 0)
+             ELSE 0 END AS BIGINT) AS swl,
+        CAST(CASE WHEN nonempty
+             THEN len(list_filter(tk, x -> regexp_matches(x, '[a-z]')))
+             ELSE 0 END AS BIGINT) AS nalpha,
+        CAST(len(list_filter(tk, x -> list_contains(
+             ['the','be','to','of','and','that','have','with'], x)))
+          AS BIGINT) AS nstop
+      FROM g),
+    gp AS (
+      SELECT doc_id,
+        (ntok >= 50 AND ntok <= 100000
+         AND swl >= 3*ntok AND swl <= 10*ntok AND ntok > 0
+         AND 10*nalpha >= 8*ntok
+         AND nstop >= 2) AS passes
+      FROM gf),
+    verdicts AS (
+      SELECT t.source, t.n_tokens,
+             (gp.passes AND t.doc_id = k.keep_id) AS kept
+      FROM t JOIN gp USING (doc_id) JOIN keepers k USING (digest))
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN kept THEN n_tokens ELSE 0 END) AS BIGINT)
+             AS kept_tokens
+    FROM verdicts GROUP BY source
+    """,
+    tags=("datapipe", "text", "report", "dedup"),
+)
+def corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED pipeline run end-to-end — what a user actually
+    executes nightly: quality-filter (the corpus_source_report
+    simple-text Gopher ruleset) ∧ exact-dedup keep (smallest id per
+    digest survives) → per-source kept-document and kept-token rollup.
+    One corpus scan for the per-doc features + the (digest → min id)
+    keeper aggregation joined back by digest — the integration gate
+    proving the filter, dedup, and reporting tiers compose without
+    re-scanning, and that their combined verdict matches an
+    independently-recomposed oracle."""
+    from proteus_engine_spark.datapipe.textstats import gopher_quality_flags
+
+    docs = load_table(spark, sf_dir, "documents")
+    flags = gopher_quality_flags(docs, carry_cols=("source", "text"))
+    per_doc = flags.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        (
+            F.col("r_word_count")
+            & F.col("r_mean_word_len")
+            & F.col("r_alpha_words")
+            & F.col("r_stopwords")
+        ).alias("passes"),
+        F.md5("text").alias("digest"),
+    )
+    keepers = per_doc.groupBy("digest").agg(F.min("doc_id").alias("keep_id"))
+    return (
+        per_doc.join(keepers, "digest")
+        .withColumn("kept", F.col("passes") & (F.col("doc_id") == F.col("keep_id")))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("kept").cast("long")).cast("long").alias("n_kept"),
+            F.sum(F.when(F.col("kept"), F.col("n_tokens")).otherwise(0))
+            .cast("long")
+            .alias("kept_tokens"),
+        )
+    )
+
+
+@register(
+    "stream_count_min_table",
+    oracle=r"""
+    WITH tok AS (SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
+                 FROM documents)
+    SELECT CAST(4 * count(*) AS BIGINT) AS total_mass,
+           true AS tables_match
+    FROM tok
+    """,
+    tags=("datapipe", "streaming", "sketch"),
+)
+def stream_count_min_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min ON THE STREAM: the sketch's (row, bucket) cell table is
+    a plain streaming aggregation (complete mode) over the seeded-hash
+    bucketing of the document token stream — sketches are the
+    archetypal streaming-friendly state (fixed depth×width cells, no
+    per-key growth). The gate drives the streamed table to completion,
+    rebuilds the SAME table in batch, and verifies cell-for-cell
+    equality engine-side (xxhash64 is engine-specific, so the oracle
+    cannot rebuild cells; it checks the deterministic invariants
+    instead: total sketch mass = depth × token count, and the
+    batch/stream match verdict — the length_percentiles_approx
+    engine-side-verification discipline)."""
+    import os
+
+    from proteus_engine_spark.datapipe.sketches import count_min_table
+    from proteus_engine_spark.streaming.sources import (
+        probe_parquet_schema,
+        run_to_completion,
+    )
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    schema = probe_parquet_schema(spark, path)
+    raw = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+    stream_toks = raw.select(
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token")
+    )
+    streamed = run_to_completion(
+        count_min_table(stream_toks, "token", depth=4, width=256),
+        "stream_cms_sink",
+        "complete",
+    )
+    batch_toks = load_table(spark, sf_dir, "documents").select(
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token")
+    )
+    batch = count_min_table(batch_toks, "token", depth=4, width=256)
+    only_stream = streamed.join(batch, ["row", "bucket", "c"], "left_anti").count()
+    only_batch = batch.join(streamed, ["row", "bucket", "c"], "left_anti").count()
+    total = streamed.agg(F.sum("c").alias("m")).collect()[0].m
+    return spark.createDataFrame(
+        [(int(total), only_stream == 0 and only_batch == 0)],
+        "total_mass long, tables_match boolean",
+    )
