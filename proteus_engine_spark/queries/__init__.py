@@ -145,7 +145,11 @@ from proteus_engine_spark.queries import (  # noqa: F401
 # stream_count_min_table (the CM sketch built BY a streaming aggregate
 # — fixed depth×width cells are the archetypal streaming state;
 # cell-for-cell batch parity verified engine-side, mass invariant in
-# the oracle)
+# the oracle), and the event-analytics pair events_funnel_conversion
+# (ordered signup→view→purchase funnel, order constraints in join
+# predicates — never a per-user sort) + events_cohort_retention
+# (weekly cohort × offset activity matrix, epoch-anchored integer week
+# arithmetic portable across engines)
 # — all locally green at all three SFs
 # (r13_delta.json); they must lead the r14 window if they do not fit
 # r13's.

@@ -71,3 +71,140 @@ def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         errors, views, F.col("user_id") == F.col("v_user"), "e_ts", "v_ts",
         lower="5 minutes", upper="5 minutes",
     ).select("error_id", "view_id", "user_id")
+
+
+@register(
+    "events_funnel_conversion",
+    oracle="""
+    WITH s AS (SELECT user_id, min(ts) AS s_ts FROM events
+               WHERE event_type = 'signup' GROUP BY user_id),
+    v AS (SELECT e.user_id, min(e.ts) AS v_ts
+          FROM events e JOIN s ON s.user_id = e.user_id AND e.ts > s.s_ts
+          WHERE e.event_type = 'view' GROUP BY e.user_id),
+    v7 AS (SELECT v.user_id, v.v_ts FROM v JOIN s USING (user_id)
+           WHERE v.v_ts <= s.s_ts + INTERVAL 7 DAY),
+    p AS (SELECT e.user_id, min(e.ts) AS p_ts
+          FROM events e JOIN v7 ON v7.user_id = e.user_id AND e.ts > v7.v_ts
+          WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+    p7 AS (SELECT p.user_id FROM p JOIN s USING (user_id)
+           WHERE p.p_ts <= s.s_ts + INTERVAL 7 DAY),
+    c AS (SELECT (SELECT count(*) FROM s) AS c1,
+                 (SELECT count(*) FROM v7) AS c2,
+                 (SELECT count(*) FROM p7) AS c3)
+    SELECT CAST(1 AS BIGINT) AS step, 'signup' AS step_name,
+           CAST(c1 AS BIGINT) AS n_users, round(1.0, 6) AS conversion FROM c
+    UNION ALL
+    SELECT 2, 'view', CAST(c2 AS BIGINT), round(c2 * 1.0 / c1, 6) FROM c
+    UNION ALL
+    SELECT 3, 'purchase', CAST(c3 AS BIGINT), round(c3 * 1.0 / c1, 6) FROM c
+    """,
+    tags=("temporal", "analytics"),
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis — the classic product-analytics query: of
+    the users who signed up, how many then VIEWED (strictly after their
+    first signup) and then PURCHASED (strictly after that first
+    qualifying view), each within 7 days of the signup anchor. Step
+    timestamps are per-user min-aggregates chained by user-keyed joins —
+    the ORDER constraint lives in the join predicates (ts > prior step),
+    never in a per-user sort; three user-keyed shuffles total,
+    horizon arithmetic in portable INTERVAL math. Returns one row per
+    step (step, step_name, n_users, conversion vs step 1)."""
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    v7 = v.join(s, "user_id").filter(
+        F.col("v_ts") <= F.col("s_ts") + F.expr("INTERVAL 7 DAY")
+    ).select("user_id", "v_ts")
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v7, "user_id")
+        .filter(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    p7 = p.join(s, "user_id").filter(
+        F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 7 DAY")
+    )
+    counts = (
+        s.agg(F.count(F.lit(1)).alias("c1"))
+        .crossJoin(v7.agg(F.count(F.lit(1)).alias("c2")))
+        .crossJoin(p7.agg(F.count(F.lit(1)).alias("c3")))
+    )
+    steps = counts.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).cast("long").alias("step"),
+                    F.lit("signup").alias("step_name"),
+                    F.col("c1").alias("n_users"),
+                    F.round(F.lit(1.0), 6).alias("conversion"),
+                ),
+                F.struct(
+                    F.lit(2).cast("long").alias("step"),
+                    F.lit("view").alias("step_name"),
+                    F.col("c2").alias("n_users"),
+                    F.round(F.col("c2") * 1.0 / F.col("c1"), 6).alias("conversion"),
+                ),
+                F.struct(
+                    F.lit(3).cast("long").alias("step"),
+                    F.lit("purchase").alias("step_name"),
+                    F.col("c3").alias("n_users"),
+                    F.round(F.col("c3") * 1.0 / F.col("c1"), 6).alias("conversion"),
+                ),
+            )
+        ).alias("r")
+    )
+    return steps.select("r.step", "r.step_name", "r.n_users", "r.conversion")
+
+
+@register(
+    "events_cohort_retention",
+    oracle="""
+    WITH wk AS (SELECT user_id,
+                       date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7
+                         AS week
+                FROM events),
+    first_wk AS (SELECT user_id, min(week) AS cohort_week FROM wk GROUP BY user_id),
+    active AS (SELECT DISTINCT user_id, week FROM wk)
+    SELECT f.cohort_week, a.week - f.cohort_week AS week_offset,
+           CAST(count(*) AS BIGINT) AS n_active
+    FROM active a JOIN first_wk f USING (user_id)
+    GROUP BY f.cohort_week, a.week - f.cohort_week
+    """,
+    tags=("temporal", "analytics"),
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention — the other canonical product-analytics rollup:
+    users cohorted by the week of their first event (weeks = whole
+    7-day blocks since a fixed epoch anchor, identical integer
+    arithmetic in both engines — never date_trunc, whose week-start
+    convention differs by engine); each (cohort_week, week_offset) cell
+    counts the cohort's users active that week. Active weeks are a
+    distinct (user, week) aggregate, so the count is a plain count —
+    no streaming-hostile COUNT DISTINCT; two user-keyed shuffles."""
+    ev = load_table(spark, sf_dir, "events")
+    wk = ev.select(
+        "user_id",
+        F.expr("datediff(to_date(ts), DATE '2024-01-01') div 7").alias("week"),
+    )
+    first_wk = wk.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    active = wk.distinct()
+    return (
+        active.join(first_wk, "user_id")
+        .select(
+            "cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset")
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
