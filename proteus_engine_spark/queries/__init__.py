@@ -149,7 +149,11 @@ from proteus_engine_spark.queries import (  # noqa: F401
 # (ordered signup→view→purchase funnel, order constraints in join
 # predicates — never a per-user sort) + events_cohort_retention
 # (weekly cohort × offset activity matrix, epoch-anchored integer week
-# arithmetic portable across engines)
+# arithmetic portable across engines) + events_sessionize (gap-based
+# batch sessionization via USER-partitioned lag/cumsum — the
+# well-partitioned window shape; cross-checks window_session's row
+# count) + events_transition_matrix (per-user Markov transitions,
+# enum×enum matrix, exact-division probabilities)
 # — all locally green at all three SFs
 # (r13_delta.json); they must lead the r14 window if they do not fit
 # r13's.

@@ -208,3 +208,112 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
+
+
+@register(
+    "events_sessionize",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events),
+    flags AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN prev_ts IS NULL
+                       OR date_diff('second', prev_ts, ts) > 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM o),
+    sess AS (
+      SELECT user_id, event_id,
+             sum(new_session) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM flags)
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(min(event_id) AS BIGINT) AS first_event,
+           CAST(max(event_id) AS BIGINT) AS last_event
+    FROM sess GROUP BY user_id, session_seq
+    """,
+    tags=("temporal", "analytics"),
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization — the gap-based session assignment every
+    analytics warehouse runs (the batch twin of the streaming session
+    window gate): a new session starts when a user's gap to the previous
+    event exceeds 30 minutes; session ids are the running count of
+    session starts. Both windows partition BY USER — per-partition work
+    is bounded by a single user's history (thousands of rows), the
+    canonical well-partitioned window (the banned shape is the
+    UNPARTITIONED data-cardinality window). Ties on ts break by
+    event_id in both engines. Returns per-session rollups."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flags = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)) > 1800),
+            1,
+        ).otherwise(0),
+    )
+    sess = flags.withColumn(
+        "session_seq",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("event_id").alias("first_event"),
+        F.max("event_id").alias("last_event"),
+    )
+
+
+@register(
+    "events_transition_matrix",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type, ts, event_id,
+             lead(event_type) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM events),
+    pairs AS (SELECT event_type AS from_type, next_type AS to_type
+              FROM o WHERE next_type IS NOT NULL),
+    c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+          FROM pairs GROUP BY from_type, to_type),
+    t AS (SELECT from_type, sum(n) AS row_total FROM c GROUP BY from_type)
+    SELECT c.from_type, c.to_type, c.n,
+           round(c.n * 1.0 / t.row_total, 6) AS p
+    FROM c JOIN t USING (from_type)
+    """,
+    tags=("temporal", "analytics"),
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-path analysis: the first-order Markov transition matrix
+    over per-user event sequences — which action follows which (the
+    behavioral fingerprint behind next-step prediction and anomaly
+    triage). Consecutive pairs come from a USER-partitioned lead
+    (bounded per-partition work), the matrix is an (enum × enum) count,
+    and row-normalized probabilities are single exact-integer divisions
+    rounded at 1e-6. Ties on ts break by event_id in both engines."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .select(F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type"))
+    )
+    c = pairs.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("from_type").agg(F.sum("n").alias("row_total"))
+    return (
+        c.join(F.broadcast(t), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.round(F.col("n") * 1.0 / F.col("row_total"), 6).alias("p"),
+        )
+    )
