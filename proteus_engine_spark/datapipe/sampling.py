@@ -604,3 +604,46 @@ def fixed_n_sample(
         .filter(F.col("rank_in_group") < n_per_group)
         .select(group_col, key_col, "rank_in_group")
     )
+
+
+def weighted_sample_es(
+    docs: DataFrame,
+    n: int,
+    weight_col: str = "n_chars",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis 2006):
+    keep the n rows with the largest u^(1/w) keys, where u is a per-row
+    uniform and w the row's weight — the one-pass distributed algorithm
+    for "sample 10k docs proportional to length/quality" (plain
+    Bernoulli can't hit an exact n; naive weighted-with-replacement
+    repeats rows). Returns (key_col, weight long, es_micro long),
+    the n winners.
+
+    Engine-portable determinism: u derives from a Lehmer LCG on the key
+    — u_int = (48271 · (key mod M + 1)) mod M with M = 2^31 - 1, exact
+    integer arithmetic in ANY engine (md5 is the repo's usual source of
+    portable randomness, but hex→integer conversion is not portable
+    SQL) — and the ES key ln(u)/w quantizes to integer micro-units, so
+    the ranking is exact. Zero-weight rows take weight 1 (greatest
+    guard) rather than dividing by zero.
+
+    Scale shape: the key computes in the scan projection; the global
+    top-n runs as orderBy + limit, which Spark executes as TakeOrdered —
+    per-partition partial top-n then a driver merge of n·partitions
+    rows — NEVER a full sort or an unpartitioned window."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    m = 2147483647  # 2^31 - 1, Lehmer modulus
+    u_int = (F.lit(48271) * (F.pmod(F.col(key_col).cast("long"), F.lit(m)) + 1)) % m
+    w = F.greatest(F.col(weight_col).cast("long"), F.lit(1))
+    es_micro = F.round(
+        F.lit(1000000.0) * F.log(u_int.cast("double") / m) / w, 0
+    ).cast("long")
+    return (
+        docs.select(
+            F.col(key_col), w.alias("weight"), es_micro.alias("es_micro")
+        )
+        .orderBy(F.desc("es_micro"), F.asc(key_col))
+        .limit(n)
+    )

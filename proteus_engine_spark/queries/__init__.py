@@ -153,7 +153,10 @@ from proteus_engine_spark.queries import (  # noqa: F401
 # batch sessionization via USER-partitioned lag/cumsum — the
 # well-partitioned window shape; cross-checks window_session's row
 # count) + events_transition_matrix (per-user Markov transitions,
-# enum×enum matrix, exact-division probabilities)
+# enum×enum matrix, exact-division probabilities), and
+# corpus_weighted_sample (Efraimidis-Spirakis weighted sampling
+# without replacement — Lehmer-LCG portable uniforms, micro-quantized
+# ES keys, TakeOrdered global top-n)
 # — all locally green at all three SFs
 # (r13_delta.json); they must lead the r14 window if they do not fit
 # r13's.

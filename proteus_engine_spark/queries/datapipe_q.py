@@ -3357,3 +3357,34 @@ def stream_count_min_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(total), only_stream == 0 and only_batch == 0)],
         "total_mass long, tables_match boolean",
     )
+
+
+@register(
+    "corpus_weighted_sample",
+    oracle="""
+    WITH es AS (
+      SELECT doc_id,
+             greatest(n_chars, 1) AS weight,
+             CAST(round(1000000.0
+                  * ln(((48271 * ((doc_id % 2147483647) + 1)) % 2147483647)
+                       * 1.0 / 2147483647)
+                  / greatest(n_chars, 1), 0) AS BIGINT) AS es_micro
+      FROM documents)
+    SELECT doc_id, CAST(weight AS BIGINT) AS weight, es_micro
+    FROM es ORDER BY es_micro DESC, doc_id LIMIT 50
+    """,
+    tags=("datapipe", "sampling"),
+)
+def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (sampling.weighted_sample_es,
+    Efraimidis-Spirakis): the 50 documents winning the u^(1/w) draw with
+    w = n_chars — "sample proportional to length" with an exact output
+    size, the primitive behind token-budget-aware subset selection. The
+    uniform comes from a Lehmer LCG on doc_id (exact integer arithmetic
+    in both engines) and the ES key quantizes to micro-units before
+    ranking; the global top-n is orderBy+limit (TakeOrdered — partial
+    per-partition top-n, never a full sort). Oracle reproduces draw,
+    quantization, and cut."""
+    from proteus_engine_spark.datapipe.sampling import weighted_sample_es
+
+    return weighted_sample_es(load_table(spark, sf_dir, "documents"), n=50)

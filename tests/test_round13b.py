@@ -688,3 +688,43 @@ def test_concordance_positions_and_clipped_windows(spark):
         (1, 3): "alpha beta target gamma delta",
         (2, 1): "target at start",
     }
+
+
+# ----------------------------- ES weighted sampling
+
+
+def test_weighted_sample_matches_python_mirror(spark):
+    from proteus_engine_spark.datapipe.sampling import weighted_sample_es
+
+    rows = [(i, (i * 37) % 200 + 1) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    got = [(r.doc_id, r.weight, r.es_micro) for r in
+           weighted_sample_es(df, n=10).collect()]
+
+    m = 2147483647
+    def es(i, w):
+        u = ((48271 * ((i % m) + 1)) % m) / m
+        return round(1e6 * math.log(u) / max(w, 1))
+    exp = sorted(
+        ((i, max(w, 1), es(i, w)) for i, w in rows),
+        key=lambda t: (-t[2], t[0]),
+    )[:10]
+    assert sorted(got, key=lambda t: (-t[2], t[0])) == exp
+
+
+def test_weighted_sample_zero_weight_guard(spark):
+    from proteus_engine_spark.datapipe.sampling import weighted_sample_es
+
+    df = spark.createDataFrame([(1, 0), (2, 5)], "doc_id long, n_chars long")
+    got = {r.doc_id: r.weight for r in weighted_sample_es(df, n=2).collect()}
+    assert got == {1: 1, 2: 5}
+
+
+def test_weighted_sample_plan_is_take_ordered(spark):
+    from proteus_engine_spark.datapipe.sampling import weighted_sample_es
+    from proteus_engine_spark.sources import load_table
+
+    out = weighted_sample_es(load_table(spark, SF, "documents"), n=50)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
