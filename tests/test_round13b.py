@@ -728,3 +728,25 @@ def test_weighted_sample_plan_is_take_ordered(spark):
     out.collect()
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_brute_force_topk_gemm_matches_fold(spark):
+    """The BLAS path must reproduce the fold path tuple-for-tuple —
+    same HALF_UP 1e-6 quantization, same (cos desc, c_id) cut."""
+    from pyspark.sql import functions as F
+
+    from proteus_engine_spark.datapipe.similarity import brute_force_topk
+    from proteus_engine_spark.sources import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    q = emb.filter("vec_id < 7").select(F.col("vec_id").alias("q_id"), vec.alias("vec"))
+    c = emb.select(F.col("vec_id").alias("c_id"), vec.alias("vec"))
+    fold = brute_force_topk(q, c, k=5, method="fold").collect()
+    gemm = brute_force_topk(q, c, k=5, method="gemm").collect()
+    key = lambda r: (r.q_id, r.rank)
+    assert sorted(([r.q_id, r.c_id, r.cos_sim, r.rank] for r in fold)) == \
+           sorted(([r.q_id, r.c_id, r.cos_sim, r.rank] for r in gemm))
+
+    with pytest.raises(ValueError):
+        brute_force_topk(q, c, k=5, method="nope")
