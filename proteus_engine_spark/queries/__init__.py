@@ -156,7 +156,10 @@ from proteus_engine_spark.queries import (  # noqa: F401
 # enum×enum matrix, exact-division probabilities), and
 # corpus_weighted_sample (Efraimidis-Spirakis weighted sampling
 # without replacement — Lehmer-LCG portable uniforms, micro-quantized
-# ES keys, TakeOrdered global top-n)
+# ES keys, TakeOrdered global top-n), events_rfm_scores (RFM quintile
+# segmentation — exact cents, ONE broadcast percentile-cuts aggregate,
+# never ntile) and events_anomaly_mad (median-absolute-deviation
+# outlier counts per event type, two exact-percentile passes)
 # — all locally green at all three SFs
 # (r13_delta.json); they must lead the r14 window if they do not fit
 # r13's.

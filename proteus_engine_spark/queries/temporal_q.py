@@ -317,3 +317,133 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n") * 1.0 / F.col("row_total"), 6).alias("p"),
         )
     )
+
+
+@register(
+    "events_rfm_scores",
+    oracle="""
+    WITH pur AS (SELECT user_id, ts, CAST(round(value * 100, 0) AS BIGINT) AS cents
+                 FROM events WHERE event_type = 'purchase'),
+    anchor AS (SELECT max(ts) AS a FROM pur),
+    rfm AS (SELECT user_id,
+                   CAST(date_diff('day', CAST(max(ts) AS DATE),
+                                  CAST(anchor.a AS DATE)) AS BIGINT)
+                     AS recency_days,
+                   CAST(count(*) AS BIGINT) AS frequency,
+                   CAST(sum(cents) AS BIGINT) AS monetary_cents
+            FROM pur CROSS JOIN anchor GROUP BY user_id, anchor.a),
+    cuts AS (SELECT quantile_cont(-recency_days, [0.2, 0.4, 0.6, 0.8]) AS rc,
+                    quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]) AS fc,
+                    quantile_cont(monetary_cents, [0.2, 0.4, 0.6, 0.8]) AS mc
+             FROM rfm)
+    SELECT user_id, recency_days, frequency, monetary_cents,
+           CAST(len(list_filter(rc, c -> c < -recency_days)) + 1 AS INT) AS r_score,
+           CAST(len(list_filter(fc, c -> c < frequency)) + 1 AS INT) AS f_score,
+           CAST(len(list_filter(mc, c -> c < monetary_cents)) + 1 AS INT) AS m_score
+    FROM rfm CROSS JOIN cuts
+    """,
+    tags=("temporal", "analytics"),
+)
+def events_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — recency / frequency / monetary quintile scores
+    per purchasing user (5 = best on every axis; recency scores over the
+    NEGATED day count so the most recent buyers land in quintile 5).
+    Monetary is exact integer cents (round(value·100) before the sum —
+    the exact-cents discipline). All three quintile cut-point arrays
+    come from ONE 1-row percentile aggregate broadcast back (the
+    quality_buckets discipline — never ntile, which is an unpartitioned
+    user-cardinality sort); scores are per-row strict-< cut counts,
+    mirrored exactly in the oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    anchor = pur.agg(F.max("ts").alias("a"))
+    rfm = (
+        pur.crossJoin(F.broadcast(anchor))
+        .groupBy("user_id", "a")
+        .agg(
+            F.datediff(F.to_date(F.max("a")), F.to_date(F.max("ts")))
+            .cast("long")
+            .alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum("cents").alias("monetary_cents"),
+        )
+        .drop("a")
+    )
+    qs = F.array(*[F.lit(x) for x in (0.2, 0.4, 0.6, 0.8)])
+    cuts = rfm.agg(
+        F.percentile(-F.col("recency_days"), qs).alias("rc"),
+        F.percentile(F.col("frequency"), qs).alias("fc"),
+        F.percentile(F.col("monetary_cents"), qs).alias("mc"),
+    )
+    return rfm.crossJoin(F.broadcast(cuts)).select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        (F.expr("size(filter(rc, c -> c < -recency_days))") + 1)
+        .cast("int")
+        .alias("r_score"),
+        (F.expr("size(filter(fc, c -> c < frequency))") + 1)
+        .cast("int")
+        .alias("f_score"),
+        (F.expr("size(filter(mc, c -> c < monetary_cents))") + 1)
+        .cast("int")
+        .alias("m_score"),
+    )
+
+
+@register(
+    "events_anomaly_mad",
+    oracle="""
+    WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+                 FROM events GROUP BY event_type),
+    dev AS (SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS ad
+            FROM events e JOIN med m USING (event_type)),
+    mad AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad
+            FROM dev GROUP BY event_type)
+    SELECT d.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN d.ad > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_anomalies,
+           round(max(d.med), 6) AS med,
+           round(max(m.mad), 6) AS mad
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    """,
+    tags=("temporal", "analytics", "quality"),
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly counting per event type — median absolute
+    deviation, the outlier flag that mean/stddev z-scores can't give on
+    heavy-tailed value distributions (the mean follows the outliers; the
+    median doesn't). Two exact-percentile aggregates (median, then MAD
+    over absolute deviations) with enum-sized broadcast joins between —
+    never a per-type window; the > 3·MAD comparison is the same IEEE
+    double arithmetic in both engines (Spark `percentile` ≡ DuckDB
+    `quantile_cont` interpolation, the established parity)."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "ad", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("ad", F.lit(0.5)).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("ad") > 3 * F.col("mad"), 1).otherwise(0)
+            ).alias("n_anomalies"),
+            F.round(F.max("med"), 6).alias("med"),
+            F.round(F.max("mad"), 6).alias("mad"),
+        )
+    )
