@@ -105,6 +105,13 @@ HEADLINE = [
     # exact integer micro-nat scoring)
     "text_bm25_topk",
     "text_nb_source_classify",
+    # added round 13, fifth batch (exclude from like-for-like totals):
+    # kNN label transfer on the BLAS partial-top-k path, the composed
+    # end-to-end pipeline run (filter ∧ dedup keep → kept report), and
+    # gap-based batch sessionization (user-partitioned lag + cumsum)
+    "sim_knn_classify",
+    "corpus_pipeline_e2e",
+    "events_sessionize",
 ]
 
 
