@@ -159,7 +159,10 @@ from proteus_engine_spark.queries import (  # noqa: F401
 # ES keys, TakeOrdered global top-n), events_rfm_scores (RFM quintile
 # segmentation — exact cents, ONE broadcast percentile-cuts aggregate,
 # never ntile) and events_anomaly_mad (median-absolute-deviation
-# outlier counts per event type, two exact-percentile passes)
+# outlier counts per event type, two exact-percentile passes), and
+# dedup_incremental_fuzzy (the NEAR-DUP tier of continuous-crawl dedup
+# — bipartite batch-vs-corpus MinHash band join, exact-verified, LEFT
+# ANTI on matched ids)
 # — all locally green at all three SFs
 # (r13_delta.json); they must lead the r14 window if they do not fit
 # r13's.

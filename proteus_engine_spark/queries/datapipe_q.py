@@ -3388,3 +3388,55 @@ def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from proteus_engine_spark.datapipe.sampling import weighted_sample_es
 
     return weighted_sample_es(load_table(spark, sf_dir, "documents"), n=50)
+
+
+@register(
+    "dedup_incremental_fuzzy",
+    oracle=r"""
+    WITH sh AS (
+      SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ')
+                     FOR i IN range(1, greatest(len(t)-2, 1)+1)]) AS s
+      FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+            FROM documents)),
+    b AS (SELECT doc_id, s FROM sh WHERE doc_id % 3 = 0),
+    c AS (SELECT doc_id, s FROM sh WHERE doc_id % 2 = 0),
+    bg AS (SELECT doc_id, unnest(s) AS g FROM b),
+    cg AS (SELECT doc_id, unnest(s) AS g FROM c),
+    bs AS (SELECT doc_id, len(s) AS n FROM b),
+    cs AS (SELECT doc_id, len(s) AS n FROM c),
+    common AS (
+      SELECT bg.doc_id AS a, cg.doc_id AS e, count(*) AS cnt
+      FROM bg JOIN cg ON bg.g = cg.g GROUP BY 1, 2),
+    matched AS (
+      SELECT DISTINCT a FROM common
+      JOIN bs ON bs.doc_id = common.a
+      JOIN cs ON cs.doc_id = common.e
+      WHERE CAST(cnt AS DOUBLE) / (bs.n + cs.n - cnt) >= 0.5)
+    SELECT d.doc_id, d.source FROM documents d
+    WHERE d.doc_id % 3 = 0 AND d.doc_id NOT IN (SELECT a FROM matched)
+    """,
+    tags=("datapipe", "dedup"),
+)
+def dedup_incremental_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-DUP incremental dedup — the fuzzy tier of the continuous-
+    crawl shape (dedup_incremental drops byte-exact re-crawls; this
+    tier drops re-crawls that were lightly edited/re-punctuated): the
+    re-ingest batch (doc_id % 3 = 0) keeps only documents with NO
+    corpus neighbor (doc_id % 2 = 0) at shingle-Jaccard >= 0.5,
+    via the BIPARTITE MinHash band join of decontam.fuzzy_overlap_pairs
+    (batch bands join corpus bands — batch-batch collisions never
+    generated; candidates exact-verified JVM-side) and a LEFT ANTI join
+    on the matched ids. The doc_id % 6 = 0 cohort appears VERBATIM on
+    both sides (J = 1), so the drop branch fires at every SF; the LSH
+    parameters (64 perm / 16 bands) give recall 1 at J >= 0.5 at the
+    gate SFs (the minhash_lsh_pairs discipline), so the exact-Jaccard
+    oracle matches the approximate path."""
+    from proteus_engine_spark.datapipe.decontam import fuzzy_overlap_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    pairs = fuzzy_overlap_pairs(batch, corpus, jaccard_threshold=0.5)
+    return batch.join(
+        pairs.select("doc_id").distinct(), "doc_id", "left_anti"
+    ).select("doc_id", "source")

@@ -750,3 +750,31 @@ def test_brute_force_topk_gemm_matches_fold(spark):
 
     with pytest.raises(ValueError):
         brute_force_topk(q, c, k=5, method="nope")
+
+
+# ----------------------------- fuzzy incremental dedup
+
+
+def test_incremental_fuzzy_drops_near_dups_not_distinct(spark):
+    from proteus_engine_spark.datapipe.decontam import fuzzy_overlap_pairs
+
+    # 20 tokens -> 18 shingles; a single edited token kills 3 of them,
+    # leaving J = 15/21 ~ 0.714 >= 0.5 (a 10-token doc would fall to
+    # 5/11 ~ 0.45 and miss the threshold)
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon")
+    corpus = spark.createDataFrame(
+        [(100, base), (101, "totally different words entirely here now ok yes")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, base),                                  # verbatim re-crawl
+            (2, base.replace("delta", "DELTA!")),       # light edit, J >= 0.5
+            (3, "unrelated fresh content nothing shared with anything"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = fuzzy_overlap_pairs(batch, corpus, jaccard_threshold=0.5)
+    matched = {r.doc_id for r in pairs.select("doc_id").distinct().collect()}
+    assert 1 in matched and 2 in matched and 3 not in matched
