@@ -162,7 +162,10 @@ from proteus_engine_spark.queries import (  # noqa: F401
 # outlier counts per event type, two exact-percentile passes), and
 # dedup_incremental_fuzzy (the NEAR-DUP tier of continuous-crawl dedup
 # — bipartite batch-vs-corpus MinHash band join, exact-verified, LEFT
-# ANTI on matched ids)
+# ANTI on matched ids), and stream_window_approx_distinct (HLL++ inside
+# a watermarked streaming window agg — where COUNT DISTINCT is
+# structurally unavailable — verdict-bounded per window vs batch exact
+# with the small-cardinality absolute floor)
 # — all locally green at all three SFs
 # (r13_delta.json); they must lead the r14 window if they do not fit
 # r13's.

@@ -2232,3 +2232,55 @@ def cep_group_stream_unbounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, g, "user_id", watermark_delay="10 minutes"
     )
     return run_to_completion(out, "cep_group_stream_sink", "append")
+
+
+@register(
+    "stream_window_approx_distinct",
+    oracle="""
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+           true AS within_bounds
+    FROM events GROUP BY 1
+    """,
+    tags=("streaming", "window", "sketch"),
+)
+def stream_window_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed approximate-distinct ON THE STREAM — the two families
+    composed: HLL++ (approx_count_distinct, rsd 0.02) runs INSIDE a
+    watermarked tumbling-window streaming aggregate (sketches are ideal
+    streaming state — fixed-size, mergeable across micro-batches), and
+    the gate emits the agg_approx_distinct_bounds verdict per window:
+    |approx − exact| ≤ max(0.1·exact, 2) — the relative bound carries an
+    absolute floor of 2 because at single-digit cardinalities the 10%
+    slack is under one unit while HLL++ can still be off by one (the
+    sparse-register regime; observed on the two smallest boundary
+    windows of the replay). Exact counts come from the batch table
+    (COUNT DISTINCT is not available in streaming aggregation — exactly
+    why the sketch tier exists). The oracle recomputes the exact
+    per-window counts and expects a uniformly true verdict."""
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx"))
+        .select(F.col("w.start").alias("window_start"), "approx")
+    )
+    streamed = run_to_completion(
+        agg, "stream_wad_sink", "complete"
+    )
+    from proteus_engine_spark.sources import load_table
+
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.countDistinct("user_id").alias("exact_distinct"))
+        .select(F.col("w.start").alias("window_start"), "exact_distinct")
+    )
+    return exact.join(streamed, "window_start").select(
+        "window_start",
+        "exact_distinct",
+        (
+            F.abs(F.col("approx") - F.col("exact_distinct"))
+            <= F.greatest(0.1 * F.col("exact_distinct"), F.lit(2.0))
+        ).alias("within_bounds"),
+    )
