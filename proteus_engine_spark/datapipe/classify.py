@@ -58,16 +58,22 @@ def nb_token_model(
     totals n(c) are computed over the PRUNED vocabulary so the model
     stays a proper distribution over the terms it ships.
 
-    Scale shape: ONE tokenize pass feeds a (class, term) count with
-    map-side combine [the vocabulary-sized shuffle]; n(c), V, and the
-    vocabulary all derive from that frame; densification is a
+    Scale shape: ONE tokenize pass, guaranteed structurally — the
+    (class, term) count is eagerly localCheckpoint-ed (its consumers
+    prune columns divergently, defeating exchange reuse) and n_docs
+    derives from the class-count frame, so training runs exactly two
+    jobs over the corpus (doc counts + token counts); n(c), V, and the
+    vocabulary all derive from the checkpoint; densification is a
     vocab × classes crossJoin where the class list is a broadcast 1-side
     (classes are enum-sized) followed by a left join of the observed
     counts. Priors are a class-keyed doc count [enum-sized]."""
     cls = F.col(class_col)
-    dcount = train.groupBy(class_col).agg(F.count(F.lit(1)).alias("n_docs_c"))
+    dcount = train.groupBy(class_col).agg(
+        F.count(F.lit(1)).alias("n_docs_c")
+    ).localCheckpoint(eager=True)  # class-enum-sized; total derives from it
+    # n_docs = sum of the class counts — never a second corpus scan
     priors = (
-        dcount.crossJoin(F.broadcast(train.agg(F.count(F.lit(1)).alias("n_docs"))))
+        dcount.crossJoin(F.broadcast(dcount.agg(F.sum("n_docs_c").alias("n_docs"))))
         .select(
             class_col,
             _micro(F.log(F.col("n_docs_c").cast("double") / F.col("n_docs"))).alias(
@@ -76,10 +82,16 @@ def nb_token_model(
         )
     )
 
+    # the (class, term) count is EAGERLY checkpointed: vocab, n(c), V,
+    # and the dense left join all branch from it with divergent column
+    # pruning, so exchange reuse cannot protect the tokenize pass (the
+    # bigram_pmi_top / source_divergence discipline) — without the
+    # checkpoint the corpus would re-tokenize once per branch
     ct = (
         train.select(cls, F.explode(_tokens(text_col)).alias("term"))
         .groupBy(class_col, "term")
         .agg(F.count(F.lit(1)).alias("n_ct"))
+        .localCheckpoint(eager=True)
     )
     if min_count > 1:
         kept = (

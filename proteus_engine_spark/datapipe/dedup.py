@@ -1103,10 +1103,7 @@ def incremental_dedup(
     bucketed-by-digest table so step 1 amortizes across daily batches
     and the anti join co-locates without shuffling the corpus."""
     corpus_digests = (
-        corpus.select(F.md5(F.col(text_col)).alias("content_hash"))
-        .groupBy("content_hash")
-        .agg(F.lit(1).alias("_one"))
-        .select("content_hash")
+        corpus.select(F.md5(F.col(text_col)).alias("content_hash")).distinct()
     )
     batch_best = (
         batch.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))

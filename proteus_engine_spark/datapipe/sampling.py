@@ -621,12 +621,16 @@ def weighted_sample_es(
     the n winners.
 
     Engine-portable determinism: u derives from a Lehmer LCG on the key
-    — u_int = (48271 · (key mod M + 1)) mod M with M = 2^31 - 1, exact
-    integer arithmetic in ANY engine (md5 is the repo's usual source of
-    portable randomness, but hex→integer conversion is not portable
-    SQL) — and the ES key ln(u)/w quantizes to integer micro-units, so
-    the ranking is exact. Zero-weight rows take weight 1 (greatest
-    guard) rather than dividing by zero.
+    — u_int = (48271 · (key mod (M-1) + 1)) mod M with M = 2^31 - 1,
+    exact integer arithmetic in ANY engine (md5 is the repo's usual
+    source of portable randomness, but hex→integer conversion is not
+    portable SQL). The seed maps into [1, M-1] — the Lehmer domain — so
+    u_int is NEVER 0 (M is prime): ln(u) stays finite everywhere, which
+    matters because DuckDB's ln(0) RAISES while Spark's returns NULL (a
+    key ≡ M-1 under a plain mod-M seed would abort the oracle and rank
+    last in the engine). The ES key ln(u)/w quantizes to integer
+    micro-units, so the ranking is exact. Zero-weight rows take weight 1
+    (greatest guard) rather than dividing by zero.
 
     Scale shape: the key computes in the scan projection; the global
     top-n runs as orderBy + limit, which Spark executes as TakeOrdered —
@@ -634,8 +638,10 @@ def weighted_sample_es(
     rows — NEVER a full sort or an unpartitioned window."""
     if n < 1:
         raise ValueError("n must be >= 1")
-    m = 2147483647  # 2^31 - 1, Lehmer modulus
-    u_int = (F.lit(48271) * (F.pmod(F.col(key_col).cast("long"), F.lit(m)) + 1)) % m
+    m = 2147483647  # 2^31 - 1, Lehmer modulus; seeds live in [1, m-1]
+    u_int = (
+        F.lit(48271) * (F.pmod(F.col(key_col).cast("long"), F.lit(m - 1)) + 1)
+    ) % m
     w = F.greatest(F.col(weight_col).cast("long"), F.lit(1))
     es_micro = F.round(
         F.lit(1000000.0) * F.log(u_int.cast("double") / m) / w, 0

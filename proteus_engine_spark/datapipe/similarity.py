@@ -101,12 +101,19 @@ def _gemm_topk_scores(
     import numpy as np
 
     q_rows = queries.select(q_id, vec).collect()
-    qids = [r[0] for r in q_rows]
-    Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
-    qn = np.sqrt((Q * Q).sum(axis=1))
     q_dt = queries.schema[q_id].dataType.simpleString()
     c_dt = corpus.schema[c_id].dataType.simpleString()
     out_schema = f"{q_id} {q_dt}, {c_id} {c_dt}, cos_sim double"
+    if not q_rows:  # np.stack([]) would raise; the fold path returns empty
+        return queries.sparkSession.createDataFrame([], out_schema)
+    qids = [r[0] for r in q_rows]
+    Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    qn = np.sqrt((Q * Q).sum(axis=1))
+    if (qn == 0).any():
+        # the fold path yields NULL cosines for a zero-norm query (every
+        # candidate unrankable); failing fast beats silently ranking on
+        # NaN, which Spark sorts ABOVE every real value in a desc window
+        raise ValueError("gemm path: query vector with zero norm")
 
     def score(batches):
         import pandas as pd
@@ -117,6 +124,16 @@ def _gemm_topk_scores(
             ids = pdf[c_id].to_numpy()
             M = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec]])
             mn = np.sqrt((M * M).sum(axis=1))
+            # zero-norm corpus vectors are unrankable (the fold path gives
+            # them NULL cosine, which sorts LAST in the desc window and
+            # never enters a top-k with >= k real candidates); dropping
+            # them here keeps NaN out of the scores — Spark sorts NaN
+            # FIRST in a desc window, the opposite of NULL
+            keep = mn > 0
+            if not keep.all():
+                ids, M, mn = ids[keep], M[keep], mn[keep]
+                if not len(ids):
+                    continue
             G = (Q @ M.T) / np.outer(qn, mn)
             C = np.sign(G) * np.floor(np.abs(G) * 1e6 + 0.5) / 1e6
             kk = min(k, len(ids))

@@ -65,6 +65,22 @@ def misra_gries_heavy_hitters(
     return partials.groupBy("item").agg(F.sum("est").alias("est"))
 
 
+def _cm_buckets(item_col: str, depth: int, width: int) -> list:
+    """The seeded (row, bucket) struct array shared by table build and
+    probe — ONE definition, because estimates only probe the right cells
+    if both sides derive identical buckets (the "SAME seeded hashes"
+    invariant)."""
+    return [
+        F.struct(
+            F.lit(i).alias("row"),
+            F.pmod(F.xxhash64(F.col(item_col), F.lit(i)), F.lit(width)).alias(
+                "bucket"
+            ),
+        )
+        for i in range(depth)
+    ]
+
+
 def count_min_table(
     df: DataFrame,
     item_col: str,
@@ -83,15 +99,7 @@ def count_min_table(
     (Cormode & Muthukrishnan 2005)."""
     if depth < 1 or width < 1:
         raise ValueError("depth and width must be >= 1")
-    rows = [
-        F.struct(
-            F.lit(i).alias("row"),
-            F.pmod(F.xxhash64(F.col(item_col), F.lit(i)), F.lit(width)).alias(
-                "bucket"
-            ),
-        )
-        for i in range(depth)
-    ]
+    rows = _cm_buckets(item_col, depth, width)
     return (
         df.select(F.explode(F.array(*rows)).alias("rb"))
         .select(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
@@ -115,15 +123,7 @@ def count_min_estimate(
     (item_col, est long). The join is broadcast-friendly in both
     directions: the table is depth·width rows, the query set is
     typically small."""
-    rows = [
-        F.struct(
-            F.lit(i).alias("row"),
-            F.pmod(F.xxhash64(F.col(item_col), F.lit(i)), F.lit(width)).alias(
-                "bucket"
-            ),
-        )
-        for i in range(depth)
-    ]
+    rows = _cm_buckets(item_col, depth, width)
     probes = items.select(
         F.col(item_col), F.explode(F.array(*rows)).alias("rb")
     ).select(item_col, F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))

@@ -747,6 +747,11 @@ def bm25_topk(
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    # df REFERENCES tf (count of tf>=1 == count(*) — tf is never 0): a
+    # bare count(*) would let Catalyst prune tf on this branch, the two
+    # tf subplans would canonicalize apart, and ReusedExchange would
+    # never fire for the scoring join (the tfidf_top_terms trick — see
+    # its comment for the plan test)
     dfreq = tf.groupBy("term").agg(F.count(F.when(F.col("tf") >= 1, 1)).alias("df"))
 
     scored = (

@@ -3366,7 +3366,7 @@ def stream_count_min_table(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              greatest(n_chars, 1) AS weight,
              CAST(round(1000000.0
-                  * ln(((48271 * ((doc_id % 2147483647) + 1)) % 2147483647)
+                  * ln(((48271 * ((doc_id % 2147483646) + 1)) % 2147483647)
                        * 1.0 / 2147483647)
                   / greatest(n_chars, 1), 0) AS BIGINT) AS es_micro
       FROM documents)

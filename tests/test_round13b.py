@@ -703,7 +703,7 @@ def test_weighted_sample_matches_python_mirror(spark):
 
     m = 2147483647
     def es(i, w):
-        u = ((48271 * ((i % m) + 1)) % m) / m
+        u = ((48271 * ((i % (m - 1)) + 1)) % m) / m  # seed in [1, m-1]: u never 0
         return round(1e6 * math.log(u) / max(w, 1))
     exp = sorted(
         ((i, max(w, 1), es(i, w)) for i, w in rows),
