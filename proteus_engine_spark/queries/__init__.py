@@ -165,7 +165,9 @@ from proteus_engine_spark.queries import (  # noqa: F401
 # ANTI on matched ids), and stream_window_approx_distinct (HLL++ inside
 # a watermarked streaming window agg — where COUNT DISTINCT is
 # structurally unavailable — verdict-bounded per window vs batch exact
-# with the small-cardinality absolute floor)
+# with the small-cardinality absolute floor), and events_value_histogram
+# (exact equi-width per-type histograms — broadcast min/max, scan-rate
+# binning, clamped right edge)
 # — all locally green at all three SFs
 # (r13_delta.json); they must lead the r14 window if they do not fit
 # r13's.

@@ -447,3 +447,46 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("mad"), 6).alias("mad"),
         )
     )
+
+
+@register(
+    "events_value_histogram",
+    oracle="""
+    WITH b AS (SELECT event_type, min(value) AS lo, max(value) AS hi
+               FROM events GROUP BY event_type),
+    binned AS (
+      SELECT e.event_type,
+             CAST(least(floor((e.value - b.lo) / ((b.hi - b.lo) / 10.0)), 9)
+                  AS BIGINT) AS bin
+      FROM events e JOIN b USING (event_type))
+    SELECT event_type, bin, CAST(count(*) AS BIGINT) AS n
+    FROM binned GROUP BY event_type, bin
+    """,
+    tags=("temporal", "analytics", "profile"),
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-width value histograms per event type — the
+    distribution profile behind every warehouse column-stats panel (the
+    exact counterpart of Spark's approximate histogram_numeric, which is
+    engine-specific and unverifiable). Ten bins spanning [min, max] per
+    type; the max value clamps into the last bin (least(…, 9) — the
+    right-edge convention, mirrored in the oracle). Per-type min/max is
+    one enum-sized aggregate broadcast back; binning is a scan-rate
+    expression and the histogram is one (type, bin) count. The bin
+    arithmetic is identical IEEE double math in both engines."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    b = ev.groupBy("event_type").agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    return (
+        ev.join(F.broadcast(b), "event_type")
+        .select(
+            "event_type",
+            F.least(
+                F.floor((F.col("value") - F.col("lo")) / ((F.col("hi") - F.col("lo")) / 10.0)),
+                F.lit(9),
+            ).cast("long").alias("bin"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
