@@ -167,7 +167,9 @@ from proteus_engine_spark.queries import (  # noqa: F401
 # structurally unavailable — verdict-bounded per window vs batch exact
 # with the small-cardinality absolute floor), and events_value_histogram
 # (exact equi-width per-type histograms — broadcast min/max, scan-rate
-# binning, clamped right edge)
+# binning, clamped right edge) and events_active_users (rolling
+# DAU/WAU/MAU — constant-bounded offset explode + distinct-frame
+# counts, never a sliding distinct window over users)
 # — all locally green at all three SFs
 # (r13_delta.json); they must lead the r14 window if they do not fit
 # r13's.

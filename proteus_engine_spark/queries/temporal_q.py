@@ -490,3 +490,62 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "bin")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "events_active_users",
+    oracle="""
+    WITH ud AS (SELECT DISTINCT user_id,
+                       date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                         AS day
+                FROM events),
+    dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY day),
+    w AS (SELECT DISTINCT user_id, day + off AS tday
+          FROM ud, unnest(generate_series(0, 6)) AS t(off)),
+    wau AS (SELECT tday AS day, CAST(count(*) AS BIGINT) AS wau
+            FROM w GROUP BY tday),
+    m AS (SELECT DISTINCT user_id, day + off AS tday
+          FROM ud, unnest(generate_series(0, 29)) AS t(off)),
+    mau AS (SELECT tday AS day, CAST(count(*) AS BIGINT) AS mau
+            FROM m GROUP BY tday)
+    SELECT dau.day, dau.dau, wau.wau, mau.mau
+    FROM dau JOIN wau USING (day) JOIN mau USING (day)
+    """,
+    tags=("temporal", "analytics"),
+)
+def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling engagement metrics — DAU / WAU / MAU per day (distinct
+    users that day / in the trailing 7 / trailing 30 days), the
+    canonical product-health rollup. The trailing-window distinct is
+    NEVER a sliding window over users: each distinct (user, day) row
+    explodes to its 7 (resp. 30) contributing target days — a
+    CONSTANT-bounded explode — and de-duplicates per target day, so
+    every count is a plain distinct-frame count and the shuffles are
+    (user, day)-keyed. Days are whole blocks since the fixed epoch
+    anchor (the cohort-retention arithmetic); output rows are days with
+    at least one event (the DAU join prunes phantom trailing days)."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id",
+        F.expr("datediff(to_date(ts), DATE '2024-01-01')").cast("long").alias("day"),
+    ).distinct()
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+
+    def rolling(n: int, out: str) -> DataFrame:
+        return (
+            ud.select(
+                "user_id",
+                F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("off"),
+                "day",
+            )
+            .select("user_id", (F.col("day") + F.col("off")).alias("day"))
+            .distinct()
+            .groupBy("day")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    return (
+        dau.join(rolling(7, "wau"), "day")
+        .join(rolling(30, "mau"), "day")
+        .select("day", "dau", "wau", "mau")
+    )
