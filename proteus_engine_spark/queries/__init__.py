@@ -169,7 +169,9 @@ from proteus_engine_spark.queries import (  # noqa: F401
 # (exact equi-width per-type histograms — broadcast min/max, scan-rate
 # binning, clamped right edge) and events_active_users (rolling
 # DAU/WAU/MAU — constant-bounded offset explode + distinct-frame
-# counts, never a sliding distinct window over users)
+# counts, never a sliding distinct window over users) and
+# events_value_gini (per-type Gini over exact cents — Σ rank·cents as
+# exact longs via the two-phase rank, mirrored tie-break)
 # — all locally green at all three SFs
 # (r13_delta.json); they must lead the r14 window if they do not fit
 # r13's.

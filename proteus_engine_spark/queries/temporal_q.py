@@ -549,3 +549,69 @@ def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(rolling(30, "mau"), "day")
         .select("day", "dau", "wau", "mau")
     )
+
+
+@register(
+    "events_value_gini",
+    oracle="""
+    WITH c AS (SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS cents,
+                      event_id
+               FROM events),
+    r AS (SELECT event_type, cents,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY cents, event_id) AS rk
+          FROM c),
+    s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(cents) AS BIGINT) AS total_cents,
+                 CAST(sum(rk * cents) AS BIGINT) AS weighted
+          FROM r GROUP BY event_type)
+    SELECT event_type, n, total_cents,
+           round(2.0 * weighted / (n * total_cents) - (n + 1.0) / n, 6) AS gini
+    FROM s
+    """,
+    tags=("temporal", "analytics", "profile"),
+)
+def events_value_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-concentration profile: the Gini coefficient of each event
+    type's value distribution — the inequality readout behind "do 1% of
+    transactions carry 50% of the value" capacity and fraud questions.
+    Values quantize to exact integer cents FIRST, so Σ rank·cents and
+    the total are exact longs (accumulation-order-proof; only the final
+    two-division formula is floating point, identical in both engines).
+    Ranks come from the parallel range sort + two-phase zip_with_index
+    with enum-sized per-type offsets broadcast back (the fixed_n_sample
+    shape) — never a data-cardinality window; (cents, event_id) ties
+    break identically in both engines."""
+    from proteus_engine_spark.operators.partitioning import zip_with_index
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        "event_id",
+    )
+    ordered = ev.orderBy("event_type", "cents", "event_id")
+    idx = zip_with_index(ordered, out="__idx__")
+    offs = F.broadcast(
+        idx.groupBy("event_type").agg(F.min("__idx__").alias("__off__"))
+    )
+    ranked = idx.join(offs, "event_type").withColumn(
+        "rk", F.col("__idx__") - F.col("__off__") + 1
+    )
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("total_cents"),
+            F.sum(F.col("rk") * F.col("cents")).alias("weighted"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "total_cents",
+            F.round(
+                2.0 * F.col("weighted") / (F.col("n") * F.col("total_cents"))
+                - (F.col("n") + 1.0) / F.col("n"),
+                6,
+            ).alias("gini"),
+        )
+    )
