@@ -171,7 +171,9 @@ from proteus_engine_spark.queries import (  # noqa: F401
 # DAU/WAU/MAU — constant-bounded offset explode + distinct-frame
 # counts, never a sliding distinct window over users) and
 # events_value_gini (per-type Gini over exact cents — Σ rank·cents as
-# exact longs via the two-phase rank, mirrored tie-break)
+# exact longs via the two-phase rank, mirrored tie-break) and
+# events_interarrival_stats (median/p95 same-type event gaps — well-
+# partitioned lag, integer seconds, percentile parity)
 # — all locally green at all three SFs
 # (r13_delta.json); they must lead the r14 window if they do not fit
 # r13's.

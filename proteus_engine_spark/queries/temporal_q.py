@@ -615,3 +615,52 @@ def events_value_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gini"),
         )
     )
+
+
+@register(
+    "events_interarrival_stats",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type, ts,
+             lag(ts) OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id) AS prev_ts
+      FROM events),
+    gaps AS (SELECT event_type,
+                    date_diff('second', prev_ts, ts) AS gap_s
+             FROM o WHERE prev_ts IS NOT NULL)
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+           round(quantile_cont(gap_s, 0.5), 6) AS median_gap_s,
+           round(quantile_cont(gap_s, 0.95), 6) AS p95_gap_s
+    FROM gaps GROUP BY event_type
+    """,
+    tags=("temporal", "analytics", "profile"),
+)
+def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type inter-arrival profile: the median and p95 gap between a
+    user's consecutive events of the same type — the cadence readout
+    behind rate-limit tuning, session-gap calibration (feed the median
+    into events_sessionize's threshold), and bot detection (machine
+    cadence collapses the median). Gaps come from a (user, type)-
+    partitioned lag — bounded per-partition work, the well-partitioned
+    window shape — in whole integer seconds (exact longs); the
+    percentiles are the established Spark percentile ≡ DuckDB
+    quantile_cont parity over those integers, rounded at 1e-6."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gaps = (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .filter(F.col("prev_ts").isNotNull())
+        .select(
+            "event_type",
+            (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")).alias("gap_s"),
+        )
+    )
+    return gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.round(F.percentile("gap_s", F.lit(0.5)), 6).alias("median_gap_s"),
+        F.round(F.percentile("gap_s", F.lit(0.95)), 6).alias("p95_gap_s"),
+    )
