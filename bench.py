@@ -112,6 +112,13 @@ HEADLINE = [
     "sim_knn_classify",
     "corpus_pipeline_e2e",
     "events_sessionize",
+    # added round 14 (exclude from cross-round like-for-like totals):
+    # one representative each of the r13 events-analytics and sketch
+    # families (r13 verdict item 7) — rolling DAU/WAU/MAU (constant-
+    # bounded offset explode + distinct-frame counts) and the Count-Min
+    # table + heavy-hitter probe (pure-codegen seeded bucketing)
+    "events_active_users",
+    "agg_count_min_bounds",
 ]
 
 

@@ -620,15 +620,22 @@ def weighted_sample_es(
     repeats rows). Returns (key_col, weight long, es_micro long),
     the n winners.
 
-    Engine-portable determinism: u derives from a Lehmer LCG on the key
-    — u_int = (48271 · (key mod (M-1) + 1)) mod M with M = 2^31 - 1,
-    exact integer arithmetic in ANY engine (md5 is the repo's usual
-    source of portable randomness, but hex→integer conversion is not
-    portable SQL). The seed maps into [1, M-1] — the Lehmer domain — so
-    u_int is NEVER 0 (M is prime): ln(u) stays finite everywhere, which
-    matters because DuckDB's ln(0) RAISES while Spark's returns NULL (a
-    key ≡ M-1 under a plain mod-M seed would abort the oracle and rank
-    last in the engine). The ES key ln(u)/w quantizes to integer
+    Engine-portable determinism: u derives from an ITERATED Lehmer LCG
+    on the key — seed = key mod (M-1) + 1, then u_int = 48271·u mod M
+    applied THREE times, with M = 2^31 - 1; exact integer arithmetic in
+    ANY engine (md5 is the repo's usual source of portable randomness,
+    but hex→integer conversion is not portable SQL). A SINGLE step is
+    not enough: 48271·(key+1) only wraps the modulus for keys ≥ ~44,488,
+    so for small sequential ids (every gate SF) one step is strictly
+    monotone in the key and spans a sliver of (0, 1] — the "random"
+    sample would degenerate into a largest-id-biased deterministic
+    selection (r13 advice). Iterating fixes it unconditionally: after
+    the first step u ≥ 48271 for every seed, and 48271·48271 > M, so
+    the second step wraps for ALL seeds; the third adds mixing margin.
+    The seed maps into [1, M-1] — the Lehmer domain, closed under the
+    step because M is prime — so u_int is NEVER 0: ln(u) stays finite
+    everywhere, which matters because DuckDB's ln(0) RAISES while
+    Spark's returns NULL. The ES key ln(u)/w quantizes to integer
     micro-units, so the ranking is exact. Zero-weight rows take weight 1
     (greatest guard) rather than dividing by zero.
 
@@ -639,9 +646,9 @@ def weighted_sample_es(
     if n < 1:
         raise ValueError("n must be >= 1")
     m = 2147483647  # 2^31 - 1, Lehmer modulus; seeds live in [1, m-1]
-    u_int = (
-        F.lit(48271) * (F.pmod(F.col(key_col).cast("long"), F.lit(m - 1)) + 1)
-    ) % m
+    u_int = F.pmod(F.col(key_col).cast("long"), F.lit(m - 1)) + 1
+    for _ in range(3):  # iterated: step 2 wraps for EVERY seed (see doc)
+        u_int = (F.lit(48271) * u_int) % m
     w = F.greatest(F.col(weight_col).cast("long"), F.lit(1))
     es_micro = F.round(
         F.lit(1000000.0) * F.log(u_int.cast("double") / m) / w, 0

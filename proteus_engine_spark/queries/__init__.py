@@ -23,224 +23,34 @@ from proteus_engine_spark.queries import (  # noqa: F401
     windows_q,
 )
 
-# Round-13 priority window (the driver checks the first ~50 registry
-# entries; r11 and r12 both recorded exactly 50): the SEVEN r12 oracle
-# gates that have never been driver-checked lead, as the r12 registry
-# comment mandated — q2_min_cost_supplier / q11_important_stock /
-# q20_potential_promotion (the last three TPC-H shapes over the derived
-# stand-in partsupp; q11's global total was REWORKED this round from an
-# unpartitioned window to the 1-row-broadcast pattern — the r12 verdict's
-# one scale-killer — and re-verified locally before entering the window),
-# text_duplicate_spans, text_bigram_logprob_pruned,
-# bucketing_sink_roundtrip, socket_sink_roundtrip. Then the ENTIRE
-# round-9 cohort (45 rows — every query whose latest driver green is r9),
-# continuing the <=4-round staleness cycle. 7 + 45 = 52 exceeds a 50-row
-# window by 2: positions 51-52 hold the two most change-stable r9 queries
-# (csv_roundtrip_agg, from_rows_dim_join — untouched source modules,
-# re-verified by this round's local replica), accepted as the minimal
-# staleness slip if the window truncates at 50; they lead the r14 cohort
-# otherwise. TWENTY-FOUR NEW r13 oracle gates follow at 53-76 —
-# dedup_lsh_salted_recall (the salted-split cap's >=0.85 recall floor,
-# measured on a deterministic 120-doc hot-bucket probe BOTH engines
-# derive from documents; flips the r12 "pytest-local only" status of the
-# recall number), text_remove_duplicate_spans (the span-REMOVAL tier
-# of exact-substring dedup — Lee et al.'s operational cut, STRING-gram
-# oracle), and dedup_semantic (SemDeDup cluster-then-prune over the
-# embeddings table — algorithm-mirror oracle, same n_iter=0 discipline
-# as sim_ann_ivf), plus text_decontaminate_bloom (the Bloom
-# runtime-filter tier of decontamination — broadcast-bitmap map-side
-# prune, output provably identical to the exact path, so the oracle is
-# the unchanged exact-overlap SQL) and text_decontaminate_fuzzy (the
-# near-dup-vs-benchmark tier — bipartite MinHash band join, exact-
-# Jaccard verified; % 10 = 5 eval split so planted dup pairs cross the
-# boundary), corpus_quality_buckets (CCNet decile split via broadcast
-# percentile cut points — never an ntile window), corpus_chunk_windows
-# (sliding token-window chunking, zero-shuffle) and corpus_shuffle_order
-# (deterministic md5 epoch permutation via parallel range sort + the
-# two-phase zip_with_index rank) and text_winnowing_fingerprints (the
-# MOSS shift-robust local fingerprint selection, zero-shuffle, md5-gram
-# portable), agg_approx_distinct_bounds (HLL++ sketch distinct with
-# a driver-checkable error-bound verdict), plus avro_roundtrip_agg (the
-# formerly env-blocked Avro format, rebuilt as a pure-Python container
-# codec — sources/avro_codec.py — so no spark-avro jar is needed) and
-# orc_roundtrip_agg / json_roundtrip_agg (the native columnar + row text
-# format paths, driver-gated instead of tests-only), and sim_ann_pq
-# (product-quantization ANN — per-subspace codebooks, one-scan integer
-# encoding, ADC candidate cut, exact re-rank; the FAISS-PQ kernel that
-# completes the similarity family's 10^9-vector story) with
-# sim_ann_ivfpq (the two levers composed: probed-cell prune + ADC), and
-# corpus_interleave_weighted (data-mixing sequencer — sources paced into
-# one stream by virtual time rank/weight, rank-in-source via global sort
-# + two-phase rank, never a per-source window) and
-# corpus_token_budget_sample (absolute per-source token quotas via the
-# pack_sequences two-phase prefix sum — the tier that completes
-# plan/rate/quota sampling) and dedup_exact_normalized (C4-style
-# canonicalization fused into the scan ahead of digest dedup) and
-# text_gopher_rules (the Rae et al. 2021 A1.1 seven-rule heuristic
-# filter — every ratio threshold an integer cross-multiplication,
-# zero-shuffle scan-fused) and corpus_dsir_select (Xie et al. 2023
-# hashed-ngram importance resampling toward a target domain — portable
-# md5-prefix string buckets, broadcast model + cutoff, two-phase rank)
-# and sim_ann_sq8 (FAISS QT_8bit scalar quantization — exact min/max
-# training, uint8 one-scan encode, asymmetric center scoring, exact
-# re-rank; FULL algorithm-mirror oracle incl. training) and
-# stream_gopher_filter (the same rule expression tree applied to the
-# document STREAM — online ingest filtering with per-source pass/fail
-# state, batch-vs-stream parity pytested) and corpus_bpe_token_counts
-# (the BPE ENCODE path hash-gated: fixed literal merges via Catalyst
-# folds, oracle re-derives them through an independent delimiter-
-# replace mechanism) and corpus_source_report (the per-source pipeline
-# health rollup: docs/tokens/Gopher-pass/exact-dup counts in one
-# composed query — one corpus scan + one digest-count join), and FOUR
-# more from the session's second wave: text_bm25_topk (Okapi BM25 batch
-# retrieval, Lucene idf, broadcast query terms pruning the postings
-# shuffle, rounded-then-ranked), text_nb_source_classify (the
-# model-based quality/domain filter tier: aggregation-trained
-# multinomial Naive Bayes, DENSE vocab×class model, exact integer
-# micro-nat scoring so accumulation order cannot move a score),
-# dedup_incremental (new-batch-vs-existing-corpus digest anti-join —
-# the continuous-crawl shape; overlapping %2/%3 splits fire both the
-# drop and survive branches at every SF), and corpus_ngram_diversity
-# (distinct-n/rep-n per source, single-projection gram arrays = ONE
-# corpus scan, plan-tested), and THREE over the labeled embedding
-# surface: sim_knn_classify (kNN label transfer — 5-NN majority vote
-# with integer micro-unit similarity mass so every tie-break layer is
-# exact), sim_hard_negatives (contrastive hard-negative mining —
-# cross-label top-k, label filter below the rank window), and
-# corpus_source_similarity (mirror-source detection — pairwise cosine
-# of per-source integer unigram profiles, exact long dot/norms,
-# term-keyed pair join bounded by the source enum), and sim_hybrid_rrf
-# (hybrid retrieval: doc-as-query BM25 via an in-plan query-term frame
-# + dense cosine, merged by reciprocal-rank fusion — with <=2 addends
-# per candidate the RRF sum is order-proof outright), plus
-# corpus_bigram_pmi (collocation mining for tokenizer prep — exact-long
-# counts, identical PMI multiplication chain both engines, one
-# checkpointed corpus pass) and stream_incremental_dedup (the
-# continuous-crawl dedup run ON the ingest stream: stream-static LEFT
-# ANTI join against the static corpus digest set + complete-mode
-# per-source rollup with an id checksum standing in for the streaming-
-# unsupported COUNT DISTINCT), plus dedup_cluster_keep_best (best-copy
-# duplicate resolution — the cluster representative maximizes n_chars
-# then lowest id, the production keep rule; sf0.1 uses the same
-# composed engine-pairs oracle scheme as dedup_cluster_keep) and
-# corpus_bucketed_batches (length-bucketed batch assignment, the
-# BucketIterator shape — parallel range sort + two-phase rank with
-# broadcast per-bucket offsets, plan-tested free of data-keyed windows),
-# and corpus_fixed_n_sample (exact-N per-group md5 sampling — the
-# exact-count complement to rate-based stratified sampling, same
-# two-phase rank shape) with corpus_source_divergence (per-source
-# KL(P_s||P_corpus) drift detection — per-term contributions quantized
-# to integer micro-nats BEFORE the sum, exact-integer accumulation),
-# and agg_heavy_hitters_bounds (Misra-Gries heavy hitters — batch-
-# vectorized k-counter partition sketches merged by item-keyed sums,
-# verdict-gated against the exact heavy set with the mergeable-
-# summaries undercount bound, the approx_distinct/percentile sketch
-# discipline) with agg_count_min_bounds (Count-Min as a PURE DataFrame
-# aggregation — seeded xxhash64 bucketing in codegen, depth×width cell
-# table, opposite error side to MG, same verdict discipline) and
-# text_concordance (KWIC ±3-token contexts, zero-shuffle scan-fused),
-# plus corpus_pipeline_e2e (the COMPOSED nightly run: Gopher filter ∧
-# exact-dedup keep → per-source kept rollup, one corpus scan + the
-# digest-keeper join, independently recomposed oracle) and
-# stream_count_min_table (the CM sketch built BY a streaming aggregate
-# — fixed depth×width cells are the archetypal streaming state;
-# cell-for-cell batch parity verified engine-side, mass invariant in
-# the oracle), and the event-analytics pair events_funnel_conversion
-# (ordered signup→view→purchase funnel, order constraints in join
-# predicates — never a per-user sort) + events_cohort_retention
-# (weekly cohort × offset activity matrix, epoch-anchored integer week
-# arithmetic portable across engines) + events_sessionize (gap-based
-# batch sessionization via USER-partitioned lag/cumsum — the
-# well-partitioned window shape; cross-checks window_session's row
-# count) + events_transition_matrix (per-user Markov transitions,
-# enum×enum matrix, exact-division probabilities), and
-# corpus_weighted_sample (Efraimidis-Spirakis weighted sampling
-# without replacement — Lehmer-LCG portable uniforms, micro-quantized
-# ES keys, TakeOrdered global top-n), events_rfm_scores (RFM quintile
-# segmentation — exact cents, ONE broadcast percentile-cuts aggregate,
-# never ntile) and events_anomaly_mad (median-absolute-deviation
-# outlier counts per event type, two exact-percentile passes), and
-# dedup_incremental_fuzzy (the NEAR-DUP tier of continuous-crawl dedup
-# — bipartite batch-vs-corpus MinHash band join, exact-verified, LEFT
-# ANTI on matched ids), and stream_window_approx_distinct (HLL++ inside
-# a watermarked streaming window agg — where COUNT DISTINCT is
-# structurally unavailable — verdict-bounded per window vs batch exact
-# with the small-cardinality absolute floor), and events_value_histogram
-# (exact equi-width per-type histograms — broadcast min/max, scan-rate
-# binning, clamped right edge) and events_active_users (rolling
-# DAU/WAU/MAU — constant-bounded offset explode + distinct-frame
-# counts, never a sliding distinct window over users) and
-# events_value_gini (per-type Gini over exact cents — Σ rank·cents as
-# exact longs via the two-phase rank, mirrored tie-break) and
-# events_interarrival_stats (median/p95 same-type event gaps — well-
-# partitioned lag, integer seconds, percentile parity)
-# — all locally green at all three SFs
-# (r13_delta.json); they must lead the r14 window if they do not fit
-# r13's.
-# ml_als_factorization (blocked solve path this round, still bitwise-
-# mirrored), ml_svm_classify (sweep-coverage + sorted-reduce fixes this
-# round, mirror updated) and ml_outlier_sos stay OUT of any window: all
-# three register oracle=None (iterative solves are not SQL-expressible;
-# a rows-only row must not burn a window slot). corpus_bpe_merges joins
-# that cohort this round (BPE training: each step's argmax pair depends
-# on the previous step's rewritten vocabulary — bitwise pure-Python
-# mirror in tests instead).
+# Round-14 priority window (the driver checks the first ~50 registry
+# entries; r11-r13 all recorded exactly 50). The r13 verdict's #1 order:
+# dedicate the ENTIRE window to the never-driver-checked backlog (59
+# registry queries had no CORRECTNESS row after r13) and freeze registry
+# growth. Composition: the 24 r13 gates that were already queued at
+# r13 positions 53-76 lead (same order), then 26 more of the r13 wave —
+# including every query whose semantics CHANGED this round and must be
+# driver-checked in its fixed form: corpus_weighted_sample (iterated
+# 3-step Lehmer uniforms — the r13-advice medium fix; one step was
+# monotone for small sequential ids), events_cohort_retention (floor
+# week division on both engines, not Spark div-truncate),
+# agg_count_min_bounds (analytic 3N/256 overcount bound replacing the
+# tuned 2N/256), corpus_bigram_pmi (top-k rewritten TakeOrdered —
+# the r13 verdict's one scale-killer), and sim_knn_classify (gemm
+# midpoint risk now documented at the gate). Positions 51-56 hold the
+# six remaining never-checked gates (text_concordance,
+# corpus_fixed_n_sample, corpus_bucketed_batches,
+# events_value_histogram, events_interarrival_stats,
+# events_transition_matrix — all zero-or-simple-shuffle shapes with
+# tri-scale local greens, the lowest-risk deferrals); they plus
+# cep_group_times_state (the ONE new r14 gate: state-counted
+# times(n)/optional on CEP GroupPatterns, verdict item 4) lead the r15
+# window. ml_als_factorization / ml_svm_classify / ml_outlier_sos /
+# corpus_bpe_merges stay OUT of any window: they register oracle=None
+# (iterative solves are not SQL-expressible; a rows-only row must not
+# burn a window slot — bitwise pure-Python mirrors in pytest instead).
 _GATE_PRIORITY = [
-    # r12 oracle gates, never driver-checked (7)
-    "q2_min_cost_supplier",
-    "q11_important_stock",
-    "q20_potential_promotion",
-    "text_duplicate_spans",
-    "text_bigram_logprob_pruned",
-    "bucketing_sink_roundtrip",
-    "socket_sink_roundtrip",
-    # full round-9 cohort (45); the two most change-stable sit at 51-52
-    "async_enrich_lookup",
-    "cep_absence_alert",
-    "cep_followed_by_any",
-    "cep_not_followed_by",
-    "cep_one_or_more",
-    "cep_signup_purchase",
-    "cep_strict_next",
-    "cep_timeout_signups",
-    "cep_times_consecutive",
-    "embedding_preprocess",
-    "fn_array_suite",
-    "fn_cast_suite",
-    "fn_conditional_suite",
-    "fn_json_suite",
-    "fn_math_suite",
-    "graph_degrees",
-    "graph_pagerank",
-    "graph_triangles",
-    "insert_into_append",
-    "join_anti",
-    "join_cross",
-    "join_full_outer",
-    "join_left_outer",
-    "join_right_outer",
-    "join_single_row",
-    "join_theta",
-    "sim_topk_bruteforce",
-    "sort_partition_leaders",
-    "stream_count_window",
-    "stream_csv_tumble_agg",
-    "stream_dedup",
-    "stream_hop_agg",
-    "stream_idle_timeout",
-    "stream_interval_join",
-    "stream_session_agg",
-    "stream_side_input_forwarded",
-    "stream_tumble_agg",
-    "stream_tumble_append",
-    "stream_unbounded_agg",
-    "text_fingerprint",
-    "text_language_id",
-    "text_quality_stats",
-    "window_hop",
-    "csv_roundtrip_agg",
-    "from_rows_dim_join",
-    # new r13 oracle gates (53-57) — lead r14 if the window stops at 50
+    # --- the 24 r13 gates queued at r13 positions 53-76, same order
     "dedup_lsh_salted_recall",
     "text_remove_duplicate_spans",
     "dedup_semantic",
@@ -265,6 +75,42 @@ _GATE_PRIORITY = [
     "stream_gopher_filter",
     "corpus_bpe_token_counts",
     "corpus_source_report",
+    # --- 26 more never-checked gates; r14-changed queries first
+    "corpus_weighted_sample",
+    "events_cohort_retention",
+    "agg_count_min_bounds",
+    "corpus_bigram_pmi",
+    "sim_knn_classify",
+    "text_bm25_topk",
+    "text_nb_source_classify",
+    "dedup_incremental",
+    "corpus_ngram_diversity",
+    "sim_hard_negatives",
+    "corpus_source_similarity",
+    "sim_hybrid_rrf",
+    "stream_incremental_dedup",
+    "dedup_cluster_keep_best",
+    "corpus_source_divergence",
+    "agg_heavy_hitters_bounds",
+    "corpus_pipeline_e2e",
+    "stream_count_min_table",
+    "dedup_incremental_fuzzy",
+    "stream_window_approx_distinct",
+    "events_funnel_conversion",
+    "events_sessionize",
+    "events_rfm_scores",
+    "events_anomaly_mad",
+    "events_active_users",
+    "events_value_gini",
+    # --- positions 51-56: the six deferrals, leading r15
+    "text_concordance",
+    "corpus_fixed_n_sample",
+    "corpus_bucketed_batches",
+    "events_value_histogram",
+    "events_interarrival_stats",
+    "events_transition_matrix",
+    # --- position 57: the one new r14 gate, queued behind the backlog
+    "cep_group_times_state",
 ]
 
 

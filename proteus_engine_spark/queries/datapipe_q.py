@@ -2629,7 +2629,18 @@ def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     that bootstraps labels before any model exists. Neighbor similarities
     quantize to integer micro-units before the vote sums, so every
     tie-break layer (votes, similarity mass, label asc) is exact integer
-    arithmetic. The oracle re-runs the identical vote in SQL."""
+    arithmetic. The oracle re-runs the identical vote in SQL.
+
+    Accepted midpoint risk (r13 advice, the _gemm_block_pairs
+    discipline): the gemm path sums dot products via BLAS while the
+    oracle (and fold path) sums sequentially; a last-ulp difference that
+    lands EXACTLY on a 0.5e-6 HALF_UP rounding midpoint could flip the
+    6th decimal of cos_sim and with it a top-k cut. No gate vector sits
+    on a midpoint today (verified by the gemm-vs-fold tuple-for-tuple
+    parity test, test_brute_force_topk_gemm_matches_fold, which is the
+    standing tripwire); an order-proof quantization would require
+    fixed-point accumulation of the dot itself, which neither engine
+    can express portably."""
     from proteus_engine_spark.datapipe.similarity import knn_classify
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -2790,19 +2801,23 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     rankings merge by reciprocal-rank fusion, the calibration-free
     rank-based combiner every hybrid search stack uses. With ≤2 addends
     per candidate the RRF sum is order-proof outright; rounded scores
-    rank with c_id tie-break."""
+    rank with c_id tie-break. The BM25 leg goes through the r14
+    ``doc_lengths=`` reuse path (lengths precomputed once via
+    textstats.doc_lengths — the repeated-retrieval discipline; identical
+    values, one fewer corpus-sized shuffle per subsequent batch)."""
     from proteus_engine_spark.datapipe.similarity import brute_force_topk, rrf_fuse
-    from proteus_engine_spark.datapipe.textstats import _tokens, bm25_topk
+    from proteus_engine_spark.datapipe.textstats import _tokens, bm25_topk, doc_lengths
 
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
+    dl = doc_lengths(docs)
     qdf = (
         docs.filter(F.col("doc_id") < 3)
         .select(F.col("doc_id").alias("query_id"), F.explode(_tokens("text")).alias("term"))
         .groupBy("query_id", "term")
         .agg(F.count(F.lit(1)).alias("qtf"))
     )
-    lex = bm25_topk(docs, query_terms=qdf, k=10).select(
+    lex = bm25_topk(docs, query_terms=qdf, k=10, doc_lengths=dl).select(
         F.col("query_id").alias("q_id"), F.col("doc_id").alias("c_id"), F.col("rk").alias("rank")
     )
     vec = F.col("embedding").cast("array<double>")
@@ -2852,7 +2867,9 @@ def corpus_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     to single vocabulary units ahead of tokenizer training. Counts are
     exact longs; the PMI formula's multiplication chain is written
     identically in both engines, so the rounded scores match bit-for-bit.
-    Unigrams and bigrams ride one single-projection corpus scan."""
+    Unigrams and bigrams ride one single-projection corpus scan; the
+    top-k is TakeOrdered (orderBy+limit, rank attached over the k-row
+    result — r14 rewrite of the r13-flagged unpartitioned window)."""
     from proteus_engine_spark.datapipe.textstats import bigram_pmi_top
 
     return bigram_pmi_top(load_table(spark, sf_dir, "documents"), min_count=5, k=20)
@@ -3146,9 +3163,16 @@ def agg_count_min_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     anywhere), probes it for every exact heavy hitter (the same
     probe set as agg_heavy_hitters_bounds, so the two sketches' verdicts
     are directly comparable), and asserts the CM error side: estimate >=
-    exact (CM never undercounts) and overcount <= 2·N/width. Verdicts
-    are deterministic given data + fixed seeds (collision mass is
-    data-dependent, not random at run time). The oracle computes the
+    exact (CM never undercounts — deterministic) and overcount <=
+    3·N/width, the ANALYTIC e·N/width bound rounded up to the next
+    integer factor (3 > e) rather than a tuned constant: the e·N/w
+    guarantee is probabilistic over seed choice and a previous 2·N/w
+    verdict could fail spuriously if a new distribution concentrated
+    collision mass on one heavy hitter (r13 advice). Verdicts are
+    deterministic given data + fixed seeds (collision mass is
+    data-dependent, not random at run time); the measured max overcount
+    is recorded by the pytest tripwire (test_count_min_measured_margin)
+    so drift toward the bound stays visible. The oracle computes the
     exact heavy set and expects a uniformly true verdict."""
     from proteus_engine_spark.datapipe.sketches import (
         count_min_estimate,
@@ -3174,7 +3198,7 @@ def agg_count_min_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_n",
             (
                 (F.col("est") >= F.col("exact_n"))
-                & (F.col("est") - F.col("exact_n") <= F.expr("2 * total div 256"))
+                & (F.col("est") - F.col("exact_n") <= F.expr("3 * total div 256"))
             ).alias("within_bounds"),
         )
     )
@@ -3362,14 +3386,17 @@ def stream_count_min_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "corpus_weighted_sample",
     oracle="""
-    WITH es AS (
-      SELECT doc_id,
-             greatest(n_chars, 1) AS weight,
-             CAST(round(1000000.0
-                  * ln(((48271 * ((doc_id % 2147483646) + 1)) % 2147483647)
-                       * 1.0 / 2147483647)
-                  / greatest(n_chars, 1), 0) AS BIGINT) AS es_micro
-      FROM documents)
+    WITH u1 AS (
+      SELECT doc_id, greatest(n_chars, 1) AS weight,
+             (48271 * ((doc_id % 2147483646) + 1)) % 2147483647 AS u
+      FROM documents),
+    u2 AS (SELECT doc_id, weight, (48271 * u) % 2147483647 AS u FROM u1),
+    u3 AS (SELECT doc_id, weight, (48271 * u) % 2147483647 AS u FROM u2),
+    es AS (
+      SELECT doc_id, weight,
+             CAST(round(1000000.0 * ln(u * 1.0 / 2147483647)
+                  / weight, 0) AS BIGINT) AS es_micro
+      FROM u3)
     SELECT doc_id, CAST(weight AS BIGINT) AS weight, es_micro
     FROM es ORDER BY es_micro DESC, doc_id LIMIT 50
     """,
@@ -3380,8 +3407,10 @@ def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Efraimidis-Spirakis): the 50 documents winning the u^(1/w) draw with
     w = n_chars — "sample proportional to length" with an exact output
     size, the primitive behind token-budget-aware subset selection. The
-    uniform comes from a Lehmer LCG on doc_id (exact integer arithmetic
-    in both engines) and the ES key quantizes to micro-units before
+    uniform comes from a THREE-step iterated Lehmer LCG on doc_id (exact
+    integer arithmetic in both engines; a single step is monotone for
+    small sequential ids — r13 advice) and the ES key quantizes to
+    micro-units before
     ranking; the global top-n is orderBy+limit (TakeOrdered — partial
     per-partition top-n, never a full sort). Oracle reproduces draw,
     quantization, and cut."""

@@ -1597,8 +1597,10 @@ def cep_group_times(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Group-pattern gate (GroupPattern.java:42; Pattern.begin(Pattern)
     .times(2).consecutive()): the sub-sequence (click NEXT view) repeated
     exactly twice with strict chaining — four adjacent events per user.
-    The engine flattens the quantified group to step-sequence variants and
-    runs the standard NFA (variant expansion); the oracle finds the same
+    The engine runs the STATE-COUNTED group loop (r14: the repeat count
+    rides in NFA state and the group exits only at exactly n —
+    GroupPattern.java:42's uniform quantifier treatment; the pre-r14
+    variant enumeration is gone); the oracle finds the same
     runs with lead() over the per-user event order, reporting the LAST
     repeat's events and the repeat count, exactly the repeat-stable match
     schema match_group_pattern emits."""
@@ -1649,9 +1651,10 @@ def cep_group_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
     nothing skip of the whole sub-sequence, which per-step optional cannot
     express: error NEXT [click NEXT view]? NEXT purchase. An error
     followed by click-without-view then purchase must NOT match — the
-    with-group variant needs the full sub-sequence, the without-group
-    variant needs purchase immediately after error. The oracle's two arms
-    mirror the two variants, NULL ids and cnt=0 marking the skipped
+    taken path needs the full sub-sequence, the skip path (the twin the
+    NFA forks on group entry — state-counted since r14, no enumerated
+    variants) needs purchase immediately after error. The oracle's two
+    arms mirror the two paths, NULL ids and cnt=0 marking the skipped
     group."""
     from proteus_engine_spark.streaming.cep import GroupPattern, match_group_pattern
 
@@ -2175,6 +2178,71 @@ def cep_group_unbounded_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click", lambda r: r["event_type"] == "click"
     ).next("view", lambda r: r["event_type"] == "view")
     g = GroupPattern.begin(sub).one_or_more().consecutive()
+    return match_group_pattern(ev, g, "user_id")
+
+
+@register(
+    "cep_group_times_state",
+    oracle="""
+    WITH RECURSIVE seq AS (
+      SELECT user_id, event_id, ts, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS rn
+      FROM events),
+    pairs AS (
+      SELECT c.user_id, c.rn AS start_rn, v.rn AS end_rn,
+             c.event_id AS click_eid, c.ts AS click_t,
+             v.event_id AS view_eid, v.ts AS view_t
+      FROM seq c JOIN seq v ON v.user_id = c.user_id AND v.rn = c.rn + 1
+      WHERE c.event_type = 'click' AND v.event_type = 'view'),
+    nxt AS (
+      SELECT p.user_id, p.end_rn,
+             (SELECT min(c.rn) FROM seq c
+              WHERE c.user_id = p.user_id AND c.rn > p.end_rn
+                AND c.event_type = 'click') AS next_click_rn
+      FROM pairs p),
+    rec AS (
+      SELECT user_id, start_rn, end_rn, click_eid, click_t, view_eid, view_t,
+             1 AS r
+      FROM pairs
+      UNION ALL
+      SELECT rec.user_id, rec.start_rn, p.end_rn,
+             p.click_eid, p.click_t, p.view_eid, p.view_t, rec.r + 1
+      FROM rec
+      JOIN nxt ON nxt.user_id = rec.user_id AND nxt.end_rn = rec.end_rn
+      JOIN pairs p ON p.user_id = rec.user_id
+                  AND p.start_rn = nxt.next_click_rn
+      WHERE rec.r < 3)
+    SELECT user_id,
+           click_eid AS click_id, epoch_ms(click_t) AS click_ts,
+           CAST(3 AS BIGINT) AS click_cnt,
+           view_eid AS view_id, epoch_ms(view_t) AS view_ts,
+           CAST(3 AS BIGINT) AS view_cnt
+    FROM rec WHERE r = 3
+    """,
+    tags=("streaming", "cep", "group"),
+)
+def cep_group_times_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATE-COUNTED group times(n) gate (r14, GroupPattern.java:42's
+    uniform quantifiers — the r13 verdict's last CEP semantics delta):
+    (click NEXT view) repeated exactly THREE times with RELAXED chaining
+    between repeats. The repeat count rides in NFA state (the
+    cep_group_unbounded_repeat loop) and the group exits ONLY at exactly
+    n — no per-prefix matches, no enumerated step-sequence variants.
+    Relaxed between-repeat semantics are deterministic: the loop-back
+    partial consumes the FIRST click after the previous repeat's view,
+    and dies if that click is not immediately followed by a view (strict
+    inner step) — so the oracle's recursive CTE chains each pair to the
+    pair starting at the next click rn (NULL-joined away when that click
+    is unpaired), emitting depth-3 chains only, with the LAST repeat's
+    events and cnt 3, the repeat-stable schema match_group_pattern
+    emits."""
+    from proteus_engine_spark.streaming.cep import GroupPattern, match_group_pattern
+
+    ev = load_table(spark, sf_dir, "events")
+    sub = Pattern.begin(
+        "click", lambda r: r["event_type"] == "click"
+    ).next("view", lambda r: r["event_type"] == "view")
+    g = GroupPattern.begin(sub).times(3)
     return match_group_pattern(ev, g, "user_id")
 
 

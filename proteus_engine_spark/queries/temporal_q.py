@@ -187,16 +187,22 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention — the other canonical product-analytics rollup:
     users cohorted by the week of their first event (weeks = whole
-    7-day blocks since a fixed epoch anchor, identical integer
-    arithmetic in both engines — never date_trunc, whose week-start
-    convention differs by engine); each (cohort_week, week_offset) cell
+    7-day blocks since a fixed epoch anchor — never date_trunc, whose
+    week-start convention differs by engine). The division is FLOOR on
+    both sides: DuckDB's ``//`` floors, so the Spark side uses
+    F.floor(datediff/7) rather than ``div`` (which truncates toward
+    zero and would diverge for any event before the anchor — r13
+    advice; latent today only because the generator starts exactly at
+    the anchor); each (cohort_week, week_offset) cell
     counts the cohort's users active that week. Active weeks are a
     distinct (user, week) aggregate, so the count is a plain count —
     no streaming-hostile COUNT DISTINCT; two user-keyed shuffles."""
     ev = load_table(spark, sf_dir, "events")
     wk = ev.select(
         "user_id",
-        F.expr("datediff(to_date(ts), DATE '2024-01-01') div 7").alias("week"),
+        F.floor(
+            F.expr("datediff(to_date(ts), DATE '2024-01-01')") / 7
+        ).alias("week"),
     )
     first_wk = wk.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
     active = wk.distinct()

@@ -86,11 +86,25 @@ class Step:
     combinations: bool = False
     # -- state-counted GROUP loop (GroupPattern.java:42: the reference
     # carries the group's repeat count in NFA state; NFACompiler wires the
-    # group's last state back to its first). Set on the LAST inner step of
-    # an unbounded one_or_more group: index of the group's FIRST inner
-    # step to loop back to, and the group's id for repeat-count
-    # bookkeeping (__gcnt__{gid} in the match's events dict).
+    # group's last state back to its first — UNIFORMLY for every group
+    # quantifier, which r14 matches: times/optional/capped-oneOrMore are
+    # state-counted too, not enumerated variants). Set on the LAST inner
+    # step of a quantified group: index of the group's FIRST inner step
+    # to loop back to, and the group's id for repeat-count bookkeeping
+    # (__gcnt__{gid} in the match's events dict).
     group_loop_to: int | None = None
+    # exact repeat target (GroupPattern times(n)): loop back while the
+    # state count < n, exit the group ONLY at exactly n — no per-prefix
+    # matches. None for oneOrMore semantics (exit at every repeat).
+    group_times: int | None = None
+    # repeat ceiling (one_or_more(max_repeats=N)): exit at every repeat
+    # (per-prefix, oneOrMore semantics) but stop looping at N.
+    group_max: int | None = None
+    # set on the FIRST inner step of an optional() group: fresh entry
+    # forks a twin that skipped the whole group to this step index
+    # (fork-on-entry, the step-level optional discipline; loop-back
+    # re-entries never re-fork). The twin records __gcnt__{gid} = 0.
+    group_skip_to: int | None = None
     # set on EVERY inner step of such a group (adds {name}_cnt columns)
     group_id: int | None = None
     # set on the FIRST inner step: strict (next) chaining between repeats
@@ -479,13 +493,20 @@ def _scan(
 
     def place(p: dict, out: list[dict]) -> None:
         """Land a partial at p['idx']: complete it, or enqueue it — forking
-        a skip-twin when the step it entered is optional."""
+        a skip-twin when the step it entered is optional, or the entry of
+        an optional GROUP (whole-group skip to past the group; recursive,
+        so chained optional groups cascade their skips)."""
         if p["idx"] == n_steps:
             matches.append(p["events"])
             return
         out.append(p)
-        if steps[p["idx"]].quantifier == "optional":
+        st = steps[p["idx"]]
+        if st.quantifier == "optional":
             place({"idx": p["idx"] + 1, "cnt": 0, "events": dict(p["events"]), "t0": p["t0"]}, out)
+        if st.group_skip_to is not None:
+            ev = dict(p["events"])
+            ev[f"__gcnt__{st.group_id}"] = 0  # skipped group: cnt 0, NULL ids
+            place({"idx": st.group_skip_to, "cnt": 0, "events": ev, "t0": p["t0"]}, out)
 
     def advance(p: dict, s: dict, t: int, eid: int, out: list[dict]) -> None:
         """Feed one event to one partial; surviving/forked partials go to
@@ -568,18 +589,30 @@ def _scan(
             elif step.quantifier == "times" and cnt < step.times_n:
                 out.append({"idx": p["idx"], "cnt": cnt, "events": ev, "t0": t0})
             elif step.group_loop_to is not None:
-                # state-counted GROUP loop (GroupPattern.java:42): the
-                # group's last inner step completed one repeat — bump the
-                # repeat count carried in NFA state, fork a loop-back
-                # branch re-entering the group's first step, AND exit past
-                # the group (per-prefix matches, like step-level oneOrMore)
+                # state-counted GROUP loop (GroupPattern.java:42 — the
+                # reference's quantifiers are uniformly state-counted, and
+                # so are these): the group's last inner step completed one
+                # repeat — bump the repeat count carried in NFA state, then
+                #   oneOrMore (group_times None): loop back AND exit past
+                #     the group (per-prefix matches); group_max caps the
+                #     loop-back, never the exits;
+                #   times(n) (group_times = n): loop back while cnt < n,
+                #     exit ONLY at exactly n — no per-prefix matches.
                 gk = f"__gcnt__{step.group_id}"
-                ev[gk] = ev.get(gk, 0) + 1
-                out.append({
-                    "idx": step.group_loop_to, "cnt": 0, "events": ev,
-                    "t0": t0, "gloop": True,
-                })
-                place({"idx": p["idx"] + 1, "cnt": 0, "events": dict(ev), "t0": t0}, out)
+                gcnt = ev.get(gk, 0) + 1
+                ev[gk] = gcnt
+                loop_again = (
+                    gcnt < step.group_times
+                    if step.group_times is not None
+                    else (step.group_max is None or gcnt < step.group_max)
+                )
+                if loop_again:
+                    out.append({
+                        "idx": step.group_loop_to, "cnt": 0, "events": ev,
+                        "t0": t0, "gloop": True,
+                    })
+                if step.group_times is None or gcnt == step.group_times:
+                    place({"idx": p["idx"] + 1, "cnt": 0, "events": dict(ev), "t0": t0}, out)
             else:  # single, optional-taken, or times complete
                 place({"idx": p["idx"] + 1, "cnt": 0, "events": ev, "t0": t0}, out)
             if step.contiguity == "followedByAny" and p["cnt"] == 0:
@@ -988,9 +1021,20 @@ def match_pattern_stream(
 class _GroupItem:
     sub: "Pattern"
     contiguity: str  # how the group's first repeat attaches
-    reps: tuple[int, ...] = (1,)  # allowed repeat counts
     consecutive: bool = False  # strict chaining BETWEEN repeats
-    unbounded: bool = False  # one_or_more(): state-counted NFA loop
+    exact: int | None = None  # times(n): exactly n repeats
+    max_reps: int | None = None  # one_or_more(max_repeats=N): 1..N repeats
+    unbounded: bool = False  # one_or_more(): 1+ repeats, no ceiling
+    optional: bool = False  # optional(): the whole group may be skipped
+
+    @property
+    def quantified(self) -> bool:
+        return (
+            self.exact is not None
+            or self.max_reps is not None
+            or self.unbounded
+            or self.optional
+        )
 
 
 class GroupPattern:
@@ -999,17 +1043,28 @@ class GroupPattern:
     followedByAny(Pattern), quantified with times/optional/oneOrMore —
     NFACompiler's group handling).
 
-    Spark-first strategy: VARIANT EXPANSION for times/optional — a
-    quantified group admits a finite set of repeat counts; each choice
-    vector flattens to an ordinary step-sequence `Pattern` (the group's
-    consume strategy attaches repeat j's first step, inner steps keep
-    their own contiguity — the same wiring NFACompiler emits state-by-
-    state), every variant runs the existing NFA, and the union of their
-    matches is the group-pattern match set. `one_or_more()` with no bound
-    is STATE-COUNTED instead (GroupPattern.java:42 parity): the group's
-    last inner step loops back to its first and the repeat count rides in
-    NFA state, so matches reach as many repeats as the data does; an
-    explicit `one_or_more(max_repeats=N)` keeps the capped enumeration.
+    Spark-first strategy: every quantifier is STATE-COUNTED, matching the
+    reference's uniform treatment (GroupPattern.java:42 — NFACompiler
+    wires the group's last state back to its first and carries the repeat
+    count in NFA state, for times and oneOrMore alike). The group's inner
+    steps appear ONCE in the compiled pattern under their base names; the
+    last inner step loops back to the first with the repeat count riding
+    in NFA state (``__gcnt__{gid}``), gated by the quantifier:
+
+    - ``times(n)``: loop back while the count < n, exit the group ONLY at
+      exactly n — no per-prefix matches (r14; previously enumerated
+      step-sequence variants, the r13 verdict's last CEP semantics delta).
+    - ``one_or_more()``: loop back always, exit at every repeat — a match
+      per prefix, as deep as the data's runs reach. An explicit
+      ``max_repeats=N`` caps the LOOP-BACK only (exits stay per-prefix).
+    - ``optional()``: fresh entry into the group's first step forks a
+      twin that skipped the whole group (fork-on-entry, the step-level
+      optional discipline; loop-back re-entries never re-fork). The twin
+      reports ``_cnt`` 0 with NULL ids.
+
+    Every group therefore compiles to a SINGLE pattern — batch and
+    streaming run the same NFA plan (no per-variant union, no variant
+    cap), exactly the reference's NFACompiler output shape.
 
     Sub-patterns must be simple sequences (single-event steps, no
     negation/until/greedy) — quantifiers belong on the GROUP here, which
@@ -1018,10 +1073,8 @@ class GroupPattern:
     Match columns are repeat-stable: per inner step `{name}_id`/`{name}_ts`
     (the LAST repeat's event, like loop steps report their last event) and
     `{name}_cnt` (repeats matched; 0 with NULL ids for a skipped optional
-    group) — one schema for every variant, so the union is well-formed.
+    group) — one schema regardless of quantifier.
     """
-
-    _MAX_VARIANTS = 64
 
     def __init__(self) -> None:
         self.items: list[_GroupItem] = []
@@ -1048,34 +1101,32 @@ class GroupPattern:
 
     def times(self, n: int) -> "GroupPattern":
         """Pattern.times on a group: the whole sub-sequence repeats exactly
-        n times, chained with the group's consume strategy. Composes with
-        optional() in either order (GroupPattern.java parity — quantifier
-        and optionality are independent flags there): a previously-applied
-        optional()'s 0-repeat variant is preserved, not overwritten."""
+        n times, chained with the group's consume strategy, the count
+        carried in NFA state. Composes with optional() in either order
+        (GroupPattern.java parity — quantifier and optionality are
+        independent flags there)."""
         if n < 1:
             raise ValueError("times(n) requires n >= 1")
         it = self.items[-1]
-        it.reps = ((0,) if 0 in it.reps else ()) + (n,)
+        it.exact, it.max_reps, it.unbounded = n, None, False
         return self
 
     def one_or_more(self, max_repeats: int | None = None) -> "GroupPattern":
-        """Pattern.oneOrMore on a group (GroupPattern.java:42): with no
-        bound, the repeat count is carried in NFA state — the group's last
-        inner step loops back to its first, exactly the reference's
-        state-counted group loop, and a match is emitted per prefix
-        (repeat counts 1, 2, 3, ... as far as the data reaches). An
-        explicit ``max_repeats`` keeps the legacy variant-enumeration
-        path (one flattened pattern per repeat count) — useful when a
-        deliberate cap is part of the query. Order-insensitive with
-        optional(), like times()."""
+        """Pattern.oneOrMore on a group (GroupPattern.java:42): the repeat
+        count is carried in NFA state — the group's last inner step loops
+        back to its first, and a match is emitted per prefix (repeat
+        counts 1, 2, 3, ... as far as the data reaches). An explicit
+        ``max_repeats`` caps the loop-back (exits stay per-prefix) —
+        state-counted too since r14; the old per-repeat variant
+        enumeration is gone. Order-insensitive with optional()."""
         it = self.items[-1]
+        it.exact = None
         if max_repeats is None:
-            it.unbounded = True
-            it.reps = ((0,) if 0 in it.reps else ()) + (1,)
+            it.unbounded, it.max_reps = True, None
             return self
         if max_repeats < 1:
             raise ValueError("one_or_more requires max_repeats >= 1")
-        it.reps = ((0,) if 0 in it.reps else ()) + tuple(range(1, max_repeats + 1))
+        it.unbounded, it.max_reps = False, max_repeats
         return self
 
     def consecutive(self) -> "GroupPattern":
@@ -1090,15 +1141,14 @@ class GroupPattern:
         sub-sequence (per-step optional cannot express this)."""
         if len(self.items) == 1:
             raise ValueError("the first group cannot be optional")
-        it = self.items[-1]
-        it.reps = tuple(sorted({0, *it.reps}))
+        self.items[-1].optional = True
         return self
 
     def within(self, ms: int) -> "GroupPattern":
         self.within_ms = ms
         return self
 
-    # -- expansion ---------------------------------------------------------
+    # -- compilation -------------------------------------------------------
     def _validate(self) -> None:
         if not self.items:
             raise ValueError("empty group pattern")
@@ -1114,75 +1164,87 @@ class GroupPattern:
                 if st.name in seen:
                     raise ValueError(f"duplicate step name across groups: {st.name!r}")
                 seen.add(st.name)
-        n_variants = 1
-        for it in self.items:
-            n_variants *= len(it.reps)
-        if n_variants > self._MAX_VARIANTS:
-            raise ValueError(f"{n_variants} variants exceeds cap {self._MAX_VARIANTS}")
+
+    def compile(self) -> tuple[Pattern, dict[int, int]]:
+        """The single compiled (Pattern, {item_index: 1 plain | -1
+        state-counted}) pair. Quantified items emit their inner steps once
+        with the group loop/skip wiring; unquantified items inline as
+        plain steps (their _cnt is the literal 1 in the projection)."""
+        self._validate()
+        steps: list[Step] = []
+        eff: dict[int, int] = {}
+        for i, it in enumerate(self.items):
+            first_idx = len(steps)
+            for k, st in enumerate(it.sub.steps):
+                cont = "begin" if not steps else (
+                    it.contiguity if k == 0 else st.contiguity
+                )
+                if it.quantified:
+                    steps.append(
+                        Step(
+                            name=st.name,
+                            predicate=st.predicate,
+                            contiguity=cont,
+                            expr=st.expr,
+                            group_id=i,
+                            group_between_strict=(
+                                it.consecutive if k == 0 else False
+                            ),
+                        )
+                    )
+                else:
+                    steps.append(
+                        Step(
+                            name=st.name,
+                            predicate=st.predicate,
+                            contiguity=cont,
+                            expr=st.expr,
+                        )
+                    )
+            if not it.quantified:
+                eff[i] = 1
+                continue
+            eff[i] = -1
+            # exact repeat target: times(n), or the single taken repeat of
+            # a bare optional() group; None = oneOrMore (per-prefix exits)
+            exact = it.exact
+            if exact is None and not it.unbounded and it.max_reps is None:
+                exact = 1
+            steps[-1] = replace(
+                steps[-1],
+                group_loop_to=first_idx,
+                group_times=exact,
+                group_max=it.max_reps,
+            )
+            if it.optional:
+                steps[first_idx] = replace(
+                    steps[first_idx], group_skip_to=len(steps)
+                )
+        return Pattern(steps=steps, within_ms=self.within_ms), eff
 
     def variants(self) -> list[tuple[Pattern, dict[int, int]]]:
-        """All (flattened Pattern, {item_index: repeat_count}) choices."""
-        from itertools import product
+        """Compatibility alias from the pre-r14 variant-expansion design:
+        every group now compiles to exactly ONE pattern (state-counted
+        quantifiers), so the 'variant set' is always a singleton."""
+        return [self.compile()]
 
-        self._validate()
-        out = []
-        for choice in product(*[it.reps for it in self.items]):
-            steps: list[Step] = []
-            eff: dict[int, int] = {}
-            for i, (it, r) in enumerate(zip(self.items, choice)):
-                between = "next" if it.consecutive else "followedBy"
-                if it.unbounded and r == 1:
-                    # state-counted loop segment: the inner steps appear
-                    # ONCE under their base names; the last loops back to
-                    # the first, the repeat count lives in NFA state
-                    # (GroupPattern.java:42 parity — no enumeration cap)
-                    first_idx = len(steps)
-                    for k, st in enumerate(it.sub.steps):
-                        cont = "begin" if not steps else (
-                            it.contiguity if k == 0 else st.contiguity
-                        )
-                        steps.append(
-                            Step(
-                                name=st.name,
-                                predicate=st.predicate,
-                                contiguity=cont,
-                                expr=st.expr,
-                                group_id=i,
-                                group_between_strict=(
-                                    it.consecutive if k == 0 else False
-                                ),
-                            )
-                        )
-                    steps[-1] = replace(steps[-1], group_loop_to=first_idx)
-                    eff[i] = -1  # sentinel: looped, cnt comes from state
-                    continue
-                eff[i] = r
-                for j in range(r):
-                    for k, st in enumerate(it.sub.steps):
-                        # repeat 0's first step attaches with the group's
-                        # consume strategy; repeats j>0 chain relaxed by
-                        # default or strict under consecutive() — the same
-                        # between-repeat rule step-level loops have; inner
-                        # steps keep their own contiguity
-                        if not steps:
-                            cont = "begin"
-                        elif k == 0:
-                            cont = it.contiguity if j == 0 else between
-                        else:
-                            cont = st.contiguity
-                        steps.append(
-                            Step(
-                                name=f"{st.name}__g{i}r{j}",
-                                predicate=st.predicate,
-                                contiguity=cont,
-                                expr=st.expr,
-                            )
-                        )
-            if not steps:
-                continue  # every group skipped — not a pattern
-            pat = Pattern(steps=steps, within_ms=self.within_ms)
-            out.append((pat, eff))
-        return out
+
+def _group_match_columns(
+    gpattern: GroupPattern, eff: dict[int, int], key_col: str
+) -> list:
+    """The repeat-stable projection: per inner step {name}_id/{name}_ts
+    (base names — the compiled pattern never renames) and {name}_cnt
+    (state-counted groups pass the NFA count through; plain items emit
+    the literal 1)."""
+    cols = [F.col(key_col)]
+    for i, it in enumerate(gpattern.items):
+        for st in it.sub.steps:
+            cols += [F.col(f"{st.name}_id"), F.col(f"{st.name}_ts")]
+            if eff[i] == -1:
+                cols.append(F.col(f"{st.name}_cnt"))
+            else:
+                cols.append(F.lit(1).cast("long").alias(f"{st.name}_cnt"))
+    return cols
 
 
 def match_group_pattern(
@@ -1192,45 +1254,12 @@ def match_group_pattern(
     ts_col: str = "ts",
     id_col: str = "event_id",
 ) -> DataFrame:
-    """Batch group-pattern matching: run the NFA once per flattened
-    variant (each a plain `match_pattern` plan over the same input — the
-    prefilter/shuffle work per variant, Catalyst shares the scan) and
-    union the matches onto the repeat-stable schema. Distinct repeat
-    counts yield distinct rows by construction (`_cnt` differs), so the
-    union needs no dedup."""
-    frames = []
-    for pat, choice in gpattern.variants():
-        m = match_pattern(df, pat, key_col, ts_col=ts_col, id_col=id_col)
-        cols = [F.col(key_col)]
-        for i, it in enumerate(gpattern.items):
-            r = choice[i]
-            for st in it.sub.steps:
-                if r == 0:
-                    cols += [
-                        F.lit(None).cast("long").alias(f"{st.name}_id"),
-                        F.lit(None).cast("long").alias(f"{st.name}_ts"),
-                        F.lit(0).cast("long").alias(f"{st.name}_cnt"),
-                    ]
-                elif r == -1:
-                    # state-counted loop: base-named columns pass through;
-                    # _cnt carries the NFA-state repeat count
-                    cols += [
-                        F.col(f"{st.name}_id"),
-                        F.col(f"{st.name}_ts"),
-                        F.col(f"{st.name}_cnt"),
-                    ]
-                else:
-                    last = f"{st.name}__g{i}r{r - 1}"
-                    cols += [
-                        F.col(f"{last}_id").alias(f"{st.name}_id"),
-                        F.col(f"{last}_ts").alias(f"{st.name}_ts"),
-                        F.lit(r).cast("long").alias(f"{st.name}_cnt"),
-                    ]
-        frames.append(m.select(*cols))
-    out = frames[0]
-    for f in frames[1:]:
-        out = out.unionByName(f)
-    return out
+    """Batch group-pattern matching: compile the group to its single
+    state-counted pattern, run the standard NFA (one shuffle on the key,
+    the match_pattern plan), and project onto the repeat-stable schema."""
+    pat, eff = gpattern.compile()
+    m = match_pattern(df, pat, key_col, ts_col=ts_col, id_col=id_col)
+    return m.select(*_group_match_columns(gpattern, eff, key_col))
 
 
 def match_group_pattern_stream(
@@ -1246,55 +1275,16 @@ def match_group_pattern_stream(
     NFACompiler + AbstractKeyedCEPPatternOperator, so groups are not a
     batch-only feature there, and aren't here either).
 
-    Requires the group to flatten to a SINGLE pattern — which every
-    state-counted ``one_or_more()`` group does (the loop rides in NFA
-    state, not in a variant set). Multi-variant groups (times/optional)
-    would need a union of stateful operators per micro-batch, which
-    Structured Streaming restricts; run those through the batch path or
-    restructure with an unbounded loop. The flattened pattern reuses
+    Since r14 every group — times/optional/oneOrMore, capped or not —
+    compiles to a SINGLE state-counted pattern, so every group pattern is
+    streaming-capable (the pre-r14 variant-expansion design restricted
+    streaming to single-variant groups). The compiled pattern reuses
     match_pattern_stream unchanged: watermark-buffered (ts, id)-ordered
-    NFA feeding, keyed partial-match state, exactly-once emission."""
-    variants = gpattern.variants()
-    if len(variants) != 1:
-        raise ValueError(
-            f"streaming group patterns need exactly one flattened variant "
-            f"(got {len(variants)}); times/optional groups enumerate — use "
-            "the batch path or an unbounded one_or_more loop"
-        )
-    pat, choice = variants[0]
+    NFA feeding, keyed partial-match state, exactly-once emission; the
+    projection is the batch path's repeat-stable schema."""
+    pat, eff = gpattern.compile()
     out = match_pattern_stream(
         stream, pat, key_col, ts_col=ts_col, id_col=id_col,
         watermark_delay=watermark_delay,
     )
-    # Project onto the SAME repeat-stable schema the batch path emits
-    # (key + {name}_id/{name}_ts/{name}_cnt per step): looped items
-    # (r == -1) already carry base names + the state-counted _cnt;
-    # enumerated items with fixed repeats r >= 1 (e.g. times(n) — one
-    # variant, so it passes the single-variant check) expose their LAST
-    # repeat's __g{i}r{r-1} columns as base names and a literal _cnt,
-    # exactly as the batch select does.
-    cols = [F.col(key_col)]
-    for i, it in enumerate(gpattern.items):
-        r = choice[i]
-        for st in it.sub.steps:
-            if r == -1:
-                cols += [
-                    F.col(f"{st.name}_id"),
-                    F.col(f"{st.name}_ts"),
-                    F.col(f"{st.name}_cnt"),
-                ]
-            elif r >= 1:
-                last = f"{st.name}__g{i}r{r - 1}"
-                cols += [
-                    F.col(f"{last}_id").alias(f"{st.name}_id"),
-                    F.col(f"{last}_ts").alias(f"{st.name}_ts"),
-                    F.lit(r).cast("long").alias(f"{st.name}_cnt"),
-                ]
-            else:  # r == 0: a zero-repeat single variant (times(0)) has
-                # no event columns to carry — match the batch NULL fill
-                cols += [
-                    F.lit(None).cast("long").alias(f"{st.name}_id"),
-                    F.lit(None).cast("long").alias(f"{st.name}_ts"),
-                    F.lit(0).cast("long").alias(f"{st.name}_cnt"),
-                ]
-    return out.select(*cols)
+    return out.select(*_group_match_columns(gpattern, eff, key_col))

@@ -1,6 +1,6 @@
-"""Group-pattern tests (GroupPattern.java parity via variant expansion):
-quantified sub-sequences, all-or-nothing optional groups, per-repeat-count
-matches, and the validation contract."""
+"""Group-pattern tests (GroupPattern.java parity via uniformly
+state-counted quantifiers — r14): quantified sub-sequences, all-or-nothing
+optional groups, per-repeat-count matches, and the validation contract."""
 
 from __future__ import annotations
 
@@ -92,11 +92,15 @@ def test_group_validation(spark):
         GroupPattern.begin(_sub("a")).followed_by(_sub("a")).variants()
     with pytest.raises(ValueError, match="first group cannot be optional"):
         GroupPattern.begin(_sub("a")).optional()
-    with pytest.raises(ValueError, match="exceeds cap"):
-        g = GroupPattern.begin(_sub("a"))
-        for n in "bcdefg":
-            g = g.followed_by(_sub(n)).one_or_more(max_repeats=3)
-        g.variants()
+    # r14: quantifiers are state-counted, so a chain that would have
+    # exploded to 3^6 enumerated variants compiles to ONE pattern (the
+    # pre-r14 _MAX_VARIANTS cap is gone along with the enumeration)
+    g = GroupPattern.begin(_sub("a"))
+    for n in "bcdefg":
+        g = g.followed_by(_sub(n)).one_or_more(max_repeats=3)
+    assert len(g.variants()) == 1
+    pat, eff = g.compile()
+    assert len(pat.steps) == 7 and eff == {0: 1, **{i: -1 for i in range(1, 7)}}
 
 
 def test_group_optional_times_order_insensitive(spark):

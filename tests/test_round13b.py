@@ -77,6 +77,36 @@ def test_bm25_repeated_query_terms_weight_by_qtf(spark):
         assert double[d] == pytest.approx(2 * single[d], abs=2e-6)
 
 
+def test_bm25_doc_lengths_reuse_single_scan(spark):
+    """r13 verdict item 3: with a precomputed, checkpointed doc_lengths
+    frame passed back in, each bm25_topk call must scan the corpus
+    exactly ONCE (the candidate-postings pass) — the length count, N,
+    and avgdl all derive from the tiny (id, dl) frame. Two query
+    batches over the same lengths = two single-scan plans, identical
+    scores to the self-computed path."""
+    from proteus_engine_spark.datapipe.textstats import bm25_topk, doc_lengths
+    from proteus_engine_spark.sources import load_table
+
+    docs = load_table(spark, SF, "documents")
+    dl = doc_lengths(docs).localCheckpoint(eager=True)  # computed ONCE
+    for q in (["table scan"], ["filter pushdown"]):
+        out = bm25_topk(docs, q, k=5, doc_lengths=dl)
+        out.collect()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        base_df = bm25_topk(docs, q, k=5)
+        base = {(r.query_id, r.doc_id): (r.score, r.rk)
+                for r in base_df.collect()}
+        base_plan = base_df._jdf.queryExecution().executedPlan().toString()
+        # the reuse path must drop every corpus scan except the postings
+        # pass (the tf lineage prints twice under AQE+ReusedExchange, so
+        # compare counts rather than assert an absolute 1): self-computed
+        # lengths re-scan the corpus for dl, N and avgdl; the dl frame
+        # replaces all three
+        assert plan.count("Scan parquet") < base_plan.count("Scan parquet"), plan
+        got = {(r.query_id, r.doc_id): (r.score, r.rk) for r in out.collect()}
+        assert got == base
+
+
 def test_bm25_query_terms_prune_before_the_tf_shuffle(spark):
     """The broadcast of the literal query-term table must land BELOW the
     (doc, term) aggregation — the postings shuffle carries candidates
@@ -467,6 +497,25 @@ def test_bigram_pmi_single_corpus_scan(spark):
     assert logical.count("Relation [") == 0
 
 
+def test_bigram_pmi_topk_is_take_ordered(spark):
+    """r13 verdict scale-killer fix: the global top-k must run as
+    TakeOrderedAndProject (per-partition partial top-k + driver merge),
+    never as a row_number over an unpartitioned window sorting the whole
+    floored bigram frame in one task. The only Window in the plan is the
+    rank attachment ABOVE the limit — its input is k rows."""
+    from proteus_engine_spark.datapipe.textstats import bigram_pmi_top
+    from proteus_engine_spark.sources import load_table
+
+    out = bigram_pmi_top(load_table(spark, SF, "documents"), min_count=5, k=20)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    # the rank window must sit above the limit, not below it: everything
+    # AFTER the Window operator line must not contain the TakeOrdered
+    widx, tidx = plan.index("Window"), plan.index("TakeOrderedAndProject")
+    assert widx < tidx  # executed-plan strings print top-down
+
+
 # ----------------------------- best-copy cluster resolution / bucketed batches
 
 
@@ -660,6 +709,37 @@ def test_count_min_never_undercounts_and_zero_for_absent(spark):
     assert got["zz"] >= 0
 
 
+def test_count_min_measured_margin(spark):
+    """Tripwire for the agg_count_min_bounds verdict (r13 advice): the
+    gate asserts the ANALYTIC e·N/width overcount bound (as 3N/256 in
+    integers); this test RECORDS the measured max overcount on the gate
+    corpus so drift toward the bound is visible before it flips the
+    verdict. Fails only if the analytic bound itself is breached."""
+    from pyspark.sql import functions as F
+
+    from proteus_engine_spark.datapipe.sketches import (
+        count_min_estimate,
+        count_min_table,
+    )
+    from proteus_engine_spark.sources import load_table
+
+    toks = load_table(spark, SF, "documents").select(
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token")
+    )
+    table = count_min_table(toks, "token", depth=4, width=256)
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_n"))
+    total = exact.agg(F.sum("exact_n")).collect()[0][0]
+    heavy = exact.filter(F.col("exact_n") >= total // 64)
+    est = {r.token: r.est for r in count_min_estimate(
+        table, heavy.select("token"), "token", depth=4, width=256).collect()}
+    over = [est[r.token] - r.exact_n for r in heavy.collect()]
+    bound = 3 * total // 256
+    print(f"count-min measured max overcount={max(over)} "
+          f"analytic bound (3N/256)={bound} N={total}")
+    assert min(over) >= 0  # CM never undercounts (deterministic)
+    assert max(over) <= bound
+
+
 def test_count_min_width_one_degenerates_to_total(spark):
     from proteus_engine_spark.datapipe.sketches import (
         count_min_estimate,
@@ -703,13 +783,35 @@ def test_weighted_sample_matches_python_mirror(spark):
 
     m = 2147483647
     def es(i, w):
-        u = ((48271 * ((i % (m - 1)) + 1)) % m) / m  # seed in [1, m-1]: u never 0
-        return round(1e6 * math.log(u) / max(w, 1))
+        u = (i % (m - 1)) + 1  # seed in [1, m-1]: u never 0
+        for _ in range(3):
+            u = (48271 * u) % m
+        return round(1e6 * math.log(u / m) / max(w, 1))
     exp = sorted(
         ((i, max(w, 1), es(i, w)) for i, w in rows),
         key=lambda t: (-t[2], t[0]),
     )[:10]
     assert sorted(got, key=lambda t: (-t[2], t[0])) == exp
+
+
+def test_weighted_sample_uniforms_not_degenerate(spark):
+    """r13 advice: one Lehmer step is monotone for keys < ~44,488, so
+    sequential doc_ids (every gate SF) got uniforms confined to
+    (2e-5, 0.112] and the draw degenerated into largest-id-first. The
+    iterated step must (a) NOT be monotone over sequential keys and
+    (b) span the unit interval — both tails present."""
+    m = 2147483647
+    us = []
+    for i in range(5000):  # the sf0.01 doc_id range
+        u = (i % (m - 1)) + 1
+        for _ in range(3):
+            u = (48271 * u) % m
+        us.append(u / m)
+    assert min(us) < 0.01 and max(us) > 0.99
+    diffs = [b - a for a, b in zip(us, us[1:])]
+    assert any(d < 0 for d in diffs) and any(d > 0 for d in diffs)
+    # spread: every decile of (0,1) is hit by some sequential key
+    assert {int(u * 10) for u in us} == set(range(10))
 
 
 def test_weighted_sample_zero_weight_guard(spark):

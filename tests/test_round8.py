@@ -282,16 +282,27 @@ def test_group_one_or_more_unbounded_state_counted():
     assert got == exp
 
 
-def test_group_one_or_more_bounded_still_enumerates():
-    from proteus_engine_spark.streaming.cep import GroupPattern, Pattern
+def test_group_one_or_more_bounded_is_state_counted():
+    """r14: a capped one_or_more compiles to ONE state-counted pattern
+    (group_max bounds the loop-back; exits stay per-prefix) — the pre-r14
+    per-repeat-count enumeration is gone. The pure NFA emits matches at
+    repeat counts 1..3 and stops looping at the cap."""
+    from proteus_engine_spark.streaming.cep import GroupPattern, Pattern, _scan
 
     g = GroupPattern.begin(
         Pattern.begin("a", lambda r: r["et"] == "a")
         .next("b", lambda r: r["et"] == "b")
     ).one_or_more(max_repeats=3)
-    vs = g.variants()
-    assert len(vs) == 3
-    assert sorted(c[0] for _p, c in vs) == [1, 2, 3]
+    assert len(g.variants()) == 1
+    pat, eff = g.compile()
+    assert eff == {0: -1}
+    assert pat.steps[-1].group_max == 3 and pat.steps[-1].group_times is None
+    rows = [{"et": t, "id": i} for i, t in enumerate("abababab")]
+    matches, _, _ = _scan(rows, [i * 1000 for i in range(8)], pat, "id")
+    # anchored at each 'a': counts reach 3 from start 0, 3 from start 2, ...
+    counts = sorted(m["__gcnt__0"] for m in matches)
+    assert max(counts) == 3  # the cap stops the loop-back
+    assert counts.count(1) == 4 and counts.count(2) == 3 and counts.count(3) == 2
 
 
 # ---------------- readFileOfPrimitives ----------------
@@ -535,20 +546,25 @@ def test_group_stream_matches_batch(spark):
     assert got == exp and len(got) == 3  # (1,2,r1), (3,4,r1), (3,4 from 1: r2)
 
 
-def test_group_stream_rejects_multi_variant(spark):
-    from proteus_engine_spark.streaming.cep import (
-        GroupPattern,
-        Pattern,
-        match_group_pattern_stream,
-    )
+def test_group_times_state_counted_no_prefix_matches(spark):
+    """r14: times(n) on a group is state-counted — the group exits ONLY
+    at exactly n repeats (no per-prefix matches), and since every group
+    compiles to a single pattern, streaming no longer rejects any
+    quantifier (the pre-r14 'exactly one flattened variant' restriction
+    is gone)."""
+    from proteus_engine_spark.streaming.cep import GroupPattern, Pattern, _scan
 
-    sub = Pattern.begin("x", lambda r: True)
+    sub = Pattern.begin("a", lambda r: r["et"] == "a").next(
+        "b", lambda r: r["et"] == "b"
+    )
     g = GroupPattern.begin(sub).times(2)
-    g.items[-1].reps = (1, 2)
-    with pytest.raises(ValueError, match="exactly one flattened variant"):
-        match_group_pattern_stream(
-            spark.createDataFrame([], EV_SCHEMA), g, "user_id"
-        )
+    pat, _ = g.compile()
+    assert pat.steps[-1].group_times == 2
+    rows = [{"et": t, "id": i} for i, t in enumerate("abab")]
+    matches, _, _ = _scan(rows, [i * 1000 for i in range(4)], pat, "id")
+    # start 0 reaches exactly 2; start 2 reaches only 1 -> no match for it
+    assert [m["__gcnt__0"] for m in matches] == [2]
+    assert matches[0]["b"][0] == 3  # last repeat's view event
 
 
 def test_dedup_cluster_keep_transitivity(spark):
