@@ -731,8 +731,10 @@ def avro_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     binaryFile + mapInPandas decoder, then aggregates; acctbal re-enters
     as decimal before summing, so the binary round-trip is exact. The
     spark-avro jar stays unnecessary: the codec is ~200 lines of the
-    Avro 1.11 spec over stdlib struct/zlib/json
-    (sources/avro_codec.py)."""
+    Avro 1.11 spec over stdlib struct/zlib/json (sources/avro_codec.py),
+    and since r14 it is byte-level cross-validated in both directions
+    against the reference Apache Avro implementation (avro-1.12.1.jar
+    inside Spark's JVM — tests/test_avro_interop.py)."""
     from proteus_engine_spark.sources.avro_codec import read_avro, write_avro
 
     cust = load_table(spark, sf_dir, "customer").select(
