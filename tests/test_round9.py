@@ -183,9 +183,9 @@ def test_scalar_udf_probe_accepts_series_eval(spark):
 
 
 def test_group_stream_times_n_matches_batch(spark):
-    """A times(2) group flattens to ONE variant so it passes the stream
-    path; the output schema must match the batch path exactly
-    (base-named columns + literal _cnt), not half-renamed __g0r1 ones."""
+    """A times(2) group compiles to one state-counted pattern (r14) and
+    runs on the stream path; the output schema must match the batch path
+    exactly (base-named columns + _cnt)."""
     from proteus_engine_spark.streaming.cep import (
         GroupPattern,
         Pattern,
@@ -218,6 +218,49 @@ def test_group_stream_times_n_matches_batch(spark):
     assert sorted(map(key, got.collect())) == sorted(map(key, batch.collect())) == [
         (3, 4, 2, 2)
     ]
+
+
+def test_group_stream_optional_matches_batch(spark):
+    """r14: OPTIONAL groups stream too (pre-r14 the stream path rejected
+    them as multi-variant). e NEXT (a NEXT b)? NEXT c over two users —
+    user 1 takes the group, user 2 skips it — batch and stream emit the
+    same rows, cnt 0 + NULL ids marking the skipped group."""
+    from proteus_engine_spark.streaming.cep import (
+        GroupPattern,
+        Pattern,
+        match_group_pattern,
+        match_group_pattern_stream,
+    )
+
+    rows = [
+        _ev(1, 1, 1, "e"), _ev(2, 2, 1, "a"), _ev(3, 3, 1, "b"), _ev(4, 4, 1, "c"),
+        _ev(5, 1, 2, "e"), _ev(6, 2, 2, "c"),
+        _ev(7, 30, 1, "x"), _ev(8, 30, 2, "x"),
+    ]
+
+    def g():
+        return (
+            GroupPattern.begin(Pattern.begin("e", lambda r: r["event_type"] == "e"))
+            .next(
+                Pattern.begin("a", lambda r: r["event_type"] == "a")
+                .next("b", lambda r: r["event_type"] == "b")
+            ).optional()
+            .next(Pattern.begin("c", lambda r: r["event_type"] == "c"))
+        )
+
+    batch = match_group_pattern(
+        spark.createDataFrame(rows, EV_SCHEMA), g(), "user_id"
+    )
+    stream_out = match_group_pattern_stream(
+        _two_batch_stream(spark, rows[:5], rows[5:], EV_SCHEMA), g(), "user_id",
+        watermark_delay="0 seconds",
+    )
+    got = _run(stream_out, "group_stream_optional_test")
+    assert sorted(got.columns) == sorted(batch.columns)
+    key = lambda r: (r["user_id"], r["a_id"], r["a_cnt"], r["c_id"])  # noqa: E731
+    assert sorted(map(key, got.collect()), key=repr) \
+        == sorted(map(key, batch.collect()), key=repr) \
+        == [(1, 2, 1, 4), (2, None, 0, 6)]
 
 
 # ---------------- repetition stats zero guards ----------------
