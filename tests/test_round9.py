@@ -263,6 +263,47 @@ def test_group_stream_optional_matches_batch(spark):
         == [(1, 2, 1, 4), (2, None, 0, 6)]
 
 
+def test_group_stream_times_out_of_order_matches_batch(spark):
+    """r14 state-counted times(2) under OUT-OF-ORDER arrival: the second
+    micro-batch delivers events with EARLIER timestamps than the first
+    (within the watermark delay); the watermark buffer must re-sequence
+    them before the NFA, so stream == batch on the time-ordered data."""
+    from proteus_engine_spark.streaming.cep import (
+        GroupPattern,
+        Pattern,
+        match_group_pattern,
+        match_group_pattern_stream,
+    )
+
+    # time order: a(1) b(2) a(3) b(4); arrival order: b(2) b(4) | a(1) a(3)
+    rows_time_ordered = [
+        _ev(1, 1, 1, "a"), _ev(2, 2, 1, "b"),
+        _ev(3, 3, 1, "a"), _ev(4, 4, 1, "b"),
+        _ev(5, 59, 1, "x"),  # watermark pusher
+    ]
+    first = [rows_time_ordered[1], rows_time_ordered[3]]
+    second = [rows_time_ordered[0], rows_time_ordered[2], rows_time_ordered[4]]
+
+    def g():
+        sub = Pattern.begin(
+            "x", lambda r: r["event_type"] == "a"
+        ).next("y", lambda r: r["event_type"] == "b")
+        return GroupPattern.begin(sub).times(2).consecutive()
+
+    batch = match_group_pattern(
+        spark.createDataFrame(rows_time_ordered, EV_SCHEMA), g(), "user_id"
+    )
+    stream_out = match_group_pattern_stream(
+        _two_batch_stream(spark, first, second, EV_SCHEMA), g(), "user_id",
+        watermark_delay="30 minutes",
+    )
+    got = _run(stream_out, "group_stream_times_ooo_test")
+    key = lambda r: (r["x_id"], r["y_id"], r["x_cnt"], r["y_cnt"])  # noqa: E731
+    assert sorted(map(key, got.collect())) == sorted(map(key, batch.collect())) == [
+        (3, 4, 2, 2)
+    ]
+
+
 # ---------------- repetition stats zero guards ----------------
 
 
