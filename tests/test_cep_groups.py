@@ -124,6 +124,29 @@ def test_group_optional_times_order_insensitive(spark):
         assert rows[2]["a_cnt"] == 0 and rows[2]["a_id"] is None
 
 
+def test_group_zero_or_more_unbounded_optional(spark):
+    """one_or_more() composed with optional() = zeroOrMore, fully
+    state-counted (r14): the loop extends as far as the data reaches AND
+    the whole group can be skipped. e NEXT (a)* NEXT p over strict
+    chains: u1 takes 2 repeats, u2 skips, u3's lone 'a' blocks its skip
+    path and feeds a 1-repeat match."""
+    ev = _events(spark, {1: ["e", "a", "a", "p"], 2: ["e", "p"], 3: ["e", "a", "p"]})
+    g = (
+        GroupPattern.begin(_sub("e"))
+        .next(_sub("a")).one_or_more().optional()
+        .next(_sub("p"))
+    )
+    got = sorted(
+        (r["user_id"], r["a_cnt"], r["a_id"], r["p_id"])
+        for r in match_group_pattern(ev, g, "user_id").collect()
+    )
+    # u1: per-prefix exits at cnt 1 (p not next -> only cnt 2 completes
+    # under strict chaining) — the cnt-1 branch needs p right after a@101,
+    # which is 'a', so it dies; skip branch dies on 'a'. One match cnt 2.
+    # u2: skip branch only. u3: 1-repeat match; skip branch dies.
+    assert got == [(1, 2, 102, 103), (2, 0, None, 201), (3, 1, 301, 302)]
+
+
 def test_group_optional_one_or_more_order_insensitive(spark):
     ev = _events(spark, {1: ["e", "a", "p"], 2: ["e", "p"]})
 
