@@ -49,6 +49,13 @@ from proteus_engine_spark.queries import (  # noqa: F401
 # corpus_bpe_merges stay OUT of any window: they register oracle=None
 # (iterative solves are not SQL-expressible; a rows-only row must not
 # burn a window slot — bitwise pure-Python mirrors in pytest instead).
+# r15 window plan: the 7 leads above (6 deferrals + cep_group_times_state)
+# first, then oldest-green-first in the <=4-round staleness cycle:
+# csv_roundtrip_agg / from_rows_dim_join (latest green r9 — they slipped
+# from the r13 window at positions 51-52), then 41 of the 44 queries
+# whose latest driver green is r10 (pre-r14 latest-green histogram:
+# r9:2, r10:44, r11:50, r12:50, r13:50). 7 + 2 + 41 = 50; the remaining
+# 3 r10 rows lead r16.
 _GATE_PRIORITY = [
     # --- the 24 r13 gates queued at r13 positions 53-76, same order
     "dedup_lsh_salted_recall",
