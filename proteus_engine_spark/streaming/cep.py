@@ -1243,7 +1243,13 @@ def _group_match_columns(
             if eff[i] == -1:
                 cols.append(F.col(f"{st.name}_cnt"))
             else:
-                cols.append(F.lit(1).cast("long").alias(f"{st.name}_cnt"))
+                # plain item: matched exactly once — but in a TIMEOUT
+                # partial the step may be unreached, so the literal is
+                # conditional on the id (1 in every completed match)
+                cols.append(
+                    F.when(F.col(f"{st.name}_id").isNotNull(), F.lit(1))
+                    .otherwise(F.lit(0)).cast("long").alias(f"{st.name}_cnt")
+                )
     return cols
 
 
@@ -1253,13 +1259,24 @@ def match_group_pattern(
     key_col: str,
     ts_col: str = "ts",
     id_col: str = "event_id",
+    output: str = "matches",
 ) -> DataFrame:
     """Batch group-pattern matching: compile the group to its single
     state-counted pattern, run the standard NFA (one shuffle on the key,
-    the match_pattern plan), and project onto the repeat-stable schema."""
+    the match_pattern plan), and project onto the repeat-stable schema.
+
+    ``output='timeouts'`` emits the timed-out-partial side output instead
+    (PatternStream.select(timeoutHandler, ...) — groups compile to the
+    same NFA, so the timeout surface carries over unchanged): the inner
+    steps matched so far under their base names (NULLs beyond; a group's
+    _cnt is the repeats COMPLETED when the window expired) plus
+    ``timeout_ts``. Requires a within() bound, like the step-level path."""
     pat, eff = gpattern.compile()
-    m = match_pattern(df, pat, key_col, ts_col=ts_col, id_col=id_col)
-    return m.select(*_group_match_columns(gpattern, eff, key_col))
+    m = match_pattern(df, pat, key_col, ts_col=ts_col, id_col=id_col, output=output)
+    cols = _group_match_columns(gpattern, eff, key_col)
+    if output == "timeouts":
+        cols.append(F.col("timeout_ts"))
+    return m.select(*cols)
 
 
 def match_group_pattern_stream(

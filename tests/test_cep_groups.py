@@ -167,3 +167,35 @@ def test_group_optional_one_or_more_order_insensitive(spark):
         # u1's 0-repeat variant can't match (the 'a' blocks the strict
         # e→p chain); u2 matches only via the skip. One row each.
         assert counts == [(1, 1), (2, 0)], f"opt_first={opt_first}"
+
+
+def test_group_timeout_side_output(spark):
+    """Group-pattern TIMEOUT side output (r14): partials whose within()
+    window expires surface through output='timeouts' with the
+    repeat-stable schema + timeout_ts — base-named ids for the steps
+    matched so far, NULL beyond, group _cnt = repeats COMPLETED at
+    expiry (NULL while mid-repeat with none completed)."""
+    # inner steps RELAXED (a followedBy b) so stalled partials survive
+    # noise to expiry instead of dying on strict contiguity:
+    # u1 completes; u2 stalls at the loop-back (1 repeat done); u3
+    # stalls mid-repeat (a matched, b never arrives).
+    ev = _events(spark, {
+        1: ["a", "b", "a", "b"],
+        2: ["a", "b"] + ["x"] * 10,
+        3: ["a"] + ["x"] * 11,
+    })
+    sub = Pattern.begin("a", lambda r: r["event_type"] == "a").followed_by(
+        "b", lambda r: r["event_type"] == "b"
+    )
+    g = GroupPattern.begin(sub).times(2).within(5 * 60 * 1000)
+    matches = match_group_pattern(ev, g, "user_id")
+    assert {r["user_id"] for r in matches.collect()} == {1}
+    touts = {r["user_id"]: r for r in match_group_pattern(
+        ev, g, "user_id", output="timeouts").collect()}
+    assert set(touts) == {2, 3}
+    r2 = touts[2]
+    assert r2["a_id"] == 200 and r2["b_id"] == 201 and r2["a_cnt"] == 1
+    assert r2["timeout_ts"] == r2["a_ts"] + 5 * 60 * 1000
+    r3 = touts[3]
+    assert r3["a_id"] == 300 and r3["b_id"] is None and r3["b_cnt"] is None
+    assert r3["a_cnt"] is None  # mid-repeat: nothing completed yet
