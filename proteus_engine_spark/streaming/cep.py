@@ -1286,6 +1286,7 @@ def match_group_pattern_stream(
     ts_col: str = "ts",
     id_col: str = "event_id",
     watermark_delay: str | None = None,
+    output: str = "matches",
 ) -> DataFrame:
     """STREAMING group-pattern matching (the reference compiles group
     patterns into the same NFA the keyed CEP operator runs on streams —
@@ -1298,10 +1299,15 @@ def match_group_pattern_stream(
     streaming to single-variant groups). The compiled pattern reuses
     match_pattern_stream unchanged: watermark-buffered (ts, id)-ordered
     NFA feeding, keyed partial-match state, exactly-once emission; the
-    projection is the batch path's repeat-stable schema."""
+    projection is the batch path's repeat-stable schema.
+    ``output='timeouts'`` streams the timed-out-partial side output
+    instead (same schema + timeout_ts, the batch path's contract)."""
     pat, eff = gpattern.compile()
     out = match_pattern_stream(
         stream, pat, key_col, ts_col=ts_col, id_col=id_col,
-        watermark_delay=watermark_delay,
+        watermark_delay=watermark_delay, output=output,
     )
-    return out.select(*_group_match_columns(gpattern, eff, key_col))
+    cols = _group_match_columns(gpattern, eff, key_col)
+    if output == "timeouts":
+        cols.append(F.col("timeout_ts"))
+    return out.select(*cols)

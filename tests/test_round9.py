@@ -304,6 +304,49 @@ def test_group_stream_times_out_of_order_matches_batch(spark):
     ]
 
 
+def test_group_stream_timeout_side_output_matches_batch(spark):
+    """r14: the group timeout side output streams too (output='timeouts'
+    threads through match_group_pattern_stream) — a stalled group partial
+    whose within() expires under the advancing watermark emits the same
+    row the batch path produces."""
+    from proteus_engine_spark.streaming.cep import (
+        GroupPattern,
+        Pattern,
+        match_group_pattern,
+        match_group_pattern_stream,
+    )
+
+    # user 1: one full (a,b) repeat then silence — the times(2) partial
+    # stalls at the loop-back and expires; a far event advances the
+    # watermark past the window edge.
+    rows = [
+        _ev(1, 1, 1, "a"), _ev(2, 2, 1, "b"),
+        _ev(3, 50, 1, "z"),
+    ]
+
+    def g():
+        sub = Pattern.begin(
+            "x", lambda r: r["event_type"] == "a"
+        ).followed_by("y", lambda r: r["event_type"] == "b")
+        return GroupPattern.begin(sub).times(2).within(10 * 60 * 1000)
+
+    batch = match_group_pattern(
+        spark.createDataFrame(rows, EV_SCHEMA), g(), "user_id",
+        output="timeouts",
+    )
+    stream_out = match_group_pattern_stream(
+        _two_batch_stream(spark, rows[:2], rows[2:], EV_SCHEMA), g(), "user_id",
+        watermark_delay="0 seconds", output="timeouts",
+    )
+    got = _run(stream_out, "group_stream_timeout_test")
+    assert sorted(got.columns) == sorted(batch.columns)
+    key = lambda r: (r["x_id"], r["y_id"], r["x_cnt"], r["timeout_ts"])  # noqa: E731
+    b = sorted(map(key, batch.collect()))
+    s = sorted(map(key, got.collect()))
+    assert b == s
+    assert len(b) == 1 and b[0][0] == 1 and b[0][1] == 2 and b[0][2] == 1
+
+
 # ---------------- repetition stats zero guards ----------------
 
 
