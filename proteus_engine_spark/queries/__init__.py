@@ -23,101 +23,96 @@ from proteus_engine_spark.queries import (  # noqa: F401
     windows_q,
 )
 
-# Round-14 priority window (the driver checks the first ~50 registry
-# entries; r11-r13 all recorded exactly 50). The r13 verdict's #1 order:
-# dedicate the ENTIRE window to the never-driver-checked backlog (59
-# registry queries had no CORRECTNESS row after r13) and freeze registry
-# growth. Composition: the 24 r13 gates that were already queued at
-# r13 positions 53-76 lead (same order), then 26 more of the r13 wave —
-# including every query whose semantics CHANGED this round and must be
-# driver-checked in its fixed form: corpus_weighted_sample (iterated
-# 3-step Lehmer uniforms — the r13-advice medium fix; one step was
-# monotone for small sequential ids), events_cohort_retention (floor
-# week division on both engines, not Spark div-truncate),
-# agg_count_min_bounds (analytic 3N/256 overcount bound replacing the
-# tuned 2N/256), corpus_bigram_pmi (top-k rewritten TakeOrdered —
-# the r13 verdict's one scale-killer), and sim_knn_classify (gemm
-# midpoint risk now documented at the gate). Positions 51-56 hold the
-# six remaining never-checked gates (text_concordance,
-# corpus_fixed_n_sample, corpus_bucketed_batches,
-# events_value_histogram, events_interarrival_stats,
-# events_transition_matrix — all zero-or-simple-shuffle shapes with
-# tri-scale local greens, the lowest-risk deferrals); they plus
-# cep_group_times_state (the ONE new r14 gate: state-counted
-# times(n)/optional on CEP GroupPatterns, verdict item 4) lead the r15
-# window. ml_als_factorization / ml_svm_classify / ml_outlier_sos /
+# Round-15 priority window (the driver checks the first ~50 registry
+# entries; r11-r14 all recorded exactly 50). This executes the r15 plan
+# the r14 registry comment documented and the r14 verdict ordered
+# verbatim: positions 1-7 are the last never-driver-checked
+# oracle-bearing gates (the six low-risk deferrals + the one new r14
+# gate cep_group_times_state), positions 8-9 the two r9-stale greens,
+# positions 10-50 are 41 of the 44 queries whose latest driver green is
+# r10 (pre-r15 latest-green histogram: r9:2, r10:44, r11-r14:50 each).
+# 7 + 2 + 41 = 50 → after r15 the oracle-bearing never-checked count is
+# 0 and max registry staleness drops to <=5 rounds.
+#
+# STANDING POLICY (r14 verdict item 6): every oracle-bearing gate must
+# re-enter a driver window at least every 5 rounds. Each round's window
+# is composed never-driver-checked-first, then oldest-green-first;
+# registry growth is capped at what the next window can absorb beyond
+# rotation (~5-10 gates/round).
+#
+# ml_als_factorization / ml_svm_classify / ml_outlier_sos /
 # corpus_bpe_merges stay OUT of any window: they register oracle=None
 # (iterative solves are not SQL-expressible; a rows-only row must not
 # burn a window slot — bitwise pure-Python mirrors in pytest instead).
-# r15 window plan: the 7 leads above (6 deferrals + cep_group_times_state)
-# first, then oldest-green-first in the <=4-round staleness cycle:
-# csv_roundtrip_agg / from_rows_dim_join (latest green r9 — they slipped
-# from the r13 window at positions 51-52), then 41 of the 44 queries
-# whose latest driver green is r10 (pre-r14 latest-green histogram:
-# r9:2, r10:44, r11:50, r12:50, r13:50). 7 + 2 + 41 = 50; the remaining
-# 3 r10 rows lead r16.
+#
+# r16 window plan: the new r15 gates (queued at positions 51+ below:
+# cep_group_stream_timeouts and the r15 additions — never checked)
+# first, then the 3 r10-greens deferred from this window (distinct_rows,
+# sort_limit_offset, subquery_in — native SQL shapes, the lowest-risk
+# deferrals), then oldest-green-first from the r11 wave (50 queries,
+# latest green r11) to fill the remaining ~40 slots; the unrotated r11
+# tail leads r17.
 _GATE_PRIORITY = [
-    # --- the 24 r13 gates queued at r13 positions 53-76, same order
-    "dedup_lsh_salted_recall",
-    "text_remove_duplicate_spans",
-    "dedup_semantic",
-    "text_decontaminate_bloom",
-    "text_decontaminate_fuzzy",
-    "corpus_quality_buckets",
-    "corpus_chunk_windows",
-    "corpus_shuffle_order",
-    "text_winnowing_fingerprints",
-    "agg_approx_distinct_bounds",
-    "avro_roundtrip_agg",
-    "orc_roundtrip_agg",
-    "json_roundtrip_agg",
-    "sim_ann_pq",
-    "sim_ann_ivfpq",
-    "corpus_interleave_weighted",
-    "corpus_token_budget_sample",
-    "dedup_exact_normalized",
-    "text_gopher_rules",
-    "corpus_dsir_select",
-    "sim_ann_sq8",
-    "stream_gopher_filter",
-    "corpus_bpe_token_counts",
-    "corpus_source_report",
-    # --- 26 more never-checked gates; r14-changed queries first
-    "corpus_weighted_sample",
-    "events_cohort_retention",
-    "agg_count_min_bounds",
-    "corpus_bigram_pmi",
-    "sim_knn_classify",
-    "text_bm25_topk",
-    "text_nb_source_classify",
-    "dedup_incremental",
-    "corpus_ngram_diversity",
-    "sim_hard_negatives",
-    "corpus_source_similarity",
-    "sim_hybrid_rrf",
-    "stream_incremental_dedup",
-    "dedup_cluster_keep_best",
-    "corpus_source_divergence",
-    "agg_heavy_hitters_bounds",
-    "corpus_pipeline_e2e",
-    "stream_count_min_table",
-    "dedup_incremental_fuzzy",
-    "stream_window_approx_distinct",
-    "events_funnel_conversion",
-    "events_sessionize",
-    "events_rfm_scores",
-    "events_anomaly_mad",
-    "events_active_users",
-    "events_value_gini",
-    # --- positions 51-56: the six deferrals, leading r15
+    # --- positions 1-7: the last never-driver-checked oracle gates
     "text_concordance",
     "corpus_fixed_n_sample",
     "corpus_bucketed_batches",
     "events_value_histogram",
     "events_interarrival_stats",
     "events_transition_matrix",
-    # --- position 57: the one new r14 gate, queued behind the backlog
     "cep_group_times_state",
+    # --- positions 8-9: latest green r9
+    "csv_roundtrip_agg",
+    "from_rows_dim_join",
+    # --- positions 10-50: 41 of the 44 r10-greens (alphabetical);
+    #     distinct_rows / sort_limit_offset / subquery_in defer to r16
+    "agg_collect",
+    "agg_cube",
+    "agg_distinct",
+    "agg_grouping_sets",
+    "agg_having",
+    "agg_minby_maxby",
+    "agg_reduce_group_sorted",
+    "agg_rollup",
+    "agg_stats_exact",
+    "cep_allow_combinations",
+    "cep_greedy_click_run",
+    "cogroup_counts",
+    "corpus_pack_sequences",
+    "corpus_vocab_stats",
+    "dedup_cluster_keep",
+    "graph_adamic_adar",
+    "graph_clustering_coeff",
+    "graph_community_detection",
+    "graph_hits",
+    "graph_jaccard",
+    "graph_label_propagation",
+    "graph_summarize",
+    "iter_connected_components",
+    "multimodal_audio_features",
+    "multimodal_decode",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "sim_ann_ivf",
+    "stream_count_evictor_fires",
+    "stream_late_rows_observed",
+    "stream_side_input_broadcast",
+    "stream_side_input_keyed",
+    "stream_split_select",
+    "stream_tumble_time_evictor",
+    "text_decontaminate",
+    "text_length_percentiles",
+    "udf_scalar_weighted",
+    "window_count_tumbling",
+    "window_tumble_sql",
+    "zip_with_index_bulk",
+    "zip_with_index_ranked",
+    # --- positions 51+: new r15 gates (never checked — lead r16),
+    #     then the 3 deferred r10-greens
+    "cep_group_stream_timeouts",
+    "distinct_rows",
+    "sort_limit_offset",
+    "subquery_in",
 ]
 
 
