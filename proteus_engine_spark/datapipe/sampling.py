@@ -629,9 +629,10 @@ def weighted_sample_es(
     so for small sequential ids (every gate SF) one step is strictly
     monotone in the key and spans a sliver of (0, 1] — the "random"
     sample would degenerate into a largest-id-biased deterministic
-    selection (r13 advice). Iterating fixes it unconditionally: after
-    the first step u ≥ 48271 for every seed, and 48271·48271 > M, so
-    the second step wraps for ALL seeds; the third adds mixing margin.
+    selection (r13 advice). Iterating fixes it unconditionally: seeds
+    ≤ ~44,488 don't wrap in step 1 but then hold u ≥ 48271 (and
+    48271·48271 > M), so step 2 wraps them; larger seeds already wrap
+    in step 1 and are mixed. The third step adds mixing margin.
     The seed maps into [1, M-1] — the Lehmer domain, closed under the
     step because M is prime — so u_int is NEVER 0: ln(u) stays finite
     everywhere, which matters because DuckDB's ln(0) RAISES while

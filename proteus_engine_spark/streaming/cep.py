@@ -615,9 +615,18 @@ def _scan(
                     place({"idx": p["idx"] + 1, "cnt": 0, "events": dict(ev), "t0": t0}, out)
             else:  # single, optional-taken, or times complete
                 place({"idx": p["idx"] + 1, "cnt": 0, "events": ev, "t0": t0}, out)
-            if step.contiguity == "followedByAny" and p["cnt"] == 0:
+            if (
+                step.contiguity == "followedByAny"
+                and p["cnt"] == 0
+                and not p.get("gloop")
+            ):
                 # skip-till-ANY-match: the branch that did NOT consume this
                 # event survives, so every later matching event also fires.
+                # The attach contiguity gates only the FIRST repeat of a
+                # quantified group — a loop-back (gloop) partial is between
+                # repeats and follows the group's between-repeat rule
+                # (mirroring the gloop arm of the non-matched branch below);
+                # skip-till-any between repeats needs allowCombinations.
                 out.append(p)
         else:
             if step.greedy and p["cnt"] >= (
@@ -1270,7 +1279,16 @@ def match_group_pattern(
     same NFA, so the timeout surface carries over unchanged): the inner
     steps matched so far under their base names (NULLs beyond; a group's
     _cnt is the repeats COMPLETED when the window expired) plus
-    ``timeout_ts``. Requires a within() bound, like the step-level path."""
+    ``timeout_ts``. Requires a within() bound, like the step-level path.
+
+    Timeout-row _cnt encoding, deliberate asymmetry: a PLAIN item's _cnt
+    is the 0/1 literal (0 = step unreached at expiry), but a quantified
+    group's _cnt is NULL — not 0 — when the window expired MID-repeat
+    with zero repeats completed (the NFA count ``__gcnt__`` was never
+    set). NULL therefore means "entered the group but no repeat closed",
+    distinguishable from a completed match of a skipped optional group,
+    which reports a true 0 with NULL ids. Consumers wanting the plain-
+    item convention can ``coalesce(_cnt, 0)``."""
     pat, eff = gpattern.compile()
     m = match_pattern(df, pat, key_col, ts_col=ts_col, id_col=id_col, output=output)
     cols = _group_match_columns(gpattern, eff, key_col)
