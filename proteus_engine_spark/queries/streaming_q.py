@@ -2303,6 +2303,96 @@ def cep_group_stream_unbounded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cep_group_stream_timeouts",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, epoch_ms(ts) AS ms, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS rn
+      FROM events WHERE event_type IN ('signup', 'purchase')),
+    cut AS (SELECT max(ms) - 600000 AS wm FROM seq),
+    a AS (SELECT user_id, event_id AS s0_id, ms AS t0, rn AS s0_rn
+          FROM seq WHERE event_type = 'signup'),
+    w1 AS (
+      SELECT a.*,
+             (SELECT min(p.rn) FROM seq p
+              WHERE p.user_id = a.user_id AND p.rn > a.s0_rn
+                AND p.event_type = 'purchase'
+                AND p.ms <= a.t0 + 345600000) AS p1_rn
+      FROM a),
+    w2 AS (
+      SELECT w1.*, p1.event_id AS p1_id, p1.ms AS p1_ms,
+             (SELECT min(s.rn) FROM seq s
+              WHERE s.user_id = w1.user_id AND s.rn > w1.p1_rn
+                AND s.event_type = 'signup'
+                AND s.ms <= w1.t0 + 345600000) AS s2_rn
+      FROM w1 LEFT JOIN seq p1
+        ON p1.user_id = w1.user_id AND p1.rn = w1.p1_rn),
+    w3 AS (
+      SELECT w2.*, s2.event_id AS s2_id, s2.ms AS s2_ms,
+             EXISTS (SELECT 1 FROM seq p
+                     WHERE p.user_id = w2.user_id AND p.rn > w2.s2_rn
+                       AND p.event_type = 'purchase'
+                       AND p.ms <= w2.t0 + 345600000) AS done
+      FROM w2 LEFT JOIN seq s2
+        ON s2.user_id = w2.user_id AND s2.rn = w2.s2_rn)
+    SELECT user_id,
+           CASE WHEN s2_rn IS NOT NULL THEN s2_id ELSE s0_id END AS signup_id,
+           CASE WHEN s2_rn IS NOT NULL THEN s2_ms ELSE t0 END AS signup_ts,
+           CASE WHEN p1_rn IS NOT NULL THEN CAST(1 AS BIGINT)
+                ELSE CAST(NULL AS BIGINT) END AS signup_cnt,
+           p1_id AS purchase_id, p1_ms AS purchase_ts,
+           CASE WHEN p1_rn IS NOT NULL THEN CAST(1 AS BIGINT)
+                ELSE CAST(NULL AS BIGINT) END AS purchase_cnt,
+           t0 + 345600000 AS timeout_ts
+    FROM w3
+    WHERE (p1_rn IS NULL OR s2_rn IS NULL OR NOT done)
+      AND t0 + 345600000 < (SELECT wm FROM cut)
+    """,
+    tags=("streaming", "cep", "group", "timeout"),
+)
+def cep_group_stream_timeouts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING group-pattern TIMEOUT side output (r14's last pytest-only
+    code path, driver-certified per the r14 verdict item 4): the group
+    (signup FOLLOWEDBY purchase) times(2) within 4 days, keyed per user,
+    with ``output='timeouts'`` on match_group_pattern_stream — a partial
+    whose window the WATERMARK closes mid-group emits the steps matched
+    so far plus timeout_ts = t0 + within (PatternStream.java:301's
+    timeout handler on NFACompiler-compiled groups).
+
+    The relaxed NFA is deterministic per signup anchor, so the oracle
+    enumerates the three timeout states directly: (A) no purchase within
+    the window — signup filled, cnt NULL (zero COMPLETED repeats: the
+    NULL-vs-0 encoding match_group_pattern documents), purchase NULL;
+    (B) repeat 1 closed, no second signup — both cnts 1; (C) second
+    signup consumed, no closing purchase — signup_id is the SECOND
+    signup (loop steps report their last event), cnts still 1. A chain
+    reaching the second purchase is a completed MATCH, excluded. The
+    watermark cut mirrors cep_stream_timeouts: expr= hints push the
+    signup/purchase filter below the watermark node (prefilter runs
+    before withWatermark, so the scan prunes AND the watermark derives
+    from the filtered stream), hence expiry < max(filtered ts) - 10min.
+    """
+    from proteus_engine_spark.streaming.cep import (
+        GroupPattern,
+        match_group_pattern_stream,
+    )
+
+    ev = events_stream(spark, sf_dir)
+    sub = Pattern.begin(
+        "signup", lambda r: r["event_type"] == "signup",
+        expr="event_type = 'signup'",
+    ).followed_by(
+        "purchase", lambda r: r["event_type"] == "purchase",
+        expr="event_type = 'purchase'",
+    )
+    g = GroupPattern.begin(sub).times(2).within(345_600_000)
+    out = match_group_pattern_stream(
+        ev, g, "user_id", watermark_delay="10 minutes", output="timeouts"
+    )
+    return run_to_completion(out, "cep_group_stream_timeouts_sink", "append")
+
+
+@register(
     "stream_window_approx_distinct",
     oracle="""
     SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
