@@ -124,6 +124,133 @@ def nb_token_model(
     return priors, dense
 
 
+def nb_scores(
+    docs: DataFrame,
+    priors: DataFrame,
+    likelihoods: DataFrame,
+    class_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """The full (id_col, class_col, score_micro long) score frame — one
+    row per document × class, exact integer micro-nat sums. nb_classify
+    takes its argmax; calibration takes its top-2 margin. Scale shape is
+    nb_classify's: one tokenize pass, term-keyed broadcast model join,
+    (doc, class) aggregation, enum-sized prior broadcast."""
+    lik = F.broadcast(likelihoods) if broadcast_model else likelihoods
+    pri = F.broadcast(priors)
+    tf = (
+        docs.select(F.col(id_col), F.explode(_tokens(text_col)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    scores = (
+        tf.join(lik, "term")
+        .groupBy(id_col, class_col)
+        .agg(F.sum(F.col("tf") * F.col("loglik_micro")).alias("lik_sum"))
+    )
+    # every (doc, class) pair exists — docs with zero in-vocab tokens
+    # score prior-only (coalesce 0)
+    return (
+        docs.select(id_col)
+        .crossJoin(pri)
+        .join(scores, [id_col, class_col], "left")
+        .select(
+            id_col,
+            class_col,
+            (F.coalesce(F.col("lik_sum"), F.lit(0)) + F.col("prior_micro")).alias(
+                "score_micro"
+            ),
+        )
+    )
+
+
+def nb_margin_calibration(
+    docs: DataFrame,
+    priors: DataFrame,
+    likelihoods: DataFrame,
+    label_col: str = "source",
+    class_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Classifier CALIBRATION by score margin: bucket the evaluation
+    documents into equal-frequency bins of the top-1 − top-2 score
+    margin (the NB analogue of a confidence score — exact in integer
+    micro-nats, unlike a softmax probability) and report per-bin
+    accuracy against the true labels. A well-calibrated classifier shows
+    accuracy rising with the margin bin — the reliability-diagram check
+    a CCNet-style quality-filter pipeline runs before trusting the
+    classifier's threshold. Returns (bin int 1..n_bins, n_docs long,
+    n_correct long, acc_pct long, avg_margin_micro long).
+
+    Determinism: scores are exact integer sums, the margin is an exact
+    integer difference (ties across the top two classes give margin 0),
+    the bin edges are exact percentile cut points computed in ONE 1-row
+    partial aggregate and broadcast back (quality_buckets' never-ntile
+    discipline — no unpartitioned data-sized window), and acc_pct /
+    avg_margin_micro are integer divisions. The per-doc top-2 extraction
+    is a window over the doc's OWN class rows — an enum-sized frame, the
+    allowed window class.
+
+    ``docs`` must carry the TRUE label in ``label_col``; pass the
+    held-out split, never the training split."""
+    from pyspark.sql import Window
+
+    from proteus_engine_spark.datapipe.textstats import quality_buckets
+
+    scored = nb_scores(
+        docs, priors, likelihoods,
+        class_col=class_col, id_col=id_col, text_col=text_col,
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score_micro"), F.asc(class_col)
+    )
+    ranked = scored.select(
+        id_col, class_col, "score_micro", F.row_number().over(w).alias("rk")
+    ).filter(F.col("rk") <= 2)
+    top2 = (
+        ranked.groupBy(id_col)
+        .agg(
+            F.max(F.when(F.col("rk") == 1, F.col(class_col))).alias("predicted"),
+            F.max(F.when(F.col("rk") == 1, F.col("score_micro"))).alias("s1"),
+            F.max(F.when(F.col("rk") == 2, F.col("score_micro"))).alias("s2"),
+        )
+        .select(
+            id_col,
+            "predicted",
+            (F.col("s1") - F.coalesce(F.col("s2"), F.col("s1"))).alias(
+                "margin_micro"
+            ),
+        )
+    )
+    labeled = top2.join(
+        docs.select(id_col, F.col(label_col).alias("__true__")), id_col
+    )
+    binned = quality_buckets(
+        labeled, score_col="margin_micro", id_col=id_col, n_buckets=n_bins
+    ).join(labeled.select(id_col, "predicted", "__true__"), id_col)
+    return (
+        binned.groupBy(F.col("bucket").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("predicted") == F.col("__true__"), 1).otherwise(0)
+            ).alias("n_correct"),
+            F.sum("margin_micro").alias("__msum__"),
+        )
+        .select(
+            "bin",
+            "n_docs",
+            "n_correct",
+            F.expr("(100 * n_correct) div n_docs").alias("acc_pct"),
+            F.expr("__msum__ div n_docs").alias("avg_margin_micro"),
+        )
+    )
+
+
 def nb_classify(
     docs: DataFrame,
     priors: DataFrame,
@@ -147,31 +274,10 @@ def nb_classify(
     aggregation [shuffle 2, n_docs × C rows]; the prior add is an
     enum-sized broadcast join and the argmax is a doc-keyed max_by over
     C rows per doc — never a corpus-wide window."""
-    lik = F.broadcast(likelihoods) if broadcast_model else likelihoods
-    pri = F.broadcast(priors)
-    tf = (
-        docs.select(F.col(id_col), F.explode(_tokens(text_col)).alias("term"))
-        .groupBy(id_col, "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    scores = (
-        tf.join(lik, "term")
-        .groupBy(id_col, class_col)
-        .agg(F.sum(F.col("tf") * F.col("loglik_micro")).alias("lik_sum"))
-    )
-    # every (doc, class) pair exists — docs with zero in-vocab tokens
-    # score prior-only (coalesce 0)
-    full = (
-        docs.select(id_col)
-        .crossJoin(pri)
-        .join(scores, [id_col, class_col], "left")
-        .select(
-            id_col,
-            class_col,
-            (F.coalesce(F.col("lik_sum"), F.lit(0)) + F.col("prior_micro")).alias(
-                "score_micro"
-            ),
-        )
+    full = nb_scores(
+        docs, priors, likelihoods,
+        class_col=class_col, id_col=id_col, text_col=text_col,
+        broadcast_model=broadcast_model,
     )
     # argmax with class-asc tie-break: max over (score, reversed-class)
     # structs would need string negation — a doc-keyed max_by on the

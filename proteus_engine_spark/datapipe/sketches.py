@@ -108,6 +108,71 @@ def count_min_table(
     )
 
 
+def quantile_sketch_bounds(
+    df: DataFrame,
+    value_col: str,
+    qs: tuple[float, ...] = (0.1, 0.25, 0.5, 0.75, 0.9, 0.99),
+    accuracy: int = 1000,
+) -> DataFrame:
+    """Approximate quantiles with an analytic rank-error verdict — the
+    quantile member of the sketch family next to HLL++ (distinct),
+    Count-Min and Misra-Gries (frequency). Spark-first: the sketch is
+    the BUILT-IN ``percentile_approx`` (ApproximatePercentile — the
+    Greenwald-Khanna-family mergeable summary running JVM-side with
+    map-side combine; a hand-rolled Python KLL would be strictly worse),
+    so the engine's job is the verdict, not the sketch: for each q the
+    estimate's exact rank window [count(v < est), count(v <= est)] must
+    overlap round(q·n) ± (n/accuracy + 1) — ApproximatePercentile's
+    published guarantee (rank error <= n/accuracy) plus one for target
+    rounding. Returns (q_pct int, n long, target_rank long,
+    within_bounds boolean) — one row per requested quantile.
+
+    The estimate VALUE is partition-merge-order-dependent by nature, so
+    consumers (and the oracle) verify the bound, never the value — the
+    agg_approx_distinct_bounds discipline. Scale shape: two scans total
+    (one for the sketch — a 1-row partial aggregate — and one for the
+    conditional rank counts of all q estimates together, another 1-row
+    aggregate below a broadcast of the first); zero row shuffles."""
+    if accuracy < 1:
+        raise ValueError("accuracy must be >= 1")
+    vals = df.select(F.col(value_col).alias("v")).filter(F.col("v").isNotNull())
+    sketch = vals.agg(
+        F.percentile_approx(
+            "v", F.array(*[F.lit(float(q)) for q in qs]), F.lit(accuracy)
+        ).alias("ap"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    rank_aggs = []
+    for i in range(len(qs)):
+        est = F.col("ap")[i]
+        rank_aggs += [
+            F.sum(F.when(F.col("v") <= est, 1).otherwise(0)).alias(f"le_{i}"),
+            F.sum(F.when(F.col("v") < est, 1).otherwise(0)).alias(f"lt_{i}"),
+        ]
+    ranks = vals.crossJoin(F.broadcast(sketch)).groupBy("n").agg(*rank_aggs)
+    slack = F.expr(f"n div {accuracy}") + F.lit(1)
+    per_q = [
+        F.struct(
+            F.lit(int(round(q * 100))).alias("q_pct"),
+            F.round(F.lit(float(q)) * F.col("n")).cast("long").alias("target_rank"),
+            (
+                (F.col(f"le_{i}") >= F.round(F.lit(float(q)) * F.col("n")).cast("long") - slack)
+                & (F.col(f"lt_{i}") <= F.round(F.lit(float(q)) * F.col("n")).cast("long") + slack)
+            ).alias("within_bounds"),
+        )
+        for i, q in enumerate(qs)
+    ]
+    return (
+        ranks.select(F.col("n"), F.explode(F.array(*per_q)).alias("r"))
+        .select(
+            F.col("r.q_pct").alias("q_pct"),
+            F.col("n"),
+            F.col("r.target_rank").alias("target_rank"),
+            F.col("r.within_bounds").alias("within_bounds"),
+        )
+    )
+
+
 def count_min_estimate(
     table: DataFrame,
     items: DataFrame,

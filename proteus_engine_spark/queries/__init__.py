@@ -45,13 +45,19 @@ from proteus_engine_spark.queries import (  # noqa: F401
 # (iterative solves are not SQL-expressible; a rows-only row must not
 # burn a window slot — bitwise pure-Python mirrors in pytest instead).
 #
-# r16 window plan: the new r15 gates (queued at positions 51+ below:
-# cep_group_stream_timeouts and the r15 additions — never checked)
+# r16 window plan: the 4 new r15 gates (queued at positions 51-54
+# below — cep_group_stream_timeouts, agg_approx_quantile_bounds,
+# classify_calibration_bins, stream_session_windows_chained; never
+# checked, all tri-scale green in scripts/triscale/r15_delta.json)
 # first, then the 3 r10-greens deferred from this window (distinct_rows,
 # sort_limit_offset, subquery_in — native SQL shapes, the lowest-risk
 # deferrals), then oldest-green-first from the r11 wave (50 queries,
-# latest green r11) to fill the remaining ~40 slots; the unrotated r11
-# tail leads r17.
+# latest green r11) fills the remaining 43 slots; the 7-query r11 tail
+# leads r17. Note the feasibility bound on the staleness policy: with
+# ~258 oracle-bearing gates and a 50-slot window, steady-state max
+# staleness is ceil(N/50) = 6 rounds — the 5-round target holds for the
+# bulk, the small per-round remainder runs one round later; additions
+# stay capped so the ceiling never exceeds 6.
 _GATE_PRIORITY = [
     # --- positions 1-7: the last never-driver-checked oracle gates
     "text_concordance",
@@ -110,6 +116,9 @@ _GATE_PRIORITY = [
     # --- positions 51+: new r15 gates (never checked — lead r16),
     #     then the 3 deferred r10-greens
     "cep_group_stream_timeouts",
+    "agg_approx_quantile_bounds",
+    "classify_calibration_bins",
+    "stream_session_windows_chained",
     "distinct_rows",
     "sort_limit_offset",
     "subquery_in",

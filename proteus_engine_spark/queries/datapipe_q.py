@@ -2524,6 +2524,102 @@ def text_nb_source_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "classify_calibration_bins",
+    oracle=r"""
+    WITH train AS (SELECT source, text FROM documents WHERE doc_id % 10 < 8),
+    ev AS (SELECT doc_id, text, source AS true_src
+           FROM documents WHERE doc_id % 10 >= 8),
+    n_train AS (SELECT count(*) AS n FROM train),
+    priors AS (SELECT source,
+                      CAST(round(ln(count(*) * 1.0 / n_train.n) * 1000000, 0)
+                           AS BIGINT) AS prior_micro
+               FROM train CROSS JOIN n_train GROUP BY source, n_train.n),
+    ttok AS (SELECT source,
+                    unnest(string_split_regex(lower(text), '\s+')) AS term
+             FROM train),
+    ct AS (SELECT source, term, CAST(count(*) AS BIGINT) AS n_ct
+           FROM ttok GROUP BY source, term),
+    vocab AS (SELECT DISTINCT term FROM ct),
+    nc AS (SELECT source, sum(n_ct) AS n_c FROM ct GROUP BY source),
+    v1 AS (SELECT count(*) AS v FROM vocab),
+    dense AS (SELECT nc.source, vocab.term,
+                     CAST(round(ln((coalesce(ct.n_ct, 0) + 1.0)
+                                   / (nc.n_c + 1.0 * v1.v)) * 1000000, 0)
+                          AS BIGINT) AS loglik_micro
+              FROM vocab CROSS JOIN nc CROSS JOIN v1
+              LEFT JOIN ct ON ct.term = vocab.term AND ct.source = nc.source),
+    etf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+            FROM (SELECT doc_id,
+                         unnest(string_split_regex(lower(text), '\s+')) AS term
+                  FROM ev)
+            GROUP BY doc_id, term),
+    scores AS (SELECT doc_id, source, sum(tf * loglik_micro) AS lik_sum
+               FROM etf JOIN dense USING (term) GROUP BY doc_id, source),
+    fulls AS (SELECT e.doc_id, p.source,
+                     CAST(coalesce(s.lik_sum, 0) + p.prior_micro AS BIGINT)
+                       AS score_micro
+              FROM (SELECT doc_id FROM ev) e CROSS JOIN priors p
+              LEFT JOIN scores s
+                ON s.doc_id = e.doc_id AND s.source = p.source),
+    ranked AS (SELECT *, row_number() OVER
+                 (PARTITION BY doc_id ORDER BY score_micro DESC, source ASC)
+                 AS rk
+               FROM fulls),
+    top2 AS (SELECT doc_id,
+                    max(CASE WHEN rk = 1 THEN source END) AS predicted,
+                    max(CASE WHEN rk = 1 THEN score_micro END)
+                  - coalesce(max(CASE WHEN rk = 2 THEN score_micro END),
+                             max(CASE WHEN rk = 1 THEN score_micro END))
+                      AS margin_micro
+             FROM ranked WHERE rk <= 2 GROUP BY doc_id),
+    lab AS (SELECT t.doc_id, t.predicted, t.margin_micro, ev.true_src
+            FROM top2 t JOIN ev USING (doc_id)),
+    cuts AS (SELECT quantile_cont(margin_micro,
+               [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cs
+             FROM lab),
+    binned AS (SELECT lab.*,
+                      CAST(len(list_filter(cs, c -> c < margin_micro)) + 1
+                           AS INT) AS bin
+               FROM lab CROSS JOIN cuts),
+    agg AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN predicted = true_src THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_correct,
+                   CAST(sum(margin_micro) AS BIGINT) AS msum
+            FROM binned GROUP BY bin)
+    SELECT bin, n_docs, n_correct,
+           (100 * n_correct) // n_docs AS acc_pct,
+           msum // n_docs AS avg_margin_micro
+    FROM agg
+    """,
+    tags=("datapipe", "text", "classify", "calibration"),
+)
+def classify_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier CALIBRATION gate (classify.nb_margin_calibration): the
+    same NB source classifier as text_nb_source_classify, but instead of
+    the argmax the gate buckets the held-out docs into equal-frequency
+    deciles of the top-1 − top-2 score MARGIN (the exact-integer NB
+    confidence stand-in) and reports per-bin accuracy against the true
+    labels — the reliability-diagram check a CCNet-style quality filter
+    runs before trusting a classifier threshold. Deterministic end to
+    end: integer micro-nat scores, integer margins (class-asc tie-break
+    on the top-2 ranking), percentile-cut bin edges from ONE 1-row
+    broadcast aggregate (quality_buckets' never-ntile discipline — the
+    only window is the per-doc top-2 ranking over an enum-sized class
+    frame), integer-division accuracy. The oracle retrains the identical
+    model in SQL and mirrors margin, cuts, and bins."""
+    from proteus_engine_spark.datapipe.classify import (
+        nb_margin_calibration,
+        nb_token_model,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 10 < 8)
+    ev = docs.filter(F.col("doc_id") % 10 >= 8)
+    priors, lik = nb_token_model(train, class_col="source")
+    return nb_margin_calibration(ev, priors, lik, label_col="source")
+
+
+@register(
     "dedup_incremental",
     oracle=r"""
     WITH corpus AS (SELECT DISTINCT md5(text) AS content_hash
@@ -3202,6 +3298,42 @@ def agg_count_min_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("within_bounds"),
         )
     )
+
+
+@register(
+    "agg_approx_quantile_bounds",
+    oracle="""
+    WITH v AS (SELECT CAST(count(*) AS BIGINT) AS n
+               FROM events WHERE value IS NOT NULL)
+    SELECT q_pct, n, CAST(round(q * n) AS BIGINT) AS target_rank,
+           true AS within_bounds
+    FROM v CROSS JOIN (VALUES (10, 0.10), (25, 0.25), (50, 0.50),
+                              (75, 0.75), (90, 0.90), (99, 0.99))
+         AS t(q_pct, q)
+    """,
+    tags=("datapipe", "sketch", "agg"),
+)
+def agg_approx_quantile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate QUANTILES, verdict-gated — the sketch family's fourth
+    member next to HLL++ (distinct), Misra-Gries and Count-Min
+    (frequency): rank queries. Spark-first: the sketch is the built-in
+    ``percentile_approx`` (ApproximatePercentile, the Greenwald-Khanna-
+    family mergeable summary — JVM-side, map-side combine; a hand-rolled
+    Python KLL would be strictly worse), so the gate verifies the
+    ANALYTIC guarantee instead of the merge-order-dependent value: for
+    each q the estimate's exact-rank window [count(v<est), count(v<=est)]
+    must overlap round(q·n) ± (n div accuracy + 1) — the published
+    rank-error bound (<= n/accuracy at accuracy=1000) plus one for
+    target rounding (the agg_approx_distinct_bounds discipline). The
+    oracle recomputes n and the target ranks and expects a uniformly
+    true verdict. Scale shape: two 1-row partial aggregates over the
+    scan (sketch pass, then one conditional-count pass for ALL q
+    estimates together under a broadcast) — zero row shuffles at any
+    corpus size."""
+    from proteus_engine_spark.datapipe.sketches import quantile_sketch_bounds
+
+    ev = load_table(spark, sf_dir, "events")
+    return quantile_sketch_bounds(ev, "value", accuracy=1000)
 
 
 @register(

@@ -2393,6 +2393,77 @@ def cep_group_stream_timeouts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_session_windows_chained",
+    oracle="""
+    WITH h AS (SELECT user_id, time_bucket(INTERVAL 1 HOUR, ts) AS b,
+                      CAST(count(*) AS BIGINT) AS n
+               FROM events GROUP BY 1, 2),
+    wm AS (SELECT max(epoch_ms(ts)) - 600000 AS w FROM events),
+    d AS (SELECT user_id, b, n,
+                 CASE WHEN epoch_ms(b) - epoch_ms(lag(b) OVER
+                        (PARTITION BY user_id ORDER BY b)) = 3600000
+                      THEN 0 ELSE 1 END AS brk
+          FROM h),
+    g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY b
+                                   ROWS UNBOUNDED PRECEDING) AS grp
+          FROM d)
+    SELECT user_id,
+           min(epoch_ms(b)) + 3600000 AS session_start_ms,
+           max(epoch_ms(b)) + 3600000 + 5400000 AS session_end_ms,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           CAST(count(*) AS BIGINT) AS n_buckets
+    FROM g
+    GROUP BY user_id, grp
+    HAVING max(epoch_ms(b)) + 3600000 + 5400000 <= (SELECT w FROM wm)
+    """,
+    tags=("streaming", "window", "session", "chained"),
+)
+def stream_session_windows_chained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful operators in ONE streaming query
+    (streaming.windows.chained_window_sessions): a keyed 1-hour tumbling
+    aggregate whose finalized windows feed a 90-minute SESSION-window
+    aggregate downstream — sessions of consecutive active hours per
+    user, the windows-on-windows composition Spark supports natively for
+    time-window aggregations (the window struct carries event time, so
+    watermark propagation is exact and no emitted row is ever late
+    downstream; a CEP→session chain is UNSOUND by construction — a
+    stateful-processing operator emits only watermark-confirmed rows,
+    which any downstream stateful operator would drop — and Spark's
+    multi-stateful correctness check rejects it, verified empirically).
+
+    With gap (90min) > bucket (1h), adjacent active hours always merge
+    and one silent hour always splits, so a session is exactly a maximal
+    run of consecutive hourly buckets — the gaps-and-islands shape the
+    oracle computes with a lag() break flag. Emission: a session closes
+    when the watermark passes last_bucket_end + gap; the gap > bucket
+    inequality also makes the cut exact (a session whose tail bucket is
+    still open would need last_end > wm - 1h, contradicting
+    last_end + 90min <= wm). Timestamps: the session struct anchors at
+    bucket_end - 1µs, so unix_millis(...) + 1 is exactly the first
+    bucket's end / last bucket's end + gap in ms."""
+    from proteus_engine_spark.streaming.windows import chained_window_sessions
+
+    ev = events_stream(spark, sf_dir)
+    out = chained_window_sessions(
+        ev, "user_id", "ts",
+        watermark="10 minutes", bucket="1 hour", gap="90 minutes",
+        bucket_aggs=[F.count(F.lit(1)).alias("n")],
+        session_aggs=[
+            F.sum("n").alias("n_events"),
+            F.count(F.lit(1)).alias("n_buckets"),
+        ],
+    )
+    final = out.select(
+        "user_id",
+        (F.unix_millis(F.col("session_start")) + 1).alias("session_start_ms"),
+        (F.unix_millis(F.col("session_end")) + 1).alias("session_end_ms"),
+        "n_events",
+        "n_buckets",
+    )
+    return run_to_completion(final, "stream_session_windows_chained_sink", "append")
+
+
+@register(
     "stream_window_approx_distinct",
     oracle="""
     SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,

@@ -54,6 +54,66 @@ def unbounded_agg(stream: DataFrame, keys: list[str], aggs: list[Column]) -> Dat
     return stream.groupBy(*keys).agg(*aggs)
 
 
+def chained_window_sessions(
+    stream: DataFrame,
+    key_col: str,
+    ts_col: str,
+    watermark: str,
+    bucket: str,
+    gap: str,
+    bucket_aggs: list[Column],
+    session_aggs: list[Column],
+) -> DataFrame:
+    """CHAINED stateful window aggregation in ONE streaming query: a
+    keyed tumbling-window aggregate whose finalized windows feed a
+    SESSION-window aggregate downstream — multiple stateful operators
+    per query, the composition the reference expresses by chaining
+    WindowedStream operators (DataStreamGroupWindowAggregate outputs
+    re-windowed by a second window assigner) and Spark supports natively
+    for time-window aggregations since 3.5 (the window struct carries
+    event time, so the session assigner consumes the tumble output with
+    correct watermark propagation — no re-declared watermark, no late
+    rows by construction).
+
+    Why the second stage is windows-on-windows and not CEP-on-windows:
+    a flatMapGroupsWithState/applyInPandasWithState operator emits rows
+    only once the watermark has CONFIRMED them — every emitted row is
+    already older than the watermark, so any downstream stateful
+    operator would drop it as late. Spark's multi-stateful correctness
+    check rejects that plan outright (verified empirically); chaining is
+    sound exactly for the operators whose emission Spark can reason
+    about — time-window aggregates — which is what this composes.
+
+    Semantics: with bucket=1h and gap=90min, a session is a maximal run
+    of CONSECUTIVE active hourly buckets per key (each finalized bucket
+    carries event time bucket_end − 1µs, so two adjacent buckets are
+    1h < gap apart and merge; one silent hour makes 2h > gap and
+    splits). ``bucket_aggs`` aggregate events into buckets,
+    ``session_aggs`` aggregate bucket rows into sessions. Emits
+    (key_col, session_start, session_end, *session_aggs) where
+    session_start/session_end are the session-window struct bounds —
+    note the − 1µs anchoring: epoch_ms(session_start) + 1 is the first
+    bucket's end, epoch_ms(session_end) + 1 the last bucket's end + gap.
+    A session finalizes when the watermark passes its end; sessions
+    still open at end of input stay pending (append-mode semantics).
+
+    Scale shape: both stages are keyed streaming aggregates with
+    map-side partial state; stage-2 state is bounded by active sessions
+    per key, stage-1 by open buckets within the watermark."""
+    hourly = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.col(key_col), F.window(ts_col, bucket).alias("w"))
+        .agg(*bucket_aggs)
+    )
+    return (
+        hourly.groupBy(F.col(key_col), F.session_window(F.col("w"), gap).alias("s"))
+        .agg(*session_aggs)
+        .withColumn("session_start", F.col("s.start"))
+        .withColumn("session_end", F.col("s.end"))
+        .drop("s")
+    )
+
+
 def interval_join(
     left: DataFrame,
     right: DataFrame,

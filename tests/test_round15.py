@@ -11,8 +11,11 @@
 
 from __future__ import annotations
 
+from datetime import datetime
+
 from hypothesis import given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 from proteus_engine_spark.streaming.cep import GroupPattern, Pattern, _scan
 
@@ -100,3 +103,107 @@ def test_followed_by_any_times_matches_brute_force(seq, n):
         if len(chain) >= n
     )
     assert got == exp
+
+
+# ---------------- r15 new operators ----------------
+
+
+def test_quantile_sketch_bounds_verdict(spark):
+    """0..9999 uniform: every requested quantile's estimate must sit
+    within the analytic rank window; target ranks are round(q*n)."""
+    from proteus_engine_spark.datapipe.sketches import quantile_sketch_bounds
+
+    df = spark.range(10000).select(F.col("id").cast("double").alias("v"))
+    rows = {r["q_pct"]: r for r in quantile_sketch_bounds(df, "v").collect()}
+    assert set(rows) == {10, 25, 50, 75, 90, 99}
+    for q_pct, r in rows.items():
+        assert r["n"] == 10000
+        assert r["target_rank"] == round(q_pct / 100 * 10000)
+        assert r["within_bounds"] is True
+
+
+def test_quantile_sketch_bounds_null_and_skew(spark):
+    """NULLs are excluded from n; a heavily tied column still verifies
+    (the rank window [count(<), count(<=)] absorbs ties)."""
+    from proteus_engine_spark.datapipe.sketches import quantile_sketch_bounds
+
+    vals = [(float(i % 3),) for i in range(999)] + [(None,)] * 100
+    df = spark.createDataFrame(vals, "v double")
+    rows = quantile_sketch_bounds(df, "v", accuracy=100).collect()
+    assert all(r["n"] == 999 for r in rows)
+    assert all(r["within_bounds"] for r in rows)
+
+
+def test_nb_margin_calibration_partitions_eval(spark):
+    from proteus_engine_spark.datapipe.classify import (
+        nb_margin_calibration,
+        nb_token_model,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, ("alpha beta " * (1 + i % 3)) if i % 2 == 0 else "gamma delta",
+             "web" if i % 2 == 0 else "books")
+            for i in range(40)
+        ],
+        "doc_id long, text string, source string",
+    )
+    train = docs.filter(F.col("doc_id") % 10 < 8)
+    ev = docs.filter(F.col("doc_id") % 10 >= 8)
+    priors, lik = nb_token_model(train, class_col="source")
+    out = nb_margin_calibration(ev, priors, lik, n_bins=4).collect()
+    assert sum(r["n_docs"] for r in out) == ev.count()
+    for r in out:
+        assert 0 <= r["n_correct"] <= r["n_docs"]
+        assert r["acc_pct"] == (100 * r["n_correct"]) // r["n_docs"]
+        assert r["avg_margin_micro"] >= 0
+    # a perfectly separable vocabulary should classify perfectly
+    assert sum(r["n_correct"] for r in out) == ev.count()
+
+
+def test_chained_window_sessions_split_and_merge(spark):
+    """One user active in hours 0 and 1 (merge: consecutive buckets),
+    silent hour 2, active hour 3 (split); a far event closes everything.
+    Sessions anchor at bucket_end - 1us."""
+    from proteus_engine_spark.streaming.windows import chained_window_sessions
+    from tests.test_streaming import EV_SCHEMA, _two_batch_stream
+
+    def at(i, h, m, user=1):
+        return (i, datetime(2024, 1, 1, h, m, 0), user, "click", 1.0)
+
+    first = [at(1, 0, 10), at(2, 0, 50), at(3, 1, 20), at(4, 3, 5)]
+    second = [at(9, 12, 0)]  # watermark mover
+    out = chained_window_sessions(
+        _two_batch_stream(spark, first, second, EV_SCHEMA),
+        "user_id", "ts",
+        watermark="0 seconds", bucket="1 hour", gap="90 minutes",
+        bucket_aggs=[F.count(F.lit(1)).alias("n")],
+        session_aggs=[
+            F.sum("n").alias("n_events"),
+            F.count(F.lit(1)).alias("n_buckets"),
+        ],
+    ).select(
+        "user_id",
+        (F.unix_millis("session_start") + 1).alias("s_ms"),
+        (F.unix_millis("session_end") + 1).alias("e_ms"),
+        "n_events", "n_buckets",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("r15_chained_sessions")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        (r["s_ms"], r["e_ms"], r["n_events"], r["n_buckets"])
+        for r in spark.table("r15_chained_sessions").collect()
+        if r["user_id"] == 1
+    )
+    base = int(datetime(2024, 1, 1).timestamp() * 1000)
+    h, gap = 3_600_000, 5_400_000
+    assert got == [
+        (base + h, base + 2 * h + gap, 3, 2),      # hours 0-1 merged
+        (base + 4 * h, base + 4 * h + gap, 1, 1),  # hour 3 alone
+    ]
