@@ -28,6 +28,12 @@ No broker ships in this environment, so everything here is buildable and
 unit-testable without one: the option builders are pure, and the
 load()/start() wrappers are thin. `to_kafka_frame` prepares the
 key/value binary layout the kafka sink contract requires.
+
+Environment probe log (the e2e gate builds the moment this changes):
+- r10: no broker, no spark-sql-kafka jar — blocked.
+- r15 (2026-08-16): re-probed — /opt/spark/jars has no kafka artifact,
+  no kafka CLI on PATH, localhost:9092 refuses connections. Still
+  blocked.
 """
 
 from __future__ import annotations
