@@ -119,6 +119,12 @@ HEADLINE = [
     # table + heavy-hitter probe (pure-codegen seeded bucketing)
     "events_active_users",
     "agg_count_min_bounds",
+    # added round 15 (exclude from cross-round like-for-like totals):
+    # one representative each of the r15 families — chained stateful
+    # streaming (tumble → session windows-on-windows in one query) and
+    # NB margin calibration (full-score frame + percentile-cut deciles)
+    "stream_session_windows_chained",
+    "classify_calibration_bins",
 ]
 
 

@@ -2464,6 +2464,82 @@ def stream_session_windows_chained(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "stream_window_quantile_bounds",
+    oracle="""
+    SELECT time_bucket(INTERVAL 1 DAY, ts) AS window_start,
+           CAST(count(*) AS BIGINT) AS n_vals,
+           true AS p50_ok, true AS p90_ok
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1
+    """,
+    tags=("streaming", "window", "sketch", "quantile"),
+)
+def stream_window_quantile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed approximate QUANTILES on the stream — the quantile
+    sketch (agg_approx_quantile_bounds) composed with streaming window
+    aggregation, completing the composed-sketch family next to
+    stream_window_approx_distinct (HLL) and stream_count_min_table
+    (CM): percentile_approx(accuracy=100) runs INSIDE a watermarked
+    1-day tumbling streaming aggregate (ApproximatePercentile's GK
+    summary is exactly the fixed-size mergeable state streaming wants —
+    at accuracy=100 the per-window sketch compresses once a window
+    exceeds ~100 values, the real approximation regime at sf0.1's ~3.3k
+    events/day). The verdict re-joins the streamed p50/p90 estimates to
+    the batch table per window and checks each exact-rank window
+    [count(<est), count(<=est)] overlaps round(q·n_w) ± (n_w div 100
+    + 1) — the same analytic bound as the batch gate, per window. The
+    oracle recomputes the per-window counts and expects uniformly true
+    verdicts."""
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.filter(F.col("value").isNotNull())
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.percentile_approx(
+                "value", F.array(F.lit(0.5), F.lit(0.9)), F.lit(100)
+            ).alias("ap")
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("ap")[0].alias("est50"),
+            F.col("ap")[1].alias("est90"),
+        )
+    )
+    streamed = run_to_completion(agg, "stream_wqb_sink", "complete")
+    from proteus_engine_spark.sources import load_table
+
+    vals = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(F.window("ts", "1 day")["start"].alias("window_start"), "value")
+    )
+    ranks = (
+        vals.join(F.broadcast(streamed), "window_start")
+        .groupBy("window_start")
+        .agg(
+            F.count(F.lit(1)).alias("n_vals"),
+            F.sum(F.when(F.col("value") <= F.col("est50"), 1).otherwise(0)).alias("le50"),
+            F.sum(F.when(F.col("value") < F.col("est50"), 1).otherwise(0)).alias("lt50"),
+            F.sum(F.when(F.col("value") <= F.col("est90"), 1).otherwise(0)).alias("le90"),
+            F.sum(F.when(F.col("value") < F.col("est90"), 1).otherwise(0)).alias("lt90"),
+        )
+    )
+    slack = F.expr("n_vals div 100") + F.lit(1)
+
+    def ok(le, lt, q):
+        target = F.round(F.lit(q) * F.col("n_vals")).cast("long")
+        return (F.col(le) >= target - slack) & (F.col(lt) <= target + slack)
+
+    return ranks.select(
+        "window_start",
+        "n_vals",
+        ok("le50", "lt50", 0.5).alias("p50_ok"),
+        ok("le90", "lt90", 0.9).alias("p90_ok"),
+    )
+
+
+@register(
     "stream_window_approx_distinct",
     oracle="""
     SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
