@@ -226,9 +226,16 @@ def nb_margin_calibration(
             ),
         )
     )
+    # eagerly checkpoint the per-doc (predicted, margin, truth) frame:
+    # its three consumers below (the percentile-cut 1-row agg, the
+    # bucket crossJoin, and the accuracy join) prune columns divergently,
+    # so without it the whole scoring pipeline — tokenize, model join,
+    # (doc, class) agg, top-2 window — re-executes once per branch (the
+    # nb_token_model ct-checkpoint discipline; plan-audited r15: 3
+    # duplicated Window nodes without, 1 with)
     labeled = top2.join(
         docs.select(id_col, F.col(label_col).alias("__true__")), id_col
-    )
+    ).localCheckpoint(eager=True)
     binned = quality_buckets(
         labeled, score_col="margin_micro", id_col=id_col, n_buckets=n_bins
     ).join(labeled.select(id_col, "predicted", "__true__"), id_col)
