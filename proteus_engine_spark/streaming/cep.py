@@ -111,6 +111,14 @@ class Step:
     # (GroupPattern.consecutive), distinct from the attach contiguity that
     # gates repeat 0
     group_between_strict: bool = False
+    # set on the FIRST inner step (GroupPattern.allow_combinations —
+    # the group twin of Pattern.allowCombinations, Pattern.java:347):
+    # skip-till-ANY between repeats — a loop-back partial that consumes
+    # a repeat-starting event also forks a twin that did NOT, so every
+    # combination of non-overlapping repeats matches (the opt-in the
+    # r15 followedByAny-fork fix requires, matching the reference's
+    # strategy table)
+    group_combinations: bool = False
 
 
 @dataclass
@@ -615,6 +623,13 @@ def _scan(
                     place({"idx": p["idx"] + 1, "cnt": 0, "events": dict(ev), "t0": t0}, out)
             else:  # single, optional-taken, or times complete
                 place({"idx": p["idx"] + 1, "cnt": 0, "events": ev, "t0": t0}, out)
+            if p.get("gloop") and step.group_combinations and p["cnt"] == 0:
+                # GroupPattern.allow_combinations: skip-till-ANY between
+                # repeats — the loop-back twin that did NOT consume this
+                # repeat-starting event survives (still gloop), so every
+                # later repeat start is also taken: all combinations of
+                # non-overlapping repeats match.
+                out.append(p)
             if (
                 step.contiguity == "followedByAny"
                 and p["cnt"] == 0
@@ -1035,6 +1050,7 @@ class _GroupItem:
     max_reps: int | None = None  # one_or_more(max_repeats=N): 1..N repeats
     unbounded: bool = False  # one_or_more(): 1+ repeats, no ceiling
     optional: bool = False  # optional(): the whole group may be skipped
+    combinations: bool = False  # allow_combinations(): skip-till-any between repeats
 
     @property
     def quantified(self) -> bool:
@@ -1142,7 +1158,30 @@ class GroupPattern:
         """Pattern.consecutive on a quantified group (Pattern.java:462):
         repeats must chain STRICTLY (next) instead of the relaxed default —
         the same default/override step-level times/oneOrMore have."""
+        if self.items[-1].combinations:
+            raise ValueError(
+                "consecutive() and allow_combinations() are contradictory"
+            )
         self.items[-1].consecutive = True
+        return self
+
+    def allow_combinations(self) -> "GroupPattern":
+        """Pattern.allowCombinations on a quantified group
+        (Pattern.java:347 applied to GroupPattern — the reference's
+        quantifier flags are group-agnostic): skip-till-ANY between
+        repeats. The default relaxed chaining consumes the FIRST
+        repeat-starting event after the previous repeat (skip-till-next);
+        with combinations the non-consuming twin survives too, so every
+        combination of non-overlapping repeats matches — the between-
+        repeat strategy a followedByAny ATTACH deliberately does not
+        grant (it gates only the group's first repeat; the r15 fix).
+        Contradicts consecutive(), like the step-level flag."""
+        it = self.items[-1]
+        if it.consecutive:
+            raise ValueError(
+                "consecutive() and allow_combinations() are contradictory"
+            )
+        it.combinations = True
         return self
 
     def optional(self) -> "GroupPattern":
@@ -1163,6 +1202,11 @@ class GroupPattern:
             raise ValueError("empty group pattern")
         seen: set[str] = set()
         for it in self.items:
+            if it.combinations and not it.quantified:
+                raise ValueError(
+                    "allow_combinations() requires a quantified group "
+                    "(times/one_or_more) — there are no repeats to combine"
+                )
             for st in it.sub.steps:
                 if st.quantifier != "single" or st.contiguity in ("notNext", "notFollowedBy") \
                         or st.until_pred is not None or st.greedy:
@@ -1228,6 +1272,10 @@ class GroupPattern:
             if it.optional:
                 steps[first_idx] = replace(
                     steps[first_idx], group_skip_to=len(steps)
+                )
+            if it.combinations:
+                steps[first_idx] = replace(
+                    steps[first_idx], group_combinations=True
                 )
         return Pattern(steps=steps, within_ms=self.within_ms), eff
 

@@ -207,3 +207,63 @@ def test_chained_window_sessions_split_and_merge(spark):
         (base + h, base + 2 * h + gap, 3, 2),      # hours 0-1 merged
         (base + 4 * h, base + 4 * h + gap, 1, 1),  # hour 3 alone
     ]
+
+
+# ---------------- GroupPattern.allow_combinations ----------------
+
+from tests.test_cep_group_props import SEQ, _sub  # noqa: E402
+
+
+def _pairs(types):
+    """(a at i, b at i+1) anchored pairs for alphabet 0='a', 1='b'."""
+    return [
+        (i, i + 1)
+        for i in range(len(types) - 1)
+        if types[i] == 0 and types[i + 1] == 1
+    ]
+
+
+def test_group_allow_combinations_times2_brute_force_example():
+    """(a NEXT b) times(2) allow_combinations over a,b,a,b,a,b: every
+    ordered pair of non-overlapping (a,b) pairs matches — 3 of them —
+    where the default skip-till-next chaining yields only 2."""
+    seq = [0, 1, 0, 1, 0, 1]
+    g = GroupPattern.begin(_sub()).times(2)
+    assert len(_run(g, seq)) == 2
+    gc = GroupPattern.begin(_sub()).times(2).allow_combinations()
+    got = sorted(
+        (m["a"][0], m["b"][0], m["__gcnt__0"]) for m in _run(gc, seq)
+    )
+    assert got == [(2, 3, 2), (4, 5, 2), (4, 5, 2)]
+
+
+@given(seq=SEQ)
+@settings(max_examples=200, deadline=None)
+def test_group_allow_combinations_times2_matches_brute_force(seq):
+    """times(2) + allow_combinations: one match per ORDERED pair of
+    pairs (p1, p2) with p2 starting after p1 ends (skip-till-any between
+    repeats); the row reports the LAST repeat's events, so the expected
+    multiset is {p2 : for each p1 before it}."""
+    gc = GroupPattern.begin(_sub()).times(2).allow_combinations()
+    got = sorted(
+        (m["a"][0], m["b"][0], m["__gcnt__0"]) for m in _run(gc, seq)
+    )
+    pairs = _pairs(seq)
+    exp = sorted(
+        (p2[0], p2[1], 2)
+        for p1 in pairs
+        for p2 in pairs
+        if p2[0] > p1[1]
+    )
+    assert got == exp
+
+
+def test_group_allow_combinations_validation():
+    import pytest
+
+    with pytest.raises(ValueError, match="contradictory"):
+        GroupPattern.begin(_sub()).times(2).consecutive().allow_combinations()
+    with pytest.raises(ValueError, match="contradictory"):
+        GroupPattern.begin(_sub()).times(2).allow_combinations().consecutive()
+    with pytest.raises(ValueError, match="quantified"):
+        GroupPattern.begin(_sub()).allow_combinations().compile()
