@@ -2303,6 +2303,53 @@ def cep_group_stream_unbounded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cep_group_allow_combinations",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, ts, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS rn
+      FROM events),
+    pairs AS (
+      SELECT c.user_id, c.rn AS start_rn, v.rn AS end_rn,
+             c.event_id AS click_eid, c.ts AS click_t,
+             v.event_id AS view_eid, v.ts AS view_t
+      FROM seq c JOIN seq v ON v.user_id = c.user_id AND v.rn = c.rn + 1
+      WHERE c.event_type = 'click' AND v.event_type = 'view')
+    SELECT p2.user_id,
+           p2.click_eid AS click_id, epoch_ms(p2.click_t) AS click_ts,
+           CAST(2 AS BIGINT) AS click_cnt,
+           p2.view_eid AS view_id, epoch_ms(p2.view_t) AS view_ts,
+           CAST(2 AS BIGINT) AS view_cnt
+    FROM pairs p1 JOIN pairs p2
+      ON p2.user_id = p1.user_id AND p2.start_rn > p1.end_rn
+    """,
+    tags=("streaming", "cep", "group"),
+)
+def cep_group_allow_combinations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GroupPattern.allow_combinations driver gate (r15 — Pattern.java:347's
+    allowCombinations applied to a quantified GROUP, the between-repeat
+    strategy the r15 followedByAny-fork fix made opt-in): (click NEXT
+    view) times(2) with skip-till-ANY between repeats — the second
+    repeat may start at ANY later adjacent (click, view) pair, not just
+    the first, so every ordered combination of non-overlapping pairs
+    matches. The NFA emits the LAST repeat's events with cnt 2, hence
+    the oracle is the anchored-pair self-join on (same user, p2 starts
+    after p1 ends) projecting p2 — one row per combination, a MULTISET
+    with duplicates when one p2 follows several p1 anchors (the driver
+    hash is multiset-exact). Output is pair-density-bounded (~C(k,2)
+    per user on k adjacent pairs), deterministic, and polynomial — what
+    makes this the one combinations gate that is oracle-expressible."""
+    from proteus_engine_spark.streaming.cep import GroupPattern, match_group_pattern
+
+    ev = load_table(spark, sf_dir, "events")
+    sub = Pattern.begin(
+        "click", lambda r: r["event_type"] == "click"
+    ).next("view", lambda r: r["event_type"] == "view")
+    g = GroupPattern.begin(sub).times(2).allow_combinations()
+    return match_group_pattern(ev, g, "user_id")
+
+
+@register(
     "cep_group_stream_timeouts",
     oracle="""
     WITH seq AS (
