@@ -267,3 +267,13 @@ def test_group_allow_combinations_validation():
         GroupPattern.begin(_sub()).times(2).allow_combinations().consecutive()
     with pytest.raises(ValueError, match="quantified"):
         GroupPattern.begin(_sub()).allow_combinations().compile()
+
+
+def test_quantile_sketch_bounds_empty_input(spark):
+    """All-NULL (effectively empty) input degrades to zero rows, not an
+    error — percentile_approx returns a NULL array and the rank pass has
+    nothing to count."""
+    from proteus_engine_spark.datapipe.sketches import quantile_sketch_bounds
+
+    df = spark.createDataFrame([(None,), (None,)], "v double")
+    assert quantile_sketch_bounds(df, "v").count() == 0
