@@ -45,16 +45,17 @@ from proteus_engine_spark.queries import (  # noqa: F401
 # (iterative solves are not SQL-expressible; a rows-only row must not
 # burn a window slot — bitwise pure-Python mirrors in pytest instead).
 #
-# r16 window plan: the 6 new r15 gates (queued at positions 51-56
+# r16 window plan: the 7 new r15 gates (queued at positions 51-57
 # below — cep_group_stream_timeouts, agg_approx_quantile_bounds,
 # classify_calibration_bins, stream_session_windows_chained,
-# stream_window_quantile_bounds, cep_group_allow_combinations; never
-# checked, all tri-scale green in scripts/triscale/r15_delta.json AND
-# merged into the refreshed full records scripts/triscale/sf0_*.json)
+# stream_window_quantile_bounds, cep_group_allow_combinations,
+# cep_group_times_range; never checked, all tri-scale green in
+# scripts/triscale/r15_delta.json AND merged into the refreshed full
+# records scripts/triscale/sf0_*.json)
 # first, then the 3 r10-greens deferred from this window (distinct_rows,
 # sort_limit_offset, subquery_in — native SQL shapes, the lowest-risk
 # deferrals), then oldest-green-first from the r11 wave (50 queries,
-# latest green r11) fills the remaining 41 slots; the 9-query r11 tail
+# latest green r11) fills the remaining 40 slots; the 10-query r11 tail
 # leads r17. Note the feasibility bound on the staleness policy: with
 # ~258 oracle-bearing gates and a 50-slot window, steady-state max
 # staleness is ceil(N/50) = 6 rounds — the 5-round target holds for the
@@ -123,6 +124,7 @@ _GATE_PRIORITY = [
     "stream_session_windows_chained",
     "stream_window_quantile_bounds",
     "cep_group_allow_combinations",
+    "cep_group_times_range",
     "distinct_rows",
     "sort_limit_offset",
     "subquery_in",

@@ -2247,6 +2247,67 @@ def cep_group_times_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cep_group_times_range",
+    oracle="""
+    WITH RECURSIVE seq AS (
+      SELECT user_id, event_id, ts, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS rn
+      FROM events),
+    pairs AS (
+      SELECT c.user_id, c.rn AS start_rn, v.rn AS end_rn,
+             c.event_id AS click_eid, c.ts AS click_t,
+             v.event_id AS view_eid, v.ts AS view_t
+      FROM seq c JOIN seq v ON v.user_id = c.user_id AND v.rn = c.rn + 1
+      WHERE c.event_type = 'click' AND v.event_type = 'view'),
+    nxt AS (
+      SELECT p.user_id, p.end_rn,
+             (SELECT min(c.rn) FROM seq c
+              WHERE c.user_id = p.user_id AND c.rn > p.end_rn
+                AND c.event_type = 'click') AS next_click_rn
+      FROM pairs p),
+    rec AS (
+      SELECT user_id, start_rn, end_rn, click_eid, click_t, view_eid, view_t,
+             1 AS r
+      FROM pairs
+      UNION ALL
+      SELECT rec.user_id, rec.start_rn, p.end_rn,
+             p.click_eid, p.click_t, p.view_eid, p.view_t, rec.r + 1
+      FROM rec
+      JOIN nxt ON nxt.user_id = rec.user_id AND nxt.end_rn = rec.end_rn
+      JOIN pairs p ON p.user_id = rec.user_id
+                  AND p.start_rn = nxt.next_click_rn
+      WHERE rec.r < 3)
+    SELECT user_id,
+           click_eid AS click_id, epoch_ms(click_t) AS click_ts,
+           CAST(r AS BIGINT) AS click_cnt,
+           view_eid AS view_id, epoch_ms(view_t) AS view_ts,
+           CAST(r AS BIGINT) AS view_cnt
+    FROM rec WHERE r IN (2, 3)
+    """,
+    tags=("streaming", "cep", "group"),
+)
+def cep_group_times_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GroupPattern times RANGE gate (r15 — Pattern.times(int from,
+    int to), the reference's range overload, applied to a group): (click
+    NEXT view) repeated between TWO and THREE times with relaxed
+    chaining. Same single state-counted NFA as cep_group_times_state —
+    the range just splits floor from cap (loop while count < to, exit at
+    every count >= from), so a match emits per depth in [2, 3] with that
+    depth's last repeat and count. The oracle is the times_state
+    recursive CTE emitting r IN (2, 3) instead of r = 3 — per-prefix
+    rows above the floor, the per-depth chain discipline
+    cep_group_stream_unbounded established."""
+    from proteus_engine_spark.streaming.cep import GroupPattern, match_group_pattern
+
+    ev = load_table(spark, sf_dir, "events")
+    sub = Pattern.begin(
+        "click", lambda r: r["event_type"] == "click"
+    ).next("view", lambda r: r["event_type"] == "view")
+    g = GroupPattern.begin(sub).times(2, to=3)
+    return match_group_pattern(ev, g, "user_id")
+
+
+@register(
     "cep_group_stream_unbounded",
     oracle="""
     WITH RECURSIVE seq AS (

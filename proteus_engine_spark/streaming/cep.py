@@ -67,6 +67,10 @@ class Step:
     #   'optional'    — zero or one event (optional())
     quantifier: str = "single"
     times_n: int = 1
+    # range ceiling for times(from, to) (Pattern.java's range overload):
+    # None = exact times_n; set = loop capped at times_max with a match
+    # per count in [times_n, times_max] (per-prefix exits above the floor)
+    times_max: int | None = None
     # strict contiguity BETWEEN repeats of a looping step
     # (Pattern.consecutive(), Pattern.java:462)
     consecutive: bool = False
@@ -285,15 +289,24 @@ class Pattern:
         if self.steps[-1].contiguity in ("notNext", "notFollowedBy"):
             raise ValueError("consecutive negative steps are not supported")
 
-    def times(self, n: int, consecutive: bool = False) -> "Pattern":
+    def times(
+        self, n: int, to: int | None = None, consecutive: bool = False
+    ) -> "Pattern":
         """Pattern.times(int) (Pattern.java:274): last step matches exactly
-        n events; consecutive=True adds Pattern.consecutive() semantics."""
+        n events; with ``to``, the range overload Pattern.times(int from,
+        int to) — between n and ``to`` events, a match emitted per count
+        in the range (per-prefix exits above the floor, loop capped at
+        the ceiling). consecutive=True adds Pattern.consecutive()
+        semantics to the repeats either way."""
         if n < 1:
             raise ValueError("times(n) requires n >= 1")
+        if to is not None and to < n:
+            raise ValueError("times(n, to) requires to >= n")
         if self.steps[-1].contiguity in ("notNext", "notFollowedBy"):
             raise ValueError("quantifiers are not supported on negative steps")
         self.steps[-1] = replace(
-            self.steps[-1], quantifier="times", times_n=n, consecutive=consecutive
+            self.steps[-1], quantifier="times", times_n=n,
+            times_max=to, consecutive=consecutive,
         )
         return self
 
@@ -594,6 +607,14 @@ def _scan(
                     place({"idx": p["idx"] + 1, "cnt": 0, "events": ev, "t0": t0}, out)
                 if step.combinations and p["cnt"] >= 1:
                     out.append(p)
+            elif step.quantifier == "times" and step.times_max is not None:
+                # range times(from, to): loop below the ceiling, exit at
+                # every count at or above the floor — a match per count
+                # in [from, to], the timesOrMore discipline with a cap
+                if cnt < step.times_max:
+                    out.append({"idx": p["idx"], "cnt": cnt, "events": ev, "t0": t0})
+                if cnt >= step.times_n:
+                    place({"idx": p["idx"] + 1, "cnt": 0, "events": ev, "t0": t0}, out)
             elif step.quantifier == "times" and cnt < step.times_n:
                 out.append({"idx": p["idx"], "cnt": cnt, "events": ev, "t0": t0})
             elif step.group_loop_to is not None:
@@ -609,17 +630,23 @@ def _scan(
                 gk = f"__gcnt__{step.group_id}"
                 gcnt = ev.get(gk, 0) + 1
                 ev[gk] = gcnt
-                loop_again = (
-                    gcnt < step.group_times
-                    if step.group_times is not None
-                    else (step.group_max is None or gcnt < step.group_max)
+                # one rule covers exact / range / oneOrMore (the uniform
+                # state-counted treatment): loop while the count is below
+                # the ceiling (group_max = range 'to' or oneOrMore cap,
+                # else group_times itself for exact times(n)); exit at
+                # every count at or above the floor (group_times, None =
+                # no floor beyond 1 — oneOrMore's per-prefix exits).
+                cap = (
+                    step.group_max
+                    if step.group_max is not None
+                    else step.group_times
                 )
-                if loop_again:
+                if cap is None or gcnt < cap:
                     out.append({
                         "idx": step.group_loop_to, "cnt": 0, "events": ev,
                         "t0": t0, "gloop": True,
                     })
-                if step.group_times is None or gcnt == step.group_times:
+                if step.group_times is None or gcnt >= step.group_times:
                     place({"idx": p["idx"] + 1, "cnt": 0, "events": dict(ev), "t0": t0}, out)
             else:  # single, optional-taken, or times complete
                 place({"idx": p["idx"] + 1, "cnt": 0, "events": ev, "t0": t0}, out)
@@ -786,7 +813,11 @@ def _match_columns(pattern: Pattern) -> list[str]:
         if st.contiguity in ("notNext", "notFollowedBy"):
             continue  # negative steps never consume an event
         cols += [f"{st.name}_id", f"{st.name}_ts"]
-        if st.quantifier in ("oneOrMore", "timesOrMore") or st.group_id is not None:
+        if (
+            st.quantifier in ("oneOrMore", "timesOrMore")
+            or (st.quantifier == "times" and st.times_max is not None)
+            or st.group_id is not None
+        ):
             cols.append(f"{st.name}_cnt")
     return cols
 
@@ -800,7 +831,9 @@ def _match_row(pattern: Pattern, m: dict) -> list:
             continue
         e = m.get(st.name)
         row += [int(e[0]), int(e[1])] if e else [None, None]
-        if st.quantifier in ("oneOrMore", "timesOrMore"):
+        if st.quantifier in ("oneOrMore", "timesOrMore") or (
+            st.quantifier == "times" and st.times_max is not None
+        ):
             row.append(int(e[2]) if e else None)
         elif st.group_id is not None:
             # state-counted group loop: the repeat count lives in the
@@ -1124,16 +1157,22 @@ class GroupPattern:
         self.items.append(_GroupItem(sub, "followedByAny"))
         return self
 
-    def times(self, n: int) -> "GroupPattern":
+    def times(self, n: int, to: int | None = None) -> "GroupPattern":
         """Pattern.times on a group: the whole sub-sequence repeats exactly
-        n times, chained with the group's consume strategy, the count
+        n times — or, with ``to`` (Pattern.times(int from, int to),
+        Pattern.java's range overload), between n and ``to`` times with a
+        match emitted per count in the range (per-prefix exits above the
+        floor, loop capped at the ceiling; the same NFA rule, different
+        floor/cap). Chained with the group's consume strategy, the count
         carried in NFA state. Composes with optional() in either order
         (GroupPattern.java parity — quantifier and optionality are
         independent flags there)."""
         if n < 1:
             raise ValueError("times(n) requires n >= 1")
+        if to is not None and to < n:
+            raise ValueError("times(n, to) requires to >= n")
         it = self.items[-1]
-        it.exact, it.max_reps, it.unbounded = n, None, False
+        it.exact, it.max_reps, it.unbounded = n, to, False
         return self
 
     def one_or_more(self, max_repeats: int | None = None) -> "GroupPattern":

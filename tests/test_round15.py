@@ -277,3 +277,78 @@ def test_quantile_sketch_bounds_empty_input(spark):
 
     df = spark.createDataFrame([(None,), (None,)], "v double")
     assert quantile_sketch_bounds(df, "v").count() == 0
+
+
+# ---------------- times(from, to) range quantifier ----------------
+
+from tests.test_cep_group_props import _chains  # noqa: E402
+
+
+def _run_pat(pat, types):
+    rows = [{"et": t, "id": i} for i, t in enumerate(types)]
+    matches, _, _ = _scan(rows, [i * 1000 for i in range(len(types))], pat, "id")
+    return matches
+
+
+@given(
+    seq=st.lists(st.integers(min_value=0, max_value=1), max_size=20),
+    f=st.integers(min_value=1, max_value=3),
+    extra=st.integers(min_value=0, max_value=2),
+)
+@settings(max_examples=200, deadline=None)
+def test_step_times_range_matches_brute_force(seq, f, extra):
+    """Pattern.times(from, to): per 'a' anchor, one match per count c in
+    [from, to] reachable by the consume-first relaxed chain — the last
+    consumed event is the (anchor + c - 1)-th 'a', cnt = c."""
+    t = f + extra
+    pat = Pattern.begin("a", lambda r: r["et"] == 0).times(f, t)
+    got = sorted((m["a"][0], m["a"][2]) for m in _run_pat(pat, seq))
+    idxs = [i for i, x in enumerate(seq) if x == 0]
+    exp = sorted(
+        (idxs[k + c - 1], c)
+        for k in range(len(idxs))
+        for c in range(f, min(t, len(idxs) - k) + 1)
+    )
+    assert got == exp
+
+
+def test_step_times_range_exact_degenerates():
+    """times(n, n) == times(n)."""
+    seq = [0, 1, 0, 0, 1, 0]
+    exact = Pattern.begin("a", lambda r: r["et"] == 0).times(2)
+    rng = Pattern.begin("a", lambda r: r["et"] == 0).times(2, 2)
+    ge = sorted(m["a"][0] for m in _run_pat(exact, seq))
+    gr = sorted((m["a"][0], m["a"][2]) for m in _run_pat(rng, seq))
+    assert ge == [g[0] for g in gr] and all(c == 2 for _, c in gr)
+
+
+@given(
+    seq=SEQ,
+    f=st.integers(min_value=1, max_value=3),
+    extra=st.integers(min_value=0, max_value=2),
+)
+@settings(max_examples=200, deadline=None)
+def test_group_times_range_matches_brute_force(seq, f, extra):
+    """GroupPattern.times(from, to): per anchored chain, one match per
+    depth d in [from, min(to, chain length)] with the d-th repeat's
+    events and count d — per-prefix exits above the floor, capped loop."""
+    t = f + extra
+    got = sorted(
+        (m["a"][0], m["b"][0], m["__gcnt__0"])
+        for m in _run(GroupPattern.begin(_sub()).times(f, to=t), seq)
+    )
+    exp = sorted(
+        (chain[d - 1][0], chain[d - 1][1], d)
+        for _s, chain in _chains(seq)
+        for d in range(f, min(len(chain), t) + 1)
+    )
+    assert got == exp
+
+
+def test_times_range_validation():
+    import pytest
+
+    with pytest.raises(ValueError, match="to >= n"):
+        Pattern.begin("a", lambda r: True).times(3, 2)
+    with pytest.raises(ValueError, match="to >= n"):
+        GroupPattern.begin(_sub()).times(3, to=2)
