@@ -23,101 +23,43 @@ from proteus_engine_spark.queries import (  # noqa: F401
     windows_q,
 )
 
-# Round-15 priority window (the driver checks the first ~50 registry
-# entries; r11-r14 all recorded exactly 50). This executes the r15 plan
-# the r14 registry comment documented and the r14 verdict ordered
-# verbatim: positions 1-7 are the last never-driver-checked
-# oracle-bearing gates (the six low-risk deferrals + the one new r14
-# gate cep_group_times_state), positions 8-9 the two r9-stale greens,
-# positions 10-50 are 41 of the 44 queries whose latest driver green is
-# r10 (pre-r15 latest-green histogram: r9:2, r10:44, r11-r14:50 each).
-# 7 + 2 + 41 = 50 → after r15 the oracle-bearing never-checked count is
-# 0 and max registry staleness drops to <=5 rounds.
+# Round-16 priority window (the driver checks the first ~50 registry
+# entries; r11-r15 all recorded exactly 50). This executes the r16 plan
+# the r15 registry comment documented and the r15 verdict ordered
+# verbatim: positions 1-7 are the 7 never-driver-checked r15 gates (all
+# tri-scale green in scripts/triscale/r15_delta.json and in the r15
+# judge's own gatecheck), positions 8-10 the 3 r10-greens deferred from
+# the r15 window, positions 11-50 are the 40 alphabetically-first of the
+# 50 queries whose latest driver green is r11 (pre-r16 latest-green
+# histogram: r10:3, r11:50, r12:50, r13:50, r14:50, r15:50).
+# 7 + 3 + 40 = 50 → after r16 the oracle-bearing never-checked count is
+# back to 0 (modulo gates newly added this round, queued at 51+) and no
+# gate's latest green predates r11.
 #
-# STANDING POLICY (r14 verdict item 6): every oracle-bearing gate must
-# re-enter a driver window at least every 5 rounds. Each round's window
-# is composed never-driver-checked-first, then oldest-green-first;
-# registry growth is capped at what the next window can absorb beyond
-# rotation (~5-10 gates/round).
+# STANDING POLICY (r14 verdict item 6, ceiling corrected per r15 verdict
+# "What's wrong" #1): every oracle-bearing gate re-enters a driver
+# window on an oldest-green-first rotation. With N oracle-bearing gates
+# and a 50-slot window the steady-state max staleness is ceil(N/50)
+# rounds — currently 6 (N≈261); registry growth stays capped
+# (~5-10 gates/round) so that ceiling never exceeds 6. Each round's
+# window is composed never-driver-checked-first, then
+# oldest-green-first.
 #
 # ml_als_factorization / ml_svm_classify / ml_outlier_sos /
 # corpus_bpe_merges stay OUT of any window: they register oracle=None
 # (iterative solves are not SQL-expressible; a rows-only row must not
 # burn a window slot — bitwise pure-Python mirrors in pytest instead).
 #
-# r16 window plan: the 7 new r15 gates (queued at positions 51-57
-# below — cep_group_stream_timeouts, agg_approx_quantile_bounds,
-# classify_calibration_bins, stream_session_windows_chained,
-# stream_window_quantile_bounds, cep_group_allow_combinations,
-# cep_group_times_range; never checked, all tri-scale green in
-# scripts/triscale/r15_delta.json AND merged into the refreshed full
-# records scripts/triscale/sf0_*.json)
-# first, then the 3 r10-greens deferred from this window (distinct_rows,
-# sort_limit_offset, subquery_in — native SQL shapes, the lowest-risk
-# deferrals), then oldest-green-first from the r11 wave (50 queries,
-# latest green r11) fills the remaining 40 slots; the 10-query r11 tail
-# leads r17. Note the feasibility bound on the staleness policy: with
-# ~258 oracle-bearing gates and a 50-slot window, steady-state max
-# staleness is ceil(N/50) = 6 rounds — the 5-round target holds for the
-# bulk, the small per-round remainder runs one round later; additions
-# stay capped so the ceiling never exceeds 6.
+# r17 window plan: new r16 gates first (never checked; queued at
+# positions 51+ below), then the 10-query alphabetical tail of the r11
+# wave deferred from this window (stream_over_bounded_rows,
+# stream_over_bounded_rows_ooo, stream_over_running_agg,
+# stream_over_running_ooo, stream_over_running_range_peers,
+# stream_over_sql_dispatch, stream_window_all, text_bigram_logprob,
+# text_length_percentiles_approx, text_tfidf_top_terms), then
+# oldest-green-first from the r12 wave fills the remaining slots.
 _GATE_PRIORITY = [
-    # --- positions 1-7: the last never-driver-checked oracle gates
-    "text_concordance",
-    "corpus_fixed_n_sample",
-    "corpus_bucketed_batches",
-    "events_value_histogram",
-    "events_interarrival_stats",
-    "events_transition_matrix",
-    "cep_group_times_state",
-    # --- positions 8-9: latest green r9
-    "csv_roundtrip_agg",
-    "from_rows_dim_join",
-    # --- positions 10-50: 41 of the 44 r10-greens (alphabetical);
-    #     distinct_rows / sort_limit_offset / subquery_in defer to r16
-    "agg_collect",
-    "agg_cube",
-    "agg_distinct",
-    "agg_grouping_sets",
-    "agg_having",
-    "agg_minby_maxby",
-    "agg_reduce_group_sorted",
-    "agg_rollup",
-    "agg_stats_exact",
-    "cep_allow_combinations",
-    "cep_greedy_click_run",
-    "cogroup_counts",
-    "corpus_pack_sequences",
-    "corpus_vocab_stats",
-    "dedup_cluster_keep",
-    "graph_adamic_adar",
-    "graph_clustering_coeff",
-    "graph_community_detection",
-    "graph_hits",
-    "graph_jaccard",
-    "graph_label_propagation",
-    "graph_summarize",
-    "iter_connected_components",
-    "multimodal_audio_features",
-    "multimodal_decode",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "sim_ann_ivf",
-    "stream_count_evictor_fires",
-    "stream_late_rows_observed",
-    "stream_side_input_broadcast",
-    "stream_side_input_keyed",
-    "stream_split_select",
-    "stream_tumble_time_evictor",
-    "text_decontaminate",
-    "text_length_percentiles",
-    "udf_scalar_weighted",
-    "window_count_tumbling",
-    "window_tumble_sql",
-    "zip_with_index_bulk",
-    "zip_with_index_ranked",
-    # --- positions 51+: new r15 gates (never checked — lead r16),
-    #     then the 3 deferred r10-greens
+    # --- positions 1-7: the 7 new r15 gates (never driver-checked)
     "cep_group_stream_timeouts",
     "agg_approx_quantile_bounds",
     "classify_calibration_bins",
@@ -125,9 +67,64 @@ _GATE_PRIORITY = [
     "stream_window_quantile_bounds",
     "cep_group_allow_combinations",
     "cep_group_times_range",
+    # --- positions 8-10: the 3 r10-greens deferred from r15
     "distinct_rows",
     "sort_limit_offset",
     "subquery_in",
+    # --- positions 11-50: 40 alphabetically-first of the 50 r11-greens;
+    #     the 10-query tail defers to r17
+    "asof_join_events",
+    "cep_group_optional",
+    "cep_group_times",
+    "cep_skip_past_last_event",
+    "cep_stream_ooo",
+    "cep_stream_timeouts",
+    "corpus_hash_split",
+    "corpus_mixture_temperature",
+    "corpus_mixture_weights",
+    "corpus_rebalance_sample",
+    "dedup_embedding_cosine",
+    "dedup_embedding_cosine_lsh",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "graph_global_clustering",
+    "graph_sssp_scatter_gather",
+    "graph_triadic_census",
+    "join_salted_skew",
+    "ml_distance_metrics",
+    "ml_feature_scaling",
+    "ml_linreg_price_vs_qty",
+    "primitives_roundtrip_agg",
+    "q18_large_volume_customer",
+    "q1_pricing_summary",
+    "q21_waiting_supplier",
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
+    "q9_product_type_profit",
+    "queryable_state_lookup",
+    "range_join_events",
+    "rich_udf_broadcast_join",
+    "savepoint_fork_resume",
+    "stream_dedup_within_watermark",
+    "stream_event_time_sort",
+    "stream_event_time_sort_ooo",
+    "stream_iterate_halving",
+    "stream_late_side_output",
+    "stream_late_side_output_partitioned",
+    "stream_over_bounded_range",
+    # --- positions 51+: new r16 gates (never checked — lead r17),
+    #     then the 10-query r11 tail deferred to r17
+    "stream_over_bounded_rows",
+    "stream_over_bounded_rows_ooo",
+    "stream_over_running_agg",
+    "stream_over_running_ooo",
+    "stream_over_running_range_peers",
+    "stream_over_sql_dispatch",
+    "stream_window_all",
+    "text_bigram_logprob",
+    "text_length_percentiles_approx",
+    "text_tfidf_top_terms",
 ]
 
 

@@ -3310,6 +3310,7 @@ def agg_count_min_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM v CROSS JOIN (VALUES (10, 0.10), (25, 0.25), (50, 0.50),
                               (75, 0.75), (90, 0.90), (99, 0.99))
          AS t(q_pct, q)
+    WHERE n > 0
     """,
     tags=("datapipe", "sketch", "agg"),
 )
@@ -3329,7 +3330,10 @@ def agg_approx_quantile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     true verdict. Scale shape: two 1-row partial aggregates over the
     scan (sketch pass, then one conditional-count pass for ALL q
     estimates together under a broadcast) — zero row shuffles at any
-    corpus size."""
+    corpus size. Empty/all-NULL input yields 0 rows on BOTH sides (the
+    engine behavior pinned in test_quantile_sketch_bounds_empty_input;
+    the oracle's ``WHERE n > 0`` matches it, closing the r15-advice
+    divergence)."""
     from proteus_engine_spark.datapipe.sketches import quantile_sketch_bounds
 
     ev = load_table(spark, sf_dir, "events")

@@ -290,14 +290,18 @@ class Pattern:
             raise ValueError("consecutive negative steps are not supported")
 
     def times(
-        self, n: int, to: int | None = None, consecutive: bool = False
+        self, n: int, *, to: int | None = None, consecutive: bool = False
     ) -> "Pattern":
         """Pattern.times(int) (Pattern.java:274): last step matches exactly
         n events; with ``to``, the range overload Pattern.times(int from,
         int to) — between n and ``to`` events, a match emitted per count
         in the range (per-prefix exits above the floor, loop capped at
         the ceiling). consecutive=True adds Pattern.consecutive()
-        semantics to the repeats either way."""
+        semantics to the repeats either way. ``to`` and ``consecutive``
+        are keyword-only: ``to`` took the positional slot ``consecutive``
+        held before the range overload existed, so a legacy positional
+        ``times(n, True)`` must raise instead of being silently
+        reinterpreted as ``times(n, to=1)`` (r15 advice)."""
         if n < 1:
             raise ValueError("times(n) requires n >= 1")
         if to is not None and to < n:
@@ -394,7 +398,13 @@ class Pattern:
         row), any notNext (its guard inspects the literal next event), or a
         trailing notFollowedBy (its completion is triggered by ANY later
         same-key event passing the window, which the filter could drop)."""
-        if any(s.contiguity in ("next", "notNext") or s.consecutive for s in self.steps):
+        if any(
+            s.contiguity in ("next", "notNext") or s.consecutive
+            or s.group_between_strict
+            for s in self.steps
+        ):
+            # group_between_strict = a GroupPattern.consecutive() compiled
+            # in: strict chaining BETWEEN repeats must see every row too
             return None
         if self.steps and self.steps[-1].contiguity == "notFollowedBy":
             return None
@@ -512,6 +522,36 @@ def _scan(
     steps = pattern.steps
     n_steps = len(steps)
 
+    def exit_step(step: Step, p_idx: int, ev_done: dict, t0: int, out: list[dict]) -> None:
+        """A step's quantifier just completed (or emitted a per-prefix
+        exit). Plain step: land past it. When the step carries the GROUP
+        loop wiring (last inner step of a quantified group,
+        GroupPattern.java:42), close one GROUP repeat instead: bump the
+        state-carried count, loop back while below the ceiling
+        (group_max = range 'to' / oneOrMore cap, else group_times for
+        exact times(n)), and exit past the group at every count at or
+        above the floor (group_times; None = oneOrMore per-prefix exits).
+        With an inner counting quantifier on this step (r16) the partial's
+        own cnt nests under the group count — the loop-back resets cnt to
+        0 so each group repeat restarts the inner loop. ev_done may be
+        shared with a live inner-loop branch, so the count bump goes on a
+        copy."""
+        if step.group_loop_to is None:
+            place({"idx": p_idx + 1, "cnt": 0, "events": ev_done, "t0": t0}, out)
+            return
+        gk = f"__gcnt__{step.group_id}"
+        ev2 = dict(ev_done)
+        gcnt = ev2.get(gk, 0) + 1
+        ev2[gk] = gcnt
+        cap = step.group_max if step.group_max is not None else step.group_times
+        if cap is None or gcnt < cap:
+            out.append({
+                "idx": step.group_loop_to, "cnt": 0, "events": ev2,
+                "t0": t0, "gloop": True,
+            })
+        if step.group_times is None or gcnt >= step.group_times:
+            place({"idx": p_idx + 1, "cnt": 0, "events": dict(ev2), "t0": t0}, out)
+
     def place(p: dict, out: list[dict]) -> None:
         """Land a partial at p['idx']: complete it, or enqueue it — forking
         a skip-twin when the step it entered is optional, or the entry of
@@ -591,10 +631,12 @@ def _scan(
             if step.quantifier == "oneOrMore":
                 # extend the loop AND branch past the step (prefix match);
                 # greedy spawns NO prefix branches — the loop exits only in
-                # the not-matched arm below, when an event breaks the run
+                # the not-matched arm below, when an event breaks the run.
+                # Every exit routes through exit_step: a plain step lands
+                # past itself, a group-tail step closes a GROUP repeat.
                 out.append({"idx": p["idx"], "cnt": cnt, "events": ev, "t0": t0})
                 if not step.greedy:
-                    place({"idx": p["idx"] + 1, "cnt": 0, "events": ev, "t0": t0}, out)
+                    exit_step(step, p["idx"], ev, t0, out)
                 if step.combinations and p["cnt"] >= 1:
                     # allowCombinations: the branch that SKIPS this repeat
                     # survives (skip-till-any between repeats; the first
@@ -604,7 +646,7 @@ def _scan(
                 # loop always extends; prefix branches only at/after floor
                 out.append({"idx": p["idx"], "cnt": cnt, "events": ev, "t0": t0})
                 if cnt >= step.times_n and not step.greedy:
-                    place({"idx": p["idx"] + 1, "cnt": 0, "events": ev, "t0": t0}, out)
+                    exit_step(step, p["idx"], ev, t0, out)
                 if step.combinations and p["cnt"] >= 1:
                     out.append(p)
             elif step.quantifier == "times" and step.times_max is not None:
@@ -614,42 +656,15 @@ def _scan(
                 if cnt < step.times_max:
                     out.append({"idx": p["idx"], "cnt": cnt, "events": ev, "t0": t0})
                 if cnt >= step.times_n:
-                    place({"idx": p["idx"] + 1, "cnt": 0, "events": ev, "t0": t0}, out)
+                    exit_step(step, p["idx"], ev, t0, out)
             elif step.quantifier == "times" and cnt < step.times_n:
                 out.append({"idx": p["idx"], "cnt": cnt, "events": ev, "t0": t0})
-            elif step.group_loop_to is not None:
-                # state-counted GROUP loop (GroupPattern.java:42 — the
-                # reference's quantifiers are uniformly state-counted, and
-                # so are these): the group's last inner step completed one
-                # repeat — bump the repeat count carried in NFA state, then
-                #   oneOrMore (group_times None): loop back AND exit past
-                #     the group (per-prefix matches); group_max caps the
-                #     loop-back, never the exits;
-                #   times(n) (group_times = n): loop back while cnt < n,
-                #     exit ONLY at exactly n — no per-prefix matches.
-                gk = f"__gcnt__{step.group_id}"
-                gcnt = ev.get(gk, 0) + 1
-                ev[gk] = gcnt
-                # one rule covers exact / range / oneOrMore (the uniform
-                # state-counted treatment): loop while the count is below
-                # the ceiling (group_max = range 'to' or oneOrMore cap,
-                # else group_times itself for exact times(n)); exit at
-                # every count at or above the floor (group_times, None =
-                # no floor beyond 1 — oneOrMore's per-prefix exits).
-                cap = (
-                    step.group_max
-                    if step.group_max is not None
-                    else step.group_times
-                )
-                if cap is None or gcnt < cap:
-                    out.append({
-                        "idx": step.group_loop_to, "cnt": 0, "events": ev,
-                        "t0": t0, "gloop": True,
-                    })
-                if step.group_times is None or gcnt >= step.group_times:
-                    place({"idx": p["idx"] + 1, "cnt": 0, "events": dict(ev), "t0": t0}, out)
-            else:  # single, optional-taken, or times complete
-                place({"idx": p["idx"] + 1, "cnt": 0, "events": ev, "t0": t0}, out)
+            else:
+                # single / optional-taken / exact times complete — leave
+                # the step; exit_step carries the state-counted GROUP
+                # bookkeeping when this step is a group tail
+                # (GroupPattern.java:42).
+                exit_step(step, p["idx"], ev, t0, out)
             if p.get("gloop") and step.group_combinations and p["cnt"] == 0:
                 # GroupPattern.allow_combinations: skip-till-ANY between
                 # repeats — the loop-back twin that did NOT consume this
@@ -813,10 +828,16 @@ def _match_columns(pattern: Pattern) -> list[str]:
         if st.contiguity in ("notNext", "notFollowedBy"):
             continue  # negative steps never consume an event
         cols += [f"{st.name}_id", f"{st.name}_ts"]
-        if (
-            st.quantifier in ("oneOrMore", "timesOrMore")
-            or (st.quantifier == "times" and st.times_max is not None)
-            or st.group_id is not None
+        if st.group_id is not None:
+            # group inner step: {name}_cnt is the GROUP repeat count; an
+            # inner counting quantifier (r16) adds {name}_icnt — the
+            # inner count within the LAST group repeat (the repeat-stable
+            # convention: last repeat's event, last repeat's count)
+            cols.append(f"{st.name}_cnt")
+            if st.quantifier != "single":
+                cols.append(f"{st.name}_icnt")
+        elif st.quantifier in ("oneOrMore", "timesOrMore") or (
+            st.quantifier == "times" and st.times_max is not None
         ):
             cols.append(f"{st.name}_cnt")
     return cols
@@ -831,15 +852,19 @@ def _match_row(pattern: Pattern, m: dict) -> list:
             continue
         e = m.get(st.name)
         row += [int(e[0]), int(e[1])] if e else [None, None]
-        if st.quantifier in ("oneOrMore", "timesOrMore") or (
-            st.quantifier == "times" and st.times_max is not None
-        ):
-            row.append(int(e[2]) if e else None)
-        elif st.group_id is not None:
+        if st.group_id is not None:
             # state-counted group loop: the repeat count lives in the
             # match's NFA state, not the per-step tuple
             g = m.get(f"__gcnt__{st.group_id}")
             row.append(int(g) if g is not None else None)
+            if st.quantifier != "single":
+                # inner counting quantifier (r16): the per-step tuple's
+                # count is the inner count within the last group repeat
+                row.append(int(e[2]) if e else None)
+        elif st.quantifier in ("oneOrMore", "timesOrMore") or (
+            st.quantifier == "times" and st.times_max is not None
+        ):
+            row.append(int(e[2]) if e else None)
     return row
 
 
@@ -1124,14 +1149,24 @@ class GroupPattern:
     streaming run the same NFA plan (no per-variant union, no variant
     cap), exactly the reference's NFACompiler output shape.
 
-    Sub-patterns must be simple sequences (single-event steps, no
-    negation/until/greedy) — quantifiers belong on the GROUP here, which
-    is exactly the case group patterns exist for.
+    Inner steps may carry their own COUNTING quantifiers — times(n),
+    times(n, to), one_or_more(), times_or_more() — nesting under the
+    group's quantifier exactly as the reference compiles them
+    (GroupPattern.java:30/33: the group body IS a Pattern, and
+    NFACompiler compiles groups recursively, so inner states can
+    themselves be loops; r16). The inner count lives in the partial's own
+    counter, the group count in NFA state (``__gcnt__{gid}``) — a group
+    loop-back resets the inner counter so every repeat restarts the inner
+    loop. Still excluded on inner steps: optional()/negation/until/
+    greedy/allowCombinations (put those on the group; the one remaining
+    documented delta vs the reference's fully-recursive groups).
 
     Match columns are repeat-stable: per inner step `{name}_id`/`{name}_ts`
     (the LAST repeat's event, like loop steps report their last event) and
-    `{name}_cnt` (repeats matched; 0 with NULL ids for a skipped optional
-    group) — one schema regardless of quantifier.
+    `{name}_cnt` (GROUP repeats matched; 0 with NULL ids for a skipped
+    optional group) — one schema regardless of the group quantifier. An
+    inner-quantified step adds `{name}_icnt`: its own count within the
+    last group repeat.
     """
 
     def __init__(self) -> None:
@@ -1247,11 +1282,22 @@ class GroupPattern:
                     "(times/one_or_more) — there are no repeats to combine"
                 )
             for st in it.sub.steps:
-                if st.quantifier != "single" or st.contiguity in ("notNext", "notFollowedBy") \
-                        or st.until_pred is not None or st.greedy:
+                # r16 (GroupPattern.java:30 — the group body is a full
+                # Pattern, NFACompiler compiles groups recursively):
+                # COUNTING quantifiers are allowed on inner steps —
+                # times(n) / times(n, to) / one_or_more / times_or_more —
+                # the inner count nests under the group count the same
+                # state-carried way. Still out: negation, until, greedy,
+                # allowCombinations and optional() on inner steps (the
+                # optional skip-twin would jump past the group's loop
+                # bookkeeping when the optional step is last).
+                if st.quantifier == "optional" or st.contiguity in ("notNext", "notFollowedBy") \
+                        or st.until_pred is not None or st.greedy or st.combinations:
                     raise ValueError(
-                        "group sub-patterns must be simple sequences "
-                        "(quantify the GROUP, not its steps)"
+                        "group sub-patterns support counting quantifiers "
+                        "(times/one_or_more/times_or_more) on inner steps, "
+                        "but not optional/negation/until/greedy/"
+                        "allowCombinations — put those on the GROUP"
                     )
                 if st.name in seen:
                     raise ValueError(f"duplicate step name across groups: {st.name!r}")
@@ -1278,6 +1324,14 @@ class GroupPattern:
                             predicate=st.predicate,
                             contiguity=cont,
                             expr=st.expr,
+                            # inner counting quantifier (r16): carried
+                            # through — the NFA nests the inner count
+                            # (partial's cnt) under the group count
+                            # (__gcnt__ in events state)
+                            quantifier=st.quantifier,
+                            times_n=st.times_n,
+                            times_max=st.times_max,
+                            consecutive=st.consecutive,
                             group_id=i,
                             group_between_strict=(
                                 it.consecutive if k == 0 else False
@@ -1291,6 +1345,10 @@ class GroupPattern:
                             predicate=st.predicate,
                             contiguity=cont,
                             expr=st.expr,
+                            quantifier=st.quantifier,
+                            times_n=st.times_n,
+                            times_max=st.times_max,
+                            consecutive=st.consecutive,
                         )
                     )
             if not it.quantified:
@@ -1338,6 +1396,24 @@ def _group_match_columns(
             cols += [F.col(f"{st.name}_id"), F.col(f"{st.name}_ts")]
             if eff[i] == -1:
                 cols.append(F.col(f"{st.name}_cnt"))
+                if st.quantifier != "single":
+                    # inner counting quantifier (r16): the step's own
+                    # count within the LAST group repeat rides alongside
+                    # the group count
+                    cols.append(F.col(f"{st.name}_icnt"))
+            elif st.quantifier in ("oneOrMore", "timesOrMore") or (
+                st.quantifier == "times" and st.times_max is not None
+            ):
+                # quantified step inside an UNquantified item: the real
+                # loop count passes through
+                cols.append(F.col(f"{st.name}_cnt"))
+            elif st.quantifier == "times":
+                # exact times(n) in an unquantified item: deterministic
+                # times_n in every completed match, 0 if unreached
+                cols.append(
+                    F.when(F.col(f"{st.name}_id").isNotNull(), F.lit(st.times_n))
+                    .otherwise(F.lit(0)).cast("long").alias(f"{st.name}_cnt")
+                )
             else:
                 # plain item: matched exactly once — but in a TIMEOUT
                 # partial the step may be unreached, so the literal is

@@ -39,13 +39,16 @@ def main() -> None:
     la = sys.argv[3] if len(sys.argv) > 3 else "A"
     lb = sys.argv[4] if len(sys.argv) > 4 else "B"
     qa, qb = a["queries"], b["queries"]
-    common = [q for q in qa if q in qb]
+    # drop zero-timed A-leg rows (sub-ms artifacts) so ratios stay finite
+    common = [q for q in qa if q in qb and qa[q] > 0]
+    if not common:
+        raise SystemExit("no common queries with nonzero A-leg timings")
     ta = sum(qa[q] for q in common)
     tb = sum(qb[q] for q in common)
     print(f"common subset ({len(common)} queries): "
           f"{la} {ta:.2f}s  {lb} {tb:.2f}s  ratio {tb / ta:.3f}")
     for probe in PROBES:
-        if probe in a and probe in b:
+        if probe in a and probe in b and a[probe] > 0:
             print(f"{probe}: {la} {a[probe]:.3f}  {lb} {b[probe]:.3f}  "
                   f"ratio {b[probe] / a[probe]:.3f}")
     rows = sorted(common, key=lambda q: qb[q] / qa[q])

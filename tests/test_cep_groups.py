@@ -86,8 +86,19 @@ def test_group_relaxed_attachment(spark):
 
 
 def test_group_validation(spark):
-    with pytest.raises(ValueError, match="simple sequences"):
-        GroupPattern.begin(_sub("a", "b").one_or_more()).times(2).variants()
+    # r16: counting quantifiers on inner steps are LEGAL (recursive group
+    # compilation, GroupPattern.java:30); optional/greedy/negation stay out
+    GroupPattern.begin(_sub("a", "b").one_or_more()).times(2).variants()
+    with pytest.raises(ValueError, match="counting quantifiers"):
+        GroupPattern.begin(
+            Pattern.begin("a", lambda r: r["event_type"] == "a")
+            .followed_by("b", lambda r: r["event_type"] == "b").optional()
+        ).times(2).variants()
+    with pytest.raises(ValueError, match="counting quantifiers"):
+        GroupPattern.begin(
+            _sub("a", "b").one_or_more(consecutive=True).greedy()
+            .followed_by("c", lambda r: r["event_type"] == "c")
+        ).times(2).variants()
     with pytest.raises(ValueError, match="duplicate step name"):
         GroupPattern.begin(_sub("a")).followed_by(_sub("a")).variants()
     with pytest.raises(ValueError, match="first group cannot be optional"):

@@ -301,7 +301,7 @@ def test_step_times_range_matches_brute_force(seq, f, extra):
     [from, to] reachable by the consume-first relaxed chain — the last
     consumed event is the (anchor + c - 1)-th 'a', cnt = c."""
     t = f + extra
-    pat = Pattern.begin("a", lambda r: r["et"] == 0).times(f, t)
+    pat = Pattern.begin("a", lambda r: r["et"] == 0).times(f, to=t)
     got = sorted((m["a"][0], m["a"][2]) for m in _run_pat(pat, seq))
     idxs = [i for i, x in enumerate(seq) if x == 0]
     exp = sorted(
@@ -316,7 +316,7 @@ def test_step_times_range_exact_degenerates():
     """times(n, n) == times(n)."""
     seq = [0, 1, 0, 0, 1, 0]
     exact = Pattern.begin("a", lambda r: r["et"] == 0).times(2)
-    rng = Pattern.begin("a", lambda r: r["et"] == 0).times(2, 2)
+    rng = Pattern.begin("a", lambda r: r["et"] == 0).times(2, to=2)
     ge = sorted(m["a"][0] for m in _run_pat(exact, seq))
     gr = sorted((m["a"][0], m["a"][2]) for m in _run_pat(rng, seq))
     assert ge == [g[0] for g in gr] and all(c == 2 for _, c in gr)
@@ -349,6 +349,6 @@ def test_times_range_validation():
     import pytest
 
     with pytest.raises(ValueError, match="to >= n"):
-        Pattern.begin("a", lambda r: True).times(3, 2)
+        Pattern.begin("a", lambda r: True).times(3, to=2)
     with pytest.raises(ValueError, match="to >= n"):
         GroupPattern.begin(_sub()).times(3, to=2)

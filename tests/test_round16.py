@@ -1,0 +1,223 @@
+"""Round-16 additions: ADVICE closures (times keyword-only, quantile
+oracle empty-input alignment) and the GroupPattern INNER counting
+quantifier lift (GroupPattern.java:30/33 — the group body is a full
+Pattern; NFACompiler compiles groups recursively, so inner states can
+themselves be loops). Property suites compare the state-counted NFA
+against independent brute-force chain models, directly on the pure
+_scan core (no Spark needed), the tests/test_cep_group_props.py
+discipline."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from proteus_engine_spark.streaming.cep import GroupPattern, Pattern, _scan
+
+# alphabet: 0 = 'a', 1 = 'b', 2 = noise
+SEQ = st.lists(st.integers(min_value=0, max_value=2), max_size=18)
+
+
+# ---------------------------------------------------------------------------
+# ADVICE closures
+# ---------------------------------------------------------------------------
+
+def test_times_to_keyword_only():
+    """r15 advice: `to` took the positional slot `consecutive` held before
+    the range overload existed — a legacy positional times(n, True) must
+    raise, never be silently reinterpreted as times(n, to=1)."""
+    p = Pattern.begin("a", lambda r: True)
+    with pytest.raises(TypeError):
+        p.times(1, True)  # noqa — the legacy positional shape under test
+    with pytest.raises(TypeError):
+        p.times(2, 3)  # range must be spelled to=
+    p.times(2, to=3)  # keyword spelling works
+    p.times(1, consecutive=True)
+
+
+def test_quantile_oracle_empty_alignment():
+    """r15 advice: the registered agg_approx_quantile_bounds oracle must
+    return 0 rows over an empty/all-NULL slice, matching the engine
+    behavior pinned in test_quantile_sketch_bounds_empty_input."""
+    import duckdb
+
+    from proteus_engine_spark.queries import oracles
+
+    sql = oracles()["agg_approx_quantile_bounds"]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM (VALUES "
+        "(1, TIMESTAMP '2024-01-01', 'click', CAST(NULL AS DOUBLE), 1)"
+        ") t(user_id, ts, event_type, value, event_id) WHERE FALSE"
+    )
+    assert con.execute(sql).fetchall() == []
+    con.close()
+
+    con = duckdb.connect()  # all-NULL values, nonzero rows
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM (VALUES "
+        "(1, TIMESTAMP '2024-01-01', 'click', CAST(NULL AS DOUBLE), 1),"
+        "(2, TIMESTAMP '2024-01-02', 'view',  CAST(NULL AS DOUBLE), 2)"
+        ") t(user_id, ts, event_type, value, event_id)"
+    )
+    assert con.execute(sql).fetchall() == []
+    con.close()
+
+
+def test_group_consecutive_disables_prefilter():
+    """group_between_strict (GroupPattern.consecutive()) must disable the
+    relaxed-contiguity prefilter pushdown: strict chaining BETWEEN repeats
+    has to see every row."""
+    sub = Pattern.begin(
+        "a", lambda r: r["et"] == 0, expr="et = 0"
+    ).followed_by("b", lambda r: r["et"] == 1, expr="et = 1")
+    relaxed, _ = GroupPattern.begin(sub).times(2).compile()
+    assert relaxed.prefilter_expr() is not None
+    strict, _ = GroupPattern.begin(sub).times(2).consecutive().compile()
+    assert strict.prefilter_expr() is None
+
+
+# ---------------------------------------------------------------------------
+# Inner counting quantifiers in groups — brute-force property model
+# ---------------------------------------------------------------------------
+#
+# Group body: a{inner quantifier} followedBy b, all relaxed. Consume-first
+# NFA model per ANCHOR 'a' at index i (every 'a' opens a partial):
+#   - the inner loop consumes successive 'a's starting AT the anchor
+#     (relaxed repeats skip non-matching events);
+#   - an inner exit at count c hands off to 'b', which consumes the FIRST
+#     'b' after the c-th consumed 'a';
+#   - a group loop-back consumes the FIRST 'a' strictly after that 'b' as
+#     the next repeat's first inner event (relaxed between-repeat rule).
+# Matches carry (last repeat's last a, inner count, last repeat's b,
+# group depth).
+
+
+def _run(gp, types):
+    pat, _ = gp.compile()
+    rows = [{"et": t, "id": i} for i, t in enumerate(types)]
+    matches, _, _ = _scan(rows, [i * 1000 for i in range(len(types))], pat, "id")
+    return matches
+
+
+def _inner_sub(iq):
+    p = Pattern.begin("a", lambda r: r["et"] == 0)
+    kind = iq[0]
+    if kind == "times":
+        p = p.times(iq[1], to=iq[2] if len(iq) > 2 else None)
+    elif kind == "oom":
+        p = p.one_or_more()
+    return p.followed_by("b", lambda r: r["et"] == 1)
+
+
+def _brute(types, iq, floor, cap):
+    """All (a_last, icnt, b, depth) match tuples: recursive enumeration of
+    the consume-first chain with per-branch inner exits. floor/cap encode
+    the GROUP quantifier (exact n -> floor=n cap=n; one_or_more cap=C ->
+    floor=None cap=C; range (n, to) -> floor=n cap=to)."""
+    out = []
+
+    def inner_counts(n_run):
+        kind = iq[0]
+        if kind == "times":
+            lo = iq[1]
+            hi = iq[2] if len(iq) > 2 else iq[1]
+            return range(lo, min(hi, n_run) + 1)
+        return range(1, n_run + 1)  # one_or_more
+
+    def rec(start, depth, anchored):
+        a_idxs = [j for j in range(start, len(types)) if types[j] == 0]
+        if not a_idxs:
+            return
+        # anchor repeats start at EVERY 'a' (each opens its own partial);
+        # loop-back repeats start at the FIRST 'a' only
+        starts = range(len(a_idxs)) if anchored else [0]
+        for s in starts:
+            run = a_idxs[s:]
+            for c in inner_counts(len(run)):
+                a_c = run[c - 1]
+                b = next(
+                    (k for k in range(a_c + 1, len(types)) if types[k] == 1),
+                    None,
+                )
+                if b is None:
+                    continue
+                d = depth + 1
+                if floor is None or d >= floor:
+                    out.append((a_c, c, b, d))
+                if cap is None or d < cap:
+                    rec(b + 1, d, False)
+
+    rec(0, 0, True)
+    return sorted(out)
+
+
+def _got(gp, types):
+    return sorted(
+        (m["a"][0], m["a"][2], m["b"][0], m["__gcnt__0"])
+        for m in _run(gp, types)
+    )
+
+
+@given(seq=SEQ, k=st.integers(min_value=1, max_value=3),
+       n=st.integers(min_value=1, max_value=3))
+@settings(max_examples=150, deadline=None)
+def test_inner_times_group_times(seq, k, n):
+    """(a.times(k) -> b).times(n): deterministic inner consumption nested
+    under the exact group count."""
+    gp = GroupPattern.begin(_inner_sub(("times", k))).times(n)
+    assert _got(gp, seq) == _brute(seq, ("times", k), n, n)
+
+
+@given(seq=SEQ, k=st.integers(min_value=1, max_value=3),
+       cap=st.integers(min_value=1, max_value=3))
+@settings(max_examples=150, deadline=None)
+def test_inner_times_group_one_or_more(seq, k, cap):
+    """(a.times(k) -> b).one_or_more(max_repeats=cap): per-prefix group
+    exits, inner loop restarting each repeat."""
+    gp = GroupPattern.begin(_inner_sub(("times", k))).one_or_more(max_repeats=cap)
+    assert _got(gp, seq) == _brute(seq, ("times", k), None, cap)
+
+
+@given(seq=st.lists(st.integers(min_value=0, max_value=2), max_size=12),
+       n=st.integers(min_value=1, max_value=2))
+@settings(max_examples=150, deadline=None)
+def test_inner_one_or_more_group_times(seq, n):
+    """(a.one_or_more() -> b).times(n): branching inner exits (one per
+    inner prefix) nested under the exact group count — the fully
+    recursive case."""
+    gp = GroupPattern.begin(_inner_sub(("oom",))).times(n)
+    assert _got(gp, seq) == _brute(seq, ("oom",), n, n)
+
+
+@given(seq=SEQ, lo=st.integers(min_value=1, max_value=2),
+       extra=st.integers(min_value=0, max_value=2))
+@settings(max_examples=150, deadline=None)
+def test_inner_times_range_group_times(seq, lo, extra):
+    """(a.times(lo, to=hi) -> b).times(2): inner RANGE exits per count in
+    [lo, hi], nested under the group count."""
+    hi = lo + extra
+    gp = GroupPattern.begin(_inner_sub(("times", lo, hi))).times(2)
+    assert _got(gp, seq) == _brute(seq, ("times", lo, hi), 2, 2)
+
+
+def test_inner_quantifier_schema_has_icnt():
+    """A quantified inner step adds {name}_icnt (inner count within the
+    last group repeat) next to {name}_cnt (group count)."""
+    from proteus_engine_spark.streaming.cep import _match_columns
+
+    pat, eff = GroupPattern.begin(_inner_sub(("times", 2))).times(2).compile()
+    assert eff == {0: -1}
+    assert _match_columns(pat) == [
+        "a_id", "a_ts", "a_cnt", "a_icnt", "b_id", "b_ts", "b_cnt",
+    ]
+
+
+def test_inner_quantifier_exact_values():
+    """Pinned example: seq a a b a a b — (a.times(2) -> b).times(2)
+    anchored at a0 consumes a0,a1,b2 then a3,a4,b5; the second anchor (a1)
+    lacks a second repeat; later anchors lack inner pairs."""
+    gp = GroupPattern.begin(_inner_sub(("times", 2))).times(2)
+    got = _got(gp, [0, 0, 1, 0, 0, 1])
+    assert got == [(4, 2, 5, 2)]
