@@ -125,6 +125,13 @@ HEADLINE = [
     # NB margin calibration (full-score frame + percentile-cut deciles)
     "stream_session_windows_chained",
     "classify_calibration_bins",
+    # added round 16 (exclude from cross-round like-for-like totals):
+    # one representative each of the r16 families — nested state-counted
+    # CEP loops (quantified inner step inside a quantified group) and the
+    # banded perceptual-hash near-dup tier (mapInPandas dHash + exact
+    # 4x15-bit Hamming bucketing)
+    "cep_group_inner_quantifier",
+    "multimodal_phash_neardup",
 ]
 
 

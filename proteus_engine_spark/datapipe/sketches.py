@@ -197,3 +197,46 @@ def count_min_estimate(
         .groupBy(item_col)
         .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est"))
     )
+
+
+def quantile_sketch_merge_bounds(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    qs: tuple[float, ...] = (0.1, 0.25, 0.5, 0.75, 0.9, 0.99),
+    accuracy: int = 1000,
+    partitions_per_side: int = 4,
+) -> DataFrame:
+    """The MERGE proof for the quantile sketch's 100 TB partial-agg story:
+    two DISJOINT slices are each repartitioned so their partitions never
+    co-mingle, then unioned — union concatenates partitions, so the one
+    aggregate that follows necessarily builds ``partitions_per_side``
+    per-slice partial ``percentile_approx`` sketches PER SIDE and merges
+    them across the slice boundary (ApproximatePercentile's merge path,
+    the exact mechanism a 1000-executor aggregation relies on). The
+    verdict then checks the MERGED estimates against the analytic rank
+    bound over the union (quantile_sketch_bounds' discipline): a merge
+    that lost or double-counted rows fails the bound.
+
+    Output adds (n_left, n_right) so disjoint coverage is pinned:
+    n == n_left + n_right. The per-side counts are two extra 1-row
+    aggregate scans kept separate for verdict clarity; a production
+    pipeline folds them into the rank scan with a side tag."""
+    va = (
+        df_a.select(F.col(value_col).alias("v"))
+        .filter(F.col("v").isNotNull())
+        .repartition(partitions_per_side)
+    )
+    vb = (
+        df_b.select(F.col(value_col).alias("v"))
+        .filter(F.col("v").isNotNull())
+        .repartition(partitions_per_side)
+    )
+    base = quantile_sketch_bounds(va.union(vb), "v", qs, accuracy)
+    na = va.agg(F.count(F.lit(1)).alias("n_left"))
+    nb = vb.agg(F.count(F.lit(1)).alias("n_right"))
+    return (
+        base.crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+        .select("q_pct", "n", "n_left", "n_right", "target_rank", "within_bounds")
+    )

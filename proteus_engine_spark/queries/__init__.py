@@ -115,6 +115,9 @@ _GATE_PRIORITY = [
     "stream_over_bounded_range",
     # --- positions 51+: new r16 gates (never checked — lead r17),
     #     then the 10-query r11 tail deferred to r17
+    "cep_group_inner_quantifier",
+    "agg_quantile_sketch_merge",
+    "multimodal_phash_neardup",
     "stream_over_bounded_rows",
     "stream_over_bounded_rows_ooo",
     "stream_over_running_agg",

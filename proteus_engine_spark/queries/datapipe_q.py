@@ -3341,6 +3341,110 @@ def agg_approx_quantile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_quantile_sketch_merge",
+    oracle="""
+    WITH v AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END)
+                           AS BIGINT) AS n_left,
+                      CAST(sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END)
+                           AS BIGINT) AS n_right
+               FROM events WHERE value IS NOT NULL)
+    SELECT q_pct, n, n_left, n_right,
+           CAST(round(q * n) AS BIGINT) AS target_rank,
+           true AS within_bounds
+    FROM v CROSS JOIN (VALUES (10, 0.10), (25, 0.25), (50, 0.50),
+                              (75, 0.75), (90, 0.90), (99, 0.99))
+         AS t(q_pct, q)
+    WHERE n > 0
+    """,
+    tags=("datapipe", "sketch", "agg"),
+)
+def agg_quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile sketch MERGE gate (r15 verdict item 5c): the events table
+    is split into two DISJOINT halves (event_id parity), each half
+    repartitioned to its own 4 partitions, then unioned — union
+    concatenates partitions, so the single ``percentile_approx``
+    aggregate that follows necessarily builds >=4 per-half partial
+    sketches PER SIDE and merges them across the boundary
+    (ApproximatePercentile's merge path — the exact mechanism a
+    1000-executor partial aggregation over 100 TB relies on). The verdict
+    checks the MERGED estimates against the analytic rank-error bound
+    over the whole (the agg_approx_quantile_bounds discipline): a merge
+    that dropped or double-counted either side fails the bound, and
+    n_left/n_right pin that the two sides really partition the data
+    (n = n_left + n_right). Empty input yields 0 rows on both sides."""
+    from proteus_engine_spark.datapipe.sketches import quantile_sketch_merge_bounds
+
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_id") % 2 == 0)
+    right = ev.filter(F.col("event_id") % 2 == 1)
+    return quantile_sketch_merge_bounds(left, right, "value", accuracy=1000)
+
+
+@register(
+    "multimodal_phash_neardup",
+    oracle="""
+    WITH sums AS (
+      SELECT doc_id,
+             [list_sum([greatest(unicode(substring(text, i * 4 + j, 1)), 0)
+                        FOR j IN range(1, 5)]) FOR i IN range(0, 61)] AS bsum
+      FROM documents WHERE length(text) > 0),
+    h AS (
+      SELECT doc_id,
+             list_sum([CASE WHEN bsum[i+1] > bsum[i+2] THEN 1 ELSE 0 END << i
+                       FOR i IN range(0, 60)]) AS phash
+      FROM sums),
+    bands AS (
+      SELECT doc_id, phash, b, (phash >> (15 * b)) & 32767 AS bv
+      FROM h, range(0, 4) t(b)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+             a.phash AS ph_a, c.phash AS ph_b
+      FROM bands a JOIN bands c
+        ON a.b = c.b AND a.bv = c.bv AND a.doc_id < c.doc_id)
+    SELECT id_a AS media_id_a, id_b AS media_id_b,
+           CAST(bit_count(xor(ph_a, ph_b)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(ph_a, ph_b)) <= 3
+    """,
+    tags=("datapipe", "multimodal", "dedup"),
+)
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal NEAR-DUP tier (r15 verdict item 5b — the one dedup
+    modality not yet covered): perceptual-hash bucketing over media
+    payloads, dedup.py's banded discipline applied to multimodal.py's
+    columns. Documents' text bytes stand in for decoded media (the
+    multimodal_decode convention); the fingerprint is a 60-bit dHash
+    (adjacent fixed-block byte gradients — difference hash, the
+    perceptual-hash family member robust to tail edits) computed in one
+    Arrow-batched mapInPandas pass, then near-dup pairs at Hamming
+    distance <= 3 come from 4x15-bit band-bucket equi-joins + a
+    bit_count(xor) verify, all JVM-side. With max_distance < bands the
+    banding is EXACT (pigeonhole: 3 differing bits cannot touch all 4
+    bands), so the oracle — the same dHash in SQL over the same bytes
+    (ASCII corpus: code point == byte; empty positions clamp to 0 via
+    greatest) feeding an identical band join — must agree pair-for-pair
+    with what a quadratic all-pairs join would emit. Scale shape: 8-byte
+    fingerprints shuffle, payloads never do; each band bucket joins only
+    within itself."""
+    from proteus_engine_spark.datapipe.multimodal import (
+        perceptual_hash,
+        phash_near_dup_pairs,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            F.encode("text", "utf-8").alias("payload"),
+        )
+    )
+    hashes = perceptual_hash(docs, bits=60, block_bytes=4)
+    return phash_near_dup_pairs(hashes, max_distance=3, bands=4, bits=60)
+
+
+@register(
     "text_concordance",
     oracle=r"""
     WITH toks AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t

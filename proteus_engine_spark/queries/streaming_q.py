@@ -2308,6 +2308,77 @@ def cep_group_times_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cep_group_inner_quantifier",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, ts, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS rn
+      FROM events),
+    clk AS (
+      SELECT user_id, event_id, ts, rn,
+             row_number() OVER (PARTITION BY user_id ORDER BY rn) AS cs
+      FROM seq WHERE event_type = 'click'),
+    vw AS (SELECT user_id, event_id, ts, rn FROM seq WHERE event_type = 'view'),
+    rep1 AS (
+      SELECT a1.user_id,
+             (SELECT min(v.rn) FROM vw v
+              WHERE v.user_id = a1.user_id AND v.rn > a2.rn) AS v1_rn
+      FROM clk a1 JOIN clk a2 ON a2.user_id = a1.user_id AND a2.cs = a1.cs + 1),
+    loop2 AS (
+      SELECT r.user_id, c1.cs AS b1_cs
+      FROM rep1 r JOIN clk c1
+        ON c1.user_id = r.user_id
+       AND c1.rn = (SELECT min(c.rn) FROM clk c
+                    WHERE c.user_id = r.user_id AND c.rn > r.v1_rn)
+      WHERE r.v1_rn IS NOT NULL),
+    fin AS (
+      SELECT l.user_id, b2.event_id AS click_eid, b2.ts AS click_t,
+             w.event_id AS view_eid, w.ts AS view_t
+      FROM loop2 l
+      JOIN clk b2 ON b2.user_id = l.user_id AND b2.cs = l.b1_cs + 1
+      JOIN vw w ON w.user_id = l.user_id
+               AND w.rn = (SELECT min(v.rn) FROM vw v
+                           WHERE v.user_id = l.user_id AND v.rn > b2.rn))
+    SELECT user_id,
+           click_eid AS click_id, epoch_ms(click_t) AS click_ts,
+           CAST(2 AS BIGINT) AS click_cnt, CAST(2 AS BIGINT) AS click_icnt,
+           view_eid AS view_id, epoch_ms(view_t) AS view_ts,
+           CAST(2 AS BIGINT) AS view_cnt
+    FROM fin
+    """,
+    tags=("streaming", "cep", "group"),
+)
+def cep_group_inner_quantifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantified INNER step inside a quantified group (r16 —
+    GroupPattern.java:30/33: the group body is a full Pattern, NFACompiler
+    compiles groups recursively, so inner states can themselves be loops):
+    (click.times(2) followedBy view).times(2). The inner times(2) count
+    rides the partial's own counter, the group count rides NFA state
+    (__gcnt__), and a group loop-back resets the inner counter — nested
+    state-counted loops, one compiled pattern, one shuffle on the key.
+
+    Both quantifiers are exact, so the consume-first chain is fully
+    deterministic and the oracle enumerates it without recursion: per
+    anchor click, the inner repeat consumes the NEXT click (relaxed inner
+    repeats) then the first view after it; the second group repeat starts
+    at the first click after that view. Every click anchors a partial, so
+    converging chains legitimately emit duplicate projected rows on both
+    engines (only the last repeat's events are projected). Output pins
+    the new dual-count schema: click_cnt = group repeats (2), click_icnt
+    = inner count within the last repeat (2). Nested-loop semantics
+    property-tested against a brute-force chain model in
+    tests/test_round16.py."""
+    from proteus_engine_spark.streaming.cep import GroupPattern, match_group_pattern
+
+    ev = load_table(spark, sf_dir, "events")
+    sub = Pattern.begin(
+        "click", lambda r: r["event_type"] == "click"
+    ).times(2).followed_by("view", lambda r: r["event_type"] == "view")
+    g = GroupPattern.begin(sub).times(2)
+    return match_group_pattern(ev, g, "user_id")
+
+
+@register(
     "cep_group_stream_unbounded",
     oracle="""
     WITH RECURSIVE seq AS (

@@ -34,6 +34,9 @@ Environment probe log (the e2e gate builds the moment this changes):
 - r15 (2026-08-16): re-probed — /opt/spark/jars has no kafka artifact,
   no kafka CLI on PATH, localhost:9092 refuses connections. Still
   blocked.
+- r16 (2026-08-16): re-probed — no kafka CLI, no spark-sql-kafka or
+  kafka-clients jar anywhere under /, no python kafka client,
+  localhost:9092 refuses connections. Still blocked.
 """
 
 from __future__ import annotations
