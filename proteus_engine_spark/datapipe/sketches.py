@@ -240,3 +240,74 @@ def quantile_sketch_merge_bounds(
         .crossJoin(F.broadcast(nb))
         .select("q_pct", "n", "n_left", "n_right", "target_rank", "within_bounds")
     )
+
+
+def quantile_sketch_bounds_grouped(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.9),
+    accuracy: int = 500,
+) -> DataFrame:
+    """PER-GROUP approximate quantiles with the analytic rank-error
+    verdict — quantile_sketch_bounds applied under a grouping key (the
+    shape every per-source / per-language corpus profile runs): one
+    grouped ``percentile_approx`` aggregate builds an independent GK
+    summary per group, the 1-row-per-group sketch frame broadcasts back
+    over the values, and a second grouped aggregate computes each
+    estimate's exact rank window [count(v < est), count(v <= est)]
+    WITHIN its group — which must overlap round(q·n_g) ± (n_g div
+    accuracy + 1), the per-group version of the published bound.
+
+    Returns (group_col, q_pct int, n long, target_rank long,
+    within_bounds boolean) — one row per (group, q); groups with no
+    non-null values emit nothing (the empty-input convention).
+
+    Scale shape: two grouped aggregates over the scan — both shuffle
+    only per-partition partial states keyed by the group (map-side
+    combine), and the sketch frame that joins back is group-cardinality
+    sized, so the broadcast is as small as the group count, independent
+    of corpus size."""
+    if accuracy < 1:
+        raise ValueError("accuracy must be >= 1")
+    vals = (
+        df.select(F.col(group_col).alias("__g__"), F.col(value_col).alias("v"))
+        .filter(F.col("v").isNotNull())
+    )
+    sketch = vals.groupBy("__g__").agg(
+        F.percentile_approx(
+            "v", F.array(*[F.lit(float(q)) for q in qs]), F.lit(accuracy)
+        ).alias("ap"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    joined = vals.join(F.broadcast(sketch), "__g__")
+    rank_aggs = [F.first("n").alias("n")]
+    for i in range(len(qs)):
+        est = F.col("ap")[i]
+        rank_aggs += [
+            F.sum(F.when(F.col("v") <= est, 1).otherwise(0)).alias(f"le_{i}"),
+            F.sum(F.when(F.col("v") < est, 1).otherwise(0)).alias(f"lt_{i}"),
+        ]
+    ranks = joined.groupBy("__g__").agg(*rank_aggs)
+    slack = F.expr(f"n div {accuracy}") + F.lit(1)
+    per_q = [
+        F.struct(
+            F.lit(int(round(q * 100))).alias("q_pct"),
+            F.round(F.lit(float(q)) * F.col("n")).cast("long").alias("target_rank"),
+            (
+                (F.col(f"le_{i}") >= F.round(F.lit(float(q)) * F.col("n")).cast("long") - slack)
+                & (F.col(f"lt_{i}") <= F.round(F.lit(float(q)) * F.col("n")).cast("long") + slack)
+            ).alias("within_bounds"),
+        )
+        for i, q in enumerate(qs)
+    ]
+    return (
+        ranks.select("__g__", F.col("n"), F.explode(F.array(*per_q)).alias("r"))
+        .select(
+            F.col("__g__").alias(group_col),
+            F.col("r.q_pct").alias("q_pct"),
+            F.col("n"),
+            F.col("r.target_rank").alias("target_rank"),
+            F.col("r.within_bounds").alias("within_bounds"),
+        )
+    )

@@ -3382,6 +3382,41 @@ def agg_quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_quantile_grouped_bounds",
+    oracle="""
+    WITH v AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+               FROM events WHERE value IS NOT NULL GROUP BY event_type)
+    SELECT event_type, q_pct, n,
+           CAST(round(q * n) AS BIGINT) AS target_rank,
+           true AS within_bounds
+    FROM v CROSS JOIN (VALUES (25, 0.25), (50, 0.50), (90, 0.90))
+         AS t(q_pct, q)
+    WHERE n > 0
+    """,
+    tags=("datapipe", "sketch", "agg"),
+)
+def agg_quantile_grouped_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-GROUP quantile sketches with the analytic rank verdict — the
+    grouped member of the quantile arc (r15 global bounds, r16 merge,
+    r16 grouped): one grouped percentile_approx builds an independent GK
+    summary per event_type, the group-cardinality sketch frame
+    broadcasts back, and per-(group, q) the estimate's exact rank window
+    must overlap round(q·n_g) ± (n_g div accuracy + 1). The oracle
+    recomputes per-group n and targets and expects a uniformly true
+    verdict — a sketch that mixed rows across groups fails its group's
+    bound. Scale: both aggregates shuffle only group-keyed partial
+    states; the broadcast is group-count sized, corpus-size independent."""
+    from proteus_engine_spark.datapipe.sketches import (
+        quantile_sketch_bounds_grouped,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return quantile_sketch_bounds_grouped(
+        ev, "value", "event_type", accuracy=500
+    )
+
+
+@register(
     "multimodal_phash_neardup",
     oracle="""
     WITH sums AS (
@@ -3442,6 +3477,82 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hashes = perceptual_hash(docs, bits=60, block_bytes=4)
     return phash_near_dup_pairs(hashes, max_distance=3, bands=4, bits=60)
+
+
+@register(
+    "multimodal_phash_dedup_keep",
+    oracle="""
+    WITH RECURSIVE sums AS (
+      SELECT doc_id,
+             [list_sum([greatest(unicode(substring(text, i * 4 + j, 1)), 0)
+                        FOR j IN range(1, 5)]) FOR i IN range(0, 61)] AS bsum
+      FROM documents WHERE length(text) > 0),
+    h AS (
+      SELECT doc_id,
+             list_sum([CASE WHEN bsum[i+1] > bsum[i+2] THEN 1 ELSE 0 END << i
+                       FOR i IN range(0, 60)]) AS phash
+      FROM sums),
+    bands AS (
+      SELECT doc_id, phash, b, (phash >> (15 * b)) & 32767 AS bv
+      FROM h, range(0, 4) t(b)),
+    edges AS (
+      SELECT DISTINCT a.doc_id AS a, c.doc_id AS b
+      FROM bands a JOIN bands c
+        ON a.b = c.b AND a.bv = c.bv AND a.doc_id < c.doc_id
+      WHERE bit_count(xor(a.phash, c.phash)) <= 3),
+    sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+    reach(src, dst) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.src, s.b FROM reach r JOIN sym s ON s.a = r.dst),
+    lab AS (
+      SELECT src AS node, least(src, min(dst)) AS comp
+      FROM reach GROUP BY src)
+    SELECT d.doc_id AS media_id,
+           COALESCE(l.comp, d.doc_id) AS cluster_rep,
+           COALESCE(l.comp, d.doc_id) = d.doc_id AS is_kept
+    FROM (SELECT doc_id FROM documents WHERE length(text) > 0) d
+    LEFT JOIN lab l ON l.node = d.doc_id
+    """,
+    tags=("datapipe", "multimodal", "dedup", "cluster"),
+)
+def multimodal_phash_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal dedup END POINT: perceptual-hash near-dup pairs
+    become duplicate clusters (connected components — A~B and B~C must
+    collapse even when A~C itself exceeds the Hamming cut) and every
+    media item gets a keep verdict with its cluster representative — the
+    dedup_cluster_keep contract applied to the phash modality, closing
+    the pairs→clusters→verdicts pipeline for media exactly as MinHash-LSH
+    closes it for text. Scale shape: the component iteration runs on the
+    candidate-bounded pair graph (orders of magnitude smaller than the
+    corpus); the label join back is AQE-sized. The oracle rebuilds the
+    same clusters with a recursive transitive-closure CTE over the same
+    SQL dHash pair set, so a lost edge, an unmerged component, or a
+    wrong representative all fail."""
+    from proteus_engine_spark.datapipe.dedup import (
+        dedup_cluster_keep as _cluster,
+    )
+    from proteus_engine_spark.datapipe.multimodal import (
+        perceptual_hash,
+        phash_near_dup_pairs,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            F.encode("text", "utf-8").alias("payload"),
+        )
+    )
+    pairs = phash_near_dup_pairs(perceptual_hash(docs))
+    return _cluster(
+        docs,
+        pairs,
+        id_col="media_id",
+        pair_a="media_id_a",
+        pair_b="media_id_b",
+    )
 
 
 @register(

@@ -2379,6 +2379,74 @@ def cep_group_inner_quantifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cep_group_inner_quantifier_stream",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, ts, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS rn
+      FROM events),
+    clk AS (
+      SELECT user_id, event_id, ts, rn,
+             row_number() OVER (PARTITION BY user_id ORDER BY rn) AS cs
+      FROM seq WHERE event_type = 'click'),
+    vw AS (SELECT user_id, event_id, ts, rn FROM seq WHERE event_type = 'view'),
+    rep1 AS (
+      SELECT a1.user_id,
+             (SELECT min(v.rn) FROM vw v
+              WHERE v.user_id = a1.user_id AND v.rn > a2.rn) AS v1_rn
+      FROM clk a1 JOIN clk a2 ON a2.user_id = a1.user_id AND a2.cs = a1.cs + 1),
+    loop2 AS (
+      SELECT r.user_id, c1.cs AS b1_cs
+      FROM rep1 r JOIN clk c1
+        ON c1.user_id = r.user_id
+       AND c1.rn = (SELECT min(c.rn) FROM clk c
+                    WHERE c.user_id = r.user_id AND c.rn > r.v1_rn)
+      WHERE r.v1_rn IS NOT NULL),
+    fin AS (
+      SELECT l.user_id, b2.event_id AS click_eid, b2.ts AS click_t,
+             w.event_id AS view_eid, w.ts AS view_t
+      FROM loop2 l
+      JOIN clk b2 ON b2.user_id = l.user_id AND b2.cs = l.b1_cs + 1
+      JOIN vw w ON w.user_id = l.user_id
+               AND w.rn = (SELECT min(v.rn) FROM vw v
+                           WHERE v.user_id = l.user_id AND v.rn > b2.rn))
+    SELECT user_id,
+           click_eid AS click_id, epoch_ms(click_t) AS click_ts,
+           CAST(2 AS BIGINT) AS click_cnt, CAST(2 AS BIGINT) AS click_icnt,
+           view_eid AS view_id, epoch_ms(view_t) AS view_ts,
+           CAST(2 AS BIGINT) AS view_cnt
+    FROM fin
+    WHERE epoch_ms(view_t) < (SELECT max(epoch_ms(ts)) FROM events) - 600000
+    """,
+    tags=("streaming", "cep", "group"),
+)
+def cep_group_inner_quantifier_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING nested group loops: the cep_group_inner_quantifier
+    pattern — (click.times(2) followedBy view).times(2) — on the
+    watermark-buffered row-time NFA (the reference's NFACompiler output
+    runs on AbstractKeyedCEPPatternOperator regardless of nesting, so
+    inner-quantified groups are not batch-only there and aren't here:
+    the compiled pattern reuses match_pattern_stream unchanged). A match
+    emits when the watermark confirms its completing view, so the oracle
+    is the batch deterministic-chain set minus the 10-minute watermark
+    tail on the completing event (the cep_group_stream_unbounded cut)."""
+    from proteus_engine_spark.streaming.cep import (
+        GroupPattern,
+        match_group_pattern_stream,
+    )
+
+    ev = events_stream(spark, sf_dir)
+    sub = Pattern.begin(
+        "click", lambda r: r["event_type"] == "click"
+    ).times(2).followed_by("view", lambda r: r["event_type"] == "view")
+    g = GroupPattern.begin(sub).times(2)
+    out = match_group_pattern_stream(
+        ev, g, "user_id", watermark_delay="10 minutes"
+    )
+    return run_to_completion(out, "cep_group_inner_quant_sink", "append")
+
+
+@register(
     "cep_group_stream_unbounded",
     oracle="""
     WITH RECURSIVE seq AS (

@@ -338,3 +338,73 @@ def test_quantile_merge_empty(spark):
     empty = spark.createDataFrame([], "value double")
     out = quantile_sketch_merge_bounds(empty, empty, "value").collect()
     assert out == []
+
+
+@given(seq=SEQ, k=st.integers(min_value=1, max_value=2))
+@settings(max_examples=100, deadline=None)
+def test_inner_times_or_more_group_times(seq, k):
+    """(a.times_or_more(k) -> b).times(2): unbounded inner loop with a
+    floor, per-prefix inner exits at counts >= k, nested under the exact
+    group count — shares the one_or_more code path with a floor."""
+    sub = Pattern.begin("a", lambda r: r["et"] == 0).times_or_more(k) \
+        .followed_by("b", lambda r: r["et"] == 1)
+    gp = GroupPattern.begin(sub).times(2)
+
+    def brute(types):
+        out = []
+
+        def rec(start, depth, anchored):
+            a_idxs = [j for j in range(start, len(types)) if types[j] == 0]
+            if not a_idxs:
+                return
+            for s in (range(len(a_idxs)) if anchored else [0]):
+                run = a_idxs[s:]
+                for c in range(k, len(run) + 1):
+                    a_c = run[c - 1]
+                    b = next((x for x in range(a_c + 1, len(types))
+                              if types[x] == 1), None)
+                    if b is None:
+                        continue
+                    d = depth + 1
+                    if d == 2:
+                        out.append((a_c, c, b, d))
+                    if d < 2:
+                        rec(b + 1, d, False)
+
+        rec(0, 0, True)
+        return sorted(out)
+
+    assert _got(gp, seq) == brute(seq)
+
+
+def test_quantile_grouped_bounds(spark):
+    """Per-group sketches: one verdict row per (group, q), all true, and
+    per-group n matches the exact group sizes."""
+    import os
+
+    from proteus_engine_spark.datapipe.sketches import (
+        quantile_sketch_bounds_grouped,
+    )
+
+    sf = os.environ.get("PROTEUS_TEST_SF_DIR", "/root/testdata/sf0.001")
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    out = quantile_sketch_bounds_grouped(ev, "value", "event_type").collect()
+    groups = {r.event_type for r in out}
+    assert len(out) == 3 * len(groups)
+    assert all(r.within_bounds for r in out)
+    exact = {
+        r.event_type: r.n
+        for r in ev.filter("value IS NOT NULL")
+        .groupBy("event_type").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    assert all(r.n == exact[r.event_type] for r in out)
+
+
+def test_quantile_grouped_bounds_empty(spark):
+    from proteus_engine_spark.datapipe.sketches import (
+        quantile_sketch_bounds_grouped,
+    )
+
+    empty = spark.createDataFrame([], "g string, value double")
+    assert quantile_sketch_bounds_grouped(empty, "value", "g").collect() == []
