@@ -2379,6 +2379,93 @@ def cep_group_inner_quantifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cep_group_inner_optional",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, ts, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS rn
+      FROM events),
+    clk AS (SELECT user_id, event_id, ts, rn FROM seq WHERE event_type = 'click'),
+    err AS (SELECT user_id, event_id, ts, rn FROM seq WHERE event_type = 'error'),
+    vw  AS (SELECT user_id, event_id, ts, rn FROM seq WHERE event_type = 'view'),
+    r1 AS (
+      SELECT a.user_id, a.rn AS c_rn,
+             (SELECT min(v.rn) FROM vw v WHERE v.user_id = a.user_id
+                AND v.rn > (SELECT min(e.rn) FROM err e
+                            WHERE e.user_id = a.user_id AND e.rn > a.rn)) AS v_rn
+      FROM clk a
+      WHERE (SELECT min(e.rn) FROM err e
+             WHERE e.user_id = a.user_id AND e.rn > a.rn) IS NOT NULL
+      UNION ALL
+      SELECT a.user_id, a.rn,
+             (SELECT min(v.rn) FROM vw v
+              WHERE v.user_id = a.user_id AND v.rn > a.rn)
+      FROM clk a),
+    c2 AS (
+      SELECT r.user_id, c.rn AS c_rn, c.event_id AS c_eid, c.ts AS c_ts
+      FROM r1 r JOIN clk c
+        ON c.user_id = r.user_id
+       AND c.rn = (SELECT min(x.rn) FROM clk x
+                   WHERE x.user_id = r.user_id AND x.rn > r.v_rn)
+      WHERE r.v_rn IS NOT NULL),
+    fin AS (
+      SELECT c.user_id, c.c_eid AS click_eid, c.c_ts AS click_t,
+             e.event_id AS err_eid, e.ts AS err_t, 1 AS took,
+             w.event_id AS view_eid, w.ts AS view_t
+      FROM c2 c
+      JOIN err e ON e.user_id = c.user_id
+                AND e.rn = (SELECT min(x.rn) FROM err x
+                            WHERE x.user_id = c.user_id AND x.rn > c.c_rn)
+      JOIN vw w ON w.user_id = c.user_id
+               AND w.rn = (SELECT min(v.rn) FROM vw v
+                           WHERE v.user_id = c.user_id AND v.rn > e.rn)
+      UNION ALL
+      SELECT c.user_id, c.c_eid, c.c_ts,
+             NULL, NULL, 0,
+             w.event_id, w.ts
+      FROM c2 c
+      JOIN vw w ON w.user_id = c.user_id
+               AND w.rn = (SELECT min(v.rn) FROM vw v
+                           WHERE v.user_id = c.user_id AND v.rn > c.c_rn))
+    SELECT user_id,
+           click_eid AS click_id, epoch_ms(click_t) AS click_ts,
+           CAST(2 AS BIGINT) AS click_cnt,
+           err_eid AS error_id, epoch_ms(err_t) AS error_ts,
+           CAST(2 AS BIGINT) AS error_cnt,
+           CASE WHEN took = 1 THEN CAST(1 AS BIGINT) END AS error_icnt,
+           view_eid AS view_id, epoch_ms(view_t) AS view_ts,
+           CAST(2 AS BIGINT) AS view_cnt
+    FROM fin
+    """,
+    tags=("streaming", "cep", "group"),
+)
+def cep_group_inner_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERIOR optional inner step inside a quantified group (r16, the
+    second recursive-compilation increment after counting quantifiers):
+    (click followedBy error? followedBy view).times(2). Each repeat
+    independently forks take/skip on entering the optional step
+    (fork-on-entry, per repeat), and loop-backs CLEAR the optional
+    step's entry so the projected columns reflect the LAST repeat only
+    (NULL error ids + NULL error_icnt when the final repeat skipped;
+    error_cnt stays the group count). Take and skip branches that
+    converge on the same view legitimately emit duplicate projected rows
+    on both engines. The oracle enumerates the 2x2 take/skip paths as a
+    UNION ALL of deterministic scalar-subquery chains; semantics
+    property-tested vs a brute-force fork model in tests/test_round16.py
+    (incl. the stale-entry pin)."""
+    from proteus_engine_spark.streaming.cep import GroupPattern, match_group_pattern
+
+    ev = load_table(spark, sf_dir, "events")
+    sub = (
+        Pattern.begin("click", lambda r: r["event_type"] == "click")
+        .followed_by("error", lambda r: r["event_type"] == "error").optional()
+        .followed_by("view", lambda r: r["event_type"] == "view")
+    )
+    g = GroupPattern.begin(sub).times(2)
+    return match_group_pattern(ev, g, "user_id")
+
+
+@register(
     "cep_group_inner_quantifier_stream",
     oracle="""
     WITH seq AS (

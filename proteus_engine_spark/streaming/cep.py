@@ -522,6 +522,15 @@ def _scan(
     steps = pattern.steps
     n_steps = len(steps)
 
+    # interior-optional inner steps per group (r16): their entries are
+    # cleared on every group loop-back so the projected columns reflect
+    # the LAST repeat only (a repeat that skips its optional step must
+    # report NULLs, not the previous repeat's leftover event)
+    group_opt_names: dict[int, list[str]] = {}
+    for _st in steps:
+        if _st.group_id is not None and _st.quantifier == "optional":
+            group_opt_names.setdefault(_st.group_id, []).append(_st.name)
+
     def exit_step(step: Step, p_idx: int, ev_done: dict, t0: int, out: list[dict]) -> None:
         """A step's quantifier just completed (or emitted a per-prefix
         exit). Plain step: land past it. When the step carries the GROUP
@@ -545,8 +554,17 @@ def _scan(
         ev2[gk] = gcnt
         cap = step.group_max if step.group_max is not None else step.group_times
         if cap is None or gcnt < cap:
+            ev_loop = ev2
+            opts = group_opt_names.get(step.group_id)
+            if opts:
+                # fresh repeat: clear interior-optional entries so a
+                # skipping repeat reports NULLs (repeat-stable columns
+                # mean the LAST repeat's events, not a stale earlier one)
+                ev_loop = dict(ev2)
+                for nm in opts:
+                    ev_loop.pop(nm, None)
             out.append({
-                "idx": step.group_loop_to, "cnt": 0, "events": ev2,
+                "idx": step.group_loop_to, "cnt": 0, "events": ev_loop,
                 "t0": t0, "gloop": True,
             })
         if step.group_times is None or gcnt >= step.group_times:
@@ -1157,8 +1175,12 @@ class GroupPattern:
     themselves be loops; r16). The inner count lives in the partial's own
     counter, the group count in NFA state (``__gcnt__{gid}``) — a group
     loop-back resets the inner counter so every repeat restarts the inner
-    loop. Still excluded on inner steps: optional()/negation/until/
-    greedy/allowCombinations (put those on the group; the one remaining
+    loop. optional() is allowed on INTERIOR inner steps (fork-on-entry
+    each repeat; entries are cleared on loop-back so the projected
+    columns reflect the last repeat only — NULL when that repeat
+    skipped), but not on a quantified item's LAST step (it carries the
+    loop wiring). Still excluded on inner steps: negation/until/greedy/
+    allowCombinations (put those on the group; the one remaining
     documented delta vs the reference's fully-recursive groups).
 
     Match columns are repeat-stable: per inner step `{name}_id`/`{name}_ts`
@@ -1281,23 +1303,37 @@ class GroupPattern:
                     "allow_combinations() requires a quantified group "
                     "(times/one_or_more) — there are no repeats to combine"
                 )
-            for st in it.sub.steps:
+            for k, st in enumerate(it.sub.steps):
                 # r16 (GroupPattern.java:30 — the group body is a full
                 # Pattern, NFACompiler compiles groups recursively):
                 # COUNTING quantifiers are allowed on inner steps —
                 # times(n) / times(n, to) / one_or_more / times_or_more —
                 # the inner count nests under the group count the same
-                # state-carried way. Still out: negation, until, greedy,
-                # allowCombinations and optional() on inner steps (the
-                # optional skip-twin would jump past the group's loop
-                # bookkeeping when the optional step is last).
-                if st.quantifier == "optional" or st.contiguity in ("notNext", "notFollowedBy") \
+                # state-carried way; optional() is allowed on INTERIOR
+                # inner steps (never a sub-pattern's first step, by the
+                # Pattern.optional construction rule, and not the LAST
+                # step of a quantified item — the skip twin would jump
+                # past the group's loop bookkeeping). Still out:
+                # negation, until, greedy, allowCombinations.
+                if (
+                    st.quantifier == "optional"
+                    and it.quantified
+                    and k == len(it.sub.steps) - 1
+                ):
+                    raise ValueError(
+                        "optional() is not supported on the LAST inner "
+                        "step of a quantified group (it carries the loop "
+                        "wiring) — make the whole group optional, or "
+                        "reorder the sub-pattern"
+                    )
+                if st.contiguity in ("notNext", "notFollowedBy") \
                         or st.until_pred is not None or st.greedy or st.combinations:
                     raise ValueError(
                         "group sub-patterns support counting quantifiers "
-                        "(times/one_or_more/times_or_more) on inner steps, "
-                        "but not optional/negation/until/greedy/"
-                        "allowCombinations — put those on the GROUP"
+                        "(times/one_or_more/times_or_more) and interior "
+                        "optional() on inner steps, but not negation/"
+                        "until/greedy/allowCombinations — put those on "
+                        "the GROUP"
                     )
                 if st.name in seen:
                     raise ValueError(f"duplicate step name across groups: {st.name!r}")

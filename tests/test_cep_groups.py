@@ -89,7 +89,9 @@ def test_group_validation(spark):
     # r16: counting quantifiers on inner steps are LEGAL (recursive group
     # compilation, GroupPattern.java:30); optional/greedy/negation stay out
     GroupPattern.begin(_sub("a", "b").one_or_more()).times(2).variants()
-    with pytest.raises(ValueError, match="counting quantifiers"):
+    # optional is legal on INTERIOR inner steps (r16) but not on a
+    # quantified item's LAST step — that step carries the loop wiring
+    with pytest.raises(ValueError, match="LAST inner step"):
         GroupPattern.begin(
             Pattern.begin("a", lambda r: r["event_type"] == "a")
             .followed_by("b", lambda r: r["event_type"] == "b").optional()

@@ -408,3 +408,120 @@ def test_quantile_grouped_bounds_empty(spark):
 
     empty = spark.createDataFrame([], "g string, value double")
     assert quantile_sketch_bounds_grouped(empty, "value", "g").collect() == []
+
+
+@given(seq=st.lists(st.integers(min_value=0, max_value=3), max_size=14),
+       n=st.integers(min_value=1, max_value=2))
+@settings(max_examples=150, deadline=None)
+def test_inner_optional_group_times(seq, n):
+    """(a -> o? -> b).times(n) with an INTERIOR optional inner step:
+    fork-on-entry each repeat (take: first 'o' after a then first 'b'
+    after o; skip: first 'b' after a), entries cleared on loop-back so a
+    skipping LAST repeat reports NULL o columns. Alphabet: 0='a', 1='b',
+    2='o', 3=noise."""
+    sub = (
+        Pattern.begin("a", lambda r: r["et"] == 0)
+        .followed_by("o", lambda r: r["et"] == 2).optional()
+        .followed_by("b", lambda r: r["et"] == 1)
+    )
+    gp = GroupPattern.begin(sub).times(n)
+    got = sorted(
+        (
+            (m["a"][0], m["o"][0] if m.get("o") else None,
+             m["b"][0], m["__gcnt__0"])
+            for m in _run(gp, seq)
+        ),
+        key=repr,
+    )
+
+    def first(et, after):
+        return next((j for j in range(after, len(seq)) if seq[j] == et), None)
+
+    out = []
+
+    def rec(start, depth, anchored):
+        a_idxs = [j for j in range(start, len(seq)) if seq[j] == 0]
+        starts = a_idxs if anchored else a_idxs[:1]
+        for a in starts:
+            variants = []
+            o = first(2, a + 1)
+            if o is not None:
+                b = first(1, o + 1)
+                if b is not None:
+                    variants.append((o, b))
+            b = first(1, a + 1)
+            if b is not None:
+                variants.append((None, b))
+            for o_idx, b_idx in variants:
+                d = depth + 1
+                if d == n:
+                    out.append((a, o_idx, b_idx, d))
+                if d < n:
+                    rec(b_idx + 1, d, False)
+
+    rec(0, 0, True)
+    assert got == sorted(out, key=repr)
+
+
+def test_inner_optional_last_step_rejected():
+    sub = (
+        Pattern.begin("a", lambda r: r["et"] == 0)
+        .followed_by("o", lambda r: r["et"] == 2).optional()
+    )
+    with pytest.raises(ValueError, match="LAST inner step"):
+        GroupPattern.begin(sub).times(2).compile()
+
+
+def test_inner_optional_stale_entry_cleared():
+    """Pinned example: repeat 1 takes o, repeat 2 skips it — the match
+    must report NULL o, not repeat 1's leftover event.
+    seq: a o b a b  -> (a0,o1,b2) then (a3,-,b4): o is None at depth 2."""
+    sub = (
+        Pattern.begin("a", lambda r: r["et"] == 0)
+        .followed_by("o", lambda r: r["et"] == 2).optional()
+        .followed_by("b", lambda r: r["et"] == 1)
+    )
+    gp = GroupPattern.begin(sub).times(2)
+    ms = _run(gp, [0, 2, 1, 0, 1])
+    # anchored at a0: repeat1 takes o (a0,o1,b2) or skips (a0,-,b2);
+    # both continue (a3,?,b4) with no 'o' left -> o must be absent
+    assert len(ms) == 2
+    assert all("o" not in m or m["o"] is None for m in ms)
+    assert all(m["a"][0] == 3 and m["b"][0] == 4 for m in ms)
+
+
+@given(seq=SEQ, k=st.integers(min_value=1, max_value=3))
+@settings(max_examples=150, deadline=None)
+def test_inner_times_consecutive_group_times(seq, k):
+    """(a.times(k, consecutive=True) -> b).times(2): the k inner events
+    must be ADJACENT; a non-'a' mid-run kills the partial (first repeat
+    event still attaches relaxed)."""
+    sub = Pattern.begin("a", lambda r: r["et"] == 0) \
+        .times(k, consecutive=True) \
+        .followed_by("b", lambda r: r["et"] == 1)
+    gp = GroupPattern.begin(sub).times(2)
+
+    def one(start, anchored):
+        """(last_a, b, next_start) repeats from start; anchor = exact."""
+        res = []
+        a_first = [j for j in range(start, len(seq)) if seq[j] == 0]
+        starts = a_first if anchored else a_first[:1]
+        for a0 in starts:
+            # k adjacent a's beginning at a0
+            if a0 + k > len(seq) or any(seq[a0 + i] != 0 for i in range(k)):
+                continue
+            a_last = a0 + k - 1
+            b = next((x for x in range(a_last + 1, len(seq)) if seq[x] == 1), None)
+            if b is not None:
+                res.append((a0, a_last, b))
+        return res
+
+    out = []
+    for a0, a1, b1 in one(0, True):
+        for _, a2, b2 in one(b1 + 1, False):
+            out.append((a2, k, b2, 2))
+    got = sorted(
+        (m["a"][0], m["a"][2], m["b"][0], m["__gcnt__0"])
+        for m in _run(gp, seq)
+    )
+    assert got == sorted(out)
