@@ -322,3 +322,64 @@ def phash_near_dup_pairs(
         .filter(F.col("hamming") <= max_distance)
         .drop("__ph_a__", "__ph_b__")
     )
+
+
+def phash_cross_dup_ids(
+    batch_hashes: DataFrame,
+    corpus_hashes: DataFrame,
+    id_col: str = "media_id",
+    hash_col: str = "phash",
+    max_distance: int = 3,
+    bands: int = 4,
+    bits: int = 60,
+) -> DataFrame:
+    """BIPARTITE perceptual-hash matching: ids of BATCH items that have
+    at least one CORPUS neighbor at Hamming distance <= max_distance —
+    the candidate-generation half of incremental media dedup (today's
+    ingest vs everything already kept). Batch bands join corpus bands
+    only, so batch-batch collisions are never generated (the
+    decontam.fuzzy_overlap_pairs discipline applied to Hamming space);
+    the same pigeonhole bound makes the banding EXACT for
+    max_distance < bands. Returns one row per matched batch id.
+
+    Scale shape: both sides reduce to 8-byte fingerprints before the
+    join; the corpus side in a continuous-crawl deployment persists as
+    its own bucketed-by-(band, value) table so daily batches co-locate
+    without reshuffling the corpus."""
+    if max_distance >= bands:
+        raise ValueError(
+            f"banding is only exact for max_distance < bands "
+            f"(got {max_distance} >= {bands})"
+        )
+    if bits % bands:
+        raise ValueError("bits must divide evenly into bands")
+    width = bits // bands
+    mask = (1 << width) - 1
+
+    def banded(h: DataFrame, side: str) -> DataFrame:
+        return h.select(
+            F.col(id_col).alias(f"{side}_id"),
+            F.col(hash_col).alias(f"{side}_ph"),
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(b).alias("b"),
+                        F.shiftright(hash_col, width * b)
+                        .bitwiseAND(F.lit(mask)).alias("bv"),
+                    )
+                    for b in range(bands)
+                ])
+            ).alias("band"),
+        ).select(f"{side}_id", f"{side}_ph", "band.b", "band.bv")
+
+    bb = banded(batch_hashes, "batch")
+    cb = banded(corpus_hashes, "corpus")
+    return (
+        bb.join(cb, ["b", "bv"])
+        .filter(
+            F.bit_count(F.col("batch_ph").bitwiseXOR(F.col("corpus_ph")))
+            <= max_distance
+        )
+        .select(F.col("batch_id").alias(id_col))
+        .distinct()
+    )

@@ -3556,6 +3556,73 @@ def multimodal_phash_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_incremental_phash",
+    oracle="""
+    WITH sums AS (
+      SELECT doc_id,
+             [list_sum([greatest(unicode(substring(text, i * 4 + j, 1)), 0)
+                        FOR j IN range(1, 5)]) FOR i IN range(0, 61)] AS bsum
+      FROM documents WHERE length(text) > 0),
+    h AS (
+      SELECT doc_id,
+             list_sum([CASE WHEN bsum[i+1] > bsum[i+2] THEN 1 ELSE 0 END << i
+                       FOR i IN range(0, 60)]) AS phash
+      FROM sums),
+    bb AS (
+      SELECT doc_id, phash, b, (phash >> (15 * b)) & 32767 AS bv
+      FROM h, range(0, 4) t(b) WHERE doc_id % 3 = 0),
+    cb AS (
+      SELECT doc_id, phash, b, (phash >> (15 * b)) & 32767 AS bv
+      FROM h, range(0, 4) t(b) WHERE doc_id % 2 = 0),
+    matched AS (
+      SELECT DISTINCT bb.doc_id
+      FROM bb JOIN cb ON bb.b = cb.b AND bb.bv = cb.bv
+      WHERE bit_count(xor(bb.phash, cb.phash)) <= 3)
+    SELECT d.doc_id AS media_id, d.source FROM documents d
+    WHERE d.doc_id % 3 = 0 AND length(d.text) > 0
+      AND d.doc_id NOT IN (SELECT doc_id FROM matched)
+    """,
+    tags=("datapipe", "multimodal", "dedup"),
+)
+def dedup_incremental_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MEDIA dedup — the multimodal tier of the continuous-
+    crawl shape (dedup_incremental drops byte-exact re-ingests,
+    dedup_incremental_fuzzy drops lightly-edited text; this tier drops
+    re-ingested media whose perceptual fingerprint is within Hamming 3
+    of anything already kept): the ingest batch (doc_id % 3 = 0) keeps
+    only items with NO corpus neighbor (doc_id % 2 = 0) under the
+    BIPARTITE phash band join (batch bands join corpus bands only —
+    batch-batch collisions never generated; pigeonhole-exact at
+    distance <= 3) and a LEFT ANTI on the matched ids. The
+    doc_id % 6 = 0 cohort appears verbatim on both sides (distance 0),
+    so the drop branch fires at every SF. Scale: 8-byte fingerprints
+    join; in production the corpus fingerprints persist bucketed by
+    (band, value) so daily batches co-locate without reshuffling."""
+    from proteus_engine_spark.datapipe.multimodal import (
+        perceptual_hash,
+        phash_cross_dup_ids,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            F.col("source"),
+            F.encode("text", "utf-8").alias("payload"),
+        )
+    )
+    batch = docs.filter(F.col("media_id") % 3 == 0)
+    corpus = docs.filter(F.col("media_id") % 2 == 0)
+    matched = phash_cross_dup_ids(
+        perceptual_hash(batch), perceptual_hash(corpus)
+    )
+    return batch.join(matched, "media_id", "left_anti").select(
+        "media_id", "source"
+    )
+
+
+@register(
     "text_concordance",
     oracle=r"""
     WITH toks AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t

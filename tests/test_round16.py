@@ -525,3 +525,36 @@ def test_inner_times_consecutive_group_times(seq, k):
         for m in _run(gp, seq)
     )
     assert got == sorted(out)
+
+
+def test_phash_cross_dup_bipartite(spark):
+    """Bipartite banding: batch ids with a corpus neighbor at Hamming<=3;
+    batch-batch near-dups must NOT match (bipartite, not self-join)."""
+    from proteus_engine_spark.datapipe.multimodal import (
+        perceptual_hash,
+        phash_cross_dup_ids,
+    )
+
+    base = bytes(range(200)) * 2
+    batch = spark.createDataFrame(
+        [(1, base), (2, base + b"zz"), (3, bytes(reversed(base)))],
+        "media_id long, payload binary",
+    )
+    corpus = spark.createDataFrame(
+        [(10, base)], "media_id long, payload binary"
+    )
+    got = sorted(
+        r.media_id
+        for r in phash_cross_dup_ids(
+            perceptual_hash(batch), perceptual_hash(corpus)
+        ).collect()
+    )
+    # 1 matches corpus exactly; 2 is a tail-append near-dup of it; 3 far.
+    # 1~2 batch-batch similarity must not produce a match by itself.
+    hs = {k: _dhash_py(v) for k, v in
+          {1: base, 2: base + b"zz", 3: bytes(reversed(base)), 10: base}.items()}
+    exp = sorted(
+        b for b in (1, 2, 3)
+        if bin(hs[b] ^ hs[10]).count("1") <= 3
+    )
+    assert got == exp and 1 in got
