@@ -50,12 +50,13 @@ from proteus_engine_spark.queries import (  # noqa: F401
 # (iterative solves are not SQL-expressible; a rows-only row must not
 # burn a window slot — bitwise pure-Python mirrors in pytest instead).
 #
-# r17 window plan: the 8 new r16 gates first (never checked; queued at
-# positions 51-58 below — cep_group_inner_quantifier,
+# r17 window plan: the 9 new r16 gates first (never checked; queued at
+# positions 51-59 below — cep_group_inner_quantifier,
 # agg_quantile_sketch_merge, multimodal_phash_neardup,
 # cep_group_inner_quantifier_stream, multimodal_phash_dedup_keep,
 # agg_quantile_grouped_bounds, cep_group_inner_optional,
-# dedup_incremental_phash; all tri-scale green in
+# dedup_incremental_phash, cep_group_inner_negation; all tri-scale
+# green in
 # scripts/triscale/r16_delta.json), then the
 # 10-query alphabetical tail of the r11 wave deferred from this window
 # (stream_over_bounded_rows, stream_over_bounded_rows_ooo,
@@ -63,7 +64,7 @@ from proteus_engine_spark.queries import (  # noqa: F401
 # stream_over_running_range_peers, stream_over_sql_dispatch,
 # stream_window_all, text_bigram_logprob,
 # text_length_percentiles_approx, text_tfidf_top_terms), then
-# oldest-green-first from the r12 wave fills the remaining 32 slots.
+# oldest-green-first from the r12 wave fills the remaining 31 slots.
 _GATE_PRIORITY = [
     # --- positions 1-7: the 7 new r15 gates (never driver-checked)
     "cep_group_stream_timeouts",
@@ -129,6 +130,7 @@ _GATE_PRIORITY = [
     "agg_quantile_grouped_bounds",
     "cep_group_inner_optional",
     "dedup_incremental_phash",
+    "cep_group_inner_negation",
     "stream_over_bounded_rows",
     "stream_over_bounded_rows_ooo",
     "stream_over_running_agg",

@@ -2466,6 +2466,76 @@ def cep_group_inner_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cep_group_inner_negation",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, ts, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS rn
+      FROM events),
+    clk AS (SELECT user_id, event_id, ts, rn FROM seq WHERE event_type = 'click'),
+    vw  AS (SELECT user_id, event_id, ts, rn FROM seq WHERE event_type = 'view'),
+    er  AS (SELECT user_id, rn FROM seq WHERE event_type = 'error'),
+    r1 AS (
+      SELECT a.user_id, a.rn AS c_rn,
+             (SELECT min(v.rn) FROM vw v
+              WHERE v.user_id = a.user_id AND v.rn > a.rn) AS v_rn
+      FROM clk a),
+    ok1 AS (
+      SELECT user_id, c_rn, v_rn FROM r1
+      WHERE v_rn IS NOT NULL
+        AND NOT EXISTS (SELECT 1 FROM er e
+                        WHERE e.user_id = r1.user_id
+                          AND e.rn > r1.c_rn AND e.rn < r1.v_rn)),
+    c2 AS (
+      SELECT o.user_id, c.rn AS c_rn, c.event_id AS c_eid, c.ts AS c_ts
+      FROM ok1 o JOIN clk c
+        ON c.user_id = o.user_id
+       AND c.rn = (SELECT min(x.rn) FROM clk x
+                   WHERE x.user_id = o.user_id AND x.rn > o.v_rn)),
+    r2 AS (
+      SELECT c.user_id, c.c_rn, c.c_eid, c.c_ts,
+             (SELECT min(v.rn) FROM vw v
+              WHERE v.user_id = c.user_id AND v.rn > c.c_rn) AS v_rn
+      FROM c2 c),
+    fin AS (
+      SELECT r.user_id, r.c_eid, r.c_ts, w.event_id AS v_eid, w.ts AS v_ts
+      FROM r2 r JOIN vw w ON w.user_id = r.user_id AND w.rn = r.v_rn
+      WHERE NOT EXISTS (SELECT 1 FROM er e
+                        WHERE e.user_id = r.user_id
+                          AND e.rn > r.c_rn AND e.rn < r.v_rn))
+    SELECT user_id,
+           c_eid AS click_id, epoch_ms(c_ts) AS click_ts,
+           CAST(2 AS BIGINT) AS click_cnt,
+           v_eid AS view_id, epoch_ms(v_ts) AS view_ts,
+           CAST(2 AS BIGINT) AS view_cnt
+    FROM fin
+    """,
+    tags=("streaming", "cep", "group"),
+)
+def cep_group_inner_negation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERIOR negation inside a quantified group (r16, the third
+    recursive-compilation increment): (click notFollowedBy error
+    followedBy view).times(2) — a clean session-pair funnel where each
+    repeat individually forbids an error between its click and its view,
+    and the guard re-arms every repeat. An error arriving first kills
+    that repeat's partial; negative steps never consume, so they
+    contribute no match columns. The oracle chains two guarded repeats
+    with NOT EXISTS error-between windows (deterministic consume-first
+    scalar subqueries); semantics property-tested vs brute-force guard
+    models for BOTH notFollowedBy and notNext in tests/test_round16.py."""
+    from proteus_engine_spark.streaming.cep import GroupPattern, match_group_pattern
+
+    ev = load_table(spark, sf_dir, "events")
+    sub = (
+        Pattern.begin("click", lambda r: r["event_type"] == "click")
+        .not_followed_by("error", lambda r: r["event_type"] == "error")
+        .followed_by("view", lambda r: r["event_type"] == "view")
+    )
+    g = GroupPattern.begin(sub).times(2)
+    return match_group_pattern(ev, g, "user_id")
+
+
+@register(
     "cep_group_inner_quantifier_stream",
     oracle="""
     WITH seq AS (

@@ -1178,9 +1178,12 @@ class GroupPattern:
     loop. optional() is allowed on INTERIOR inner steps (fork-on-entry
     each repeat; entries are cleared on loop-back so the projected
     columns reflect the last repeat only — NULL when that repeat
-    skipped), but not on a quantified item's LAST step (it carries the
-    loop wiring). Still excluded on inner steps: negation/until/greedy/
-    allowCombinations (put those on the group; the one remaining
+    skipped), and so is NEGATION (notNext/notFollowedBy as a per-repeat
+    guard between inner steps: an event satisfying the guard predicate
+    between the surrounding matches kills that repeat's partial, every
+    repeat re-arms the guard) — neither on a quantified item's LAST
+    step (it carries the loop wiring). Still excluded on inner steps:
+    until and greedy (put quantifier flags on the group; the remaining
     documented delta vs the reference's fully-recursive groups).
 
     Match columns are repeat-stable: per inner step `{name}_id`/`{name}_ts`
@@ -1309,31 +1312,38 @@ class GroupPattern:
                 # COUNTING quantifiers are allowed on inner steps —
                 # times(n) / times(n, to) / one_or_more / times_or_more —
                 # the inner count nests under the group count the same
-                # state-carried way; optional() is allowed on INTERIOR
-                # inner steps (never a sub-pattern's first step, by the
-                # Pattern.optional construction rule, and not the LAST
-                # step of a quantified item — the skip twin would jump
-                # past the group's loop bookkeeping). Still out:
-                # negation, until, greedy, allowCombinations.
-                if (
-                    st.quantifier == "optional"
-                    and it.quantified
-                    and k == len(it.sub.steps) - 1
-                ):
+                # state-carried way; optional() and NEGATION
+                # (notNext/notFollowedBy) are allowed on INTERIOR inner
+                # steps (never a sub-pattern's first step, by the
+                # Pattern construction rules, and not the LAST step of a
+                # quantified item — that step carries the loop wiring,
+                # and an optional skip twin or a trailing guard would
+                # bypass it; the per-repeat guard recursion lands on the
+                # following step, which keeps its group bookkeeping).
+                # Still out: until and greedy on inner steps.
+                last_of_quantified = (
+                    it.quantified and k == len(it.sub.steps) - 1
+                )
+                if st.quantifier == "optional" and last_of_quantified:
                     raise ValueError(
                         "optional() is not supported on the LAST inner "
                         "step of a quantified group (it carries the loop "
                         "wiring) — make the whole group optional, or "
                         "reorder the sub-pattern"
                     )
-                if st.contiguity in ("notNext", "notFollowedBy") \
-                        or st.until_pred is not None or st.greedy or st.combinations:
+                if st.contiguity in ("notNext", "notFollowedBy") and last_of_quantified:
+                    raise ValueError(
+                        "negation is not supported on the LAST inner "
+                        "step of a quantified group (it carries the loop "
+                        "wiring) — end the sub-pattern on a positive step"
+                    )
+                if st.until_pred is not None or st.greedy or st.combinations:
                     raise ValueError(
                         "group sub-patterns support counting quantifiers "
-                        "(times/one_or_more/times_or_more) and interior "
-                        "optional() on inner steps, but not negation/"
-                        "until/greedy/allowCombinations — put those on "
-                        "the GROUP"
+                        "(times/one_or_more/times_or_more), interior "
+                        "optional() and interior negation on inner "
+                        "steps, but not until/greedy/allowCombinations "
+                        "— put those on the GROUP"
                     )
                 if st.name in seen:
                     raise ValueError(f"duplicate step name across groups: {st.name!r}")
@@ -1429,6 +1439,8 @@ def _group_match_columns(
     cols = [F.col(key_col)]
     for i, it in enumerate(gpattern.items):
         for st in it.sub.steps:
+            if st.contiguity in ("notNext", "notFollowedBy"):
+                continue  # negative inner steps never consume an event
             cols += [F.col(f"{st.name}_id"), F.col(f"{st.name}_ts")]
             if eff[i] == -1:
                 cols.append(F.col(f"{st.name}_cnt"))

@@ -558,3 +558,108 @@ def test_phash_cross_dup_bipartite(spark):
         if bin(hs[b] ^ hs[10]).count("1") <= 3
     )
     assert got == exp and 1 in got
+
+
+# ---------------------------------------------------------------------------
+# Interior negation in groups
+# ---------------------------------------------------------------------------
+
+@given(seq=st.lists(st.integers(min_value=0, max_value=3), max_size=14),
+       n=st.integers(min_value=1, max_value=2))
+@settings(max_examples=150, deadline=None)
+def test_inner_not_followed_by_group_times(seq, n):
+    """(a ¬x b).times(n): per repeat, the first 'b' after 'a' is consumed
+    ONLY if no 'x' occurs between them — an 'x' first kills that repeat's
+    partial. Alphabet: 0='a', 1='b', 2='x', 3=noise."""
+    sub = (
+        Pattern.begin("a", lambda r: r["et"] == 0)
+        .not_followed_by("x", lambda r: r["et"] == 2)
+        .followed_by("b", lambda r: r["et"] == 1)
+    )
+    gp = GroupPattern.begin(sub).times(n)
+    got = sorted(
+        (m["a"][0], m["b"][0], m["__gcnt__0"]) for m in _run(gp, seq)
+    )
+
+    def repeat_from(a):
+        """first 'b' after a, unless an 'x' comes first."""
+        for j in range(a + 1, len(seq)):
+            if seq[j] == 2:
+                return None
+            if seq[j] == 1:
+                return j
+        return None
+
+    out = []
+
+    def rec(start, depth, anchored):
+        a_idxs = [j for j in range(start, len(seq)) if seq[j] == 0]
+        for a in (a_idxs if anchored else a_idxs[:1]):
+            b = repeat_from(a)
+            if b is None:
+                continue
+            d = depth + 1
+            if d == n:
+                out.append((a, b, d))
+            else:
+                rec(b + 1, d, False)
+
+    rec(0, 0, True)
+    assert got == sorted(out)
+
+
+@given(seq=st.lists(st.integers(min_value=0, max_value=3), max_size=14))
+@settings(max_examples=150, deadline=None)
+def test_inner_not_next_group_times(seq):
+    """(a ¬next-x b).times(2): only the event IMMEDIATELY after 'a' is
+    guarded — it must not be 'x', and 'b' then consumes the first 'b'
+    from that event on (relaxed)."""
+    sub = (
+        Pattern.begin("a", lambda r: r["et"] == 0)
+        .not_next("x", lambda r: r["et"] == 2)
+        .followed_by("b", lambda r: r["et"] == 1)
+    )
+    gp = GroupPattern.begin(sub).times(2)
+    got = sorted(
+        (m["a"][0], m["b"][0], m["__gcnt__0"]) for m in _run(gp, seq)
+    )
+
+    def repeat_from(a):
+        if a + 1 >= len(seq) or seq[a + 1] == 2:
+            return None
+        return next((j for j in range(a + 1, len(seq)) if seq[j] == 1), None)
+
+    out = []
+    for a1 in (j for j, t in enumerate(seq) if t == 0):
+        b1 = repeat_from(a1)
+        if b1 is None:
+            continue
+        a2 = next((j for j in range(b1 + 1, len(seq)) if seq[j] == 0), None)
+        if a2 is None:
+            continue
+        b2 = repeat_from(a2)
+        if b2 is not None:
+            out.append((a2, b2, 2))
+    assert got == sorted(out)
+
+
+def test_inner_negation_last_step_rejected():
+    sub = Pattern.begin("a", lambda r: r["et"] == 0).not_followed_by(
+        "x", lambda r: r["et"] == 2
+    )
+    with pytest.raises(ValueError, match="LAST inner"):
+        GroupPattern.begin(sub).times(2).compile()
+
+
+def test_inner_negation_schema_skips_guard():
+    """Negative inner steps never consume, so they contribute no match
+    columns — neither in the compiled pattern nor the group projection."""
+    from proteus_engine_spark.streaming.cep import _match_columns
+
+    sub = (
+        Pattern.begin("a", lambda r: r["et"] == 0)
+        .not_followed_by("x", lambda r: r["et"] == 2)
+        .followed_by("b", lambda r: r["et"] == 1)
+    )
+    pat, eff = GroupPattern.begin(sub).times(2).compile()
+    assert _match_columns(pat) == ["a_id", "a_ts", "a_cnt", "b_id", "b_ts", "b_cnt"]
