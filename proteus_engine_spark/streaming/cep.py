@@ -1182,9 +1182,12 @@ class GroupPattern:
     guard between inner steps: an event satisfying the guard predicate
     between the surrounding matches kills that repeat's partial, every
     repeat re-arms the guard) — neither on a quantified item's LAST
-    step (it carries the loop wiring). Still excluded on inner steps:
-    until and greedy (put quantifier flags on the group; the remaining
-    documented delta vs the reference's fully-recursive groups).
+    step (it carries the loop wiring). Inner counting loops may carry
+    until() — the stop event closes that repeat's loop without being
+    consumed; a pending loop-back with zero matches dies, the step-level
+    rule. Still excluded on inner steps: greedy and allowCombinations
+    (the remaining documented delta vs the reference's fully-recursive
+    groups).
 
     Match columns are repeat-stable: per inner step `{name}_id`/`{name}_ts`
     (the LAST repeat's event, like loop steps report their last event) and
@@ -1320,7 +1323,11 @@ class GroupPattern:
                 # and an optional skip twin or a trailing guard would
                 # bypass it; the per-repeat guard recursion lands on the
                 # following step, which keeps its group bookkeeping).
-                # Still out: until and greedy on inner steps.
+                # until() on inner counting loops carries through too
+                # (the stop event closes that repeat's loop; a pending
+                # loop-back with zero matches dies, the step-level
+                # rule). Still out: greedy and allowCombinations on
+                # inner steps.
                 last_of_quantified = (
                     it.quantified and k == len(it.sub.steps) - 1
                 )
@@ -1337,12 +1344,12 @@ class GroupPattern:
                         "step of a quantified group (it carries the loop "
                         "wiring) — end the sub-pattern on a positive step"
                     )
-                if st.until_pred is not None or st.greedy or st.combinations:
+                if st.greedy or st.combinations:
                     raise ValueError(
                         "group sub-patterns support counting quantifiers "
-                        "(times/one_or_more/times_or_more), interior "
-                        "optional() and interior negation on inner "
-                        "steps, but not until/greedy/allowCombinations "
+                        "(times/one_or_more/times_or_more, with until), "
+                        "interior optional() and interior negation on "
+                        "inner steps, but not greedy/allowCombinations "
                         "— put those on the GROUP"
                     )
                 if st.name in seen:
@@ -1378,6 +1385,8 @@ class GroupPattern:
                             times_n=st.times_n,
                             times_max=st.times_max,
                             consecutive=st.consecutive,
+                            until_pred=st.until_pred,
+                            until_expr=st.until_expr,
                             group_id=i,
                             group_between_strict=(
                                 it.consecutive if k == 0 else False
@@ -1395,6 +1404,8 @@ class GroupPattern:
                             times_n=st.times_n,
                             times_max=st.times_max,
                             consecutive=st.consecutive,
+                            until_pred=st.until_pred,
+                            until_expr=st.until_expr,
                         )
                     )
             if not it.quantified:

@@ -663,3 +663,80 @@ def test_inner_negation_schema_skips_guard():
     )
     pat, eff = GroupPattern.begin(sub).times(2).compile()
     assert _match_columns(pat) == ["a_id", "a_ts", "a_cnt", "b_id", "b_ts", "b_cnt"]
+
+
+@given(seq=st.lists(st.integers(min_value=0, max_value=3), max_size=14),
+       n=st.integers(min_value=1, max_value=2))
+@settings(max_examples=150, deadline=None)
+def test_inner_until_group_times(seq, n):
+    """(a.one_or_more() until u -> b).times(n): a 'u' event closes the
+    inner loop WITHOUT being consumed — prefix exits already spawned live
+    on, so inner counts reach only the 'a's before the first 'u' after
+    the repeat's start. Alphabet: 0='a', 1='b', 2='u', 3=noise."""
+    sub = (
+        Pattern.begin("a", lambda r: r["et"] == 0)
+        .one_or_more()
+        .until(lambda r: r["et"] == 2)
+        .followed_by("b", lambda r: r["et"] == 1)
+    )
+    gp = GroupPattern.begin(sub).times(n)
+    got = sorted(
+        (m["a"][0], m["a"][2], m["b"][0], m["__gcnt__0"])
+        for m in _run(gp, seq)
+    )
+
+    out = []
+
+    def rec(start, depth, anchored):
+        a_idxs = [j for j in range(start, len(seq)) if seq[j] == 0]
+        if anchored:
+            starts = a_idxs  # each 'a' consumes itself on arrival
+        else:
+            # loop-back repeat: the partial WAITS at the until-loop with
+            # zero matches — a 'u' arriving before the next 'a' kills it
+            # (the step-level zero-matches rule carries into groups)
+            if not a_idxs:
+                return
+            u0 = next((j for j in range(start, len(seq)) if seq[j] == 2),
+                      None)
+            if u0 is not None and u0 < a_idxs[0]:
+                return
+            starts = a_idxs[:1]
+        for a0 in starts:
+            # the loop consumes successive a's from a0 until the first
+            # 'u' strictly after a0 kills the looping branch
+            u = next((j for j in range(a0 + 1, len(seq)) if seq[j] == 2),
+                     len(seq))
+            run = [j for j in a_idxs if a0 <= j < u]
+            for c in range(1, len(run) + 1):
+                a_c = run[c - 1]
+                b = next((k for k in range(a_c + 1, len(seq))
+                          if seq[k] == 1), None)
+                if b is None:
+                    continue
+                d = depth + 1
+                if d == n:
+                    out.append((a_c, c, b, d))
+                else:
+                    rec(b + 1, d, False)
+
+    rec(0, 0, True)
+    assert got == sorted(out)
+
+
+def test_inner_until_loop_zero_matches_dies():
+    """A 'u' arriving while the inner loop has zero matches kills that
+    partial (the step-level rule carries into groups): seq u a b — the
+    anchor opens at 'a' AFTER u, so one match; seq a u b still matches
+    c=1 (the exit branch spawned before u)."""
+    sub = (
+        Pattern.begin("a", lambda r: r["et"] == 0)
+        .one_or_more()
+        .until(lambda r: r["et"] == 2)
+        .followed_by("b", lambda r: r["et"] == 1)
+    )
+    gp = GroupPattern.begin(sub).times(1)
+    m1 = _run(gp, [2, 0, 1])
+    assert [(m["a"][0], m["b"][0]) for m in m1] == [(1, 2)]
+    m2 = _run(gp, [0, 2, 1])
+    assert [(m["a"][0], m["a"][2], m["b"][0]) for m in m2] == [(0, 1, 2)]
