@@ -1185,9 +1185,13 @@ class GroupPattern:
     step (it carries the loop wiring). Inner counting loops may carry
     until() — the stop event closes that repeat's loop without being
     consumed; a pending loop-back with zero matches dies, the step-level
-    rule. Still excluded on inner steps: greedy and allowCombinations
-    (the remaining documented delta vs the reference's fully-recursive
-    groups).
+    rule. greedy() carries through on INTERIOR loops too (maximal
+    consecutive run per repeat, run-breaking hand-off to the following
+    inner step; not on a quantified item's last step — FLINK-8914's
+    following-step requirement composed with the loop wiring). The sole
+    remaining inner-step delta vs the reference's fully-recursive
+    groups: allowCombinations (skip-till-any INSIDE a repeat — put it
+    on the group).
 
     Match columns are repeat-stable: per inner step `{name}_id`/`{name}_ts`
     (the LAST repeat's event, like loop steps report their last event) and
@@ -1344,13 +1348,22 @@ class GroupPattern:
                         "step of a quantified group (it carries the loop "
                         "wiring) — end the sub-pattern on a positive step"
                     )
-                if st.greedy or st.combinations:
+                if st.greedy and last_of_quantified:
+                    raise ValueError(
+                        "greedy() is not supported on the LAST inner "
+                        "step of a quantified group (the run-breaking "
+                        "hand-off would bypass the loop wiring; the "
+                        "reference likewise requires a following step, "
+                        "FLINK-8914) — end the sub-pattern on a "
+                        "non-greedy step"
+                    )
+                if st.combinations:
                     raise ValueError(
                         "group sub-patterns support counting quantifiers "
-                        "(times/one_or_more/times_or_more, with until), "
-                        "interior optional() and interior negation on "
-                        "inner steps, but not greedy/allowCombinations "
-                        "— put those on the GROUP"
+                        "(times/one_or_more/times_or_more, with until "
+                        "and interior greedy), interior optional() and "
+                        "interior negation on inner steps, but not "
+                        "allowCombinations — put it on the GROUP"
                     )
                 if st.name in seen:
                     raise ValueError(f"duplicate step name across groups: {st.name!r}")
@@ -1387,6 +1400,7 @@ class GroupPattern:
                             consecutive=st.consecutive,
                             until_pred=st.until_pred,
                             until_expr=st.until_expr,
+                            greedy=st.greedy,
                             group_id=i,
                             group_between_strict=(
                                 it.consecutive if k == 0 else False
@@ -1406,6 +1420,7 @@ class GroupPattern:
                             consecutive=st.consecutive,
                             until_pred=st.until_pred,
                             until_expr=st.until_expr,
+                            greedy=st.greedy,
                         )
                     )
             if not it.quantified:

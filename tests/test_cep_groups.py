@@ -86,19 +86,24 @@ def test_group_relaxed_attachment(spark):
 
 
 def test_group_validation(spark):
-    # r16: counting quantifiers on inner steps are LEGAL (recursive group
-    # compilation, GroupPattern.java:30); optional/greedy/negation stay out
+    # r16: counting quantifiers, interior optional/negation/greedy/until
+    # are LEGAL on inner steps (recursive group compilation,
+    # GroupPattern.java:30); allowCombinations stays out, and
+    # optional/negation/greedy are rejected on a quantified item's LAST
+    # step — that step carries the loop wiring
     GroupPattern.begin(_sub("a", "b").one_or_more()).times(2).variants()
-    # optional is legal on INTERIOR inner steps (r16) but not on a
-    # quantified item's LAST step — that step carries the loop wiring
+    GroupPattern.begin(
+        _sub("a", "b").one_or_more(consecutive=True).greedy()
+        .followed_by("c", lambda r: r["event_type"] == "c")
+    ).times(2).variants()  # interior greedy: legal since r16
     with pytest.raises(ValueError, match="LAST inner step"):
         GroupPattern.begin(
             Pattern.begin("a", lambda r: r["event_type"] == "a")
             .followed_by("b", lambda r: r["event_type"] == "b").optional()
         ).times(2).variants()
-    with pytest.raises(ValueError, match="counting quantifiers"):
+    with pytest.raises(ValueError, match="allowCombinations"):
         GroupPattern.begin(
-            _sub("a", "b").one_or_more(consecutive=True).greedy()
+            _sub("a", "b").one_or_more().allow_combinations()
             .followed_by("c", lambda r: r["event_type"] == "c")
         ).times(2).variants()
     with pytest.raises(ValueError, match="duplicate step name"):

@@ -740,3 +740,68 @@ def test_inner_until_loop_zero_matches_dies():
     assert [(m["a"][0], m["b"][0]) for m in m1] == [(1, 2)]
     m2 = _run(gp, [0, 2, 1])
     assert [(m["a"][0], m["a"][2], m["b"][0]) for m in m2] == [(0, 1, 2)]
+
+
+@given(seq=st.lists(st.integers(min_value=0, max_value=2), max_size=14),
+       n=st.integers(min_value=1, max_value=2))
+@settings(max_examples=150, deadline=None)
+def test_inner_greedy_group_times(seq, n):
+    """(a.one_or_more(consecutive).greedy() -> b).times(n): each repeat
+    consumes the MAXIMAL consecutive 'a' run from its start — no
+    per-prefix exits — then the run-breaking event is offered to 'b'
+    (relaxed: first 'b' at or after the break). A run that reaches end of
+    input never hands off (no match)."""
+    sub = (
+        Pattern.begin("a", lambda r: r["et"] == 0)
+        .one_or_more(consecutive=True)
+        .greedy()
+        .followed_by("b", lambda r: r["et"] == 1)
+    )
+    gp = GroupPattern.begin(sub).times(n)
+    got = sorted(
+        (m["a"][0], m["a"][2], m["b"][0], m["__gcnt__0"])
+        for m in _run(gp, seq)
+    )
+
+    out = []
+
+    def rec(start, depth, anchored):
+        a_idxs = [j for j in range(start, len(seq)) if seq[j] == 0]
+        for a0 in (a_idxs if anchored else a_idxs[:1]):
+            L = 1
+            while a0 + L < len(seq) and seq[a0 + L] == 0:
+                L += 1
+            brk = a0 + L
+            if brk >= len(seq):
+                continue  # run never breaks: the loop never exits
+            b = next((j for j in range(brk, len(seq)) if seq[j] == 1), None)
+            if b is None:
+                continue
+            d = depth + 1
+            if d == n:
+                out.append((a0 + L - 1, L, b, d))
+            else:
+                rec(b + 1, d, False)
+
+    rec(0, 0, True)
+    assert got == sorted(out)
+
+
+def test_inner_greedy_last_step_rejected():
+    sub = (
+        Pattern.begin("x", lambda r: r["et"] == 2)
+        .followed_by("a", lambda r: r["et"] == 0)
+        .one_or_more(consecutive=True)
+        .greedy()
+        .followed_by("c", lambda r: r["et"] == 2)
+    )
+    # greedy interior: fine
+    GroupPattern.begin(sub).times(2).compile()
+    tail = (
+        Pattern.begin("x", lambda r: r["et"] == 2)
+        .followed_by("a", lambda r: r["et"] == 0)
+        .one_or_more(consecutive=True)
+        .greedy()
+    )
+    with pytest.raises(ValueError, match="LAST inner"):
+        GroupPattern.begin(tail).times(2).compile()
