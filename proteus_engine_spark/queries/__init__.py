@@ -23,18 +23,18 @@ from proteus_engine_spark.queries import (  # noqa: F401
     windows_q,
 )
 
-# Round-16 priority window (the driver checks the first ~50 registry
-# entries; r11-r15 all recorded exactly 50). This executes the r16 plan
-# the r15 registry comment documented and the r15 verdict ordered
-# verbatim: positions 1-7 are the 7 never-driver-checked r15 gates (all
-# tri-scale green in scripts/triscale/r15_delta.json and in the r15
-# judge's own gatecheck), positions 8-10 the 3 r10-greens deferred from
-# the r15 window, positions 11-50 are the 40 alphabetically-first of the
-# 50 queries whose latest driver green is r11 (pre-r16 latest-green
-# histogram: r10:3, r11:50, r12:50, r13:50, r14:50, r15:50).
-# 7 + 3 + 40 = 50 → after r16 the oracle-bearing never-checked count is
-# back to 0 (modulo gates newly added this round, queued at 51+) and no
-# gate's latest green predates r11.
+# Round-17 priority window (the driver checks the first ~50 registry
+# entries; r11-r16 all recorded exactly 50). This executes the r17 plan
+# the r16 registry comment documented and the r16 verdict ordered
+# verbatim: positions 1-9 are the 9 never-driver-checked r16 gates (all
+# tri-scale green in scripts/triscale/r16_delta.json and 9/9 in the r16
+# judge's own gatecheck), positions 10-19 the 10-query alphabetical tail
+# of the r11 wave deferred from the r16 window, positions 20-50 the 31
+# alphabetically-first of the 50 queries whose latest driver green is
+# r12 (post-r16 latest-green histogram: r11:10, r12:50, r13:50, r14:50,
+# r15:50, r16:50). 9 + 10 + 31 = 50 → after r17 the oracle-bearing
+# never-checked count is back to 0 (modulo gates newly added this round,
+# queued at 51+) and no gate's latest green predates r12.
 #
 # STANDING POLICY (r14 verdict item 6, ceiling corrected per r15 verdict
 # "What's wrong" #1): every oracle-bearing gate re-enters a driver
@@ -50,78 +50,22 @@ from proteus_engine_spark.queries import (  # noqa: F401
 # (iterative solves are not SQL-expressible; a rows-only row must not
 # burn a window slot — bitwise pure-Python mirrors in pytest instead).
 #
-# r17 window plan: the 9 new r16 gates first (never checked; queued at
-# positions 51-59 below — cep_group_inner_quantifier,
-# agg_quantile_sketch_merge, multimodal_phash_neardup,
-# cep_group_inner_quantifier_stream, multimodal_phash_dedup_keep,
-# agg_quantile_grouped_bounds, cep_group_inner_optional,
-# dedup_incremental_phash, cep_group_inner_negation; all tri-scale
-# green in
-# scripts/triscale/r16_delta.json), then the
-# 10-query alphabetical tail of the r11 wave deferred from this window
-# (stream_over_bounded_rows, stream_over_bounded_rows_ooo,
-# stream_over_running_agg, stream_over_running_ooo,
-# stream_over_running_range_peers, stream_over_sql_dispatch,
-# stream_window_all, text_bigram_logprob,
-# text_length_percentiles_approx, text_tfidf_top_terms), then
-# oldest-green-first from the r12 wave fills the remaining 31 slots.
+# r18 window plan: any new r17 gates first (never checked; inserted
+# ahead of position 51 as they land), then the 19-query alphabetical
+# tail of the r12 wave deferred from this window (q8_market_share …
+# window_tumble, queued at positions 51+ below), then oldest-green-first
+# from the r13 wave fills the remaining slots.
+#
+# LATENT-FIX POLICY (r16 verdict item 4): any diff that changes the
+# behavior of previously-shipped code — even as part of a feature — must
+# say so in the commit subject ("fix latent …") and carry a blast-radius
+# note (which gates/configs could have produced wrong answers before the
+# fix). A latent-correctness fix buried in a feature commit is invisible
+# to review.
 _GATE_PRIORITY = [
-    # --- positions 1-7: the 7 new r15 gates (never driver-checked)
-    "cep_group_stream_timeouts",
-    "agg_approx_quantile_bounds",
-    "classify_calibration_bins",
-    "stream_session_windows_chained",
-    "stream_window_quantile_bounds",
-    "cep_group_allow_combinations",
-    "cep_group_times_range",
-    # --- positions 8-10: the 3 r10-greens deferred from r15
-    "distinct_rows",
-    "sort_limit_offset",
-    "subquery_in",
-    # --- positions 11-50: 40 alphabetically-first of the 50 r11-greens;
-    #     the 10-query tail defers to r17
-    "asof_join_events",
-    "cep_group_optional",
-    "cep_group_times",
-    "cep_skip_past_last_event",
-    "cep_stream_ooo",
-    "cep_stream_timeouts",
-    "corpus_hash_split",
-    "corpus_mixture_temperature",
-    "corpus_mixture_weights",
-    "corpus_rebalance_sample",
-    "dedup_embedding_cosine",
-    "dedup_embedding_cosine_lsh",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "graph_global_clustering",
-    "graph_sssp_scatter_gather",
-    "graph_triadic_census",
-    "join_salted_skew",
-    "ml_distance_metrics",
-    "ml_feature_scaling",
-    "ml_linreg_price_vs_qty",
-    "primitives_roundtrip_agg",
-    "q18_large_volume_customer",
-    "q1_pricing_summary",
-    "q21_waiting_supplier",
-    "q3_shipping_priority",
-    "q6_forecast_revenue",
-    "q9_product_type_profit",
-    "queryable_state_lookup",
-    "range_join_events",
-    "rich_udf_broadcast_join",
-    "savepoint_fork_resume",
-    "stream_dedup_within_watermark",
-    "stream_event_time_sort",
-    "stream_event_time_sort_ooo",
-    "stream_iterate_halving",
-    "stream_late_side_output",
-    "stream_late_side_output_partitioned",
-    "stream_over_bounded_range",
-    # --- positions 51+: new r16 gates (never checked — lead r17),
-    #     then the 10-query r11 tail deferred to r17
+    # --- positions 1-9: the 9 new r16 gates (never driver-checked;
+    #     all tri-scale green in scripts/triscale/r16_delta.json and
+    #     9/9 green in the r16 judge's own gatecheck)
     "cep_group_inner_quantifier",
     "agg_quantile_sketch_merge",
     "multimodal_phash_neardup",
@@ -131,6 +75,8 @@ _GATE_PRIORITY = [
     "cep_group_inner_optional",
     "dedup_incremental_phash",
     "cep_group_inner_negation",
+    # --- positions 10-19: the 10-query alphabetical tail of the r11
+    #     wave deferred from the r16 window
     "stream_over_bounded_rows",
     "stream_over_bounded_rows_ooo",
     "stream_over_running_agg",
@@ -141,6 +87,60 @@ _GATE_PRIORITY = [
     "text_bigram_logprob",
     "text_length_percentiles_approx",
     "text_tfidf_top_terms",
+    # --- positions 20-50: the 31 alphabetically-first of the 50
+    #     queries whose latest driver green is r12
+    "agg_basic",
+    "cep_group_stream_unbounded",
+    "cep_group_unbounded_repeat",
+    "cep_times_or_more",
+    "cep_until_stop",
+    "corpus_stratified_sample",
+    "dedup_simhash",
+    "explode_unnest",
+    "fn_string_suite",
+    "fn_temporal_suite",
+    "graph_vertex_metrics",
+    "iter_delta_sssp",
+    "jdbc_roundtrip_agg",
+    "join_inner_dims",
+    "join_semi",
+    "over_bounded_rows",
+    "over_rank_functions",
+    "over_running_agg",
+    "pii_redaction",
+    "q10_returned_items",
+    "q12_ship_priority_class",
+    "q13_customer_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_supplier_part_count",
+    "q17_small_quantity_revenue",
+    "q19_discounted_revenue",
+    "q22_sales_opportunity",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q7_volume_shipping",
+    # --- positions 51+: the 19 remaining r12-greens (queued for r18;
+    #     new r17 gates will be inserted AHEAD of these)
+    "q8_market_share",
+    "setop_except",
+    "setop_except_all",
+    "setop_intersect",
+    "setop_intersect_all",
+    "setop_union_all",
+    "setop_union_distinct",
+    "sim_ann_lsh",
+    "socket_text_source_agg",
+    "sort_topk_per_group",
+    "stream_delta_trigger_fires",
+    "stream_from_elements_agg",
+    "stream_window_cogroup",
+    "subquery_exists_correlated",
+    "text_repetition_stats",
+    "text_roundtrip_initials",
+    "udf_vectorized_default",
+    "window_session",
+    "window_tumble",
 ]
 
 
