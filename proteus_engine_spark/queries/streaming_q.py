@@ -2466,6 +2466,109 @@ def cep_group_inner_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cep_group_inner_combinations",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, ts, event_type, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS rn
+      FROM events),
+    hclk AS (
+      SELECT user_id, event_id, ts, rn,
+             row_number() OVER (PARTITION BY user_id ORDER BY rn) AS cs
+      FROM seq WHERE event_type = 'click' AND value > 100),
+    vw AS (SELECT user_id, event_id, ts, rn FROM seq WHERE event_type = 'view'),
+    rep1 AS (
+      SELECT a.user_id,
+             CASE WHEN l1.cs = a.cs THEN 1
+                  ELSE CAST(power(2, l1.cs - a.cs - 1) AS BIGINT) END AS mult1,
+             (SELECT min(v.rn) FROM vw v
+              WHERE v.user_id = a.user_id AND v.rn > l1.rn) AS v1_rn
+      FROM hclk a JOIN hclk l1
+        ON l1.user_id = a.user_id AND l1.cs >= a.cs),
+    hop AS (
+      SELECT r.user_id, r.mult1, c2.rn AS c2_rn, c2.cs AS c2_cs
+      FROM rep1 r JOIN hclk c2
+        ON c2.user_id = r.user_id
+       AND c2.rn = (SELECT min(c.rn) FROM hclk c
+                    WHERE c.user_id = r.user_id AND c.rn > r.v1_rn)
+      WHERE r.v1_rn IS NOT NULL),
+    rep2x AS (
+      SELECT h.user_id, h.mult1, l2.rn AS l2_rn, l2.cs - h.c2_cs AS span,
+             l2.event_id AS click_eid, l2.ts AS click_t,
+             unnest(CASE WHEN l2.cs = h.c2_cs THEN [CAST(1 AS BIGINT)]
+                         ELSE generate_series(CAST(2 AS BIGINT),
+                                              l2.cs - h.c2_cs + 1) END) AS icnt
+      FROM hop h
+      JOIN hclk l2 ON l2.user_id = h.user_id AND l2.cs >= h.c2_cs),
+    rep2 AS (
+      SELECT user_id, mult1, l2_rn, click_eid, click_t, icnt,
+             CASE WHEN span = 0 THEN 1
+                  ELSE CAST(factorial(CAST(span - 1 AS INTEGER))
+                       / (factorial(CAST(icnt - 2 AS INTEGER))
+                          * factorial(CAST(span - icnt + 1 AS INTEGER)))
+                       AS BIGINT) END AS mult2
+      FROM rep2x),
+    fin AS (
+      SELECT r.user_id, r.click_eid, r.click_t, r.icnt,
+             r.mult1 * r.mult2 AS mult,
+             w.event_id AS view_eid, w.ts AS view_t
+      FROM rep2 r JOIN vw w
+        ON w.user_id = r.user_id
+       AND w.rn = (SELECT min(v.rn) FROM vw v
+                   WHERE v.user_id = r.user_id AND v.rn > r.l2_rn)),
+    expanded AS (
+      SELECT user_id, click_eid, click_t, icnt, view_eid, view_t,
+             unnest(generate_series(1, mult)) AS rep
+      FROM fin)
+    SELECT user_id,
+           click_eid AS click_id, epoch_ms(click_t) AS click_ts,
+           CAST(2 AS BIGINT) AS click_cnt, CAST(icnt AS BIGINT) AS click_icnt,
+           view_eid AS view_id, epoch_ms(view_t) AS view_ts,
+           CAST(2 AS BIGINT) AS view_cnt
+    FROM expanded
+    """,
+    tags=("streaming", "cep", "group"),
+)
+def cep_group_inner_combinations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """allowCombinations on an INNER loop of a quantified group (r17 —
+    the last documented CEP inner-step delta; Pattern.java:347 composes
+    with any loop step and GroupPattern.java:30's recursive compilation
+    imposes no inner-step restriction): (hclick.oneOrMore()
+    .allowCombinations() followedBy view).times(2), where hclick =
+    click with value > 100. Within each group repeat the loop's FIRST
+    event stays pinned (entry contiguity for the anchor repeat,
+    skip-till-next for loop-back repeats) and every LATER qualifying
+    click is independently taken or skipped — each subset is a distinct
+    NFA branch, so the match MULTISET carries binomial multiplicities:
+    2^(middle clicks) per (anchor, last) pair in repeat 1 (all middles
+    free) x C(middle, icnt-2) per (first, last, icnt) in repeat 2 (the
+    projected repeat pins its size). The oracle enumerates exactly that
+    with factorial/power arithmetic and unnest(generate_series(1, mult))
+    replication — the cep_allow_combinations discipline nested under the
+    group chain. The value > 100 slice bounds qualifying clicks per user
+    (<= 7 at sf0.1), keeping the inherent exponential branch growth —
+    the reference carries the same warning — data-bounded on both
+    engines. Subset semantics property-tested against brute-force
+    enumerations (interior AND tail placements) in
+    tests/test_round17.py."""
+    from proteus_engine_spark.streaming.cep import GroupPattern, match_group_pattern
+
+    ev = load_table(spark, sf_dir, "events")
+    sub = (
+        Pattern.begin(
+            "click",
+            lambda r: r["event_type"] == "click" and r["value"] is not None
+            and r["value"] > 100,
+        )
+        .one_or_more()
+        .allow_combinations()
+        .followed_by("view", lambda r: r["event_type"] == "view")
+    )
+    g = GroupPattern.begin(sub).times(2)
+    return match_group_pattern(ev, g, "user_id")
+
+
+@register(
     "cep_group_inner_negation",
     oracle="""
     WITH seq AS (

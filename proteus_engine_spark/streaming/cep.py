@@ -1330,8 +1330,17 @@ class GroupPattern:
                 # until() on inner counting loops carries through too
                 # (the stop event closes that repeat's loop; a pending
                 # loop-back with zero matches dies, the step-level
-                # rule). Still out: greedy and allowCombinations on
-                # inner steps.
+                # rule). allowCombinations on inner loops carries
+                # through as well (r17 — Pattern.java:347 composes with
+                # any loop step): the un-extended twin stays INSIDE the
+                # current repeat at its current inner count, so the
+                # group bookkeeping is untouched until an exit routes
+                # through exit_step; property-tested against subset-
+                # enumerating brute-force models for interior AND
+                # loop-wiring (tail) placements, tests/test_round17.py.
+                # Still out: greedy on a quantified item's LAST inner
+                # step (the run-breaking hand-off would bypass the loop
+                # wiring).
                 last_of_quantified = (
                     it.quantified and k == len(it.sub.steps) - 1
                 )
@@ -1356,14 +1365,6 @@ class GroupPattern:
                         "reference likewise requires a following step, "
                         "FLINK-8914) — end the sub-pattern on a "
                         "non-greedy step"
-                    )
-                if st.combinations:
-                    raise ValueError(
-                        "group sub-patterns support counting quantifiers "
-                        "(times/one_or_more/times_or_more, with until "
-                        "and interior greedy), interior optional() and "
-                        "interior negation on inner steps, but not "
-                        "allowCombinations — put it on the GROUP"
                     )
                 if st.name in seen:
                     raise ValueError(f"duplicate step name across groups: {st.name!r}")
@@ -1401,6 +1402,7 @@ class GroupPattern:
                             until_pred=st.until_pred,
                             until_expr=st.until_expr,
                             greedy=st.greedy,
+                            combinations=st.combinations,
                             group_id=i,
                             group_between_strict=(
                                 it.consecutive if k == 0 else False
@@ -1421,6 +1423,7 @@ class GroupPattern:
                             until_pred=st.until_pred,
                             until_expr=st.until_expr,
                             greedy=st.greedy,
+                            combinations=st.combinations,
                         )
                     )
             if not it.quantified:

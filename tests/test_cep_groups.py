@@ -88,8 +88,8 @@ def test_group_relaxed_attachment(spark):
 def test_group_validation(spark):
     # r16: counting quantifiers, interior optional/negation/greedy/until
     # are LEGAL on inner steps (recursive group compilation,
-    # GroupPattern.java:30); allowCombinations stays out, and
-    # optional/negation/greedy are rejected on a quantified item's LAST
+    # GroupPattern.java:30); r17 adds inner allowCombinations. Still
+    # rejected: optional/negation/greedy on a quantified item's LAST
     # step — that step carries the loop wiring
     GroupPattern.begin(_sub("a", "b").one_or_more()).times(2).variants()
     GroupPattern.begin(
@@ -101,11 +101,13 @@ def test_group_validation(spark):
             Pattern.begin("a", lambda r: r["event_type"] == "a")
             .followed_by("b", lambda r: r["event_type"] == "b").optional()
         ).times(2).variants()
-    with pytest.raises(ValueError, match="allowCombinations"):
-        GroupPattern.begin(
-            _sub("a", "b").one_or_more().allow_combinations()
-            .followed_by("c", lambda r: r["event_type"] == "c")
-        ).times(2).variants()
+    # inner allowCombinations: legal since r17 (property-tested against
+    # subset-enumerating brute-force models, tests/test_round17.py)
+    pat_comb, _ = GroupPattern.begin(
+        _sub("a", "b").one_or_more().allow_combinations()
+        .followed_by("c", lambda r: r["event_type"] == "c")
+    ).times(2).compile()
+    assert any(s.combinations for s in pat_comb.steps)
     with pytest.raises(ValueError, match="duplicate step name"):
         GroupPattern.begin(_sub("a")).followed_by(_sub("a")).variants()
     with pytest.raises(ValueError, match="first group cannot be optional"):

@@ -1,0 +1,335 @@
+"""Round-17 additions: ADVICE closures (tail-inner-loop property coverage,
+phash-oracle ASCII pinning) and the GroupPattern INNER allowCombinations
+lift (Pattern.java:347 composes with any loop step; GroupPattern.java:30's
+recursive compilation imposes no inner-step restriction) — the last
+documented CEP inner-step delta. Property suites compare the state-counted
+NFA against independent brute-force chain models directly on the pure
+_scan core, the tests/test_round16.py discipline."""
+
+from __future__ import annotations
+
+from itertools import combinations as _it_combinations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from proteus_engine_spark.streaming.cep import GroupPattern, Pattern, _scan
+
+# alphabet: 0 = 'a', 1 = 'b', 2 = noise. Combinations tests keep sequences
+# short: branch count is exponential in the number of loop events for BOTH
+# the NFA and the brute model (inherent to skip-till-any, the reference
+# carries the same warning).
+SEQ = st.lists(st.integers(min_value=0, max_value=2), max_size=18)
+SEQ_SHORT = st.lists(st.integers(min_value=0, max_value=2), max_size=10)
+
+
+def _run(gp, types):
+    pat, _ = gp.compile()
+    rows = [{"et": t, "id": i} for i, t in enumerate(types)]
+    matches, _, _ = _scan(rows, [i * 1000 for i in range(len(types))], pat, "id")
+    return matches
+
+
+def _a_positions(types, start):
+    return [j for j in range(start, len(types)) if types[j] == 0]
+
+
+def _first_b_after(types, pos):
+    return next((k for k in range(pos + 1, len(types)) if types[k] == 1), None)
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r16 item 2: counting quantifier on the quantified group's LAST
+# inner step — exit_step runs the inner-loop exit AND the group
+# loop-back/exit on the same step. Brute model: sub = a followedBy b{q};
+# the b-loop consumes the first successive b's after a (relaxed repeats
+# skip non-b events); a group loop-back starts at the first 'a' strictly
+# after the exit event.
+# ---------------------------------------------------------------------------
+
+
+def _tail_sub(iq):
+    p = Pattern.begin("a", lambda r: r["et"] == 0).followed_by(
+        "b", lambda r: r["et"] == 1
+    )
+    kind = iq[0]
+    if kind == "times":
+        p = p.times(iq[1])
+    elif kind == "oom":
+        p = p.one_or_more()
+    return p
+
+
+def _brute_tail(types, iq, floor, cap):
+    """All (a, b_last, b_icnt, depth) tuples for (a -> b{iq}).times/oom."""
+    out = []
+
+    def inner_counts(n_run):
+        if iq[0] == "times":
+            k = iq[1]
+            return range(k, k + 1) if n_run >= k else range(0)
+        return range(1, n_run + 1)  # one_or_more: a match per prefix
+
+    def rec(start, depth, anchored):
+        a_idxs = _a_positions(types, start)
+        starts = range(len(a_idxs)) if anchored else [0]
+        for s in starts:
+            if s >= len(a_idxs):
+                continue
+            a = a_idxs[s]
+            bs = [k for k in range(a + 1, len(types)) if types[k] == 1]
+            for c in inner_counts(len(bs)):
+                b_last = bs[c - 1]
+                d = depth + 1
+                if floor is None or d >= floor:
+                    out.append((a, b_last, c, d))
+                if cap is None or d < cap:
+                    rec(b_last + 1, d, False)
+
+    rec(0, 0, True)
+    return sorted(out)
+
+
+def _got_tail(gp, types):
+    return sorted(
+        (m["a"][0], m["b"][0], m["b"][2], m["__gcnt__0"])
+        for m in _run(gp, types)
+    )
+
+
+@given(seq=SEQ, k=st.integers(min_value=1, max_value=3),
+       n=st.integers(min_value=1, max_value=3))
+@settings(max_examples=150, deadline=None)
+def test_tail_inner_times_group_times(seq, k, n):
+    """(a followedBy b.times(k)).times(n): the shared loop-wiring step —
+    inner exit and group loop-back ride the same exit_step call."""
+    gp = GroupPattern.begin(_tail_sub(("times", k))).times(n)
+    assert _got_tail(gp, seq) == _brute_tail(seq, ("times", k), n, n)
+
+
+@given(seq=st.lists(st.integers(min_value=0, max_value=2), max_size=12),
+       n=st.integers(min_value=1, max_value=2))
+@settings(max_examples=150, deadline=None)
+def test_tail_inner_one_or_more_group_times(seq, n):
+    """(a followedBy b.one_or_more()).times(n): branching inner exits on
+    the loop-wiring step, each closing a group repeat."""
+    gp = GroupPattern.begin(_tail_sub(("oom",))).times(n)
+    assert _got_tail(gp, seq) == _brute_tail(seq, ("oom",), n, n)
+
+
+@given(seq=st.lists(st.integers(min_value=0, max_value=2), max_size=12),
+       cap=st.integers(min_value=1, max_value=2))
+@settings(max_examples=150, deadline=None)
+def test_tail_inner_one_or_more_group_one_or_more(seq, cap):
+    """(a followedBy b+).one_or_more(max_repeats=cap): per-prefix exits on
+    BOTH loops simultaneously."""
+    gp = GroupPattern.begin(_tail_sub(("oom",))).one_or_more(max_repeats=cap)
+    assert _got_tail(gp, seq) == _brute_tail(seq, ("oom",), None, cap)
+
+
+# ---------------------------------------------------------------------------
+# r16 verdict item 2: allowCombinations on INNER loops — skip-till-any
+# BETWEEN repeats of a step-level loop nested inside a quantified group.
+# Brute model: the loop's first event is pinned (entry contiguity for the
+# anchor repeat, skip-till-next for loop-back repeats); every LATER
+# matching event is independently taken or skipped, so the per-repeat
+# consumption is {first} ∪ S for every subset S of later loop events.
+# Each distinct subset is a distinct NFA branch (multiset parity).
+# ---------------------------------------------------------------------------
+
+
+def _comb_interior_sub():
+    return (
+        Pattern.begin("a", lambda r: r["et"] == 0)
+        .one_or_more()
+        .allow_combinations()
+        .followed_by("b", lambda r: r["et"] == 1)
+    )
+
+
+def _brute_comb_interior(types, floor, cap):
+    """(a+ combinations -> b){group}: (a_last, icnt, b, depth) multiset."""
+    out = []
+
+    def rec(start, depth, anchored):
+        a_idxs = _a_positions(types, start)
+        starts = range(len(a_idxs)) if anchored else ([0] if a_idxs else [])
+        for s in starts:
+            a0 = a_idxs[s]
+            rest = a_idxs[s + 1:]
+            for r in range(len(rest) + 1):
+                for mid in _it_combinations(rest, r):
+                    chosen = (a0,) + mid
+                    b = _first_b_after(types, chosen[-1])
+                    if b is None:
+                        continue
+                    d = depth + 1
+                    if floor is None or d >= floor:
+                        out.append((chosen[-1], len(chosen), b, d))
+                    if cap is None or d < cap:
+                        rec(b + 1, d, False)
+
+    rec(0, 0, True)
+    return sorted(out)
+
+
+def _got_interior(gp, types):
+    return sorted(
+        (m["a"][0], m["a"][2], m["b"][0], m["__gcnt__0"])
+        for m in _run(gp, types)
+    )
+
+
+@given(seq=SEQ_SHORT, n=st.integers(min_value=1, max_value=2))
+@settings(max_examples=120, deadline=None)
+def test_inner_combinations_interior_group_times(seq, n):
+    """(a.one_or_more().allow_combinations() -> b).times(n): subset
+    consumption inside each repeat, exact group count."""
+    gp = GroupPattern.begin(_comb_interior_sub()).times(n)
+    assert _got_interior(gp, seq) == _brute_comb_interior(seq, n, n)
+
+
+@given(seq=SEQ_SHORT, cap=st.integers(min_value=1, max_value=2))
+@settings(max_examples=120, deadline=None)
+def test_inner_combinations_interior_group_one_or_more(seq, cap):
+    """(a+ combinations -> b).one_or_more(max_repeats=cap): per-prefix
+    group exits over subset-consuming repeats."""
+    gp = GroupPattern.begin(_comb_interior_sub()).one_or_more(max_repeats=cap)
+    assert _got_interior(gp, seq) == _brute_comb_interior(seq, None, cap)
+
+
+def _comb_tail_sub():
+    return (
+        Pattern.begin("a", lambda r: r["et"] == 0)
+        .followed_by("b", lambda r: r["et"] == 1)
+        .one_or_more()
+        .allow_combinations()
+    )
+
+
+def _brute_comb_tail(types, floor, cap):
+    """(a -> b+ combinations){group}: (a, b_last, icnt, depth) multiset.
+    The combinations loop sits ON the loop-wiring step: every subset exit
+    closes a group repeat."""
+    out = []
+
+    def rec(start, depth, anchored):
+        a_idxs = _a_positions(types, start)
+        starts = range(len(a_idxs)) if anchored else ([0] if a_idxs else [])
+        for s in starts:
+            a = a_idxs[s]
+            bs = [k for k in range(a + 1, len(types)) if types[k] == 1]
+            if not bs:
+                continue
+            b0, rest = bs[0], bs[1:]
+            for r in range(len(rest) + 1):
+                for mid in _it_combinations(rest, r):
+                    chosen = (b0,) + mid
+                    d = depth + 1
+                    if floor is None or d >= floor:
+                        out.append((a, chosen[-1], len(chosen), d))
+                    if cap is None or d < cap:
+                        rec(chosen[-1] + 1, d, False)
+
+    rec(0, 0, True)
+    return sorted(out)
+
+
+@given(seq=SEQ_SHORT, n=st.integers(min_value=1, max_value=2))
+@settings(max_examples=120, deadline=None)
+def test_inner_combinations_tail_group_times(seq, n):
+    """(a -> b.one_or_more().allow_combinations()).times(n): combinations
+    on the group-tail step — the un-extended twin must stay inside the
+    CURRENT repeat (no group-count bump) while subset exits close repeats
+    through exit_step."""
+    gp = GroupPattern.begin(_comb_tail_sub()).times(n)
+    got = sorted(
+        (m["a"][0], m["b"][0], m["b"][2], m["__gcnt__0"])
+        for m in _run(gp, types=seq)
+    )
+    assert got == _brute_comb_tail(seq, n, n)
+
+
+def test_inner_combinations_exact_values():
+    """Pinned example: seq a a b a b — (a+ comb -> b).times(2).
+    Repeat-1 subsets from anchor a0: {a0}->b2, {a0,a1}->b2, {a0,a3}->b4
+    (skips b2? no — b = first b after a3 = b4), {a0,a1,a3}->b4; anchor a1:
+    {a1}->b2, {a1,a3}->b4; anchor a3: {a3}->b4. Chains reaching a second
+    repeat need an 'a' after their b: after b2 comes a3 -> {a3}->b4 only.
+    So depth-2 matches all end (a3, 1, b4, 2), one per repeat-1 chain
+    ending at b2: anchors/subsets {a0},{a0,a1},{a1} = 3 rows."""
+    gp = GroupPattern.begin(_comb_interior_sub()).times(2)
+    got = _got_interior(gp, [0, 0, 1, 0, 1])
+    assert got == [(3, 1, 4, 2)] * 3
+    assert got == _brute_comb_interior([0, 0, 1, 0, 1], 2, 2)
+
+
+# ---------------------------------------------------------------------------
+# r16 verdict item 3: perceptual_hash vectorization — the batch-level
+# numpy path must produce byte-identical fingerprints to a row-at-a-time
+# model (the pre-r17 implementation's semantics).
+# ---------------------------------------------------------------------------
+
+
+def _dhash_row(payload: bytes, bits: int = 60, w: int = 4) -> int:
+    """Row-at-a-time dHash reference (the pre-vectorization semantics)."""
+    win = (bits + 1) * w
+    buf = list(bytes(payload or b"")[:win]) + [0] * win
+    sums = [sum(buf[i * w:(i + 1) * w]) for i in range(bits + 1)]
+    h = 0
+    for i in range(bits):
+        if sums[i] > sums[i + 1]:
+            h |= 1 << i
+    return h
+
+
+@given(
+    payloads=st.lists(
+        st.binary(min_size=0, max_size=300), min_size=0, max_size=20
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_phash_batch_vs_row_parity(payloads):
+    """The vectorized batch path (pad → frombuffer → reshape/sum/matmul)
+    equals the per-row model for every payload length: empty, shorter
+    than the 244-byte window (zero-padded), and longer (truncated)."""
+    import pandas as pd
+
+    from proteus_engine_spark.datapipe import multimodal as mm
+
+    # drive the inner generator directly — no Spark needed for parity
+    df_like = pd.DataFrame(
+        {"media_id": range(len(payloads)), "payload": payloads}
+    )
+    fn = None
+
+    class _Probe:
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        schema = StructType([StructField("media_id", LongType())])
+
+        def mapInPandas(self, f, schema):
+            nonlocal fn
+            fn = f
+            return None
+
+    mm.perceptual_hash(_Probe())  # captures hash_batches via the probe
+    [out] = list(fn(iter([df_like])))
+    got = dict(zip(out["media_id"], (int(h) for h in out["phash"])))
+    exp = {i: _dhash_row(p) for i, p in enumerate(payloads)}
+    assert got == exp
+
+
+def test_inner_combinations_validation():
+    """Interior/tail combinations now compile; the step-level constructor
+    rules still apply (looping step required, consecutive contradicts)."""
+    gp = GroupPattern.begin(_comb_interior_sub()).times(2)
+    pat, eff = gp.compile()
+    assert eff == {0: -1}
+    assert any(s.combinations for s in pat.steps)
+    # unquantified items carry the flag through too
+    g2 = GroupPattern.begin(_comb_interior_sub())
+    p2, e2 = g2.compile()
+    assert e2 == {0: 1}
+    assert any(s.combinations for s in p2.steps)
