@@ -233,17 +233,32 @@ def perceptual_hash(
         import numpy as np
 
         win = n_blocks * block_bytes
+        weights = np.int64(1) << np.arange(bits, dtype=np.int64)
         for pdf in batches:
-            out = []
-            for _, row in pdf.iterrows():
-                payload = bytes(row[payload_col] or b"")[:win]
-                buf = np.zeros(win, dtype=np.int64)
-                buf[: len(payload)] = np.frombuffer(payload, dtype=np.uint8)
-                sums = buf.reshape(n_blocks, block_bytes).sum(axis=1)
-                bits_vec = sums[:-1] > sums[1:]
-                h = int((bits_vec.astype(np.int64) << np.arange(bits)).sum())
-                out.append((row[id_col], h))
-            yield pd.DataFrame(out, columns=[id_col, "phash"])
+            n = len(pdf)
+            if n == 0:
+                yield pd.DataFrame(
+                    {id_col: pdf[id_col], "phash": np.zeros(0, dtype=np.int64)}
+                )
+                continue
+            # The hash window is FIXED at (bits+1)*block_bytes bytes, so
+            # the whole Arrow batch vectorizes: zero-pad every payload to
+            # the window, one frombuffer over the concatenation, then a
+            # single (n, blocks, block_bytes) reshape/sum/compare/matmul
+            # for the batch (r16 verdict item 3 — replaces the per-row
+            # iterrows loop that bounded the fingerprint pass's constant).
+            padded = b"".join(
+                bytes(v or b"")[:win].ljust(win, b"\x00")
+                for v in pdf[payload_col]
+            )
+            buf = (
+                np.frombuffer(padded, dtype=np.uint8)
+                .reshape(n, n_blocks, block_bytes)
+                .astype(np.int64)
+            )
+            sums = buf.sum(axis=2)
+            hs = (sums[:, :-1] > sums[:, 1:]).astype(np.int64) @ weights
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "phash": hs})
 
     return df.mapInPandas(
         hash_batches, schema=f"{_id_ddl(df, id_col)}, phash long"
