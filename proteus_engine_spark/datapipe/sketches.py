@@ -65,6 +65,61 @@ def misra_gries_heavy_hitters(
     return partials.groupBy("item").agg(F.sum("est").alias("est"))
 
 
+def misra_gries_grouped(
+    df: DataFrame,
+    item_col: str,
+    group_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """PER-GROUP Misra-Gries heavy hitters — misra_gries_heavy_hitters
+    under a grouping key (the per-source / per-language vocabulary-
+    profile shape, the same grouped lift quantile_sketch_bounds_grouped
+    gives the GK sketch): each partition keeps an INDEPENDENT k-counter
+    sketch per group value, so the mergeable-summaries bound applies
+    group-wise — after the count-summing merge, a group's estimate never
+    exceeds its true count and undershoots by at most N_g/(k+1) for that
+    group's own item total N_g, and every item above that threshold is
+    present (Agarwal et al. 2012 applies per group because groups never
+    share counters).
+
+    Returns (group_col string, item string, est long) — at most
+    partitions·k rows PER GROUP before the caller's cut.
+
+    Scale shape: per-partition state is (groups seen in the partition)
+    × k counters; the merge shuffles only those fixed-size partials
+    keyed by (group, item) with map-side combine. For extreme group
+    cardinality, pre-partitioning by the group column keeps each
+    partition's group set — and therefore its sketch memory — small."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+
+    def sketch(batches):
+        import pandas as pd
+
+        counters: dict = {}
+        for pdf in batches:
+            counts = pdf.groupby([group_col, item_col], sort=False).size()
+            for (g, item), c in counts.items():
+                d = counters.setdefault(g, {})
+                d[item] = d.get(item, 0) + int(c)
+            for g, d in list(counters.items()):
+                if len(d) > k:
+                    cut = sorted(d.values(), reverse=True)[k]
+                    counters[g] = {
+                        i: c - cut for i, c in d.items() if c - cut > 0
+                    }
+        rows = [
+            (g, i, c) for g, d in counters.items() for i, c in d.items()
+        ]
+        yield pd.DataFrame(rows, columns=[group_col, "item", "est"])
+
+    partials = df.select(
+        F.col(group_col).cast("string").alias(group_col),
+        F.col(item_col).cast("string").alias(item_col),
+    ).mapInPandas(sketch, f"{group_col} string, item string, est long")
+    return partials.groupBy(group_col, "item").agg(F.sum("est").alias("est"))
+
+
 def _cm_buckets(item_col: str, depth: int, width: int) -> list:
     """The seeded (row, bucket) struct array shared by table build and
     probe — ONE definition, because estimates only probe the right cells

@@ -17,6 +17,8 @@ one of three strategies:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -3241,6 +3243,70 @@ def agg_heavy_hitters_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_heavy_hitters_grouped_bounds",
+    oracle=r"""
+    WITH tok AS (SELECT source,
+                        unnest(string_split_regex(lower(text), '\s+')) AS token
+                 FROM documents),
+    cnt AS (SELECT source, token, CAST(count(*) AS BIGINT) AS n
+            FROM tok GROUP BY source, token),
+    tot AS (SELECT source, sum(n) AS total FROM cnt GROUP BY source)
+    SELECT c.source, c.token, c.n AS exact_n, true AS within_bounds
+    FROM cnt c JOIN tot t ON c.source = t.source
+    WHERE c.n >= t.total // 32
+    """,
+    tags=("datapipe", "sketch", "agg"),
+)
+def agg_heavy_hitters_grouped_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED Misra-Gries heavy hitters, verdict-gated (r16 verdict
+    item 5c — the grouped lift r16 gave quantiles, applied to the
+    frequency sketch; the per-source vocabulary-profile shape): the
+    engine runs the per-group k=32 sketch over (source, token) AND the
+    exact per-source counts, then emits within_bounds for every true
+    per-source heavy hitter (exact >= N_src/32): present in that
+    source's merged sketch, estimate <= exact (MG never overcounts), and
+    undercount <= N_src/32 — the mergeable-summaries bound applied
+    group-wise, which holds because groups never share counters. The
+    oracle computes each source's exact heavy set and asserts the
+    verdict is uniformly true; sketch VALUES stay partition-order-
+    dependent by nature and never have to match. Scale shape: partition
+    state is (groups-in-partition x k), the merge shuffles fixed-size
+    partials keyed by (source, token) with map-side combine."""
+    from proteus_engine_spark.datapipe.sketches import misra_gries_grouped
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token"),
+    )
+    sk = misra_gries_grouped(toks, "token", "source", k=32)
+    exact = toks.groupBy("source", "token").agg(
+        F.count(F.lit(1)).alias("exact_n")
+    )
+    total = exact.groupBy("source").agg(F.sum("exact_n").alias("total"))
+    return (
+        exact.join(F.broadcast(total), "source")
+        .filter(F.col("exact_n") >= F.expr("total div 32"))
+        .join(
+            sk.withColumnRenamed("item", "token"),
+            ["source", "token"],
+            "left",
+        )
+        .select(
+            "source",
+            "token",
+            "exact_n",
+            (
+                F.col("est").isNotNull()
+                & (F.col("est") <= F.col("exact_n"))
+                & (F.col("exact_n") - F.coalesce(F.col("est"), F.lit(0))
+                   <= F.expr("total div 32"))
+            ).alias("within_bounds"),
+        )
+    )
+
+
+@register(
     "agg_count_min_bounds",
     oracle=r"""
     WITH tok AS (SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
@@ -3423,7 +3489,8 @@ def agg_quantile_grouped_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              [list_sum([greatest(unicode(substring(text, i * 4 + j, 1)), 0)
                         FOR j IN range(1, 5)]) FOR i IN range(0, 61)] AS bsum
-      FROM documents WHERE length(text) > 0),
+      FROM documents WHERE length(text) > 0
+        AND strlen(text) = length(text)),
     h AS (
       SELECT doc_id,
              list_sum([CASE WHEN bsum[i+1] > bsum[i+2] THEN 1 ELSE 0 END << i
@@ -3470,6 +3537,12 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         load_table(spark, sf_dir, "documents")
         .filter(F.length("text") > 0)
+        # ASCII pin (r16 advice): the oracle hashes per-CHARACTER code
+        # points while perceptual_hash hashes UTF-8 BYTES — equivalent
+        # only when every char is one byte, so both sides filter to
+        # octet_length == length instead of assuming the corpus stays
+        # pure-ASCII
+        .filter(F.octet_length("text") == F.length("text"))
         .select(
             F.col("doc_id").alias("media_id"),
             F.encode("text", "utf-8").alias("payload"),
@@ -3486,7 +3559,8 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              [list_sum([greatest(unicode(substring(text, i * 4 + j, 1)), 0)
                         FOR j IN range(1, 5)]) FOR i IN range(0, 61)] AS bsum
-      FROM documents WHERE length(text) > 0),
+      FROM documents WHERE length(text) > 0
+        AND strlen(text) = length(text)),
     h AS (
       SELECT doc_id,
              list_sum([CASE WHEN bsum[i+1] > bsum[i+2] THEN 1 ELSE 0 END << i
@@ -3511,7 +3585,8 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT d.doc_id AS media_id,
            COALESCE(l.comp, d.doc_id) AS cluster_rep,
            COALESCE(l.comp, d.doc_id) = d.doc_id AS is_kept
-    FROM (SELECT doc_id FROM documents WHERE length(text) > 0) d
+    FROM (SELECT doc_id FROM documents WHERE length(text) > 0
+        AND strlen(text) = length(text)) d
     LEFT JOIN lab l ON l.node = d.doc_id
     """,
     tags=("datapipe", "multimodal", "dedup", "cluster"),
@@ -3540,6 +3615,12 @@ def multimodal_phash_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         load_table(spark, sf_dir, "documents")
         .filter(F.length("text") > 0)
+        # ASCII pin (r16 advice): the oracle hashes per-CHARACTER code
+        # points while perceptual_hash hashes UTF-8 BYTES — equivalent
+        # only when every char is one byte, so both sides filter to
+        # octet_length == length instead of assuming the corpus stays
+        # pure-ASCII
+        .filter(F.octet_length("text") == F.length("text"))
         .select(
             F.col("doc_id").alias("media_id"),
             F.encode("text", "utf-8").alias("payload"),
@@ -3562,7 +3643,8 @@ def multimodal_phash_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              [list_sum([greatest(unicode(substring(text, i * 4 + j, 1)), 0)
                         FOR j IN range(1, 5)]) FOR i IN range(0, 61)] AS bsum
-      FROM documents WHERE length(text) > 0),
+      FROM documents WHERE length(text) > 0
+        AND strlen(text) = length(text)),
     h AS (
       SELECT doc_id,
              list_sum([CASE WHEN bsum[i+1] > bsum[i+2] THEN 1 ELSE 0 END << i
@@ -3606,6 +3688,12 @@ def dedup_incremental_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         load_table(spark, sf_dir, "documents")
         .filter(F.length("text") > 0)
+        # ASCII pin (r16 advice): the oracle hashes per-CHARACTER code
+        # points while perceptual_hash hashes UTF-8 BYTES — equivalent
+        # only when every char is one byte, so both sides filter to
+        # octet_length == length instead of assuming the corpus stays
+        # pure-ASCII
+        .filter(F.octet_length("text") == F.length("text"))
         .select(
             F.col("doc_id").alias("media_id"),
             F.col("source"),
@@ -3620,6 +3708,152 @@ def dedup_incremental_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return batch.join(matched, "media_id", "left_anti").select(
         "media_id", "source"
     )
+
+
+@register(
+    "stream_dedup_media_phash",
+    oracle="""
+    WITH sums AS (
+      SELECT doc_id,
+             [list_sum([greatest(unicode(substring(text, i * 4 + j, 1)), 0)
+                        FOR j IN range(1, 5)]) FOR i IN range(0, 61)] AS bsum
+      FROM documents WHERE length(text) > 0
+        AND strlen(text) = length(text)),
+    h AS (
+      SELECT doc_id,
+             CAST(list_sum([CASE WHEN bsum[i+1] > bsum[i+2] THEN 1 ELSE 0
+                            END << i FOR i IN range(0, 60)]) AS BIGINT)
+               AS phash
+      FROM sums),
+    bfp AS (SELECT DISTINCT phash FROM h WHERE doc_id % 3 = 0),
+    bb AS (SELECT phash, b, (phash >> (15 * b)) & 32767 AS bv
+           FROM bfp, range(0, 4) t(b)),
+    cb AS (SELECT doc_id AS corpus_id, phash AS corpus_ph, b,
+                  (phash >> (15 * b)) & 32767 AS bv
+           FROM h, range(0, 4) t(b) WHERE doc_id % 2 = 0)
+    SELECT bb.phash, CAST(bb.b AS BIGINT) AS band, cb.corpus_id,
+           CAST(bit_count(xor(bb.phash, cb.corpus_ph)) AS BIGINT) AS hamming
+    FROM bb JOIN cb ON bb.b = cb.b AND bb.bv = cb.bv
+    WHERE bit_count(xor(bb.phash, cb.corpus_ph)) <= 3
+    """,
+    tags=("datapipe", "multimodal", "dedup", "streaming"),
+)
+def stream_dedup_media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING media dedup — the streaming member of the media tier
+    (r16 verdict item 5b), completing the batch/incremental/streaming
+    trio phash_near_dup_pairs / phash_cross_dup_ids began, mirroring the
+    text tier's dedup_exact / dedup_incremental /
+    stream_dedup_within_watermark progression: a continuous media ingest
+    (the doc_id % 3 cohort replayed through the file source) is
+    fingerprinted in-stream (perceptual_hash's mapInPandas runs on the
+    unbounded frame unchanged), deduplicated on the EXACT fingerprint
+    with bounded keyed state (dropDuplicatesWithinWatermark — state for
+    a fingerprint is evicted once the watermark passes its synthetic
+    event time + 30 minutes, so state is watermark-window-bounded, not
+    corpus-bounded), and each first-seen fingerprint is then flagged
+    against the STATIC reference corpus (doc_id % 2) via the bipartite
+    banded stream-static join: band-bucket equi-join + bit_count(xor)
+    verify, pigeonhole-exact at Hamming <= 3. Emits one row per
+    (fingerprint, shared band, corpus neighbor) — the per-band row
+    identity keeps the output deterministic without a post-join dedup
+    (a second stateful op). The survivor row of an in-batch fingerprint
+    tie is projected to the fingerprint itself, so arrival order never
+    leaks into the result. The oracle recomputes the same dHash in SQL,
+    the distinct batch fingerprints, and the same per-band join. Scale
+    shape: the stream shuffles 8-byte fingerprints only; the corpus side
+    is a fingerprint table that broadcasts (or persists bucketed by
+    (band, value) in a continuous-crawl deployment)."""
+    from proteus_engine_spark.datapipe.multimodal import perceptual_hash
+    from proteus_engine_spark.streaming.sources import (
+        probe_parquet_schema,
+        run_to_completion,
+    )
+
+    ascii_docs = (
+        F.length("text") > 0
+    ) & (F.octet_length("text") == F.length("text"))
+
+    corpus = (
+        load_table(spark, sf_dir, "documents")
+        .filter(ascii_docs)
+        .filter(F.col("doc_id") % 2 == 0)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            F.encode("text", "utf-8").alias("payload"),
+        )
+    )
+    corpus_h = perceptual_hash(corpus)
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    schema = probe_parquet_schema(spark, path)
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+    batch = (
+        stream.filter(ascii_docs)
+        .filter(F.col("doc_id") % 3 == 0)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            F.encode("text", "utf-8").alias("payload"),
+        )
+    )
+    # media_id + 1: the synthetic clock must stay strictly above epoch 0
+    # (the initial watermark) — a row AT the watermark is late-dropped by
+    # the stateful dedup, and media_id 0 exists
+    fp = perceptual_hash(batch).withColumn(
+        "ts", F.timestamp_micros((F.col("media_id") + 1) * 60_000_000)
+    )
+    first = (
+        fp.withWatermark("ts", "30 minutes")
+        .dropDuplicatesWithinWatermark(["phash"])
+        .select("phash")
+    )
+
+    width, mask = 15, (1 << 15) - 1
+    bb = first.select(
+        "phash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("b"),
+                    F.shiftright("phash", width * b)
+                    .bitwiseAND(F.lit(mask)).alias("bv"),
+                )
+                for b in range(4)
+            ])
+        ).alias("band"),
+    ).select("phash", "band.b", "band.bv")
+    cb = corpus_h.select(
+        F.col("media_id").alias("corpus_id"),
+        F.col("phash").alias("corpus_ph"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("b"),
+                    F.shiftright("phash", width * b)
+                    .bitwiseAND(F.lit(mask)).alias("bv"),
+                )
+                for b in range(4)
+            ])
+        ).alias("band"),
+    ).select("corpus_id", "corpus_ph", "band.b", "band.bv")
+    out = (
+        bb.join(cb, ["b", "bv"])
+        .filter(
+            F.bit_count(F.col("phash").bitwiseXOR(F.col("corpus_ph"))) <= 3
+        )
+        .select(
+            "phash",
+            F.col("b").cast("long").alias("band"),
+            "corpus_id",
+            F.bit_count(F.col("phash").bitwiseXOR(F.col("corpus_ph")))
+            .cast("long").alias("hamming"),
+        )
+    )
+    return run_to_completion(out, "stream_media_dedup_sink", "append")
 
 
 @register(
