@@ -37,6 +37,10 @@ Environment probe log (the e2e gate builds the moment this changes):
 - r16 (2026-08-16): re-probed — no kafka CLI, no spark-sql-kafka or
   kafka-clients jar anywhere under /, no python kafka client,
   localhost:9092 refuses connections. Still blocked.
+- r17 (2026-08-16): re-probed — no kafka CLI, no kafka jar under /
+  (only AWS SDK metadata dirs and reference source trees match the
+  name), `import kafka` fails, localhost:9092 refuses connections.
+  Still blocked.
 """
 
 from __future__ import annotations
