@@ -132,6 +132,14 @@ HEADLINE = [
     # 4x15-bit Hamming bucketing)
     "cep_group_inner_quantifier",
     "multimodal_phash_neardup",
+    # added round 17 (exclude from cross-round like-for-like totals):
+    # one representative each of the r17 families — subset-semantics CEP
+    # (allowCombinations on an inner loop of a quantified group: branch
+    # growth is data-bounded by the value>100 slice) and the streaming
+    # member of the media dedup tier (in-stream fingerprinting +
+    # watermark-bounded dedup state + bipartite banded stream-static join)
+    "cep_group_inner_combinations",
+    "stream_dedup_media_phash",
 ]
 
 
