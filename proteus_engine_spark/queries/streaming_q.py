@@ -2465,6 +2465,115 @@ def cep_group_inner_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
     return match_group_pattern(ev, g, "user_id")
 
 
+_TAIL_OPTIONAL_ORACLE = """
+    WITH seq AS (
+      SELECT user_id, event_id, ts, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS rn
+      FROM events),
+    clk AS (SELECT user_id, event_id, ts, rn FROM seq WHERE event_type = 'click'),
+    pur AS (SELECT user_id, event_id, ts, rn FROM seq WHERE event_type = 'purchase'),
+    r1 AS (
+      SELECT a.user_id, p.rn AS end_rn
+      FROM clk a JOIN pur p
+        ON p.user_id = a.user_id
+       AND p.rn = (SELECT min(x.rn) FROM pur x
+                   WHERE x.user_id = a.user_id AND x.rn > a.rn)
+      UNION ALL
+      SELECT a.user_id, a.rn FROM clk a),
+    c2 AS (
+      SELECT r.user_id, c.rn AS c_rn, c.event_id AS c_eid, c.ts AS c_ts
+      FROM r1 r JOIN clk c
+        ON c.user_id = r.user_id
+       AND c.rn = (SELECT min(x.rn) FROM clk x
+                   WHERE x.user_id = r.user_id AND x.rn > r.end_rn)),
+    fin AS (
+      SELECT c.user_id, c.c_eid AS click_eid, c.c_ts AS click_t,
+             p.event_id AS pur_eid, p.ts AS pur_t, 1 AS took
+      FROM c2 c JOIN pur p
+        ON p.user_id = c.user_id
+       AND p.rn = (SELECT min(x.rn) FROM pur x
+                   WHERE x.user_id = c.user_id AND x.rn > c.c_rn)
+      UNION ALL
+      SELECT c.user_id, c.c_eid, c.c_ts, NULL, NULL, 0 FROM c2 c)
+    SELECT user_id,
+           click_eid AS click_id, epoch_ms(click_t) AS click_ts,
+           CAST(2 AS BIGINT) AS click_cnt,
+           pur_eid AS purchase_id, epoch_ms(pur_t) AS purchase_ts,
+           CAST(2 AS BIGINT) AS purchase_cnt,
+           CASE WHEN took = 1 THEN CAST(1 AS BIGINT) END AS purchase_icnt
+    FROM fin
+"""
+
+
+@register(
+    "cep_group_tail_optional",
+    oracle=_TAIL_OPTIONAL_ORACLE,
+    tags=("streaming", "cep", "group"),
+)
+def cep_group_tail_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """optional() on a quantified group's TAIL step (r17 — the remaining
+    quantified-tail placement after the allowCombinations lift; the
+    reference's recursive group compilation, GroupPattern.java:30,
+    imposes no such restriction): (click followedBy purchase?).times(2).
+    A repeat may end right after its click — the skip twin forked on
+    entering the optional tail routes through exit_step, closing the
+    group repeat instead of bypassing the loop wiring; loop-backs clear
+    the optional entry so projected columns are the LAST repeat's (NULL
+    purchase ids + NULL purchase_icnt when the final repeat skipped).
+    Take and skip paths that converge on the same events legitimately
+    emit duplicate projected rows on both engines. The oracle enumerates
+    the 2x2 take/skip paths as UNION ALL deterministic scalar-subquery
+    chains (the cep_group_inner_optional discipline moved to the tail);
+    semantics property-tested vs a brute-force fork model in
+    tests/test_round17.py, including the loop-back stale-entry pin and
+    composition with a counting interior step."""
+    from proteus_engine_spark.streaming.cep import GroupPattern, match_group_pattern
+
+    ev = load_table(spark, sf_dir, "events")
+    sub = (
+        Pattern.begin("click", lambda r: r["event_type"] == "click")
+        .followed_by("purchase", lambda r: r["event_type"] == "purchase")
+        .optional()
+    )
+    g = GroupPattern.begin(sub).times(2)
+    return match_group_pattern(ev, g, "user_id")
+
+
+@register(
+    "cep_group_tail_optional_stream",
+    oracle=_TAIL_OPTIONAL_ORACLE + """
+    WHERE coalesce(epoch_ms(pur_t), epoch_ms(click_t))
+          < (SELECT max(epoch_ms(ts)) FROM events) - 600000
+    """,
+    tags=("streaming", "cep", "group"),
+)
+def cep_group_tail_optional_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING tail-optional group: the cep_group_tail_optional pattern
+    on the watermark-buffered row-time NFA (the reference compiles group
+    patterns into the same keyed CEP operator it runs on streams, so the
+    placement is not batch-only here either). A SKIPPED tail completes
+    its match on the click itself, a taken tail on the purchase — so the
+    watermark cut trims matches whose COMPLETING event (purchase when
+    taken, else the click) falls in the unreleased 10-minute tail:
+    coalesce(purchase_ts, click_ts) bounds the oracle."""
+    from proteus_engine_spark.streaming.cep import (
+        GroupPattern,
+        match_group_pattern_stream,
+    )
+
+    ev = events_stream(spark, sf_dir)
+    sub = (
+        Pattern.begin("click", lambda r: r["event_type"] == "click")
+        .followed_by("purchase", lambda r: r["event_type"] == "purchase")
+        .optional()
+    )
+    g = GroupPattern.begin(sub).times(2)
+    out = match_group_pattern_stream(
+        ev, g, "user_id", watermark_delay="10 minutes"
+    )
+    return run_to_completion(out, "cep_group_tail_opt_sink", "append")
+
+
 @register(
     "cep_group_inner_combinations",
     oracle="""

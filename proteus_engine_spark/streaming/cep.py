@@ -581,7 +581,15 @@ def _scan(
         out.append(p)
         st = steps[p["idx"]]
         if st.quantifier == "optional":
-            place({"idx": p["idx"] + 1, "cnt": 0, "events": dict(p["events"]), "t0": p["t0"]}, out)
+            if st.group_loop_to is not None:
+                # optional on a quantified group's TAIL step (r17): the
+                # skip twin must CLOSE the group repeat, not bypass the
+                # loop wiring — route it through exit_step, so a repeat
+                # may end right after its penultimate step (fork-on-
+                # entry, per repeat, like interior optional)
+                exit_step(st, p["idx"], dict(p["events"]), p["t0"], out)
+            else:
+                place({"idx": p["idx"] + 1, "cnt": 0, "events": dict(p["events"]), "t0": p["t0"]}, out)
         if st.group_skip_to is not None:
             ev = dict(p["events"])
             ev[f"__gcnt__{st.group_id}"] = 0  # skipped group: cnt 0, NULL ids
@@ -1319,14 +1327,20 @@ class GroupPattern:
                 # COUNTING quantifiers are allowed on inner steps —
                 # times(n) / times(n, to) / one_or_more / times_or_more —
                 # the inner count nests under the group count the same
-                # state-carried way; optional() and NEGATION
-                # (notNext/notFollowedBy) are allowed on INTERIOR inner
+                # state-carried way; optional() is allowed on interior
+                # steps AND (r17) on a quantified item's LAST step — the
+                # skip twin forked on entering the tail routes through
+                # exit_step, so it closes the group repeat instead of
+                # bypassing the loop wiring (a repeat may end right
+                # after its penultimate step). NEGATION
+                # (notNext/notFollowedBy) is allowed on INTERIOR inner
                 # steps (never a sub-pattern's first step, by the
                 # Pattern construction rules, and not the LAST step of a
-                # quantified item — that step carries the loop wiring,
-                # and an optional skip twin or a trailing guard would
-                # bypass it; the per-repeat guard recursion lands on the
-                # following step, which keeps its group bookkeeping).
+                # quantified item — a trailing guard would bypass the
+                # loop wiring; the per-repeat guard recursion lands on
+                # the following step, which keeps its group bookkeeping,
+                # and the reference itself rejects a trailing
+                # notFollowedBy, NFACompiler.java:128).
                 # until() on inner counting loops carries through too
                 # (the stop event closes that repeat's loop; a pending
                 # loop-back with zero matches dies, the step-level
@@ -1344,13 +1358,6 @@ class GroupPattern:
                 last_of_quantified = (
                     it.quantified and k == len(it.sub.steps) - 1
                 )
-                if st.quantifier == "optional" and last_of_quantified:
-                    raise ValueError(
-                        "optional() is not supported on the LAST inner "
-                        "step of a quantified group (it carries the loop "
-                        "wiring) — make the whole group optional, or "
-                        "reorder the sub-pattern"
-                    )
                 if st.contiguity in ("notNext", "notFollowedBy") and last_of_quantified:
                     raise ValueError(
                         "negation is not supported on the LAST inner "

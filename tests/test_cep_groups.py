@@ -88,19 +88,26 @@ def test_group_relaxed_attachment(spark):
 def test_group_validation(spark):
     # r16: counting quantifiers, interior optional/negation/greedy/until
     # are LEGAL on inner steps (recursive group compilation,
-    # GroupPattern.java:30); r17 adds inner allowCombinations. Still
-    # rejected: optional/negation/greedy on a quantified item's LAST
-    # step — that step carries the loop wiring
+    # GroupPattern.java:30); r17 adds inner allowCombinations AND
+    # optional on the quantified item's LAST step (the skip twin routes
+    # through exit_step). Still rejected: negation on the LAST step (a
+    # trailing guard bypasses the loop wiring; the reference likewise
+    # rejects a trailing notFollowedBy, NFACompiler.java:128) and greedy
+    # on the LAST step (FLINK-8914 requires a following step)
     GroupPattern.begin(_sub("a", "b").one_or_more()).times(2).variants()
     GroupPattern.begin(
         _sub("a", "b").one_or_more(consecutive=True).greedy()
         .followed_by("c", lambda r: r["event_type"] == "c")
     ).times(2).variants()  # interior greedy: legal since r16
-    with pytest.raises(ValueError, match="LAST inner step"):
-        GroupPattern.begin(
-            Pattern.begin("a", lambda r: r["event_type"] == "a")
-            .followed_by("b", lambda r: r["event_type"] == "b").optional()
-        ).times(2).variants()
+    # tail optional: legal since r17 (property-tested against brute-force
+    # fork models, tests/test_round17.py)
+    pat_opt, eff_opt = GroupPattern.begin(
+        Pattern.begin("a", lambda r: r["event_type"] == "a")
+        .followed_by("b", lambda r: r["event_type"] == "b").optional()
+    ).times(2).compile()
+    assert eff_opt == {0: -1}
+    assert pat_opt.steps[-1].quantifier == "optional"
+    assert pat_opt.steps[-1].group_loop_to is not None
     # inner allowCombinations: legal since r17 (property-tested against
     # subset-enumerating brute-force models, tests/test_round17.py)
     pat_comb, _ = GroupPattern.begin(

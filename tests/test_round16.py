@@ -463,13 +463,18 @@ def test_inner_optional_group_times(seq, n):
     assert got == sorted(out, key=repr)
 
 
-def test_inner_optional_last_step_rejected():
+def test_inner_optional_last_step_compiles():
+    """r16 rejected optional on a quantified item's LAST step; since r17
+    the skip twin routes through exit_step and the placement is legal —
+    property-tested in tests/test_round17.py (tail-optional suites)."""
     sub = (
         Pattern.begin("a", lambda r: r["et"] == 0)
         .followed_by("o", lambda r: r["et"] == 2).optional()
     )
-    with pytest.raises(ValueError, match="LAST inner step"):
-        GroupPattern.begin(sub).times(2).compile()
+    pat, eff = GroupPattern.begin(sub).times(2).compile()
+    assert eff == {0: -1}
+    assert pat.steps[-1].quantifier == "optional"
+    assert pat.steps[-1].group_loop_to is not None
 
 
 def test_inner_optional_stale_entry_cleared():

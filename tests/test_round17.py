@@ -266,6 +266,110 @@ def test_inner_combinations_exact_values():
 
 
 # ---------------------------------------------------------------------------
+# r17: optional() on the quantified group's TAIL step — the remaining
+# quantified-tail restriction after the allowCombinations lift (greedy
+# stays rejected per FLINK-8914; trailing negation stays rejected, as the
+# reference rejects a trailing notFollowedBy, NFACompiler.java:128).
+# The skip twin forked on entering the tail routes through exit_step, so
+# a group repeat may end right after its penultimate step. Brute model:
+# each repeat consumes an 'a' (anchored: every 'a'; loop-back: the first
+# 'a' after the previous repeat's end), then either SKIPS b (repeat ends
+# at the 'a') or takes the FIRST 'b' after it (repeat ends at that 'b').
+# Projected columns are the LAST repeat's events (loop-backs clear the
+# optional entry).
+# ---------------------------------------------------------------------------
+
+
+def _opt_tail_sub():
+    return (
+        Pattern.begin("a", lambda r: r["et"] == 0)
+        .followed_by("b", lambda r: r["et"] == 1)
+        .optional()
+    )
+
+
+def _brute_opt_tail(types, floor, cap):
+    """All (a, b_or_None, depth) tuples for (a -> b?).times/one_or_more."""
+    out = []
+
+    def rec(start, depth, anchored):
+        a_idxs = _a_positions(types, start)
+        starts = range(len(a_idxs)) if anchored else ([0] if a_idxs else [])
+        for s in starts:
+            a = a_idxs[s]
+            d = depth + 1
+            variants = [(None, a)]
+            b = _first_b_after(types, a)
+            if b is not None:
+                variants.append((b, b))
+            for bb, end in variants:
+                if floor is None or d >= floor:
+                    out.append((a, bb, d))
+                if cap is None or d < cap:
+                    rec(end + 1, d, False)
+
+    rec(0, 0, True)
+    return sorted(out, key=repr)
+
+
+def _got_opt_tail(gp, types):
+    res = []
+    for m in _run(gp, types):
+        b = m.get("b")
+        res.append((m["a"][0], b[0] if b else None, m["__gcnt__0"]))
+    return sorted(res, key=repr)
+
+
+@given(seq=SEQ, n=st.integers(min_value=1, max_value=3))
+@settings(max_examples=150, deadline=None)
+def test_tail_optional_group_times(seq, n):
+    """(a -> b.optional()).times(n): fork-on-entry skip twins close group
+    repeats through exit_step."""
+    gp = GroupPattern.begin(_opt_tail_sub()).times(n)
+    assert _got_opt_tail(gp, seq) == _brute_opt_tail(seq, n, n)
+
+
+@given(seq=st.lists(st.integers(min_value=0, max_value=2), max_size=12),
+       cap=st.integers(min_value=1, max_value=3))
+@settings(max_examples=150, deadline=None)
+def test_tail_optional_group_one_or_more(seq, cap):
+    """(a -> b.optional()).one_or_more(max_repeats=cap): per-prefix group
+    exits where each repeat independently takes or skips its tail."""
+    gp = GroupPattern.begin(_opt_tail_sub()).one_or_more(max_repeats=cap)
+    assert _got_opt_tail(gp, seq) == _brute_opt_tail(seq, None, cap)
+
+
+def test_tail_optional_exact_values():
+    """Pinned example: seq a b a — (a -> b?).times(2). Anchor a0 skip
+    (end a0) → repeat 2 at a2, which can only skip → (2, None, 2); anchor
+    a0 take b1 (end b1) → repeat 2 at a2, skip → (2, None, 2). Anchor a2
+    never reaches depth 2. Two identical projected rows from distinct
+    histories — duplicate multiset parity, and the loop-back must have
+    cleared repeat 1's b entry (NULL b, not b1)."""
+    gp = GroupPattern.begin(_opt_tail_sub()).times(2)
+    got = _got_opt_tail(gp, [0, 1, 0])
+    assert got == [(2, None, 2)] * 2
+    assert got == _brute_opt_tail([0, 1, 0], 2, 2)
+
+
+def test_tail_optional_after_counting_step():
+    """The tail-optional fork composes with a COUNTING interior step:
+    (a.times(2) -> b?).times(2) over a a b a a — inner pairs (a0,a1) and
+    (a3,a4), b2 taken or skipped in repeat 1, repeat 2 must skip (no b
+    after a4). Both histories land (a4, icnt 2, None, 2)."""
+    sub = (
+        Pattern.begin("a", lambda r: r["et"] == 0).times(2)
+        .followed_by("b", lambda r: r["et"] == 1).optional()
+    )
+    gp = GroupPattern.begin(sub).times(2)
+    got = sorted(
+        (m["a"][0], m["a"][2], (m.get("b") or (None,))[0], m["__gcnt__0"])
+        for m in _run(gp, [0, 0, 1, 0, 0])
+    )
+    assert got == [(4, 2, None, 2)] * 2
+
+
+# ---------------------------------------------------------------------------
 # r16 verdict item 3: perceptual_hash vectorization — the batch-level
 # numpy path must produce byte-identical fingerprints to a row-at-a-time
 # model (the pre-r17 implementation's semantics).
