@@ -50,13 +50,14 @@ from proteus_engine_spark.queries import (  # noqa: F401
 # (iterative solves are not SQL-expressible; a rows-only row must not
 # burn a window slot — bitwise pure-Python mirrors in pytest instead).
 #
-# r18 window plan: the 5 new r17 gates first (never driver-checked;
+# r18 window plan: the 7 new r17 gates first (never driver-checked;
 # all tri-scale green in scripts/triscale/r17_delta.json —
 # cep_group_inner_combinations, agg_heavy_hitters_grouped_bounds,
 # stream_dedup_media_phash, cep_group_tail_optional,
-# cep_group_tail_optional_stream, queued at positions 51-55 below),
-# then the 19-query alphabetical tail of the r12 wave deferred from
-# this window (q8_market_share … window_tumble, positions 56+), then
+# cep_group_tail_optional_stream, agg_heavy_hitters_merge,
+# agg_approx_distinct_merge, queued at positions 51-57 below), then the
+# 19-query alphabetical tail of the r12 wave deferred from this window
+# (q8_market_share … window_tumble, positions 58+), then
 # oldest-green-first from the r13 wave fills the remaining slots.
 #
 # LATENT-FIX POLICY (r16 verdict item 4): any diff that changes the
@@ -123,7 +124,7 @@ _GATE_PRIORITY = [
     "q4_order_priority",
     "q5_local_supplier_volume",
     "q7_volume_shipping",
-    # --- positions 51-55: the 5 new r17 gates (never driver-checked;
+    # --- positions 51-57: the 7 new r17 gates (never driver-checked;
     #     tri-scale green in scripts/triscale/r17_delta.json) — these
     #     lead the r18 window
     "cep_group_inner_combinations",
@@ -131,7 +132,9 @@ _GATE_PRIORITY = [
     "stream_dedup_media_phash",
     "cep_group_tail_optional",
     "cep_group_tail_optional_stream",
-    # --- positions 56+: the 19 remaining r12-greens (queued for r18)
+    "agg_heavy_hitters_merge",
+    "agg_approx_distinct_merge",
+    # --- positions 58+: the 19 remaining r12-greens (queued for r18)
     "q8_market_share",
     "setop_except",
     "setop_except_all",

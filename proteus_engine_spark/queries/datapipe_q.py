@@ -3307,6 +3307,82 @@ def agg_heavy_hitters_grouped_bounds(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 @register(
+    "agg_heavy_hitters_merge",
+    oracle=r"""
+    WITH tok AS (SELECT doc_id,
+                        unnest(string_split_regex(lower(text), '\s+')) AS token
+                 FROM documents),
+    cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY token),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+                   CAST((SELECT count(*) FROM tok WHERE doc_id % 2 = 0)
+                        AS BIGINT) AS n_left,
+                   CAST((SELECT count(*) FROM tok WHERE doc_id % 2 = 1)
+                        AS BIGINT) AS n_right
+            FROM cnt)
+    SELECT token, n AS exact_n, n_left, n_right, true AS within_bounds
+    FROM cnt CROSS JOIN tot WHERE n >= total // 64
+    """,
+    tags=("datapipe", "sketch", "agg"),
+)
+def agg_heavy_hitters_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries sketch MERGE gate — the merge member of the
+    heavy-hitter arc (bounds r14, grouped r17), completing the
+    sketch-merge story the r16 quantile merge gate started: the token
+    stream splits into two DISJOINT halves (doc_id parity), each half is
+    sketched into its OWN k=64 summary, and the two finished summaries
+    are merged by item-keyed count summation (the Agarwal et al. 2012
+    merge; skipping the optional re-decrement keeps <= 2k counters and
+    only tightens the bound). The verdict checks the MERGED sketch
+    against the whole-corpus bounds: every true heavy hitter
+    (exact >= N div 64) present, never overcounted, undercount <=
+    N_l/(k+1) + N_r/(k+1) — loosened to the integer N div 64 — and
+    n_left/n_right pin that the halves really partition the stream
+    (N = n_left + n_right). A merge that dropped or double-counted
+    either summary fails the bound. This is the 1000-executor story
+    stated as a driver fact: per-executor sketches merge by summation
+    without re-reading either side's rows."""
+    from proteus_engine_spark.datapipe.sketches import misra_gries_heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token"),
+    )
+    sk_l = misra_gries_heavy_hitters(
+        toks.filter(F.col("doc_id") % 2 == 0).select("token"), "token", k=64
+    )
+    sk_r = misra_gries_heavy_hitters(
+        toks.filter(F.col("doc_id") % 2 == 1).select("token"), "token", k=64
+    )
+    merged = (
+        sk_l.unionByName(sk_r).groupBy("item").agg(F.sum("est").alias("est"))
+    )
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_n"))
+    total = toks.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum((F.col("doc_id") % 2 == 0).cast("long")).alias("n_left"),
+        F.sum((F.col("doc_id") % 2 == 1).cast("long")).alias("n_right"),
+    )
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .filter(F.col("exact_n") >= F.expr("total div 64"))
+        .join(merged.withColumnRenamed("item", "token"), "token", "left")
+        .select(
+            "token",
+            "exact_n",
+            "n_left",
+            "n_right",
+            (
+                F.col("est").isNotNull()
+                & (F.col("est") <= F.col("exact_n"))
+                & (F.col("exact_n") - F.coalesce(F.col("est"), F.lit(0))
+                   <= F.expr("total div 64"))
+            ).alias("within_bounds"),
+        )
+    )
+
+
+@register(
     "agg_count_min_bounds",
     oracle=r"""
     WITH tok AS (SELECT unnest(string_split_regex(lower(text), '\s+')) AS token

@@ -1072,3 +1072,53 @@ def agg_approx_distinct_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("within_bounds"),
         )
     )
+
+
+@register(
+    "agg_approx_distinct_merge",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_distinct,
+           CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_left,
+           CAST(sum(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_right,
+           true AS within_bounds
+    FROM orders
+    """,
+    tags=("agg", "sketch"),
+)
+def agg_approx_distinct_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ sketch MERGE gate — the merge member of the
+    distinct-count arc (the agg_quantile_sketch_merge discipline applied
+    to HLL): orders splits into two DISJOINT halves (o_orderkey parity),
+    each half repartitioned to its own 4 partitions, then unioned —
+    union concatenates partitions, so the single approx_count_distinct
+    aggregate necessarily builds >= 4 per-half HLL register sets PER
+    SIDE and merges them across the boundary (register-wise max, the
+    exact mechanism a 1000-executor distinct count over 100 TB relies
+    on). The verdict checks the MERGED estimate against the whole:
+    |approx - exact| <= 0.1 * exact (5x the requested rsd=0.02, the
+    agg_approx_distinct_bounds bound); a merge that dropped a side's
+    registers undercounts far past it, double-counting cannot happen by
+    construction (register max is idempotent — the property the gate
+    certifies). n_left/n_right pin that the halves really partition the
+    input. Duplicate custkeys ACROSS the halves are the point: the
+    merged sketch must count them once."""
+    o = _t(spark, sf_dir, "orders")
+    left = o.filter(F.col("o_orderkey") % 2 == 0).repartition(4)
+    right = o.filter(F.col("o_orderkey") % 2 == 1).repartition(4)
+    u = left.unionByName(right)
+    return u.agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx"),
+        F.countDistinct("o_custkey").alias("exact_distinct"),
+        F.sum((F.col("o_orderkey") % 2 == 0).cast("long")).alias("n_left"),
+        F.sum((F.col("o_orderkey") % 2 == 1).cast("long")).alias("n_right"),
+    ).select(
+        "exact_distinct",
+        "n_left",
+        "n_right",
+        (
+            F.abs(F.col("approx") - F.col("exact_distinct"))
+            <= 0.1 * F.col("exact_distinct")
+        ).alias("within_bounds"),
+    )

@@ -425,6 +425,66 @@ def test_phash_batch_vs_row_parity(payloads):
     assert got == exp
 
 
+# ---------------------------------------------------------------------------
+# r17 sketch lifts: grouped Misra-Gries (independent per-group counters)
+# and the explicit two-summary merge (the agg_heavy_hitters_merge gate's
+# core claim, unit-pinned on a deterministic skewed stream).
+# ---------------------------------------------------------------------------
+
+
+def test_misra_gries_grouped_independent_bounds(spark):
+    """k=2 per group over two groups with DIFFERENT skew: each group's
+    estimates obey ITS OWN N_g/(k+1) bound (groups never share
+    counters), and a group's items never leak into another group."""
+    from proteus_engine_spark.datapipe.sketches import misra_gries_grouped
+
+    g1 = [("g1", x) for x in ["a"] * 40 + ["b"] * 25 + ["c"] * 3 + ["d"] * 2]
+    g2 = [("g2", x) for x in ["p"] * 9 + ["q"] * 1]
+    df = spark.createDataFrame(g1 + g2, "src string, item string").coalesce(1)
+    rows = misra_gries_grouped(df, "item", "src", k=2).collect()
+    exact = {"g1": {"a": 40, "b": 25, "c": 3, "d": 2}, "g2": {"p": 9, "q": 1}}
+    totals = {g: sum(d.values()) for g, d in exact.items()}
+    got = {}
+    for r in rows:
+        got.setdefault(r.src, {})[r.item] = r.est
+        assert r.item in exact[r.src]  # no cross-group leakage
+    for g, d in got.items():
+        bound = totals[g] / 3  # N_g/(k+1)
+        for item, est in d.items():
+            assert est <= exact[g][item]
+            assert exact[g][item] - est <= bound
+        for item, c in exact[g].items():
+            if c > bound:
+                assert item in d
+
+
+def test_misra_gries_two_summary_merge_bound(spark):
+    """Two disjoint halves sketched separately at k=2, merged by item-
+    keyed summation: merged est <= exact, undercount <= N_l/(k+1) +
+    N_r/(k+1), every item above that threshold present — the
+    agg_heavy_hitters_merge gate's bound, pinned on a stream where BOTH
+    halves decrement (5 distinct items each, k=2)."""
+    from proteus_engine_spark.datapipe.sketches import misra_gries_heavy_hitters
+
+    left = ["a"] * 40 + ["b"] * 20 + ["c"] * 3 + ["d"] * 2 + ["e"] * 2
+    right = ["a"] * 10 + ["b"] * 30 + ["f"] * 3 + ["g"] * 2 + ["c"] * 2
+    exact = {}
+    for x in left + right:
+        exact[x] = exact.get(x, 0) + 1
+    dfl = spark.createDataFrame([(x,) for x in left], "item string").coalesce(1)
+    dfr = spark.createDataFrame([(x,) for x in right], "item string").coalesce(1)
+    skl = {r.item: r.est for r in misra_gries_heavy_hitters(dfl, "item", k=2).collect()}
+    skr = {r.item: r.est for r in misra_gries_heavy_hitters(dfr, "item", k=2).collect()}
+    merged = {i: skl.get(i, 0) + skr.get(i, 0) for i in set(skl) | set(skr)}
+    bound = len(left) / 3 + len(right) / 3
+    for item, est in merged.items():
+        assert est <= exact[item]
+        assert exact[item] - est <= bound
+    for item, c in exact.items():
+        if c > bound:
+            assert item in merged
+
+
 def test_inner_combinations_validation():
     """Interior/tail combinations now compile; the step-level constructor
     rules still apply (looping step required, consecutive contradicts)."""
