@@ -40,7 +40,8 @@ from proteus_engine_spark.queries import (  # noqa: F401
 # "What's wrong" #1): every oracle-bearing gate re-enters a driver
 # window on an oldest-green-first rotation. With N oracle-bearing gates
 # and a 50-slot window the steady-state max staleness is ceil(N/50)
-# rounds — currently 6 (N≈261); registry growth stays capped
+# rounds — currently 6 (N=276 oracle-bearing after the r17 additions);
+# registry growth stays capped
 # (~5-10 gates/round) so that ceiling never exceeds 6. Each round's
 # window is composed never-driver-checked-first, then
 # oldest-green-first.
