@@ -40,7 +40,7 @@ from proteus_engine_spark.queries import (  # noqa: F401
 # "What's wrong" #1): every oracle-bearing gate re-enters a driver
 # window on an oldest-green-first rotation. With N oracle-bearing gates
 # and a 50-slot window the steady-state max staleness is ceil(N/50)
-# rounds — currently 6 (N=276 oracle-bearing after the r17 additions);
+# rounds — currently 6 (N=277 oracle-bearing after the r17 additions);
 # registry growth stays capped
 # (~5-10 gates/round) so that ceiling never exceeds 6. Each round's
 # window is composed never-driver-checked-first, then
@@ -51,15 +51,16 @@ from proteus_engine_spark.queries import (  # noqa: F401
 # (iterative solves are not SQL-expressible; a rows-only row must not
 # burn a window slot — bitwise pure-Python mirrors in pytest instead).
 #
-# r18 window plan: the 7 new r17 gates first (never driver-checked;
+# r18 window plan: the 8 new r17 gates first (never driver-checked;
 # all tri-scale green in scripts/triscale/r17_delta.json —
 # cep_group_inner_combinations, agg_heavy_hitters_grouped_bounds,
 # stream_dedup_media_phash, cep_group_tail_optional,
 # cep_group_tail_optional_stream, agg_heavy_hitters_merge,
-# agg_approx_distinct_merge, queued at positions 51-57 below), then the
-# 19-query alphabetical tail of the r12 wave deferred from this window
-# (q8_market_share … window_tumble, positions 58+), then
-# oldest-green-first from the r13 wave fills the remaining slots.
+# agg_approx_distinct_merge, stream_window_heavy_hitters, queued at
+# positions 51-58 below), then the 19-query alphabetical tail of the
+# r12 wave deferred from this window (q8_market_share … window_tumble,
+# positions 59+), then oldest-green-first from the r13 wave fills the
+# remaining slots.
 #
 # LATENT-FIX POLICY (r16 verdict item 4): any diff that changes the
 # behavior of previously-shipped code — even as part of a feature — must
@@ -125,7 +126,7 @@ _GATE_PRIORITY = [
     "q4_order_priority",
     "q5_local_supplier_volume",
     "q7_volume_shipping",
-    # --- positions 51-57: the 7 new r17 gates (never driver-checked;
+    # --- positions 51-58: the 8 new r17 gates (never driver-checked;
     #     tri-scale green in scripts/triscale/r17_delta.json) — these
     #     lead the r18 window
     "cep_group_inner_combinations",
@@ -135,7 +136,8 @@ _GATE_PRIORITY = [
     "cep_group_tail_optional_stream",
     "agg_heavy_hitters_merge",
     "agg_approx_distinct_merge",
-    # --- positions 58+: the 19 remaining r12-greens (queued for r18)
+    "stream_window_heavy_hitters",
+    # --- positions 59+: the 19 remaining r12-greens (queued for r18)
     "q8_market_share",
     "setop_except",
     "setop_except_all",

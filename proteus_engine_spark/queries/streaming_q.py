@@ -3164,6 +3164,109 @@ def stream_window_quantile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "stream_window_heavy_hitters",
+    oracle=r"""
+    WITH tok AS (
+      SELECT CAST((doc_id + 1) // 100 AS BIGINT) AS window_id,
+             unnest(string_split_regex(lower(text), '\s+')) AS token
+      FROM documents),
+    cnt AS (SELECT window_id, token, CAST(count(*) AS BIGINT) AS n
+            FROM tok GROUP BY window_id, token),
+    tot AS (SELECT window_id, sum(n) AS total FROM cnt GROUP BY window_id),
+    mx AS (SELECT max(doc_id) + 1 AS max_min FROM documents)
+    SELECT c.window_id, c.token, c.n AS exact_n, true AS within_bounds
+    FROM cnt c JOIN tot t ON c.window_id = t.window_id CROSS JOIN mx
+    WHERE c.n >= t.total // 32
+      AND (c.window_id + 1) * 100 < mx.max_min - 10
+    """,
+    tags=("streaming", "window", "sketch", "datapipe"),
+)
+def stream_window_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed HEAVY HITTERS on the stream — the streaming member of the
+    Misra-Gries arc (bounds r14, grouped/merge r17), completing the
+    composed-sketch family next to stream_window_quantile_bounds (GK),
+    stream_window_approx_distinct (HLL) and stream_count_min_table (CM).
+    Spark has no built-in MG aggregate, so the sketch state is hand-held
+    in keyed state (windowed_heavy_hitters, stateful.py): the document
+    corpus replays as a token stream with a synthetic 1-doc-per-minute
+    clock, keyed by (100-minute window, token-hash shard) — each of the
+    4 shard keys holds an independent k=32 counter summary over its
+    hash-disjoint token subset, emitted and cleared when the watermark
+    passes the window end (event-time timer). Sharding is the scale
+    story stated in the keying itself: per-window parallelism without
+    weakening the bound (a token lives in exactly one shard, so its
+    undercount is bounded by that shard's N/(k+1) <= N_w/(k+1), and
+    shard summaries concatenate into the window summary — the
+    disjoint-universe case of the merge the agg_heavy_hitters_merge gate
+    certifies). The verdict joins the streamed summaries to the batch
+    exact counts per CLOSED window: every true heavy hitter (exact >=
+    N_w div 32) present, est <= exact, undercount <= N_w div 32; the
+    windows inside the 10-minute watermark tail never close and are cut
+    on both sides ((w+1)*100 < max_minute - 10)."""
+    import os
+
+    from proteus_engine_spark.streaming.sources import probe_parquet_schema
+    from proteus_engine_spark.streaming.stateful import windowed_heavy_hitters
+
+    schema = probe_parquet_schema(
+        spark, os.path.join(sf_dir, "documents.parquet")
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+    toks = (
+        stream.withColumn(
+            "ts", F.timestamp_micros((F.col("doc_id") + 1) * 60_000_000)
+        )
+        .select(
+            "ts",
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token"),
+        )
+        .withWatermark("ts", "10 minutes")
+    )
+    sk = windowed_heavy_hitters(
+        toks, "token", window_ms=100 * 60_000, k=32, shards=4
+    )
+    streamed = run_to_completion(sk, "stream_whh_sink", "append")
+
+    docs = load_table(spark, sf_dir, "documents")
+    btoks = docs.select(
+        F.expr("(doc_id + 1) div 100").alias("window_id"),
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token"),
+    )
+    exact = btoks.groupBy("window_id", "token").agg(
+        F.count(F.lit(1)).alias("exact_n")
+    )
+    total = exact.groupBy("window_id").agg(F.sum("exact_n").alias("total"))
+    mx = docs.agg((F.max("doc_id") + 1).alias("max_min"))
+    return (
+        exact.join(F.broadcast(total), "window_id")
+        .crossJoin(F.broadcast(mx))
+        .filter(F.expr("(window_id + 1) * 100 < max_min - 10"))
+        .filter(F.col("exact_n") >= F.expr("total div 32"))
+        .join(
+            streamed.withColumnRenamed("item", "token"),
+            ["window_id", "token"],
+            "left",
+        )
+        .select(
+            "window_id",
+            "token",
+            "exact_n",
+            (
+                F.col("est").isNotNull()
+                & (F.col("est") <= F.col("exact_n"))
+                & (F.col("exact_n") - F.coalesce(F.col("est"), F.lit(0))
+                   <= F.expr("total div 32"))
+            ).alias("within_bounds"),
+        )
+    )
+
+
+@register(
     "stream_window_approx_distinct",
     oracle="""
     SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,

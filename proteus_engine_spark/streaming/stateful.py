@@ -719,3 +719,95 @@ def process_keyed(
     return stream.groupBy(*key_cols).applyInPandasWithState(
         transition, out_schema, state_schema, "append", timeout_conf
     )
+
+
+def windowed_heavy_hitters(
+    stream: DataFrame,
+    item_col: str,
+    ts_col: str = "ts",
+    window_ms: int = 3_600_000,
+    k: int = 64,
+    shards: int = 4,
+) -> DataFrame:
+    """Per-window Misra-Gries heavy hitters ON THE STREAM — the streaming
+    member of the heavy-hitter arc (bounds/grouped/merge are batch-gated),
+    the same composed-sketch family as stream_window_quantile_bounds /
+    stream_window_approx_distinct, but with the sketch state hand-held in
+    keyed state because Spark has no built-in MG aggregate (the
+    ProcessFunction-with-timers shape, ProcessFunction.java:51,85 — keyed
+    state plus an event-time timer at window end).
+
+    Keying is (window, shard-of-item): each shard holds an INDEPENDENT
+    k-counter summary over ITS hash-disjoint token subset, so per-window
+    parallelism is `shards` tasks instead of one, and the per-token bound
+    only tightens — a token lives in exactly one shard, whose total
+    N_shard <= N_w, so undercount <= N_shard/(k+1) <= N_w/(k+1) and every
+    item above the window threshold is present in its shard. Summaries
+    from different shards never share items, so concatenating them IS the
+    merged window summary (the disjoint-universe case of the Agarwal
+    merge the agg_heavy_hitters_merge gate certifies). State per key is
+    <= 2k counters; a window's keys emit and clear when the watermark
+    passes the window end (event-time timeout), so live state is bounded
+    by the windows inside the watermark horizon, never the stream length.
+
+    Emits (window_id long, item string, est long) on window close; the
+    final windows inside the watermark tail never close (append
+    semantics), matching the batch-oracle cut of every stream_* gate.
+    Requires a withWatermark() on `ts_col` upstream."""
+    import pickle
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    if k < 1 or shards < 1:
+        raise ValueError("k and shards must be >= 1")
+    out_schema = "window_id long, item string, est long"
+
+    def transition(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        w = int(key[0])
+        if state.hasTimedOut:
+            st = pickle.loads(state.get[0]) if state.exists else {"c": {}}
+            state.remove()
+            if st["c"]:
+                yield pd.DataFrame(
+                    {
+                        "window_id": np.full(len(st["c"]), w, dtype="int64"),
+                        "item": list(st["c"].keys()),
+                        "est": np.fromiter(
+                            st["c"].values(), dtype="int64", count=len(st["c"])
+                        ),
+                    }
+                )
+            return
+        st = pickle.loads(state.get[0]) if state.exists else {"c": {}}
+        counters = st["c"]
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            counts = pdf["item"].value_counts()
+            for item, c in counts.items():
+                counters[item] = counters.get(item, 0) + int(c)
+            if len(counters) > k:
+                cut = sorted(counters.values(), reverse=True)[k]
+                counters = {i: c - cut for i, c in counters.items() if c - cut > 0}
+        st["c"] = counters
+        state.update((pickle.dumps(st),))
+        # window-end timer, clamped strictly above the current watermark
+        # (Spark rejects a timeout at or below it; data for this window
+        # implies window_end > wm, the clamp covers the ms-floor edge)
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max((w + 1) * window_ms, wm + 1))
+
+    keyed = stream.select(
+        F.expr(f"unix_millis({ts_col}) div {int(window_ms)}")
+        .alias("window_id"),
+        F.pmod(F.xxhash64(F.col(item_col)), F.lit(shards)).alias("shard"),
+        F.col(item_col).cast("string").alias("item"),
+        F.col(ts_col),
+    )
+    return keyed.groupBy("window_id", "shard").applyInPandasWithState(
+        transition, out_schema, "blob binary", "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )

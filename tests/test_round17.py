@@ -485,6 +485,87 @@ def test_misra_gries_two_summary_merge_bound(spark):
             assert item in merged
 
 
+def test_windowed_heavy_hitters_stream(spark):
+    """Per-window streaming Misra-Gries (windowed_heavy_hitters): windows
+    close on the event-time timer (watermark past window end), state
+    carries across micro-batches, each (window, item) appears at most
+    once (shards are hash-disjoint), per-window bounds hold under
+    decrement pressure (k=2, 5 distinct items), and the window inside
+    the watermark tail never emits."""
+    import os
+    import tempfile
+    from datetime import datetime
+
+    from proteus_engine_spark.streaming.stateful import windowed_heavy_hitters
+
+    def row(minute, token):
+        return (datetime(2024, 1, 1, 0, minute, 0), token)
+
+    # window 0 = minutes 0-4, window 1 = minutes 5-9 (window_ms = 5 min).
+    # Window 1 straddles the batch boundary; the minute-30 row advances
+    # the watermark past both ends (delay 1 min -> wm 29) but its own
+    # window (6) stays open.
+    w0 = (["a"] * 8 + ["b"] * 5 + ["c", "d", "e"])
+    w1a, w1b = ["p"] * 4 + ["q"] * 2, ["p"] * 3 + ["r", "s", "t"]
+    batch_a = [row(i % 5, t) for i, t in enumerate(w0)]
+    batch_a += [row(5 + i % 2, t) for i, t in enumerate(w1a)]
+    batch_b = [row(7 + i % 3, t) for i, t in enumerate(w1b)]
+    batch_b += [row(30, "z")]
+
+    schema = "ts timestamp, token string"
+    d = tempfile.mkdtemp(prefix="proteus_whh_")
+    spark.createDataFrame(batch_a, schema).coalesce(1).write.parquet(f"{d}/b0")
+    spark.createDataFrame(batch_b, schema).coalesce(1).write.parquet(f"{d}/b1")
+    src = f"{d}/src"
+    os.makedirs(src)
+    for i, sub in enumerate(["b0", "b1"]):
+        part = [f for f in os.listdir(f"{d}/{sub}") if f.endswith(".parquet")][0]
+        os.rename(f"{d}/{sub}/{part}", f"{src}/{i:02d}.parquet")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withWatermark("ts", "1 minute")
+    )
+    sk = windowed_heavy_hitters(
+        stream, "token", window_ms=5 * 60_000, k=2, shards=2
+    )
+    q = (
+        sk.writeStream.outputMode("append").format("memory")
+        .queryName("whh_test").start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.table("whh_test").collect()
+
+    # windows are epoch-aligned: id = unix_ms(2024-01-01 00:0x) div 5min
+    base = (1704067200000) // (5 * 60_000)
+    exact = {0: {}, 1: {}}
+    for t in w0:
+        exact[0][t] = exact[0].get(t, 0) + 1
+    for t in w1a + w1b:
+        exact[1][t] = exact[1].get(t, 0) + 1
+    got = {}
+    for r in rows:
+        w = r.window_id - base
+        assert w in (0, 1)  # minute-30 window never closes
+        key = (w, r.item)
+        assert key not in got  # shard disjointness: one row per item
+        got[key] = r.est
+    for w, d_exact in exact.items():
+        n_w = sum(d_exact.values())
+        bound = n_w / 3  # N_w/(k+1), k=2 — but per-SHARD totals only
+        # tighten it, so the window-level bound must hold
+        for (ww, t), est in got.items():
+            if ww != w:
+                continue
+            assert est <= d_exact[t]
+            assert d_exact[t] - est <= bound
+        for t, c in d_exact.items():
+            if c > bound:
+                assert (w, t) in got
+
+
 def test_inner_combinations_validation():
     """Interior/tail combinations now compile; the step-level constructor
     rules still apply (looping step required, consecutive contradicts)."""
