@@ -63,6 +63,15 @@ def get_session(
         # read as long and convert in the source layer (sources/tables.py).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.shuffle.spill.compress", "true")
+        # PySpark 4's DataFrame debugging wraps EVERY DataFrame method to
+        # capture the Python call site for error enrichment: per call it
+        # pays a conf-get RPC, a Python stack walk, and an origin set+clear
+        # RPC pair (~3 py4j round trips + frame inspection). Interleaved
+        # A/B (r17 opt round): pure-DSL query construction halves with it
+        # off (dedup_minhash_lsh build 2.60s -> 1.09s, graph_jaccard
+        # 2.15s -> 0.95s). Worth it for an engine: errors lose only the
+        # user-code call-site annotation, never the actual exception.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
