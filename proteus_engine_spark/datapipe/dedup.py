@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 # it); a local copy here once diverged silently from the text-analysis
 # side and every shingle-semantics fix had to be applied twice.
 from proteus_engine_spark.datapipe.textstats import _tokens  # noqa: E402
+from proteus_engine_spark.functions.fastlit import column_array  # noqa: E402
 
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -107,9 +108,11 @@ def _minhash_columns(
     # aggregation (unlike higher-order lambda variants, which are
     # interpreted); the shuffle carries only (doc_id, num_perm×8B) minima.
     sh = sh.select(id_col, F.xxhash64("shingle").alias("__h__"))
-    mins = [
-        F.min(F.xxhash64(F.col("__h__"), F.lit(p))).alias(f"mh_{p}") for p in range(num_perm)
-    ]
+    # One F.expr per aggregate (identical tree to
+    # F.min(F.xxhash64(col, lit)).alias(...)): the element-wise Column
+    # form costs ~5 py4j round trips per permutation — ~320 trips, ~0.3s
+    # of pure driver wall per call at 64 perms (r17 measurement).
+    mins = [F.expr(f"min(xxhash64(__h__, {p})) AS mh_{p}") for p in range(num_perm)]
     return sh.groupBy(id_col).agg(*mins)
 
 
@@ -124,7 +127,8 @@ def minhash_signatures(
     At 100 TB the signature step pipelines into the scan; only the banding
     key shuffle moves data (8-byte keys)."""
     agg = _minhash_columns(docs, id_col, text_col, num_perm, shingle_k)
-    return agg.select(F.col(id_col), F.array(*[F.col(f"mh_{p}") for p in range(num_perm)]).alias("sig"))
+    sig = column_array(f"mh_{p}" for p in range(num_perm))
+    return agg.select(F.col(id_col), sig.alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -243,12 +247,17 @@ def minhash_lsh_pairs(
 
         mh = mh.persist(StorageLevel.MEMORY_AND_DISK)
 
-    band_cols = [
-        F.xxhash64(*[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
-            f"band_{b}"
+    # Single-parse band array (identical tree to the element-wise
+    # F.xxhash64(*cols) list — aliases on array elements are dropped by
+    # the array constructor either way): ~110 py4j trips saved per call.
+    band_arr = F.expr(
+        "array(%s)"
+        % ", ".join(
+            "xxhash64(%s)"
+            % ", ".join(f"mh_{b * rows_per_band + r}" for r in range(rows_per_band))
+            for b in range(bands)
         )
-        for b in range(bands)
-    ]
+    )
     # Candidate generation: one shuffle of (band_id, band_sig, doc_id) —
     # 24 B/row × bands — then per-bucket ordered pairs via a double explode
     # (rows stream; no per-bucket pair array is materialized). The 512-byte
@@ -257,7 +266,7 @@ def minhash_lsh_pairs(
     # would; ``max_bucket_size`` bounds that explosion (split/drop below).
     banded = mh.select(
         F.col(id_col),
-        F.posexplode(F.array(*band_cols)).alias("band_id", "band_sig"),
+        F.posexplode(band_arr).alias("band_id", "band_sig"),
     )
     all_buckets = banded.groupBy("band_id", "band_sig").agg(
         F.collect_list(id_col).alias("ids")
@@ -379,7 +388,7 @@ def minhash_lsh_pairs(
         # Signature re-attach references the mh subplan a second time, but
         # mh is persisted in this tier (see the docstring), so the second
         # reference reads the cache — the hash pass still runs ONCE.
-        sig = F.array(*[F.col(f"mh_{p}") for p in range(num_perm)])
+        sig = column_array(f"mh_{p}" for p in range(num_perm))
         attached = (
             mh.join(per_doc, F.col(id_col) == F.col("doc"))
             .select("doc", sig.alias("payload"), "pairs")

@@ -22,6 +22,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from proteus_engine_spark.functions.fastlit import band_struct_array
+
 MEDIA_SCHEMA = (
     "media_id long, payload binary, mime string, width int, height int, "
     "duration_ms long, codec string"
@@ -302,15 +304,7 @@ def phash_near_dup_pairs(
     banded = h.select(
         id_col,
         "__ph__",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("b"),
-                    F.shiftright("__ph__", width * b).bitwiseAND(F.lit(mask)).alias("bv"),
-                )
-                for b in range(bands)
-            ])
-        ).alias("band"),
+        F.explode(band_struct_array("__ph__", bands, width, mask)).alias("band"),
     ).select(id_col, "__ph__", "band.b", "band.bv")
     left = banded.alias("l")
     right = banded.alias("r")
@@ -375,16 +369,7 @@ def phash_cross_dup_ids(
         return h.select(
             F.col(id_col).alias(f"{side}_id"),
             F.col(hash_col).alias(f"{side}_ph"),
-            F.explode(
-                F.array(*[
-                    F.struct(
-                        F.lit(b).alias("b"),
-                        F.shiftright(hash_col, width * b)
-                        .bitwiseAND(F.lit(mask)).alias("bv"),
-                    )
-                    for b in range(bands)
-                ])
-            ).alias("band"),
+            F.explode(band_struct_array(hash_col, bands, width, mask)).alias("band"),
         ).select(f"{side}_id", f"{side}_ph", "band.b", "band.bv")
 
     bb = banded(batch_hashes, "batch")

@@ -21,6 +21,8 @@ import math
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from proteus_engine_spark.functions.fastlit import double_array, double_array_2d
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
@@ -440,7 +442,8 @@ def pq_codebooks(
 
 
 def _book_lit(book: list[list[float]]) -> Column:
-    return F.array(*[F.array(*[F.lit(float(x)) for x in code]) for code in book])
+    # one F.expr parse instead of n_codes x sub literal round trips
+    return double_array_2d(book)
 
 
 def _sub_d2s(sub_vec: Column, book: list[list[float]]) -> Column:
@@ -667,8 +670,8 @@ def sq8_encode(
     code 0). One scan projection, the (lo, step) tables ride the plan
     as literals: no join, no shuffle, and the encoded corpus is dim
     bytes per vector — the 4x memory cut SQ8 exists for."""
-    lo_lit = F.array(*[F.lit(float(x)) for x in lo])
-    st_lit = F.array(*[F.lit(float(x)) for x in step])
+    lo_lit = double_array(lo)
+    st_lit = double_array(step)
     codes = F.transform(
         F.col(vec),
         lambda x, i: F.when(
@@ -720,8 +723,8 @@ def sq8_ann_topk(
         raise ValueError(f"n_candidates={n_candidates} must be >= k={k}")
     lo, step = sq8_train(corpus, dim, vec)
     encoded = sq8_encode(corpus, lo, step, c_id, vec)
-    lo_lit = F.array(*[F.lit(float(x)) for x in lo])
-    st_lit = F.array(*[F.lit(float(x)) for x in step])
+    lo_lit = double_array(lo)
+    st_lit = double_array(step)
 
     def term(code: Column, i: Column) -> Column:
         center = F.element_at(lo_lit, i + 1) + (

@@ -9,6 +9,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from proteus_engine_spark.functions.fastlit import string_array
+
 # Tiny per-language stopword anchor sets (language-ID heuristic tier; a real
 # deployment would swap in fastText via mapInPandas — see multimodal.py for
 # the gated-dependency pattern).
@@ -46,7 +48,7 @@ def token_count(text: str | Column, mode: str = "whitespace") -> Column:
 
 def stopword_ratio(text: str | Column, lang: str = "en") -> Column:
     toks = _tokens(text)
-    hits = F.size(F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(w) for w in STOPWORDS[lang]])))
+    hits = F.size(F.array_intersect(F.array_distinct(toks), string_array(STOPWORDS[lang])))
     return hits.cast("double") / F.greatest(F.size(F.array_distinct(toks)), F.lit(1))
 
 
@@ -56,7 +58,7 @@ def language_id(text: str | Column) -> Column:
     'und' when no list matches."""
     toks = F.array_distinct(_tokens(text))
     scores = [
-        (lang, F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in ws]))))
+        (lang, F.size(F.array_intersect(toks, string_array(ws))))
         for lang, ws in sorted(STOPWORDS.items())
     ]
     best = None
@@ -604,7 +606,7 @@ def gopher_quality_flags(
         F.length(F.trim(c)) > 0,
         F.size(F.filter(toks, lambda x: x.rlike("[a-z]"))),
     ).otherwise(F.lit(0)).cast("long")
-    stop_lit = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    stop_lit = string_array(GOPHER_STOPWORDS)
     n_stop = F.size(
         F.filter(toks, lambda x: F.array_contains(stop_lit, x))
     ).cast("long")

@@ -37,6 +37,7 @@ from proteus_engine_spark.datapipe.textstats import (
     quality_stats,
     token_count,
 )
+from proteus_engine_spark.functions.fastlit import band_struct_array
 from proteus_engine_spark.queries.registry import register
 from proteus_engine_spark.sources import load_table
 
@@ -3891,30 +3892,12 @@ def stream_dedup_media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     width, mask = 15, (1 << 15) - 1
     bb = first.select(
         "phash",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("b"),
-                    F.shiftright("phash", width * b)
-                    .bitwiseAND(F.lit(mask)).alias("bv"),
-                )
-                for b in range(4)
-            ])
-        ).alias("band"),
+        F.explode(band_struct_array("phash", 4, width, mask)).alias("band"),
     ).select("phash", "band.b", "band.bv")
     cb = corpus_h.select(
         F.col("media_id").alias("corpus_id"),
         F.col("phash").alias("corpus_ph"),
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("b"),
-                    F.shiftright("phash", width * b)
-                    .bitwiseAND(F.lit(mask)).alias("bv"),
-                )
-                for b in range(4)
-            ])
-        ).alias("band"),
+        F.explode(band_struct_array("phash", 4, width, mask)).alias("band"),
     ).select("corpus_id", "corpus_ph", "band.b", "band.bv")
     out = (
         bb.join(cb, ["b", "bv"])
