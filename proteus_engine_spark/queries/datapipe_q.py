@@ -2449,14 +2449,24 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     a drifted df, a lost length normalization, or a wrong idf floor all
     fail the hash. The query-term table broadcasts into the token stream
     BEFORE aggregation so the tf shuffle carries only candidate
-    postings."""
-    from proteus_engine_spark.datapipe.textstats import bm25_topk
+    postings.
+
+    r17 optimization: the doc-length frame is precomputed once through
+    the module's own ``doc_lengths`` + localCheckpoint path (the
+    documented repeated-retrieval pattern): without it the lazy ``dl``
+    subplan is referenced three times (avgdl aggregate, N aggregate,
+    scoring join) and the corpus tokenize-and-count ran up to three
+    times per action. Values are identical — the checkpoint only pins
+    the frame."""
+    from proteus_engine_spark.datapipe.textstats import bm25_topk, doc_lengths
 
     docs = load_table(spark, sf_dir, "documents")
+    dl = doc_lengths(docs).localCheckpoint(eager=True)
     return bm25_topk(
         docs,
         ["table scan filter", "stream window agg", "hash join merge batch"],
         k=10,
+        doc_lengths=dl,
     )
 
 
