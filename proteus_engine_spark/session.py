@@ -59,6 +59,14 @@ def get_session(
         # the right granularity for a 1000-executor cluster.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Let the planner pick shuffled-hash join when its size conditions
+        # hold (guide-recommended): it skips both sort passes of
+        # sort-merge and only applies when a build side fits per-partition
+        # memory, so sort-merge remains the fallback for huge-both-sides
+        # joins. Interleaved A/B (r17): every SMJ-bearing headline query
+        # improved — graph_jaccard 0.71x, dedup_semantic 0.83x,
+        # text_nb_source_classify 0.84x, classify_calibration_bins 0.88x.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         # Parquet TIMESTAMP(NANOS) (the events table) has no Spark type;
         # read as long and convert in the source layer (sources/tables.py).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
