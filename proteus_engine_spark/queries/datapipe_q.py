@@ -3025,11 +3025,15 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "documents.parquet")
         .load(sf_dir)
     )
+    # r17 optimization: pin the static digest set once per query — the
+    # static side of a stream-static join re-executes per micro-batch,
+    # so the scan+md5+distinct ran once per batch. Values unchanged.
     corpus_digests = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 2 == 0)
         .select(F.md5(F.col("text")).alias("h"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     survivors = (
         raw.filter(F.col("doc_id") % 3 == 0)
@@ -3869,7 +3873,13 @@ def stream_dedup_media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.encode("text", "utf-8").alias("payload"),
         )
     )
-    corpus_h = perceptual_hash(corpus)
+    # r17 optimization: the STATIC side of a stream-static join is
+    # re-executed on every micro-batch — without this pin the corpus
+    # fingerprint mapInPandas pass ran once per batch (~3x per run).
+    # localCheckpoint runs it exactly once per query; values unchanged
+    # (verified rows-identical A/B). The production analogue is the
+    # docstring's persisted/bucketed corpus fingerprint table.
+    corpus_h = perceptual_hash(corpus).localCheckpoint(eager=True)
 
     path = os.path.join(sf_dir, "documents.parquet")
     schema = probe_parquet_schema(spark, path)
