@@ -62,15 +62,16 @@ def ngram_overlap_counts(
         .select(F.xxhash64("gram").alias("gh"))
         .distinct()
     )
-    # Explicit repartition before the gram explode: a single small input
-    # file otherwise puts ALL corpus-side shingling on one task (AQE
-    # never widens an un-shuffled scan); on a many-file 100 TB input the
-    # scan is already parallel and this is one cheap narrow shuffle of
-    # (id, text).
+    # Scale-adaptive widening before the gram explode: a single small
+    # input file otherwise puts ALL corpus-side shingling on one task
+    # (AQE never widens an un-shuffled scan); on a many-file 100 TB input
+    # the scan is already parallel and the repartition is skipped — it
+    # would be a full shuffle of the text payloads there.
+    from proteus_engine_spark.operators.partitioning import widen_if_narrow
+
     n_parts = corpus.sparkSession.sparkContext.defaultParallelism
     corpus_grams = (
-        corpus.select(id_col, text_col)
-        .repartition(n_parts)
+        widen_if_narrow(corpus.select(id_col, text_col), n_parts)
         .select(
             F.col(id_col),
             F.explode(_full_grams(text_col)).alias("gram"),
@@ -175,6 +176,12 @@ def ngram_overlap_counts_bloom(
         .select(F.xxhash64("gram").alias("gh"))
         .distinct()
     )
+    # The eval-gram subplan is consumed twice — collected below for the
+    # Bloom build, then joined against the survivors — so pin it once per
+    # run (eval side is benchmark-sized by contract; the checkpoint holds
+    # one 8-byte hash per distinct gram). Without this the scan + explode
+    # + distinct execute twice per query (r17 opt round, measured).
+    eval_grams = eval_grams.localCheckpoint(eager=True)
     # Build: one distinct over <= k x |eval grams| ints (position space is
     # m_bits, so the collect is bounded by the CONFIG even against a
     # pathological eval set). At a real 10^6-doc benchmark this is a few
@@ -215,12 +222,20 @@ def ngram_overlap_counts_bloom(
         **{f"p{i}": pd.Series for i in range(k_hashes)},
         "return": pd.Series,
     }
-    _might_contain = pandas_udf(probe_fn, "boolean")
+    # asNondeterministic: the probe IS deterministic, but left
+    # deterministic Catalyst's InferFiltersFromConstraints copies the
+    # predicate across the gh equi-join onto the EVAL side — where it is
+    # always-true (a Bloom filter has no false negatives on the very keys
+    # that built it) and costs a second ArrowEvalPython crossing per query.
+    # The flag pins the filter exactly where written, on the corpus scan
+    # side only (2 -> 1 Arrow nodes, identical results; r17 opt round).
+    _might_contain = pandas_udf(probe_fn, "boolean").asNondeterministic()
+
+    from proteus_engine_spark.operators.partitioning import widen_if_narrow
 
     n_parts = corpus.sparkSession.sparkContext.defaultParallelism
     corpus_grams = (
-        corpus.select(id_col, text_col)
-        .repartition(n_parts)
+        widen_if_narrow(corpus.select(id_col, text_col), n_parts)
         .select(F.col(id_col), F.explode(_full_grams(text_col)).alias("gram"))
         .select(F.col(id_col), F.xxhash64("gram").alias("gh"))
         .select(id_col, "gh", *_gram_positions(F.col("gh"), m_bits, k_hashes))

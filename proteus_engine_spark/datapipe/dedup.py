@@ -92,14 +92,18 @@ def _minhash_columns(
     directly, avoiding an array pack/unpack of 2×num_perm expressions in
     the plan (driver-side analysis cost is real for wide trees)."""
     n_parts = docs.sparkSession.sparkContext.defaultParallelism
-    # Explicit repartition: (a) parallelizes the hash-heavy map side even
-    # when the input is one small file, (b) AQE never coalesces a
-    # user-specified partition count, so the CPU-bound stage keeps its
-    # width (AQE coalesces by bytes, which is wrong for compute-heavy,
-    # byte-light stages). The groupBy below reuses this hash partitioning,
-    # so the minima aggregate adds no second shuffle.
+    # Scale-adaptive widening: (a) parallelizes the hash-heavy map side
+    # when the input is one small file (AQE coalesces by bytes, which is
+    # wrong for compute-heavy, byte-light stages), and locally the groupBy
+    # below reuses the hash partitioning, so the minima aggregate adds no
+    # second shuffle; (b) on a many-file 100 TB input the scan is already
+    # wide and the repartition is SKIPPED — shuffling (id, text) payloads
+    # costs far more than the minima aggregate's own post-partial-agg
+    # exchange of (doc_id, num_perm x 8B).
+    from proteus_engine_spark.operators.partitioning import widen_if_narrow
+
     sh = shingles(
-        docs.select(id_col, text_col).repartition(n_parts, id_col), text_col, k=shingle_k
+        widen_if_narrow(docs.select(id_col, text_col), n_parts, id_col), text_col, k=shingle_k
     )
     # Each shingle STRING is hashed once; the num_perm permutations re-hash
     # the resulting 8-byte long (xxhash64(h, seed)) — ~3× faster than
@@ -901,9 +905,11 @@ def duplicate_spans(
         f"transform(sequence(1, size(t) - {k} + 1), "
         f"i -> xxhash64(array_join(slice(t, i, {k}), ' ')))"
     )
+    from proteus_engine_spark.operators.partitioning import widen_if_narrow
+
     n_parts = docs.sparkSession.sparkContext.defaultParallelism
     g = (
-        toks.repartition(n_parts)
+        widen_if_narrow(toks, n_parts)
         .select(F.col(id_col), F.explode(span_hashes).alias("h"))
     )
     nd = g.groupBy("h").agg(F.countDistinct(id_col).alias("nd"))
@@ -965,8 +971,10 @@ def remove_duplicate_spans(
     toks = docs.select(
         F.col(id_col), F.split(F.lower(F.col(text_col)), r"\s+").alias("t")
     )
+    from proteus_engine_spark.operators.partitioning import widen_if_narrow
+
     n_parts = docs.sparkSession.sparkContext.defaultParallelism
-    toks_wide = toks.repartition(n_parts)
+    toks_wide = widen_if_narrow(toks, n_parts)
     # 1-based span starts, mirroring duplicate_spans' gram construction
     span_structs = F.expr(
         f"transform(sequence(1, size(t) - {k} + 1), "

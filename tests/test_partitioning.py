@@ -85,3 +85,41 @@ def test_zip_with_index_multi_partition_counts(spark):
     out = zip_with_index(df)
     idxs = [r["idx"] for r in out.collect()]
     assert sorted(idxs) == list(range(1003))
+
+
+# --- widen_if_narrow (r17 optimization round: scale-adaptive widening) ---
+
+
+def test_widen_if_narrow_repartitions_single_file(spark, tmp_path):
+    from proteus_engine_spark.operators.partitioning import widen_if_narrow
+
+    p = str(tmp_path / "one")
+    spark.range(100).coalesce(1).write.parquet(p)
+    df = spark.read.parquet(p)
+    out = widen_if_narrow(df, 8)
+    assert "REPARTITION_BY_NUM" in _plan(out)
+    assert sorted(r["id"] for r in out.collect()) == list(range(100))
+
+
+def test_widen_if_narrow_skips_wide_scan(spark, tmp_path):
+    from proteus_engine_spark.operators.partitioning import widen_if_narrow
+
+    p = str(tmp_path / "many")
+    spark.range(100).repartition(10).write.parquet(p)
+    df = spark.read.parquet(p)
+    # 10 files >= 8 target: provably wide, the repartition must be skipped
+    out = widen_if_narrow(df, 8)
+    assert out is df
+    # but a higher target than the file count still repartitions
+    assert "REPARTITION_BY_NUM" in _plan(widen_if_narrow(df, 64))
+
+
+def test_widen_if_narrow_key_columns_and_nonfile_fallback(spark):
+    from proteus_engine_spark.operators.partitioning import widen_if_narrow
+
+    df = spark.range(100).withColumn("k", F.col("id") % 5)
+    # non-file plans (range) have no input files: always repartition
+    plan = _plan(widen_if_narrow(df, 8, "k"))
+    assert "hashpartitioning" in plan and "k#" in plan
+    plan = _plan(widen_if_narrow(df, 8))
+    assert "REPARTITION_BY_NUM" in plan

@@ -578,3 +578,27 @@ def test_inner_combinations_validation():
     p2, e2 = g2.compile()
     assert e2 == {0: 1}
     assert any(s.combinations for s in p2.steps)
+
+
+def test_bloom_probe_single_arrow_crossing(spark):
+    """r17 optimization pin: the Bloom probe must appear EXACTLY once in
+    the physical plan (corpus side). Left deterministic, Catalyst's
+    InferFiltersFromConstraints copies the pandas-UDF predicate across
+    the gh equi-join onto the eval side, where it is always-true (a
+    Bloom filter has no false negatives on the keys that built it) and
+    costs a second ArrowEvalPython crossing; asNondeterministic pins it."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from proteus_engine_spark.datapipe.decontam import ngram_overlap_counts_bloom
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"alpha beta gamma delta {i} epsilon zeta") for i in range(40)]
+    )
+    out = ngram_overlap_counts_bloom(
+        docs.filter(F.col("doc_id") % 5 != 0),
+        docs.filter(F.col("doc_id") % 5 == 0),
+        n=3,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1
