@@ -471,6 +471,14 @@ def dsir_select(
     dbc = tok.groupBy(id_col, "__t__", "__b__").agg(
         F.count(F.lit(1)).cast("long").alias("__n__")
     )
+    # The (doc, bucket) aggregate is consumed THREE times below — the
+    # scoring join, the model aggregate, and (through model) the totals
+    # aggregate — and Spark materializes no common subplans, so without
+    # pinning, the full corpus tokenize+explode runs 3x per query. The
+    # checkpoint holds (id, bool, 2-char bucket, count) rows: bounded by
+    # docs x 256, orders of magnitude smaller than the text it replaces
+    # (r17 opt round; results identical, tokenize passes 3 -> 1).
+    dbc = dbc.localCheckpoint(eager=True)
     model = dbc.groupBy("__b__").agg(
         F.sum("__n__").alias("__cr__"),
         F.sum(F.when(F.col("__t__"), F.col("__n__")).otherwise(F.lit(0))).alias("__ct__"),

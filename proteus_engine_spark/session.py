@@ -63,9 +63,14 @@ def get_session(
         # hold (guide-recommended): it skips both sort passes of
         # sort-merge and only applies when a build side fits per-partition
         # memory, so sort-merge remains the fallback for huge-both-sides
-        # joins. Interleaved A/B (r17): every SMJ-bearing headline query
-        # improved — graph_jaccard 0.71x, dedup_semantic 0.83x,
-        # text_nb_source_classify 0.84x, classify_calibration_bins 0.88x.
+        # joins. NOTE (r17 correction): on the local bench this flag is
+        # PLAN-NEUTRAL — a conf-toggle comparison over every SMJ-bearing
+        # headline query produced byte-identical plans (modulo lambda ids),
+        # and the executed final adaptive plans still choose sort-merge
+        # (plan-time size estimates exceed the local-hash-map bound, and
+        # AQE's cost evaluator keeps a cost-equal plan). Kept for the
+        # production case the guide targets: a cluster-side join whose
+        # build side fits per-partition memory skips two sort passes.
         .config("spark.sql.join.preferSortMergeJoin", "false")
         # Parquet TIMESTAMP(NANOS) (the events table) has no Spark type;
         # read as long and convert in the source layer (sources/tables.py).
