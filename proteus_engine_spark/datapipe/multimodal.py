@@ -301,6 +301,13 @@ def phash_near_dup_pairs(
     width = bits // bands
     mask = (1 << width) - 1
     h = hashes.select(F.col(id_col), F.col(hash_col).alias("__ph__"))
+    # The banded frame below feeds BOTH sides of the candidate self-join
+    # and Spark materializes no common subplans, so without a pin the
+    # upstream fingerprint pass (payload scan + mapInPandas dHash) would
+    # execute once per join side (r17 scan audit: documents scanned 2x).
+    # Pin the (id, hash) projection once — 16 bytes/row, the only thing
+    # the join needs — so payloads are read and hashed exactly once.
+    h = h.localCheckpoint(eager=True)
     banded = h.select(
         id_col,
         "__ph__",

@@ -904,6 +904,12 @@ def source_profile_similarity(
         .select(F.col(group_col), F.explode(_tokens(text_col)).alias("term"))
         .groupBy(group_col, "term")
         .agg(F.count(F.lit(1)).alias("c"))
+        # Pin the (source, term, c) profile once: it feeds four subplans
+        # below (both self-join sides + both norm broadcasts) and Spark
+        # materializes no common subplans, so lazily the "ONE tokenize
+        # pass" ran four times (r17 scan audit: documents 4x). The frame
+        # is vocabulary x sources — corpus-size independent.
+        .localCheckpoint(eager=True)
     )
     norms = prof.groupBy(group_col).agg(F.sum(F.col("c") * F.col("c")).alias("ss"))
     a = prof.select(

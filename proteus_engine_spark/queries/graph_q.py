@@ -38,6 +38,13 @@ def _cust_part_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_partkey").alias("dst"),
         )
         .distinct()
+        # Pin the bounded probe graph once: graph algorithms reference
+        # their edge frame several times (degree branches, join sides,
+        # iteration seeds) and each lazy reference re-ran the
+        # lineitem⋈orders build (r17 scan audit: lineitem/orders 2x+ in
+        # the degree gate's plan). The frame is bounded by the partkey
+        # probe filter, not corpus-sized.
+        .localCheckpoint(eager=True)
     )
 
 
@@ -49,6 +56,11 @@ def _part_part_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, (F.col("l_orderkey") == F.col("ok2")) & (F.col("src") < F.col("dst")))
         .select("src", "dst")
         .distinct()
+        # Same pin as _cust_part_edges: the co-purchase self-join ran once
+        # per edge reference inside the library algorithms (r17 scan
+        # audit: lineitem 4x in graph_vertex_metrics). Bounded by the
+        # 120-part probe filter.
+        .localCheckpoint(eager=True)
     )
 
 
@@ -321,6 +333,10 @@ def graph_summarize(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "part")
         .filter(F.col("p_partkey") < 120)
         .select(F.col("p_partkey").alias("vertex"), F.col("p_brand").alias("value"))
+        # summarize() expands its vertex frame four times (group build +
+        # both endpoint rep-map joins); pin the 120-row probe once (r17
+        # scan audit: part 4x in this plan).
+        .localCheckpoint(eager=True)
     )
     _sv, se = summarize(verts, _part_part_edges(spark, sf_dir))
     return se

@@ -70,6 +70,11 @@ def ml_feature_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "lineitem")
         .filter(F.col("l_partkey") < 30)
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_tax")
+        # Each chained scaler references its input twice (fit aggregate +
+        # transform join) so the lazy slice expanded 4x through the two
+        # scalers (r17 scan audit: lineitem 4x in this plan). Pin the
+        # bounded probe slice once.
+        .localCheckpoint(eager=True)
     )
     scaled = min_max_scaler(standard_scaler(base, ["l_quantity"]), ["l_tax"])
     return scaled.select(

@@ -3237,8 +3237,14 @@ def stream_window_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(doc_id + 1) div 100").alias("window_id"),
         F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token"),
     )
-    exact = btoks.groupBy("window_id", "token").agg(
-        F.count(F.lit(1)).alias("exact_n")
+    # Pin the window x vocabulary exact-count frame once — lazily the
+    # `total` rollup re-ran the batch tokenize pass (r17 scan audit:
+    # documents 3x in this plan; the 1-row max below is the remaining
+    # narrow scan).
+    exact = (
+        btoks.groupBy("window_id", "token")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .localCheckpoint(eager=True)
     )
     total = exact.groupBy("window_id").agg(F.sum("exact_n").alias("total"))
     mx = docs.agg((F.max("doc_id") + 1).alias("max_min"))

@@ -111,10 +111,16 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     horizon arithmetic in portable INTERVAL math. Returns one row per
     step (step, step_name, n_users, conversion vs step 1)."""
     ev = load_table(spark, sf_dir, "events")
+    # Pin each funnel step's per-user frame once: the step chain
+    # references s 4x and v7 2x, and with lazy frames every reference
+    # re-expands its whole upstream (the r17 scan audit read events 9x in
+    # this plan). Pinned, the query scans events exactly once per event
+    # type; the pinned frames are user-cardinality, not event-cardinality.
     s = (
         ev.filter(F.col("event_type") == "signup")
         .groupBy("user_id")
         .agg(F.min("ts").alias("s_ts"))
+        .localCheckpoint(eager=True)
     )
     v = (
         ev.filter(F.col("event_type") == "view")
@@ -123,9 +129,12 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("ts").alias("v_ts"))
     )
-    v7 = v.join(s, "user_id").filter(
-        F.col("v_ts") <= F.col("s_ts") + F.expr("INTERVAL 7 DAY")
-    ).select("user_id", "v_ts")
+    v7 = (
+        v.join(s, "user_id")
+        .filter(F.col("v_ts") <= F.col("s_ts") + F.expr("INTERVAL 7 DAY"))
+        .select("user_id", "v_ts")
+        .localCheckpoint(eager=True)
+    )
     p = (
         ev.filter(F.col("event_type") == "purchase")
         .join(v7, "user_id")
@@ -204,8 +213,13 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("datediff(to_date(ts), DATE '2024-01-01')") / 7
         ).alias("week"),
     )
-    first_wk = wk.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
-    active = wk.distinct()
+    # Pin the distinct (user, week) frame once and derive the cohort week
+    # from it (min over distinct weeks == min over all weeks): lazily the
+    # first-week aggregate and the active frame each re-ran the events
+    # scan (r17 scan audit: events 2x in this plan; 1x after). User-week
+    # cardinality rows only.
+    active = wk.distinct().localCheckpoint(eager=True)
+    first_wk = active.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
     return (
         active.join(first_wk, "user_id")
         .select(
@@ -312,7 +326,14 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("next_type").isNotNull())
         .select(F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type"))
     )
-    c = pairs.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    # Pin the enum x enum transition counts once — lazily the row-total
+    # rollup re-ran the whole per-user window pass (r17 scan audit:
+    # events 2x in this plan; 1x after).
+    c = (
+        pairs.groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
     t = c.groupBy("from_type").agg(F.sum("n").alias("row_total"))
     return (
         c.join(F.broadcast(t), "from_type")
@@ -378,6 +399,12 @@ def events_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").alias("monetary_cents"),
         )
         .drop("a")
+        # Pin the per-user RFM frame once: it feeds both the cut-point
+        # aggregate and the scored output, and lazily each reference
+        # re-ran the purchase scan + anchor + aggregate (r17 scan audit:
+        # events 4x in this plan; 2x after — the anchor pass is the
+        # inherent remainder). User-cardinality rows only.
+        .localCheckpoint(eager=True)
     )
     qs = F.array(*[F.lit(x) for x in (0.2, 0.4, 0.6, 0.8)])
     cuts = rfm.agg(
@@ -432,8 +459,15 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     double arithmetic in both engines (Spark `percentile` ≡ DuckDB
     `quantile_cont` interpolation, the established parity)."""
     ev = load_table(spark, sf_dir, "events").select("event_type", "value")
-    med = ev.groupBy("event_type").agg(
-        F.percentile("value", F.lit(0.5)).alias("med")
+    # Pin the enum-sized per-type median once: `dev` below is expanded
+    # twice (MAD aggregate + verdict aggregate) and each lazy expansion
+    # re-ran the median's own events pass (r17 scan audit: events 4x in
+    # this plan; 3x after — median pass, MAD pass, verdict pass are the
+    # algorithm's inherent three).
+    med = (
+        ev.groupBy("event_type")
+        .agg(F.percentile("value", F.lit(0.5)).alias("med"))
+        .localCheckpoint(eager=True)
     )
     dev = ev.join(F.broadcast(med), "event_type").withColumn(
         "ad", F.abs(F.col("value") - F.col("med"))
@@ -531,10 +565,20 @@ def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchor (the cohort-retention arithmetic); output rows are days with
     at least one event (the DAU join prunes phantom trailing days)."""
     ev = load_table(spark, sf_dir, "events")
-    ud = ev.select(
-        "user_id",
-        F.expr("datediff(to_date(ts), DATE '2024-01-01')").cast("long").alias("day"),
-    ).distinct()
+    ud = (
+        ev.select(
+            "user_id",
+            F.expr("datediff(to_date(ts), DATE '2024-01-01')")
+            .cast("long")
+            .alias("day"),
+        )
+        .distinct()
+        # Pin the distinct (user, day) frame once: DAU, WAU and MAU each
+        # re-ran the full events scan + distinct lazily (r17 scan audit:
+        # events 3x in this plan; 1x after). The frame is user-day
+        # cardinality — the natural materialization for this rollup.
+        .localCheckpoint(eager=True)
+    )
     dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
 
     def rolling(n: int, out: str) -> DataFrame:

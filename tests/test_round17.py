@@ -602,3 +602,56 @@ def test_bloom_probe_single_arrow_crossing(spark):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ArrowEvalPython") == 1
+
+
+def test_phash_pairs_single_fingerprint_pass(spark):
+    """E18 pin: phash_near_dup_pairs self-joins its banded frame, so
+    without the (id, hash) pin the upstream fingerprint pass (payload
+    scan + mapInPandas dHash) executed once per join side. After the pin
+    the final plan must contain ZERO MapInPandas nodes (the one
+    fingerprint pass ran at pin time) and read both join sides from the
+    pinned RDD."""
+    from pyspark.sql import Row
+
+    from proteus_engine_spark.datapipe.multimodal import (
+        perceptual_hash,
+        phash_near_dup_pairs,
+    )
+
+    rows = [
+        Row(media_id=i, payload=bytes([i % 7] * 250) + bytes([i]))
+        for i in range(30)
+    ]
+    hashes = perceptual_hash(spark.createDataFrame(rows))
+    pairs = phash_near_dup_pairs(hashes, max_distance=3, bands=4, bits=60)
+    pairs.collect()
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 0, plan
+    assert plan.count("Scan ExistingRDD") >= 2, plan
+
+
+def test_source_profile_single_tokenize_pass(spark):
+    """E18 pin: source_profile_similarity's (source, term, c) profile
+    feeds four subplans (both self-join sides + both norm broadcasts);
+    the pin makes the docstring's "ONE tokenize pass" literally true —
+    the final plan holds no explode/Generate node (the tokenize ran at
+    pin time) and the cosine of two identical single-doc sources is 1."""
+    from pyspark.sql import Row
+
+    from proteus_engine_spark.datapipe.textstats import (
+        source_profile_similarity,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            Row(source="a", text="x y z x"),
+            Row(source="b", text="x y z x"),
+            Row(source="c", text="q q q"),
+        ]
+    )
+    out = source_profile_similarity(docs)
+    got = {(r.source_a, r.source_b): r.cos_sim for r in out.collect()}
+    assert got[("a", "b")] == 1.0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Generate") == 0, plan
+    assert plan.count("Scan ExistingRDD") >= 4, plan
