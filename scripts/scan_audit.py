@@ -72,6 +72,16 @@ def main() -> None:
             "exchanges": len(re.findall(r"\bExchange\b", plan)),
             "reused_exchanges": len(re.findall(r"\bReusedExchange\b", plan)),
             "max_table_scans": max(tables.values(), default=0),
+            # Python-boundary and join-shape census (guide §3/§4): each
+            # node is one JVM<->Python crossing / join strategy instance
+            # in the final plan.
+            "arrow_eval": plan.count("ArrowEvalPython"),
+            "batch_eval": plan.count("BatchEvalPython"),
+            "map_in_pandas": plan.count("MapInPandas"),
+            "flatmap_groups": plan.count("FlatMapGroupsInPandas"),
+            "cartesian": plan.count("CartesianProduct"),
+            "smj": plan.count("SortMergeJoin"),
+            "bnl": plan.count("BroadcastNestedLoopJoin"),
         }
         report[name] = entry
         flag = " <== MULTI-SCAN" if entry["max_table_scans"] >= 2 else ""
