@@ -225,7 +225,11 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in names:
         fn = REGISTRY[name].fn
+        # §1.5: label every query's jobs so UI/event-log traces are
+        # attributable when the bench runs with the UI enabled.
+        spark.sparkContext.setJobDescription(f"bench: {name}")
         timings[name] = timed(lambda: fn(spark, SF_DIR).count())
+    spark.sparkContext.setJobDescription(None)
 
     total = round(sum(timings.values()), 4)
     print(
