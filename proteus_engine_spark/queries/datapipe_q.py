@@ -2193,6 +2193,7 @@ def stream_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from proteus_engine_spark.streaming.sources import (
         probe_parquet_schema,
         run_to_completion,
+        state_partitions_for,
     )
 
     path = os.path.join(sf_dir, "documents.parquet")
@@ -2211,7 +2212,10 @@ def stream_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("r_stopwords").cast("long")).alias("n_stopwords_ok"),
         F.sum("n_tokens").alias("total_tokens"),
     )
-    return run_to_completion(agg, "stream_gopher_filter_sink", "complete")
+    return run_to_completion(
+        agg, "stream_gopher_filter_sink", "complete",
+        state_partitions=state_partitions_for(spark, sf_dir, "documents"),
+    )
 
 
 @register(
@@ -2934,7 +2938,9 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         # probe + scoring join); pin the tiny doc-as-query aggregate once.
         .localCheckpoint(eager=True)
     )
-    lex = bm25_topk(docs, query_terms=qdf, k=10, doc_lengths=dl).select(
+    lex = bm25_topk(
+        docs, query_terms=qdf, k=10, doc_lengths=dl, pin_postings=True
+    ).select(
         F.col("query_id").alias("q_id"), F.col("doc_id").alias("c_id"), F.col("rk").alias("rank")
     )
     vec = F.col("embedding").cast("array<double>")
@@ -3023,6 +3029,7 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from proteus_engine_spark.streaming.sources import (
         probe_parquet_schema,
         run_to_completion,
+        state_partitions_for,
     )
 
     path = os.path.join(sf_dir, "documents.parquet")
@@ -3052,7 +3059,10 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_new_docs"),
         F.sum("doc_id").alias("id_checksum"),
     )
-    return run_to_completion(agg, "stream_incr_dedup_sink", "complete")
+    return run_to_completion(
+        agg, "stream_incr_dedup_sink", "complete",
+        state_partitions=state_partitions_for(spark, sf_dir, "documents"),
+    )
 
 
 @register(
@@ -3906,6 +3916,7 @@ def stream_dedup_media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from proteus_engine_spark.streaming.sources import (
         probe_parquet_schema,
         run_to_completion,
+        state_partitions_for,
     )
 
     ascii_docs = (
@@ -3980,7 +3991,10 @@ def stream_dedup_media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long").alias("hamming"),
         )
     )
-    return run_to_completion(out, "stream_media_dedup_sink", "append")
+    return run_to_completion(
+        out, "stream_media_dedup_sink", "append",
+        state_partitions=state_partitions_for(spark, sf_dir, "documents"),
+    )
 
 
 @register(
@@ -4131,6 +4145,7 @@ def stream_count_min_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     from proteus_engine_spark.streaming.sources import (
         probe_parquet_schema,
         run_to_completion,
+        state_partitions_for,
     )
 
     path = os.path.join(sf_dir, "documents.parquet")
@@ -4148,6 +4163,7 @@ def stream_count_min_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         count_min_table(stream_toks, "token", depth=4, width=256),
         "stream_cms_sink",
         "complete",
+        state_partitions=state_partitions_for(spark, sf_dir, "documents"),
     )
     batch_toks = load_table(spark, sf_dir, "documents").select(
         F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token")

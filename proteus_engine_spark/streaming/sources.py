@@ -69,17 +69,82 @@ def rate_stream(spark: SparkSession, rows_per_second: int = 1000) -> DataFrame:
     )
 
 
-def run_to_completion(df: DataFrame, query_name: str, output_mode: str = "complete") -> DataFrame:
+def state_partitions_for(
+    spark: SparkSession,
+    sf_dir: str,
+    *tables: str,
+    bytes_per_partition: int = 256 * 1024,
+    floor: int = 4,
+) -> int | None:
+    """Scale-adaptive state-store partition count for a streaming query
+    (r18, guide §2 — partitioning derived from input size, not a local
+    constant).
+
+    Every stateful operator plans ``spark.sql.shuffle.partitions`` state
+    store instances, and EVERY micro-batch pays a fixed per-instance cost
+    (store init + delta-file commit, plus one Arrow runner round-trip per
+    partition for Python-stateful operators) regardless of how many keys
+    the partition holds. When the source is KB-MB scale those fixed costs
+    dominate the whole query: the r18 interleaved A/B
+    (plans/r18/ab_stream_parts1.json) measured the four heavy streaming
+    gates 1.2-2x faster at 8 partitions than at 32 on a 2 MB source, and
+    the r17 driver's own 8-core bench ran stream_session_windows_chained
+    3x faster purely because its session default was 8.
+
+    The returned value is ``clamp(source_bytes / bytes_per_partition,
+    floor, session shuffle.partitions)`` — it NEVER exceeds the session's
+    configured value, so a production deployment (real shuffle.partitions
+    sizing, multi-GB+ sources) is unchanged; the count only drops toward
+    ``floor`` when the source itself is small enough that per-store fixed
+    costs provably dominate. ``floor`` stays above 1 because the
+    Python-stateful gates' per-key transition walk still wants real
+    parallelism (the A/B shows the delta-trigger walk degrading below 8).
+    Returns None (= keep the session default) when a size cannot be
+    determined."""
+    total = 0
+    for t in tables or ("events",):
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        try:
+            total += os.path.getsize(path)
+        except OSError:
+            return None
+    try:
+        cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        return None
+    n = (total + bytes_per_partition - 1) // bytes_per_partition
+    return int(max(min(cap, n), min(floor, cap)))
+
+
+def run_to_completion(
+    df: DataFrame,
+    query_name: str,
+    output_mode: str = "complete",
+    state_partitions: int | None = None,
+) -> DataFrame:
     """Drive a (bounded) streaming DataFrame to completion into a memory
     sink and return the final result table. Test/oracle harness only — a
-    production deployment writes to parquet/kafka with checkpointing."""
+    production deployment writes to parquet/kafka with checkpointing.
+
+    ``state_partitions`` (r18): number of shuffle/state-store partitions
+    the streaming query plans with (see ``state_partitions_for``). The
+    conf is set only for the ``start()`` call — Structured Streaming
+    clones the session configuration into the query at start, so the
+    running stream keeps the value while the session is restored
+    immediately; keyed-state results are partition-count-independent."""
     spark = df.sparkSession
-    q = (
-        df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(query_name)
-        .start()
+    writer = (
+        df.writeStream.outputMode(output_mode).format("memory").queryName(query_name)
     )
+    if state_partitions:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+        try:
+            q = writer.start()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    else:
+        q = writer.start()
     try:
         q.processAllAvailable()
     finally:
@@ -297,17 +362,27 @@ def events_stream_late(
 
 
 def run_to_completion_observed(
-    df: DataFrame, query_name: str, output_mode: str = "append"
+    df: DataFrame,
+    query_name: str,
+    output_mode: str = "append",
+    state_partitions: int | None = None,
 ) -> tuple[DataFrame, list]:
     """run_to_completion variant that also returns the query's progress
-    events, for metric assertions (dropped-late-row counts etc.)."""
+    events, for metric assertions (dropped-late-row counts etc.).
+    ``state_partitions`` as in ``run_to_completion``."""
     spark = df.sparkSession
-    q = (
-        df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(query_name)
-        .start()
+    writer = (
+        df.writeStream.outputMode(output_mode).format("memory").queryName(query_name)
     )
+    if state_partitions:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+        try:
+            q = writer.start()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    else:
+        q = writer.start()
     try:
         q.processAllAvailable()
         progress = list(q.recentProgress)
