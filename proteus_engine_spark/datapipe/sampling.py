@@ -307,7 +307,20 @@ def interleave_by_weight(
     (a window over #groups rows — config-bounded); the final position is
     a second global sort on (virtual_time, group, key) + the same
     two-phase rank. Virtual-time ties across groups break by (group,
-    key), so the permutation is total and engine-reproducible."""
+    key), so the permutation is total and engine-reproducible.
+
+    Weight-coverage validation is IN-PLAN (r18, guide §5 — no driver
+    work): a group value with no weight hits the pacing expression's
+    ``raise_error`` fallback branch, failing the job with
+    "groups without a weight: ['<group>']" at the first offending row.
+    The previous implementation pre-scanned the full group column
+    (``distinct().collect()``) just to build that message — a whole
+    extra corpus pass at 100 TB before any real work; the in-plan guard
+    costs zero jobs and still can never emit a mis-paced row. The error
+    now surfaces when the pacing expression is first materialized
+    (inside this call's final zip_with_index) as a Spark
+    USER_RAISED_EXCEPTION rather than a driver ValueError, and names the
+    first offending group rather than the full sorted list."""
     from functools import reduce
 
     from proteus_engine_spark.operators.partitioning import zip_with_index
@@ -315,10 +328,6 @@ def interleave_by_weight(
     for g, w in weights.items():
         if not w > 0:
             raise ValueError(f"weight for group {g!r} must be > 0, got {w}")
-    present = [r[0] for r in df.select(group_col).distinct().collect()]
-    missing = [g for g in present if g not in weights]
-    if missing:
-        raise ValueError(f"groups without a weight: {sorted(missing)}")
 
     h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
     ranked = zip_with_index(
@@ -333,10 +342,20 @@ def interleave_by_weight(
         group_col,
         F.coalesce(F.sum("__cnt__").over(w_off), F.lit(0)).cast("long").alias("__off__"),
     )
+    # in-plan coverage guard: an unweighted (or NULL) group value raises
+    # from the executor instead of silently pacing with a NULL weight
     weight_expr = reduce(
         lambda acc, gw: acc.when(F.col(group_col) == gw[0], F.lit(float(gw[1]))),
         weights.items(),
         F.when(F.lit(False), F.lit(0.0)),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("groups without a weight: ['"),
+                F.col(group_col).cast("string"),
+                F.lit("']"),
+            )
+        ).cast("double")
     )
     vt = ((F.col("__gr__") - F.col("__off__") + 1) / weight_expr).alias("__vt__")
     paced = (
@@ -374,16 +393,23 @@ def sample_to_token_budget(
     over #partitions rows); each partition computes its local running
     sum in parallel; the within-GROUP total converts from the global one
     by subtracting broadcast per-group bases (window over #groups rows).
-    One range shuffle, everything else map-side."""
+    One range shuffle, everything else map-side.
+
+    Budget-coverage validation is IN-PLAN (r18, guide §5 — no driver
+    work): a group value with no budget hits the budget expression's
+    ``raise_error`` fallback, failing the job with
+    "groups without a budget: ['<group>']" at the first offending row —
+    the previous ``distinct().collect()`` pre-scan of the whole group
+    column (a full extra corpus pass at 100 TB) is gone. The error now
+    surfaces at the caller's first action over the returned frame as a
+    Spark USER_RAISED_EXCEPTION rather than a call-time driver
+    ValueError, and names the first offending group rather than the
+    full sorted list."""
     from pyspark.sql.window import Window
 
     for g, b in budgets.items():
         if not b >= 0:
             raise ValueError(f"budget for group {g!r} must be >= 0, got {b}")
-    present = [r[0] for r in df.select(group_col).distinct().collect()]
-    missing = [g for g in present if g not in budgets]
-    if missing:
-        raise ValueError(f"groups without a budget: {sorted(missing)}")
 
     size = (F.col(size_col) if isinstance(size_col, str) else size_col).cast("long")
     h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
@@ -408,7 +434,15 @@ def sample_to_token_budget(
         F.coalesce(F.sum("__gsum__").over(w_g), F.lit(0)).cast("long").alias("__gbase__"),
     )
     w_local = Window.partitionBy("__pid__").orderBy(group_col, "__h__", key_col)
-    budget_expr = F.lit(None).cast("long")
+    # in-plan coverage guard: an unbudgeted (or NULL) group value raises
+    # from the executor instead of being silently dropped by a NULL cut
+    budget_expr = F.raise_error(
+        F.concat(
+            F.lit("groups without a budget: ['"),
+            F.col(group_col).cast("string"),
+            F.lit("']"),
+        )
+    ).cast("long")
     for g, b in budgets.items():
         budget_expr = F.when(F.col(group_col) == g, F.lit(int(b))).otherwise(budget_expr)
     out = (

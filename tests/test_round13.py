@@ -1058,8 +1058,11 @@ class TestInterleave:
         )
         with pytest.raises(ValueError, match="must be > 0"):
             interleave_by_weight(df, "g", {"a": 0})
-        with pytest.raises(ValueError, match="without a weight"):
-            interleave_by_weight(df, "g", {"b": 1.0})
+        # r18: the coverage guard moved in-plan (no driver-side pre-scan
+        # of the group column) — it now raises from the executor when the
+        # pacing expression is materialized, not as a call-time ValueError
+        with pytest.raises(Exception, match="without a weight"):
+            interleave_by_weight(df, "g", {"b": 1.0}).collect()
 
 
 # ----------------------------- token-budget sampling
@@ -1111,8 +1114,10 @@ class TestTokenBudget:
         assert {r.doc_id for r in out} == {2}
         with pytest.raises(ValueError, match="must be >= 0"):
             sample_to_token_budget(df, "g", {"a": -1, "b": 1}, size_col=sz)
-        with pytest.raises(ValueError, match="without a budget"):
-            sample_to_token_budget(df, "g", {"a": 5}, size_col=sz)
+        # r18: in-plan coverage guard (see interleave_by_weight note) —
+        # the error surfaces at the first action over the returned frame
+        with pytest.raises(Exception, match="without a budget"):
+            sample_to_token_budget(df, "g", {"a": 5}, size_col=sz).collect()
 
 
 # ----------------------------- normalized exact dedup
