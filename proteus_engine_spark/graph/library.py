@@ -148,25 +148,44 @@ def page_rank(
     edges = edges.select(src, dst).localCheckpoint(eager=True)
     verts = _vertices(edges, src, dst).localCheckpoint(eager=True)
     n = verts.count()
+    # r18 (guide §2.4/§2.2): the out-degree join leaves the loop — it is
+    # iteration-invariant, yet re-ran (joining and shuffling the edge
+    # list) once per step. Attach od to each edge ONCE in a pinned frame;
+    # per-iteration plans drop the outd aggregate + join entirely
+    # (plans/r18/graph_pagerank_iter*_{before,after}.txt: 18 -> 16
+    # exchanges, 18 -> 15 subplan scans per iteration). NOTE: a
+    # pre-partitioning repartition was measured useless here — under AQE
+    # localCheckpoint records UnknownPartitioning, so the join exchanges
+    # re-plan regardless; the win is the removed join, not layout.
     outd = edges.groupBy(F.col(src).alias("vertex")).agg(
         F.count(F.lit(1)).alias("od")
-    ).localCheckpoint(eager=True)
+    )
+    ed = (
+        edges.select(F.col(src).alias("vertex"), F.col(dst).alias("to"))
+        .join(outd, "vertex")
+        .localCheckpoint(eager=True)
+    )
     scores = verts.withColumn("score", F.lit(1.0 / n))
     for _ in range(iterations):
+        contrib = (
+            ed.join(scores, "vertex")
+            .groupBy(F.col("to").alias("vertex"))
+            .agg(F.sum(F.col("score") / F.col("od")).alias("contrib"))
+        )
         # the sink-mass scalar stays IN the plan: a one-row aggregate
         # broadcast onto every vertex (the reference materializes the same
         # global as a broadcast set, PageRank.java:420-427). One job per
         # iteration — no driver-side collect barrier between the aggregate
-        # and the transfer.
-        nonsink = scores.join(outd, "vertex").agg(
-            F.coalesce(F.sum("score"), F.lit(0.0)).alias("__ns__")
-        )
-        contrib = (
-            edges.select(F.col(src).alias("vertex"), F.col(dst).alias("to"))
-            .join(scores, "vertex")
-            .join(outd, "vertex")
-            .groupBy(F.col("to").alias("vertex"))
-            .agg(F.sum(F.col("score") / F.col("od")).alias("contrib"))
+        # and the transfer. r18: it is derived from the contribution frame
+        # itself — Σ_dst Σ_{u→dst} score(u)/od(u) = Σ_u od·score(u)/od(u)
+        # = Σ_{u non-sink} score(u), the identical quantity the former
+        # scores⋈outd branch computed (summation grouping differs only at
+        # the ~1e-16 double-rounding level; the gate hashes at 6dp and is
+        # tri-scale verified) — so the contrib exchange is REUSED and the
+        # whole second scores⋈edges pass leaves the per-iteration plan
+        # (plans/r18/graph_pagerank_iter*: 7 -> 4 exchanges/iteration).
+        nonsink = contrib.agg(
+            F.coalesce(F.sum("contrib"), F.lit(0.0)).alias("__ns__")
         )
         base = (
             F.lit(1.0 - damping) + F.lit(damping) * (F.lit(1.0) - F.col("__ns__"))
