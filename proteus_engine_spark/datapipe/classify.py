@@ -132,12 +132,20 @@ def nb_scores(
     id_col: str = "doc_id",
     text_col: str = "text",
     broadcast_model: bool = True,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """The full (id_col, class_col, score_micro long) score frame — one
     row per document × class, exact integer micro-nat sums. nb_classify
     takes its argmax; calibration takes its top-2 margin. Scale shape is
     nb_classify's: one tokenize pass, term-keyed broadcast model join,
-    (doc, class) aggregation, enum-sized prior broadcast."""
+    (doc, class) aggregation, enum-sized prior broadcast.
+
+    ``carry_cols`` (r18): per-document columns of ``docs`` carried
+    verbatim onto every output row (constant across a doc's class rows) —
+    lets a caller that needs them downstream (calibration's truth label)
+    avoid a second scan of ``docs`` plus a re-join on id. They ride the
+    doc-id frame that anchors the prior crossJoin, so the tokenize path
+    is untouched."""
     lik = F.broadcast(likelihoods) if broadcast_model else likelihoods
     pri = F.broadcast(priors)
     tf = (
@@ -153,7 +161,7 @@ def nb_scores(
     # every (doc, class) pair exists — docs with zero in-vocab tokens
     # score prior-only (coalesce 0)
     return (
-        docs.select(id_col)
+        docs.select(id_col, *carry_cols)
         .crossJoin(pri)
         .join(scores, [id_col, class_col], "left")
         .select(
@@ -162,6 +170,7 @@ def nb_scores(
             (F.coalesce(F.col("lik_sum"), F.lit(0)) + F.col("prior_micro")).alias(
                 "score_micro"
             ),
+            *carry_cols,
         )
     )
 
@@ -201,15 +210,23 @@ def nb_margin_calibration(
 
     from proteus_engine_spark.datapipe.textstats import quality_buckets
 
+    # r18: the truth label rides the scoring pipeline (nb_scores
+    # carry_cols) instead of a second `docs` scan + id re-join after the
+    # top-2 aggregate — one fewer corpus scan and one fewer join inside
+    # the pinned job; the label is constant per doc, so max() over the
+    # top-2 rows reproduces it exactly.
     scored = nb_scores(
-        docs, priors, likelihoods,
+        docs.withColumn("__true__", F.col(label_col)),
+        priors, likelihoods,
         class_col=class_col, id_col=id_col, text_col=text_col,
+        carry_cols=("__true__",),
     )
     w = Window.partitionBy(id_col).orderBy(
         F.desc("score_micro"), F.asc(class_col)
     )
     ranked = scored.select(
-        id_col, class_col, "score_micro", F.row_number().over(w).alias("rk")
+        id_col, class_col, "score_micro", "__true__",
+        F.row_number().over(w).alias("rk"),
     ).filter(F.col("rk") <= 2)
     top2 = (
         ranked.groupBy(id_col)
@@ -217,6 +234,7 @@ def nb_margin_calibration(
             F.max(F.when(F.col("rk") == 1, F.col(class_col))).alias("predicted"),
             F.max(F.when(F.col("rk") == 1, F.col("score_micro"))).alias("s1"),
             F.max(F.when(F.col("rk") == 2, F.col("score_micro"))).alias("s2"),
+            F.max("__true__").alias("__true__"),
         )
         .select(
             id_col,
@@ -224,6 +242,7 @@ def nb_margin_calibration(
             (F.col("s1") - F.coalesce(F.col("s2"), F.col("s1"))).alias(
                 "margin_micro"
             ),
+            "__true__",
         )
     )
     # eagerly checkpoint the per-doc (predicted, margin, truth) frame:
@@ -233,9 +252,7 @@ def nb_margin_calibration(
     # (doc, class) agg, top-2 window — re-executes once per branch (the
     # nb_token_model ct-checkpoint discipline; plan-audited r15: 3
     # duplicated Window nodes without, 1 with)
-    labeled = top2.join(
-        docs.select(id_col, F.col(label_col).alias("__true__")), id_col
-    ).localCheckpoint(eager=True)
+    labeled = top2.localCheckpoint(eager=True)
     binned = quality_buckets(
         labeled, score_col="margin_micro", id_col=id_col, n_buckets=n_bins
     ).join(labeled.select(id_col, "predicted", "__true__"), id_col)
