@@ -303,12 +303,12 @@ def tfidf_top_terms(
     # never 0): with a bare count(*) Catalyst prunes tf's count on this
     # branch, the two tf subplans canonicalize differently, and
     # ReusedExchange never fires — the tokenize+count pass would run twice
-    # per action (plan-tested in tests/test_round11.py). Reuse still
-    # depends on the terminal action keeping the score columns: a bare
-    # count() on the result prunes them, diverges the branches again, and
-    # pays a second tokenize pass — a degenerate access pattern (the
-    # count is k×num_docs by construction); real consumers
-    # (collect/write/filter) keep the reuse.
+    # per action (plan-tested in tests/test_round11.py). r18 executed-plan
+    # census: with this reference trick in place, AQE's RUNTIME exchange
+    # reuse covers every terminal — even a bare count() executes ONE
+    # tokenize scan + a ReusedExchange for this branch
+    # (plans/r18/text_tfidf_top_terms_executed_after.txt), closing the
+    # r17 "double tokenize under bare count()" note.
     dfreq = tf.groupBy("term").agg(
         F.count(F.when(F.col("tf") >= 1, 1)).alias("df")
     )
@@ -693,6 +693,7 @@ def bm25_topk(
     num_docs: int | None = None,
     query_terms: DataFrame | None = None,
     doc_lengths: DataFrame | None = None,
+    pin_postings: bool = False,
 ) -> DataFrame:
     """Batch BM25 retrieval: for each query string, the top-k documents
     by Okapi BM25 with the Lucene idf variant
@@ -777,6 +778,20 @@ def bm25_topk(
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    if pin_postings:
+        # r18: in the doc-as-query / reused-doc-lengths shape
+        # (sim_hybrid_rrf) the df aggregate and the scoring join
+        # canonicalize apart AT RUNTIME and AQE's exchange reuse misses —
+        # the corpus tokenize+probe pass executed twice per query
+        # (executed-plan census, plans/r18/sim_hybrid_rrf_executed_
+        # {before,after}.txt: 2 text scans -> 0 in the main job). The pin
+        # is candidate-bounded (docs sharing a query term × their matched
+        # terms — the rows the tf shuffle already carries), never the raw
+        # corpus. It stays OFF by default: in the literal-query shape
+        # (text_bm25_topk) runtime reuse DOES fire and the pin only adds
+        # a job (interleaved A/B plans/r18/ab_bm25_pin1.json: pinned
+        # slower in all 5 rounds there, wash on the rrf gate locally).
+        tf = tf.localCheckpoint(eager=True)
     # df REFERENCES tf (count of tf>=1 == count(*) — tf is never 0): a
     # bare count(*) would let Catalyst prune tf on this branch, the two
     # tf subplans would canonicalize apart, and ReusedExchange would
