@@ -36,7 +36,7 @@ def main() -> None:
         names = [n.strip() for n in sys.argv[2].split(",") if n.strip()]
 
     spark = get_session(app_name="proteus-plan-capture")
-    out_dir = REPO / "plans" / "r17"
+    out_dir = REPO / "plans" / os.environ.get("PROTEUS_PLANS_ROUND", "r18")
     out_dir.mkdir(parents=True, exist_ok=True)
 
     for name in names:

@@ -10,11 +10,24 @@ reads every column, which at 100 TB means scanning the wide payload
 column for a query that only needs ids.
 
 Flag rule: a scan is WIDE-FLAGGED when its ReadSchema includes one of
-the corpus payload / comment columns (documents.text, lineitem.l_comment,
-orders.o_comment, part.p_comment, customer.c_comment, supplier.s_comment,
-embeddings.vec) — each flag is then adjudicated: tokenizing/fingerprint
-gates legitimately read text; a flag is a DEFECT only when the gate's
-output provably does not depend on the wide column.
+the corpus payload columns (documents.text, embeddings.embedding) —
+each flag is then adjudicated: tokenizing/fingerprint gates
+legitimately read text, scoring gates legitimately read embeddings; a
+flag is a DEFECT only when the gate's output provably does not depend
+on the wide column. The TPC-H *_comment entries are kept for schema
+drift only: the driver-generated tables carry NO comment columns
+(lineitem ends at l_shipdate), so those entries are inert by
+construction today and would only fire if the generator ever grew
+them — they are documentation, not an exercised audit result.
+
+r18 fixes (ADVICE items): (1) the ReadSchema regex previously stopped
+at the FIRST '>' — any column list containing a nested type
+(embedding:array<float>) was silently truncated after that column;
+now captured to end of line. (2) column splitting is bracket-depth
+aware, so array<...>/decimal(12,2) type parameters never split a
+column entry. (3) the embeddings wide column is 'embedding' (the
+parquet name) — 'vec' was only ever a post-load alias, so the old flag
+could never fire and the 32 embedding scans went unaudited.
 
 Usage: python scripts/readschema_audit.py [out.json] [name1,name2,...]
 """
@@ -34,7 +47,9 @@ if str(REPO) not in sys.path:
 SF_DIR = os.environ.get("PROTEUS_GATE_SF_DIR", "/root/testdata/sf0.01")
 
 _LOC_RE = re.compile(r"Location: \S+ \[[^\]]*?([a-z_0-9]+)\.parquet\]")
-_RS_RE = re.compile(r"ReadSchema: struct<([^>]*)>")
+# greedy to the LAST '>' on the line: nested types (array<float>) must not
+# truncate the captured column list (r18 ADVICE fix)
+_RS_RE = re.compile(r"ReadSchema: struct<(.*)>\s*$", re.MULTILINE)
 
 WIDE = {
     "documents": {"text"},
@@ -43,8 +58,27 @@ WIDE = {
     "part": {"p_comment"},
     "customer": {"c_comment"},
     "supplier": {"s_comment"},
-    "embeddings": {"vec"},
+    "embeddings": {"embedding"},
 }
+
+
+def _split_cols(body: str) -> list[str]:
+    """Split a ReadSchema struct body on TOP-LEVEL commas only —
+    bracket-depth aware so array<struct<a:int,b:int>> or decimal(12,2)
+    type parameters never produce bogus column tokens (r18 ADVICE fix)."""
+    cols, depth, cur = [], 0, []
+    for ch in body:
+        if ch == "," and depth == 0:
+            cols.append("".join(cur))
+            cur = []
+            continue
+        if ch in "<([":
+            depth += 1
+        elif ch in ">)]":
+            depth -= 1
+        cur.append(ch)
+    cols.append("".join(cur))
+    return [c.strip() for c in cols if c.strip()]
 
 
 def main() -> None:
@@ -85,7 +119,7 @@ def main() -> None:
             if loc and rs:
                 table = loc.group(1).rsplit("/", 1)[-1]
                 cols = sorted(
-                    c.split(":")[0] for c in rs.group(1).split(",") if c
+                    c.split(":")[0].strip() for c in _split_cols(rs.group(1))
                 )
                 wide = sorted(set(cols) & WIDE.get(table, set()))
                 scans.append({"table": table, "cols": cols, "wide": wide})
