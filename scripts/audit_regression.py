@@ -51,8 +51,10 @@ def main() -> None:
         if "error" in entry and "error" not in ref:
             regressions.append(f"{name}: scan audit now errors: {entry['error']}")
             continue
-        for tbl, n in (entry.get("table_scans") or {}).items():
-            r = (ref.get("table_scans") or {}).get(tbl, 0)
+        tables = set(entry.get("scans") or {}) | set(ref.get("scans") or {})
+        for tbl in tables:
+            n = (entry.get("scans") or {}).get(tbl, 0)
+            r = (ref.get("scans") or {}).get(tbl, 0)
             if n > r:
                 regressions.append(f"{name}: {tbl} scans {r} -> {n}")
             elif n < r:
